@@ -1,0 +1,38 @@
+"""Table catalog: load the canonical parquet tables and register views.
+
+The reference reads one Excel sheet at a time into pandas
+(feeder.py:121-122); the engine's canonical storage is parquet on
+distributed storage — columnar, splittable, predicate-pushdown-able.
+At 100 TB the same ``spark.read.parquet`` call fans out to thousands
+of tasks; nothing here is driver-bound.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one canonical table. Column pruning + filter pushdown are
+    Catalyst's job — callers just ``select``/``filter`` declaratively."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every canonical table as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register each table as a temp view so plans can be spark.sql too."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

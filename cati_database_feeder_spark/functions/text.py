@@ -1,0 +1,115 @@
+"""Text-analysis column expressions (extension op E8, SURVEY.md §2.10).
+
+LLM-training-data pipeline primitives over the ``documents`` table:
+tokenization, token counting, quality scoring, language-ID heuristics,
+and document fingerprinting. All built-in Spark expressions — at
+100 TB these run inside whole-stage codegen with zero Python; nothing
+here shuffles (pure per-row projections).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny stopword sets per language for the n-gram/stopword language-ID
+# heuristic and quality scoring. Deliberately small and deterministic
+# so the DuckDB oracle can mirror them verbatim.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "que", "y", "es"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty text → empty array (guards the
+    ``split('') == ['']`` edge both engines share)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the cheap proxy for a BPE count)."""
+    return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count regex word-pieces (runs of
+    letters/digits, splitting punctuation off) rather than whitespace
+    words — closer to how a subword tokenizer scales."""
+    pieces = F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces).cast("bigint")
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of *lang*."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, F.lower(t)))).cast("bigint")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: mean-word-length band,
+    stopword presence, and alphabetic ratio. A classic cheap filter
+    for pretraining corpora (C4-style heuristics)."""
+    n_tok = token_count(text)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    mean_word_len = n_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    stop_ratio = stopword_count(text).cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    score = (
+        F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.lit(0.3) * (alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"))
+    )
+    return F.round(score, 4)
+
+
+def lang_id_heuristic(text: Column) -> Column:
+    """Language-ID heuristic: script detection first (CJK / Cyrillic),
+    then stopword voting among Latin-script languages, 'und' when no
+    evidence. Pure expressions — no model, no UDF."""
+    toks = F.transform(tokens(text), F.lower)
+    votes = {
+        lang: F.size(F.filter(toks, lambda t, sw=sw: F.array_contains(
+            F.array(*[F.lit(w) for w in sw]), t)))
+        for lang, sw in STOPWORDS.items()
+    }
+    best_latin = F.greatest(*votes.values())
+    latin_pick = F.lit("und")
+    # reversed() so earlier dict entries win ties, matching the oracle's
+    # CASE ordering (en before de before es before fr).
+    for lang in reversed(list(STOPWORDS)):
+        latin_pick = F.when(votes[lang] == best_latin, F.lit(lang)).otherwise(latin_pick)
+    return (
+        F.when(text.rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+         .when(text.rlike("[\\u0400-\\u04ff]"), F.lit("ru"))
+         .when(best_latin > 0, latin_pick)
+         .otherwise(F.lit("und"))
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 hex of the raw text (stable across
+    engines, used as the exact-dedup grouping key)."""
+    return F.md5(text)
+
+
+def fingerprint_normalized(text: Column) -> Column:
+    """Content fingerprint robust to whitespace/case jitter: md5 of the
+    lowercased, whitespace-collapsed text — the 'rolling hash' family
+    of document fingerprints reduced to its deterministic core."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def hash64(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 → bigint.
+
+    Used wherever Spark and the DuckDB oracle must agree on hash
+    values (MinHash, SimHash); Spark's xxhash64 and DuckDB's hash()
+    differ, md5 is identical in both.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")

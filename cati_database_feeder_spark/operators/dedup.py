@@ -1,0 +1,140 @@
+"""Deduplication operators (north-star E6/E7 — SURVEY.md §2.10).
+
+Generalizes the reference's only dedup (phone-in-list anti-join,
+feeder.py:157-160) into the family a pretraining-data pipeline needs:
+
+- exact content dedup (hash-groupBy),
+- MinHash signatures + LSH banding (near-dup at 100 TB without a
+  cross join: candidates come from equality on band buckets, which is
+  a plain shuffle join),
+- SimHash (bit-signature near-dup),
+- n-gram / token Jaccard verification.
+
+Scale posture: every candidate-generation step is an equi-join on a
+derived key (fingerprint, band hash, shared rare token) — never an
+O(n²) crossJoin. Signatures are computed per-row with higher-order
+functions (JVM, codegen); the only Python anywhere is none.
+
+Hash portability: signatures use md5-derived 60-bit ints
+(functions/text.py:hash64) so the DuckDB oracle can reproduce them
+exactly; xxhash64 would be faster but engine-private. Swap via the
+``hasher`` argument in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cati_database_feeder_spark.functions import text as T
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order: list) -> DataFrame:
+    """E6: keep first row per key by deterministic order (window form —
+    use dropDuplicates(keys) when the representative doesn't matter)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def exact_content_dedup(documents: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", normalized: bool = True) -> DataFrame:
+    """E6 at content level: group by text fingerprint, keep the lowest
+    id as the canonical representative, count the duplicates."""
+    fp = (T.fingerprint_normalized if normalized else T.fingerprint_md5)(F.col(text_col))
+    return (documents
+            .withColumn("fingerprint", fp)
+            .groupBy("fingerprint")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def minhash_signature(text_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash over whitespace tokens: element i = min over tokens of
+    hash64(token || '#' || i). Per-row, no shuffle. The probability two
+    docs agree at element i equals their token-set Jaccard — the
+    classic estimator (Broder 1997)."""
+    toks = F.array_distinct(T.tokens(text_col))
+    sig = [
+        F.array_min(F.transform(
+            toks, lambda t, i=i: T.hash64(F.concat(t, F.lit(f"#{i}")))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(documents: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 16,
+                           bands: int = 4) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes//bands`` rows; docs sharing any band bucket are
+    candidates. Candidate generation is groupBy-equality on
+    (band_idx, band_hash) — a single shuffle, no crossJoin, which is
+    the whole point at 100 TB."""
+    r = num_hashes // bands
+    sig = documents.select(F.col(id_col), minhash_signature(F.col(text_col), num_hashes).alias("sig"))
+    banded = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws(",", *[F.element_at("sig", b * r + j + 1).cast("string")
+                                              for j in range(r)])).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"))
+    buckets = banded.select(id_col, "bb.band", "bb.bucket")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def token_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
+    """Exact token-set Jaccard via array intersection/union (JVM-side)."""
+    inter = F.size(F.array_intersect(a_tokens, b_tokens)).cast("double")
+    union = F.size(F.array_union(a_tokens, b_tokens)).cast("double")
+    return inter / F.nullif(union, F.lit(0.0))
+
+
+def near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", threshold: float = 0.7,
+                   num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """MinHash-LSH candidates verified with exact token Jaccard —
+    the standard two-phase near-dup pipeline."""
+    cands = minhash_lsh_candidates(documents, id_col, text_col, num_hashes, bands)
+    toks = documents.select(F.col(id_col), F.array_distinct(T.tokens(F.col(text_col))).alias("toks"))
+    joined = (cands
+              .join(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+              .join(toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("toks", "toks_b"), "id_b"))
+    return (joined
+            .withColumn("jaccard", F.round(token_jaccard(F.col("toks_a"), F.col("toks_b")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(text_col: Column, bits: int = 16) -> Column:
+    """SimHash (Charikar 2002): bit b of the signature is the sign of
+    Σ_tokens (±1 by bit b of the token hash). Near-dup docs differ in
+    few bits. Per-row expression; ``bits`` kept small enough that the
+    expression tree stays codegen-friendly."""
+    toks = T.tokens(text_col)
+    hashes = F.transform(toks, T.hash64)
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"),
+                    lambda acc, h, b=b: acc + F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1)))
+        for b in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_hamming(a: Column, b: Column, bits: int = 16) -> Column:
+    """Hamming distance between two simhash values."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x) if hasattr(F, "bit_count") else sum(
+        F.shiftright(x, i).bitwiseAND(F.lit(1)) for i in range(bits))

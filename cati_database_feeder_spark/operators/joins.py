@@ -1,0 +1,54 @@
+"""Join operators (SURVEY.md §2.4: op #17 + extensions E1-E5).
+
+The reference's only join semantics are the hand-rolled anti-join
+(phone-in-list dedup, feeder.py:157-160) and its semi-join complement
+(skipped report, feeder.py:245-246). Here the full join surface is
+exposed, with the scale decisions made explicit:
+
+- ``dedup_anti_join`` / ``skipped_semi_join`` broadcast the key side:
+  an existing-keys snapshot is a key-only projection — even 10^9 keys
+  × 8 bytes is broadcastable at cluster scale, and broadcasting turns
+  the anti-join shuffle-free. If the key side outgrows broadcast,
+  Spark falls back to sort-merge automatically when the hint is
+  dropped (``broadcast_keys=False``).
+- Big-big joins rely on AQE (enabled in session.py) for skew split and
+  strategy switch; we do not hand-schedule them.
+- ``range_join`` broadcasts the bucket table: a theta-join's only sane
+  physical plan is broadcast-nested-loop, so keep the build side tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_anti_join(new: DataFrame, existing_keys: DataFrame, on: str | list[str],
+                    broadcast_keys: bool = True) -> DataFrame:
+    """Op #17 done right: rows of ``new`` whose key is not already loaded."""
+    keys = F.broadcast(existing_keys) if broadcast_keys else existing_keys
+    return new.join(keys, on=on, how="left_anti")
+
+
+def skipped_semi_join(new: DataFrame, existing_keys: DataFrame, on: str | list[str],
+                      broadcast_keys: bool = True) -> DataFrame:
+    """Op #17 complement: the reference's skipped-rows report."""
+    keys = F.broadcast(existing_keys) if broadcast_keys else existing_keys
+    return new.join(keys, on=on, how="left_semi")
+
+
+def equi_join(left: DataFrame, right: DataFrame, on, how: str = "inner") -> DataFrame:
+    """E1: plain equi-join; Catalyst/AQE picks broadcast vs sort-merge."""
+    return left.join(right, on=on, how=how)
+
+
+def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """E3: explicit broadcast hint for dimension joins (nation/region/
+    label lookups) — never shuffle the fact side for a dimension."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def range_join(probe: DataFrame, buckets: DataFrame, cond: Column) -> DataFrame:
+    """E4: theta/range join; build side broadcast → nested-loop without
+    a shuffle of the probe side."""
+    return probe.join(F.broadcast(buckets), on=cond, how="inner")

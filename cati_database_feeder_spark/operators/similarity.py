@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (north-star E7).
+
+Three tiers, trading recall for scale:
+
+1. ``brute_force_topk`` — exact: score every (query, corpus) pair.
+   Correctness baseline and perfectly fine when one side broadcasts.
+2. ``lsh_topk`` — random-hyperplane (sign) LSH: bucket by signature
+   prefix, score only within buckets. Sub-linear candidate sets; the
+   bucket join is an equi-join (one shuffle), never a crossJoin.
+3. ``ivf_topk`` — IVF: coarse-quantize the corpus to centroid cells
+   (k-means style), probe the nearest ``nprobe`` cells per query.
+   This is the 100 TB shape: the corpus is partitioned by cell id
+   once (write-time layout), and each query touches a few cells.
+
+All scoring is the deterministic double-precision cosine from
+functions/vectors.py (JVM higher-order functions, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cati_database_feeder_spark.functions import vectors as V
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                     q_id: str = "q_id", q_vec: str = "q_vec",
+                     c_id: str = "vec_id", c_vec: str = "embedding",
+                     broadcast_queries: bool = True) -> DataFrame:
+    """Exact top-k: broadcast the (small) query set against the corpus,
+    score, rank per query with a deterministic tie-break."""
+    q = F.broadcast(queries) if broadcast_queries else queries
+    scored = (corpus.crossJoin(q)
+              .withColumn("cosine", V.cosine(F.col(c_vec), F.col(q_vec))))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, F.col(c_id), F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def with_lsh_bucket(df: DataFrame, vec_col: str, n_bits: int = 8,
+                    out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane signature truncated to the first ``n_bits``
+    dims' signs. Using coordinate hyperplanes keeps it deterministic
+    and oracle-reproducible; production would use seeded Gaussian
+    hyperplanes via a literal matrix — same plan shape."""
+    return df.withColumn(
+        out_col, F.substring(V.simhash_sign(F.col(vec_col)), 1, n_bits))
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             n_bits: int = 8, q_id: str = "q_id", q_vec: str = "q_vec",
+             c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket (equi-join),
+    exact cosine rerank within candidates."""
+    qb = with_lsh_bucket(queries, q_vec, n_bits)
+    cb = with_lsh_bucket(corpus, c_vec, n_bits)
+    scored = (cb.join(F.broadcast(qb), on="bucket")
+              .withColumn("cosine", V.cosine(F.col(c_vec), F.col(q_vec))))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, F.col(c_id), F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                        c_id: str = "vec_id", c_vec: str = "embedding",
+                        iterations: int = 2) -> DataFrame:
+    """K-means-ish coarse quantizer, fully in DataFrame ops: seed cells
+    by id hash, then Lloyd iterations of assign (argmin distance) +
+    re-center (mean per cell). Each iteration is one broadcast join +
+    one groupBy — linear scans, no crossJoin of corpus×corpus."""
+    assigned = corpus.select(c_id, c_vec, (F.col(c_id) % n_cells).alias("cell"))
+    dim_probe = corpus.select(F.size(c_vec).alias("d")).limit(1)
+    dim = dim_probe.collect()[0]["d"]
+    for _ in range(iterations):
+        centroids = (assigned.groupBy("cell")
+                     .agg(F.array(*[
+                         F.avg(F.element_at(F.col(c_vec), i + 1)).alias(f"m{i}")
+                         for i in range(dim)]).alias("centroid")))
+        dists = (corpus.crossJoin(F.broadcast(centroids))
+                 .withColumn("dist", V.l2_distance(F.col(c_vec), F.col("centroid"))))
+        w = Window.partitionBy(c_id).orderBy(F.asc("dist"), F.asc("cell"))
+        assigned = (dists.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1).select(c_id, c_vec, "cell"))
+    return (assigned.groupBy("cell")
+            .agg(F.array(*[F.avg(F.element_at(F.col(c_vec), i + 1)) for i in range(dim)])
+                 .alias("centroid")))
+
+
+def ivf_topk(queries: DataFrame, corpus_assigned: DataFrame, centroids: DataFrame,
+             k: int = 10, nprobe: int = 4, q_id: str = "q_id", q_vec: str = "q_vec",
+             c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
+    """Probe the ``nprobe`` nearest cells per query, exact rerank inside.
+    ``corpus_assigned`` must carry a ``cell`` column (write-time layout:
+    partition the corpus parquet by cell for partition pruning)."""
+    qc = (queries.crossJoin(F.broadcast(centroids))
+          .withColumn("dist", V.l2_distance(F.col(q_vec), F.col("centroid"))))
+    w = Window.partitionBy(q_id).orderBy(F.asc("dist"), F.asc("cell"))
+    probes = (qc.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= nprobe).select(q_id, q_vec, "cell"))
+    scored = (corpus_assigned.join(F.broadcast(probes), on="cell")
+              .withColumn("cosine", V.cosine(F.col(c_vec), F.col(q_vec))))
+    w2 = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(q_id, F.col(c_id), F.round("cosine", 6).alias("cosine"), "rank"))

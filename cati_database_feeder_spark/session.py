@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference is a single-threaded pandas script (feeder.py:156
+``iterrows``); here every knob is set so the same logical plans run
+unchanged on a 1000-executor cluster: AQE on (runtime re-planning,
+skew-join splitting, partition coalescing), broadcast threshold for
+dimension joins, Arrow for any pandas-UDF exchange, UTC session time
+zone so timestamp semantics are stable across drivers and match the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults are for the local[32] test harness; on a real cluster the
+# submitter overrides master/shuffle-partitions (rule of thumb: 2-3x
+# total executor cores, or rely on AQE coalescing from a high initial
+# number).
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(app_name: str = "cati-feeder-spark", master: str | None = None,
+                shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-ready defaults."""
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- correctness-critical ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- scale posture: runtime adaptivity ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # --- joins: dimension tables (region/nation/existing-key
+        # snapshots) broadcast instead of shuffling the fact side ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- python exchange is Arrow-batched, never per-row pickle ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scans: keep splits near the default 128MB parquet
+        # row-group size so a 100 TB table yields well-sized tasks ---
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # local-mode niceties; harmless on a cluster
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,93 @@
+"""Unit tests for functions/scalar.py against the reference's edge cases
+(SURVEY.md §5.2: "Брак" rows, age 40000, month 12 repair, 'nan' strings,
+missing optional columns)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cati_database_feeder_spark.functions import scalar
+
+
+def one(df, colname="out"):
+    return [r[colname] for r in df.collect()]
+
+
+def test_status_case(spark):
+    df = spark.createDataFrame([("Полное",), ("Брак",), ("Частичное",), (None,)], ["result"])
+    out = one(df.select(scalar.status_case(F.col("result")).alias("out")))
+    # reference feeder.py:168-171: only "Полное" → "Комплит", everything else interrupted
+    assert out == ["Комплит", "Прервано", "Прервано", "Прервано"]
+
+
+def test_reject_predicate_keeps_nulls(spark):
+    df = spark.createDataFrame([("Брак",), ("Полное",), (None,)], ["result"])
+    out = df.filter(scalar.reject_predicate(F.col("result"))).collect()
+    assert [r["result"] for r in out] == ["Полное", None]
+
+
+def test_parse_ru_timestamp_and_formats(spark):
+    df = spark.createDataFrame([("02.05.2022 15:16:18",)], ["IVDate1"])
+    ts = scalar.parse_ru_timestamp(F.col("IVDate1"))
+    row = df.select(scalar.iso_date(ts).alias("d"), scalar.iso_datetime(ts).alias("dt")).first()
+    assert row["d"] == "2022-05-02"
+    assert row["dt"] == "2022-05-02 15:16:18"
+
+
+def test_clamp_smallint(spark):
+    df = spark.createDataFrame([(40000,), (25,), (32767,)], ["age"])
+    assert one(df.select(scalar.clamp_smallint(F.col("age")).alias("out"))) == [32767, 25, 32767]
+
+
+def test_truncate_str(spark):
+    df = spark.createDataFrame([("x" * 150,), ("short",)], ["q2"])
+    out = one(df.select(scalar.truncate_str(F.col("q2")).alias("out")))
+    assert [len(out[0]), out[1]] == [100, "short"]
+
+
+def test_month_increment_correct_vs_faithful_december(spark):
+    # reference bug (add_q5011_2t.py:96-100): December → "13"; engine
+    # default rolls the year correctly.
+    df = spark.createDataFrame([("2022-12-15 10:00:00",)], ["d"])
+    faithful = df.select(scalar.month_increment_faithful(F.col("d")).alias("out")).first()["out"]
+    correct = df.select(
+        scalar.iso_datetime(scalar.month_increment(
+            F.to_timestamp("d", "yyyy-MM-dd HH:mm:ss"))).alias("out")).first()["out"]
+    assert faithful == "2022-13-15 10:00:00"   # documented divergence
+    assert correct == "2023-01-15 10:00:00"
+
+
+def test_coalesce_recruiting_date(spark):
+    df = spark.createDataFrame(
+        [("nan", "2022-01-01 00:00:00"), (None, "2022-02-02 00:00:00"),
+         ("2022-03-03 00:00:00", "2022-01-01 00:00:00")],
+        ["q5011_2t", "iv_iso"])
+    out = one(df.select(scalar.coalesce_recruiting_date(
+        F.col("q5011_2t"), F.col("iv_iso")).alias("out")))
+    assert out == ["2022-01-01 00:00:00", "2022-02-02 00:00:00", "2022-03-03 00:00:00"]
+
+
+def test_wave_from_project_name(spark):
+    df = spark.createDataFrame([("Трекинг здоровья бренда_w19",)], ["name"])
+    assert one(df.select(scalar.wave_from_project_name(F.col("name")).alias("out"))) == ["19"]
+    assert one(df.select(scalar.wave_from_project_name(F.col("name"), strip_w=True).alias("out"))) == ["19"]
+    df6 = spark.createDataFrame([("проект_w6",)], ["name"])
+    assert one(df6.select(scalar.wave_from_project_name(F.col("name"), strip_w=True).alias("out"))) == ["6"]
+
+
+def test_clean_log_tail(spark):
+    df = spark.createDataFrame([("line1\nline2\n\nline3\n",)], ["log"])
+    assert one(df.select(scalar.clean_log_tail(F.col("log")).alias("out"))) == ["line3"]
+
+
+def test_optional_column(spark):
+    df = spark.createDataFrame([(1.0,)], ["DB_Reward"])
+    cols = df.columns
+    present = df.select(scalar.optional_column(cols, "DB_Reward").alias("out")).first()["out"]
+    absent = df.select(scalar.optional_column(cols, "Reward").alias("out")).first()["out"]
+    assert present == 1.0 and absent is None
+
+
+def test_normalize_nan(spark):
+    df = spark.createDataFrame([(float("nan"),), (2.5,)], ["v"])
+    assert one(df.select(scalar.normalize_nan(F.col("v")).alias("out"))) == [None, 2.5]

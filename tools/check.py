@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark at a given SF
+dir, runs the matching ``oracle_sql()`` in DuckDB over the same parquet
+files, and compares: row count, column names, and order-insensitive
+values (sorted columns, sorted rows, exact equality — floats compared
+bit-for-bit after canonicalization). Strictly harsher than any sane
+hash, so passing here should pass the driver.
+
+Usage: python tools/check.py [sf_dir] [only_query_prefix]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from cati_database_feeder_spark.session import get_session
+from cati_database_feeder_spark.catalog import TABLES
+
+
+def canon(v):
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NaN>"
+        return repr(v)  # full precision — bitwise comparison for doubles
+    return str(v)
+
+
+def frame_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    spark = get_session("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    passed = failed = weak = 0
+    for name, fn in queries.items():
+        if only and not name.startswith(only):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            failed += 1
+            continue
+        if name not in oracles:
+            print(f"weak {name}: rows={len(srows)} (no oracle, rows-only check) [{time.time()-t0:.1f}s]")
+            weak += 1
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error")
+            traceback.print_exc()
+            failed += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(c.lower() for c in ocols) and sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            sk, ok = frame_key(srows, [c.lower() for c in scols]), frame_key(orows, [c.lower() for c in ocols])
+            if sk != ok:
+                ndiff = sum(1 for a, b in zip(sk, ok) if a != b)
+                problems.append(f"values differ ({ndiff} rows); first: spark={next((a for a,b in zip(sk,ok) if a!=b), None)} oracle={next((b for a,b in zip(sk,ok) if a!=b), None)}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failed += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            passed += 1
+    print(f"\n{passed} passed, {failed} failed, {weak} weak (rows-only)")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
