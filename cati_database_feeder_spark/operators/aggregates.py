@@ -20,10 +20,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 28 digits, 10 decimal places: fits ~1e18 in the integral part, far
-# beyond any 100 TB sum of prices, while keeping enough scale that the
-# per-value double→decimal rounding is well below double ULP noise.
-_DEC = "decimal(28,10)"
+# 28 digits, 6 decimal places: fits ~1e22 in the integral part, far
+# beyond any 100 TB sum of prices. Scale 6 (not more) because the
+# source values sit on a ≤2-decimal grid, so any product of up to
+# three of them has ≤6 true decimals — every cast input is at a grid
+# point, never near a rounding tie, and Spark (BigDecimal shortest
+# repr, HALF_UP) and DuckDB (scaled-double rounding) agree exactly.
+# At scale 10 the two engines round the double's trailing binary
+# noise differently ~1/1e3 rows and sums drift.
+_DEC = "decimal(28,6)"
 
 
 def dsum(col: Column) -> Column:
@@ -38,9 +43,9 @@ def davg(col: Column) -> Column:
 
 def dsum_sql(expr: str) -> str:
     """DuckDB oracle fragment matching :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
 
 
 def davg_sql(expr: str) -> str:
     """DuckDB oracle fragment matching :func:`davg`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE) / COUNT({expr})"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({expr})"

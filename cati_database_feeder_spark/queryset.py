@@ -194,3 +194,330 @@ def union_pages(spark, sf_dir):
     a = orders.filter(F.col("o_orderkey") % 100 < 3).select("o_orderkey", "o_custkey")
     b = orders.filter((F.col("o_orderkey") % 100).between(50, 52)).select("o_orderkey", "o_custkey")
     return a.unionByName(b)
+
+
+# =====================================================================
+# Join pack — op #17 variants + extensions E1-E5 (operators/joins.py)
+# =====================================================================
+
+@register("join_inner_customer_orders", sql="""
+SELECT c.c_custkey, c.c_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_spent
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+""")
+def join_inner_customer_orders(spark, sf_dir):
+    """E1 equi-join + hash aggregate. Spark picks broadcast for the
+    customer side automatically under the session threshold; at 100 TB
+    the same plan sort-merges with AQE skew handling."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "inner")
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum(F.col("o_totalprice")).alias("total_spent")))
+
+
+@register("join_left_with_empty", sql="""
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_spent
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+GROUP BY c.c_custkey
+""")
+def join_left_with_empty(spark, sf_dir):
+    """E1 left join with an ON-clause predicate — customers with no
+    matching orders survive with NULL aggregates."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (c.join(o, (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F"), "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 dsum(F.col("o_totalprice")).alias("total_spent")))
+
+
+@register("join_multiway_star", sql="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus <> 'P'
+GROUP BY r.r_name, n.n_name
+""")
+def join_multiway_star(spark, sf_dir):
+    """E1+E3: the TPC-H Q5 shape — fact⋈fact sort-merge (lineitem⋈orders
+    on the biggest key), then explicitly broadcast dimension joins so
+    the fact side never shuffles for lookups."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("n_lineitems"),
+                 dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")))
+
+
+@register("join_range_buckets", sql="""
+WITH buckets AS (
+  SELECT r_regionkey AS bucket_id, r_regionkey * 10 AS lo, r_regionkey * 10 + 10 AS hi
+  FROM region
+)
+SELECT b.bucket_id, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p.p_retailprice AS DECIMAL(28,6))) AS DOUBLE) AS price_sum
+FROM part p JOIN buckets b ON p.p_size >= b.lo AND p.p_size < b.hi
+GROUP BY b.bucket_id
+""")
+def join_range_buckets(spark, sf_dir):
+    """E4 range/theta join: probe side joined to broadcast bucket bounds
+    (broadcast-nested-loop — the only sane physical plan for theta)."""
+    from cati_database_feeder_spark.operators.joins import range_join
+    p = T(spark, sf_dir, "part")
+    r = T(spark, sf_dir, "region")
+    buckets = r.select(F.col("r_regionkey").alias("bucket_id"),
+                       (F.col("r_regionkey") * 10).alias("lo"),
+                       (F.col("r_regionkey") * 10 + 10).alias("hi"))
+    joined = range_join(p, buckets, (F.col("p_size") >= F.col("lo")) & (F.col("p_size") < F.col("hi")))
+    return (joined.groupBy("bucket_id")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 dsum(F.col("p_retailprice")).alias("price_sum")))
+
+
+@register("cross_join_pairs", sql="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+WHERE n.n_nationkey < 5
+""")
+def cross_join_pairs(spark, sf_dir):
+    """E5 cross join (tiny×tiny only — anything bigger must go through
+    LSH/bucketing, see operators/similarity.py)."""
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register("set_ops_customers", sql="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_ops_customers(spark, sf_dir):
+    """§2.7 set ops: INTERSECT (EXCEPT covered by except_customers)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@register("except_customers", sql="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""")
+def except_customers(spark, sf_dir):
+    """§2.7: customers who never ordered (EXCEPT = distinct anti)."""
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# =====================================================================
+# Aggregation pack — §2.5 extension surface (operators/aggregates.py)
+# =====================================================================
+
+@register("agg_pricing_summary", sql="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical hash-aggregate benchmark. Partial
+    (map-side) aggregation means the shuffle carries ~|groups|×|parts|
+    rows, not 600k — the 100 TB-safe aggregate."""
+    l = T(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
+                 dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 dsum(disc).alias("sum_disc_price"),
+                 dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+                 davg(F.col("l_quantity")).alias("avg_qty"),
+                 davg(F.col("l_extendedprice")).alias("avg_price"),
+                 davg(F.col("l_discount")).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register("agg_distinct_counts", sql="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""")
+def agg_distinct_counts(spark, sf_dir):
+    """E-section distinct aggregate (exact; approx_count_distinct is
+    exposed in approx_aggregates as a weaker rows-only check)."""
+    o = T(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@register("agg_rollup_region_nation", sql="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       GROUPING(r.r_name) AS g_region, GROUPING(n.n_name) AS g_nation,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS acctbal_sum
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+def agg_rollup_region_nation(spark, sf_dir):
+    """E-section ROLLUP with GROUPING() flags disambiguating the NULL
+    subtotal rows from genuine NULL keys."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    joined = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+               .select(F.col("r_name").alias("region"),
+                       F.col("n_name").alias("nation"), "c_acctbal"))
+    return (joined.rollup("region", "nation")
+            .agg(F.grouping("region").cast("bigint").alias("g_region"),
+                 F.grouping("nation").cast("bigint").alias("g_nation"),
+                 F.count(F.lit(1)).alias("n_customers"),
+                 dsum(F.col("c_acctbal")).alias("acctbal_sum")))
+
+
+@register("agg_cube_status_priority", sql="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def agg_cube_status_priority(spark, sf_dir):
+    """E-section CUBE (all grouping-set combinations)."""
+    o = T(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@register("top_k_orders", sql="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""")
+def top_k_orders(spark, sf_dir):
+    """§2.7 top-k: ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    a per-partition heap + driver merge, never a global sort. Unique
+    tie-break key keeps it deterministic."""
+    o = T(spark, sf_dir, "orders")
+    return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(25).select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+# =====================================================================
+# Window pack — §2.6 extension surface (operators/windows.py)
+# =====================================================================
+
+@register("window_top_orders_per_customer", sql="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""")
+def window_top_orders_per_customer(spark, sf_dir):
+    """Window row_number: top-3 orders per customer."""
+    from cati_database_feeder_spark.operators.windows import rank_within_group
+    o = T(spark, sf_dir, "orders")
+    ranked = rank_within_group(o.select("o_custkey", "o_orderkey", "o_totalprice"),
+                               ["o_custkey"],
+                               [F.desc("o_totalprice"), F.asc("o_orderkey")])
+    return ranked.filter(F.col("rn") <= 3)
+
+
+@register("window_first_occurrence_dedup", sql="""
+SELECT o_custkey, o_orderkey, o_orderdate_s FROM (
+  SELECT o_custkey, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+""")
+def window_first_occurrence_dedup(spark, sf_dir):
+    """The declarative in-batch dedup the reference cannot do
+    (SURVEY.md §2.6): first order per customer."""
+    from cati_database_feeder_spark.operators.windows import first_occurrence_dedup
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_s"),
+        F.col("o_orderdate"))
+    out = first_occurrence_dedup(o, ["o_custkey"],
+                                 [F.asc("o_orderdate"), F.asc("o_orderkey")])
+    return out.drop("o_orderdate")
+
+
+@register("window_running_revenue", sql="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+WHERE o_custkey % 10 = 0
+""")
+def window_running_revenue(spark, sf_dir):
+    """Cumulative sum frame (rowsBetween) — decimal accumulation keeps
+    it bit-deterministic like every other double aggregate here."""
+    from pyspark.sql import Window as W
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = (W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w)
+         .cast("double").alias("running_total"))
+
+
+@register("window_lag_delta", sql="""
+SELECT o_custkey, o_orderkey,
+       o_totalprice - LAG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS delta_vs_prev
+FROM orders
+WHERE o_custkey % 20 = 0
+""")
+def window_lag_delta(spark, sf_dir):
+    """lag(): change vs the customer's previous order."""
+    from pyspark.sql import Window as W
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_vs_prev"))
