@@ -59,12 +59,13 @@ def quality_score(text: Column) -> Column:
     alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     mean_word_len = n_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
     stop_ratio = stopword_count(text).cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
-    score = (
+    # explicit left-to-right addition; no rounding — identical operands
+    # and operation order make the double bit-identical across engines
+    return (
         F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.4)).otherwise(F.lit(0.0))
         + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
         + F.lit(0.3) * (alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"))
     )
-    return F.round(score, 4)
 
 
 def lang_id_heuristic(text: Column) -> Column:
@@ -72,11 +73,14 @@ def lang_id_heuristic(text: Column) -> Column:
     then stopword voting among Latin-script languages, 'und' when no
     evidence. Pure expressions — no model, no UDF."""
     toks = F.transform(tokens(text), F.lower)
-    votes = {
-        lang: F.size(F.filter(toks, lambda t, sw=sw: F.array_contains(
-            F.array(*[F.lit(w) for w in sw]), t)))
-        for lang, sw in STOPWORDS.items()
-    }
+
+    # factory, NOT a default-arg lambda: a 2-param lambda makes Spark
+    # pass (element, index) and the "default" binds to the index column
+    def _vote(sw):
+        arr = F.array(*[F.lit(w) for w in sw])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    votes = {lang: _vote(sw) for lang, sw in STOPWORDS.items()}
     best_latin = F.greatest(*votes.values())
     latin_pick = F.lit("und")
     # reversed() so earlier dict entries win ties, matching the oracle's

@@ -55,12 +55,14 @@ def minhash_signature(text_col: Column, num_hashes: int = 16) -> Column:
     docs agree at element i equals their token-set Jaccard — the
     classic estimator (Broder 1997)."""
     toks = F.array_distinct(T.tokens(text_col))
-    sig = [
-        F.array_min(F.transform(
-            toks, lambda t, i=i: T.hash64(F.concat(t, F.lit(f"#{i}")))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sig)
+
+    # factory, NOT a default-arg lambda: a 2-param lambda makes Spark
+    # pass (element, index) and the seed would bind to the index column
+    def _minhash(i):
+        return F.array_min(F.transform(
+            toks, lambda t: T.hash64(F.concat(t, F.lit(f"#{i}")))))
+
+    return F.array(*[_minhash(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_candidates(documents: DataFrame, id_col: str = "doc_id",
@@ -120,13 +122,14 @@ def simhash(text_col: Column, bits: int = 16) -> Column:
     expression tree stays codegen-friendly."""
     toks = T.tokens(text_col)
     hashes = F.transform(toks, T.hash64)
-    bit_votes = [
-        F.aggregate(hashes, F.lit(0).cast("long"),
-                    lambda acc, h, b=b: acc + F.when(
-                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    ).otherwise(F.lit(-1)))
-        for b in range(bits)
-    ]
+
+    def _vote(b):
+        return F.aggregate(hashes, F.lit(0).cast("long"),
+                           lambda acc, h: acc + F.when(
+                               F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                           ).otherwise(F.lit(-1)))
+
+    bit_votes = [_vote(b) for b in range(bits)]
     out = F.lit(0).cast("long")
     for b, vote in enumerate(bit_votes):
         out = out + F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))

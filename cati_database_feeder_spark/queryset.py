@@ -521,3 +521,361 @@ def window_lag_delta(spark, sf_dir):
     return o.select(
         "o_custkey", "o_orderkey",
         (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_vs_prev"))
+
+
+# =====================================================================
+# Text-analysis pack — north-star E8 (functions/text.py) over documents
+# =====================================================================
+
+@register("text_token_stats", sql=r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
+       n_chars,
+       length(text) AS n_chars_check
+FROM documents
+""")
+def text_token_stats(spark, sf_dir):
+    """E8: whitespace token count + BPE-ish word-piece count."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_ish_token_count(F.col("text")).alias("n_pieces"),
+        "n_chars",
+        F.length("text").cast("bigint").alias("n_chars_check"))
+
+
+@register("text_quality_scores", sql=r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\s+'),
+                       t -> lower(t) IN ('the','a','of','and','to','in','is'))) AS n_stopwords,
+       (CASE WHEN length(text) / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) >= 3
+              AND length(text) / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) <= 12
+             THEN 0.4 ELSE 0.0 END
+        + CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                                    t -> lower(t) IN ('the','a','of','and','to','in','is')))
+                    / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) > 0.01
+               THEN 0.3 ELSE 0.0 END)
+       + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                / CAST(greatest(length(text), 1) AS DOUBLE)) AS quality
+FROM documents
+""")
+def text_quality_scores(spark, sf_dir):
+    """E8: C4-style cheap quality heuristics (mean word length band,
+    stopword presence, alphabetic ratio)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.stopword_count(F.col("text")).alias("n_stopwords"),
+        text.quality_score(F.col("text")).alias("quality"))
+
+
+@register("text_lang_id", sql=r"""
+WITH scored AS (
+  SELECT doc_id, text, lang AS labeled_lang,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> lower(t) IN ('the','a','of','and','to','in','is'))) AS v_en,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> lower(t) IN ('der','die','das','und','ist','ein'))) AS v_de,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> lower(t) IN ('el','la','de','que','y','es'))) AS v_es,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> lower(t) IN ('le','la','et','les','des','est'))) AS v_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+            WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+            WHEN greatest(v_en, v_de, v_es, v_fr) > 0 THEN
+              CASE WHEN v_en = greatest(v_en, v_de, v_es, v_fr) THEN 'en'
+                   WHEN v_de = greatest(v_en, v_de, v_es, v_fr) THEN 'de'
+                   WHEN v_es = greatest(v_en, v_de, v_es, v_fr) THEN 'es'
+                   ELSE 'fr' END
+            ELSE 'und' END AS detected_lang
+FROM scored
+""")
+def text_lang_id(spark, sf_dir):
+    """E8: script + stopword-voting language ID (no model, no UDF)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.lang_id_heuristic(F.col("text")).alias("detected_lang"))
+
+
+@register("text_fingerprint_dedup", sql=r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""")
+def text_fingerprint_dedup(spark, sf_dir):
+    """E6 exact content dedup: normalized-md5 fingerprint groupBy with
+    deterministic canonical representative (operators/dedup.py)."""
+    from cati_database_feeder_spark.operators.dedup import exact_content_dedup
+    d = T(spark, sf_dir, "documents")
+    return exact_content_dedup(d)
+
+
+@register("dedup_token_jaccard_pairs", sql=r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.toks, b.toks))
+         / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6
+""")
+def dedup_token_jaccard_pairs(spark, sf_dir):
+    """E6 near-dup, blocked variant: exact token-set Jaccard within
+    source blocks (the blocking key bounds the pair count — the same
+    idea LSH banding generalizes)."""
+    from cati_database_feeder_spark.operators.dedup import token_jaccard
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source",
+                    F.array_distinct(text.tokens(F.col("text"))).alias("toks"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    jac = token_jaccard(F.col("a.toks"), F.col("b.toks"))
+    return (a.join(b, (F.col("a.source") == F.col("b.source"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.6))
+
+
+@register("dedup_minhash_lsh_pairs", sql=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+  FROM documents
+),
+seeds AS (SELECT unnest(range(16)) AS i),
+hashes AS (
+  SELECT doc_id, i,
+         min(CAST(concat('0x', substr(md5(concat(tok, '#', i)), 1, 15)) AS BIGINT)) AS mh
+  FROM toks CROSS JOIN seeds
+  GROUP BY doc_id, i
+),
+buckets AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM hashes
+  GROUP BY doc_id, i // 4
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""")
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """E7 near-dup at scale: MinHash signatures + LSH banding. Candidate
+    generation is equality on (band, bucket) — one shuffle, no O(n²)
+    crossJoin (operators/dedup.py:minhash_lsh_candidates)."""
+    from cati_database_feeder_spark.operators.dedup import minhash_lsh_candidates
+    d = T(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, num_hashes=16, bands=4)
+
+
+# =====================================================================
+# Similarity-search pack — north-star E7 (operators/similarity.py)
+# =====================================================================
+
+@register("embedding_cosine_topk", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(e.v, q.qv)
+           / nullif(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0.0)
+           AS cos_raw
+  FROM e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 10
+""")
+def embedding_cosine_topk(spark, sf_dir):
+    """E7 exact baseline: brute-force cosine top-k, query side broadcast.
+    Raw doubles are bit-identical across engines (sequential fold in
+    both); ranking uses the raw value, display rounds to 6."""
+    from cati_database_feeder_spark.operators.similarity import brute_force_topk
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0) \
+         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return brute_force_topk(q, e, k=10)
+
+
+@register("embedding_lsh_topk", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(e.v, q.qv)
+           / nullif(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0.0)
+           AS cos_raw
+  FROM e JOIN q ON e.bucket = q.bucket
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 10
+""")
+def embedding_lsh_topk(spark, sf_dir):
+    """E7 scale path: sign-LSH bucket join (equi-join, no crossJoin)
+    then exact rerank within buckets."""
+    from cati_database_feeder_spark.operators.similarity import lsh_topk
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0) \
+         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return lsh_topk(q, e, k=10, n_bits=8)
+
+
+# =====================================================================
+# Events pack — JSON extraction (E10) + batch window semantics (§2.8)
+# =====================================================================
+
+@register("json_extract_props", sql="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+""")
+def json_extract_props(spark, sf_dir):
+    """E10: JSON prop extraction (generalizes the reference's config/API
+    JSON, feeder.py:19-24) + integer aggregates."""
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(k).alias("k_sum"),
+                 F.min(k).alias("k_min"),
+                 F.max(k).alias("k_max")))
+
+
+@register("events_tumbling_window", sql="""
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+FROM events
+WHERE ts < TIMESTAMP '2024-01-02'
+GROUP BY 1, 2
+""")
+def events_tumbling_window(spark, sf_dir):
+    """§2.8 batch form of the streaming tumbling window — identical
+    semantics to the Structured Streaming version in streaming/events.py
+    (same window(), same agg), so stream correctness is testable here."""
+    e = T(spark, sf_dir, "events")
+    return (e.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+            .groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum(F.col("value")).alias("value_sum"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                    "event_type", "n_events", "value_sum"))
+
+
+@register("events_session_window", sql="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '6 hours' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""")
+def events_session_window(spark, sf_dir):
+    """§2.8: session windows (6h inactivity gap) — the batch twin of
+    streaming session_window; sessionization is the gap-and-cumsum
+    pattern, here via Spark's built-in session_window."""
+    e = T(spark, sf_dir, "events")
+    return (e.groupBy(F.session_window("ts", "6 hours").alias("w"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                    "n_events"))
+
+
+@register("events_exact_median", sql="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS median_value,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS mean_value
+FROM events
+GROUP BY event_type
+""")
+def events_exact_median(spark, sf_dir):
+    """E11 adjacents: exact interpolated median (approx variants are in
+    approx_aggregates, rows-only — sketches differ across engines)."""
+    e = T(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.expr("percentile(value, 0.5)").alias("median_value"),
+                 davg(F.col("value")).alias("mean_value")))
+
+
+@register("approx_aggregates")  # no oracle: HLL/KLL sketches are engine-specific
+def approx_aggregates(spark, sf_dir):
+    """E11: approx_count_distinct (HyperLogLog++) + approx percentiles.
+    Deliberately rows-only: sketch outputs are engine-specific by
+    design; the exact twins are oracle-checked in agg_distinct_counts
+    and events_exact_median."""
+    e = T(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                 F.percentile_approx("value", 0.5).alias("approx_median")))
+
+
+@register("multimodal_binary_features", sql="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash,
+       hex(encode(substr(text, 1, 8))) AS header_hex
+FROM documents
+""")
+def multimodal_binary_features(spark, sf_dir):
+    """E9: binary-column plumbing — documents.text cast to binary plays
+    the opaque payload (real decode UDFs are stubbed in
+    sources/multimodal.py; the Spark-side schema/plumbing is real)."""
+    d = T(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("content_hash"),
+        F.hex(F.substring("text", 1, 8).cast("binary")).alias("header_hex"))

@@ -31,6 +31,10 @@ def get_session(app_name: str = "cati-feeder-spark", master: str | None = None,
         .master(master or f"local[{cpus}]")
         # --- correctness-critical ---
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet TIMESTAMP(NANOS) is otherwise an illegal type in Spark;
+        # read as epoch-nanos long, catalog.load_table converts to µs
+        # timestamps (matching DuckDB's own ns→µs truncation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- scale posture: runtime adaptivity ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,90 @@
+"""Excel / zip-archive sources (SURVEY.md §2.1 ops #1-#3).
+
+Reference behavior: download a zip, read ``namelist()[0]`` as an xlsx,
+``pd.read_excel`` into one in-RAM frame (feeder.py:119-122); updaters
+glob ``./xlsx/*.zip`` / ``*.xlsx`` one file at a time
+(add_q5010.py:44-49, add_q5011_2t.py:102-116).
+
+Engine shape: ``spark.read.format("binaryFile").load(glob)`` fans the
+*files* out across executors, and an Arrow-batched ``mapInPandas``
+decodes each archive where it lands — no driver bottleneck, no whole-
+dataset RAM spike; one task per file, which is the right granularity
+because xlsx is not splittable. The canonical pipeline converts to
+parquet once and every downstream query scans parquet (catalog.py).
+
+openpyxl is an optional dependency (present in the reference's lockfile,
+absent in minimal clusters) — decode degrades to a clear error row
+rather than an import-time crash.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+# xlsx sheets become string columns; schema-on-read like the reference
+# (feeder.py:121), but explicit here so the scan has a stable schema.
+DECODED_SCHEMA = "path string, sheet string, row_idx long, col_name string, value string"
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binaryFile rows (path, content) → long-form
+    (path, sheet, row_idx, col_name, value) rows. Long form keeps the
+    schema stable across heterogeneous workbooks; callers pivot with
+    groupBy().pivot() once they know the wave's columns."""
+    for pdf in batches:
+        out = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            try:
+                payload = bytes(content)
+                if path.endswith(".zip") or payload[:2] == b"PK" and path.endswith(".zip"):
+                    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                        # reference semantics: first archive member is the data
+                        # (feeder.py:120: namelist()[0])
+                        payload = zf.read(zf.namelist()[0])
+                frame = pd.read_excel(io.BytesIO(payload), dtype=str)
+            except ImportError as exc:  # openpyxl missing on executor
+                out.append(pd.DataFrame(
+                    {"path": [path], "sheet": ["<error>"], "row_idx": [-1],
+                     "col_name": ["__error__"], "value": [f"missing dep: {exc}"]}))
+                continue
+            except Exception as exc:
+                out.append(pd.DataFrame(
+                    {"path": [path], "sheet": ["<error>"], "row_idx": [-1],
+                     "col_name": ["__error__"], "value": [str(exc)[:500]]}))
+                continue
+            molten = frame.melt(ignore_index=False).reset_index()
+            molten.columns = ["row_idx", "col_name", "value"]
+            molten.insert(0, "sheet", "0")
+            molten.insert(0, "path", path)
+            molten["value"] = molten["value"].astype("string")
+            out.append(molten)
+        yield from out or [pd.DataFrame(columns=["path", "sheet", "row_idx", "col_name", "value"])]
+
+
+def read_excel_glob(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Ops #1-#3: distributed multi-file Excel/zip scan.
+
+    ``glob_path`` like ``/data/xlsx/*.zip`` or ``*.xlsx``; per-file
+    semantics (the updaters' one-batch-per-file logic) come free from
+    the ``path`` column — group on it like ``input_file_name()``.
+    """
+    binary = (spark.read.format("binaryFile")
+              .option("pathGlobFilter", glob_path.rsplit("/", 1)[-1])
+              .load(glob_path.rsplit("/", 1)[0])
+              .select("path", "content"))
+    return binary.mapInPandas(_decode_batches, schema=DECODED_SCHEMA)
+
+
+def pivot_wave(decoded: DataFrame, columns: list[str]) -> DataFrame:
+    """Re-widen the long-form decode for a known wave layout."""
+    from pyspark.sql import functions as F
+    return (decoded.filter(F.col("col_name").isin(columns))
+            .groupBy("path", "row_idx")
+            .pivot("col_name", columns)
+            .agg(F.first("value")))

@@ -1,0 +1,84 @@
+"""Structured Streaming operators (SURVEY.md §2.8).
+
+The reference's only 'streaming' is a poll-sleep loop
+(feeder.py:103-116: ``while True: sleep(10)``). The engine restates
+continuous ingestion properly: watermarked event-time windows, session
+windows, within-watermark dedup, and a foreachBatch upsert sink — each
+the scalable twin of a reference behavior:
+
+- poll-then-load            → readStream + foreachBatch jdbc upsert
+- per-wave batch dedup      → dropDuplicatesWithinWatermark
+- (no reference analog)     → tumbling/sliding/session event windows
+
+The batch queries in queryset.py (events_tumbling_window,
+events_session_window) use the *same* window()/session_window()
+expressions, so the DuckDB oracle indirectly validates the streaming
+transformations — the only untested delta is trigger/watermark
+mechanics, covered by tests/test_streaming.py with a file stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window_counts(events: DataFrame, window_size: str = "5 minutes",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregate. Late rows beyond the
+    watermark are dropped; state is bounded — the property that lets
+    this run forever on an unbounded stream."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window_size).alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value_sum"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "value_sum"))
+
+
+def sliding_window_rates(events: DataFrame, window_size: str = "10 minutes",
+                         slide: str = "5 minutes",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Sliding windows — each event lands in window_size/slide buckets."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window_size, slide).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events"))
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Session windows keyed by user — the streaming sessionization."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("session_start"), "user_id", "n_events"))
+
+
+def deduped_stream(events: DataFrame, keys: list[str] | None = None,
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Within-watermark dedup — the streaming generalization of the
+    reference's existing-phones anti-join (feeder.py:157-160): state
+    holds only keys younger than the watermark, so memory is bounded."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys or ["event_id"]))
+
+
+def start_foreach_batch_upsert(stream_df: DataFrame, upsert_fn,
+                               checkpoint_dir: str, trigger_seconds: int = 10):
+    """foreachBatch sink: every micro-batch is handed to ``upsert_fn``
+    (batch_df, batch_id) — in production sinks/jdbc.py:merge_upsert,
+    giving exactly-once-per-key keyed updates into Postgres. This is
+    the scalable restatement of the reference's poll-then-UPDATE loop
+    (add_q5010.py:33-41)."""
+    return (stream_df.writeStream
+            .foreachBatch(upsert_fn)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .outputMode("update")
+            .start())

@@ -1,0 +1,109 @@
+"""Dedup + similarity operators: semantic properties on tiny literal
+data (the oracle queries check engine-vs-DuckDB; these check the math)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cati_database_feeder_spark.catalog import load_table
+from cati_database_feeder_spark.functions import text as T
+from cati_database_feeder_spark.functions import vectors as V
+from cati_database_feeder_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different text about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_content_dedup_groups_exact_copies(docs):
+    out = {r["canonical_id"]: r["n_copies"]
+           for r in dedup.exact_content_dedup(docs).collect()}
+    assert out[1] == 2       # docs 1 and 4 collapse, min id wins
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_similarity_ordering(docs):
+    sig = docs.select("doc_id", dedup.minhash_signature(F.col("text"), 32).alias("s"))
+    sigs = {r["doc_id"]: r["s"] for r in sig.collect()}
+    agree_12 = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert sigs[1] == sigs[4]           # exact dup → identical signature
+    assert agree_12 > agree_13          # near-dup agrees more than unrelated
+
+
+def test_lsh_candidates_find_near_dups_without_crossjoin(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=8).collect()}
+    assert (1, 4) in pairs              # exact dup always a candidate
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup caught by some band
+
+
+def test_near_dup_pairs_threshold(docs):
+    out = dedup.near_dup_pairs(docs, threshold=0.7, num_hashes=16, bands=8).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 4) in ids
+    assert all(r["jaccard"] >= 0.7 for r in out)
+    assert not any(3 in p for p in ids)
+
+
+def test_simhash_hamming_near_vs_far(spark, docs):
+    h = docs.select("doc_id", dedup.simhash(F.col("text"), bits=16).alias("h"))
+    hs = {r["doc_id"]: r["h"] for r in h.collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert hs[1] == hs[4]
+    assert ham(hs[1], hs[2]) < ham(hs[1], hs[3])
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+                               ["a", "b"])
+    out = [r["c"] for r in df.select(V.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert out[0] == pytest.approx(1.0)
+    assert out[1] == pytest.approx(0.0)
+
+
+def test_brute_force_topk_rank1_is_self(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = similarity.brute_force_topk(q, emb, k=5).collect()
+    rank1 = [r for r in out if r["rank"] == 1][0]
+    assert rank1["vec_id"] == 0 and rank1["cosine"] == pytest.approx(1.0)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = similarity.brute_force_topk(q, emb, k=5).collect()
+    cents = similarity.train_ivf_centroids(emb, n_cells=8, iterations=1)
+    assigned = emb.crossJoin(F.broadcast(cents)) \
+        .withColumn("dist", V.l2_distance(F.col("embedding"), F.col("centroid")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+    assigned = assigned.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") == 1).select("vec_id", "embedding", "cell")
+    approx = similarity.ivf_topk(q, assigned, cents, k=5, nprobe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[q_] & approx_sets.get(q_, set())) / 5 for q_ in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.4  # nprobe=4 of 8 cells
+
+
+def test_lang_id_scripts(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("der hund ist ein tier",),
+         ("你好世界",), ("привет мир",), ("xyzzy plugh",)], ["text"])
+    out = [r["l"] for r in df.select(T.lang_id_heuristic(F.col("text")).alias("l")).collect()]
+    assert out == ["en", "de", "zh", "ru", "und"]

@@ -1,0 +1,89 @@
+"""Sources: Excel/zip decode via binaryFile+mapInPandas, paginated REST
+via mapInPandas with a hermetic fake fetch, export-job polling."""
+
+import io
+import json
+import zipfile
+
+import pandas as pd
+import pytest
+
+from cati_database_feeder_spark.sources import excel, rest
+
+
+@pytest.fixture(scope="module")
+def xlsx_dir(tmp_path_factory):
+    # xlsx fixtures need openpyxl, which this container doesn't ship;
+    # the decode path's degraded-mode behavior is covered below either way
+    pytest.importorskip("openpyxl")
+    d = tmp_path_factory.mktemp("xlsx")
+    frame = pd.DataFrame({"ID": [1, 2], "Phone": ["79001", "79002"], "Result": ["Полное", "Брак"]})
+    frame.to_excel(d / "wave1.xlsx", index=False)
+    buf = io.BytesIO()
+    frame.to_excel(buf, index=False)
+    with zipfile.ZipFile(d / "wave2.zip", "w") as zf:
+        zf.writestr("export.xlsx", buf.getvalue())
+    return str(d)
+
+
+def test_zip_unwrap_and_degraded_decode(spark, tmp_path):
+    """Zip-unwrap (op #2, first member — feeder.py:120) reaches the Excel
+    decode; without openpyxl on executors the row degrades to a marked
+    error instead of crashing the job."""
+    with zipfile.ZipFile(tmp_path / "batch.zip", "w") as zf:
+        zf.writestr("export.xlsx", b"not really an xlsx")
+    out = excel.read_excel_glob(spark, f"{tmp_path}/*.zip").collect()
+    assert len(out) == 1
+    assert out[0]["col_name"] == "__error__"
+    assert out[0]["path"].endswith("batch.zip")
+
+
+def test_read_excel_glob_xlsx_and_zip(spark, xlsx_dir):
+    out = excel.read_excel_glob(spark, f"{xlsx_dir}/*").collect()
+    assert not any(r["col_name"] == "__error__" for r in out), out[:3]
+    paths = {r["path"].rsplit("/", 1)[-1] for r in out}
+    assert paths == {"wave1.xlsx", "wave2.zip"}
+    # reference semantics: zip's first member decoded (feeder.py:120)
+    wave2 = [r for r in out if r["path"].endswith("wave2.zip")]
+    assert {r["col_name"] for r in wave2} == {"ID", "Phone", "Result"}
+    assert len(wave2) == 6  # 2 rows × 3 cols, long form
+
+
+def test_pivot_wave_rewiden(spark, xlsx_dir):
+    decoded = excel.read_excel_glob(spark, f"{xlsx_dir}/*.xlsx")
+    wide = excel.pivot_wave(decoded, ["ID", "Phone", "Result"]).collect()
+    assert len(wide) == 2
+    assert {r["Result"] for r in wide} == {"Полное", "Брак"}
+
+
+def test_fetch_paginated_parallel(spark):
+    def fake_fetch(url):
+        page = int(url.split("PageNumber=")[1])
+        return json.dumps({"body": [{"id": page * 10, "name": f"proj{page}"}]})
+
+    df = rest.fetch_paginated(spark, "http://fake/projects", n_pages=5, fetch=fake_fetch)
+    rows = sorted(df.collect(), key=lambda r: r["page"])
+    assert [r["page"] for r in rows] == [0, 1, 2, 3, 4]
+    assert json.loads(rows[0]["body"])["body"][0]["name"] == "proj1"
+
+
+def test_fetch_collection(spark):
+    body = json.dumps({"body": [{"id": 7, "name": "--------РЕКРУТ"}]})
+    df = rest.fetch_collection(spark, "http://fake/counters", fetch=lambda u: body)
+    assert df.collect()[0]["name"] == "--------РЕКРУТ"
+
+
+def test_poll_export_job_polls_until_state_3():
+    states = iter([{"state": 1}, {"state": 2}, {"state": 3, "fileUrl": "http://f/x.zip"}])
+    got = rest.poll_export_job(
+        create=lambda: 42,
+        get_status=lambda rid: next(states),
+        download=lambda url: f"/tmp/{url.rsplit('/', 1)[-1]}",
+        poll_interval_s=0.0)
+    assert got == "/tmp/x.zip"
+
+
+def test_poll_export_job_timeout():
+    with pytest.raises(TimeoutError):
+        rest.poll_export_job(create=lambda: 1, get_status=lambda r: {"state": 1},
+                             download=lambda u: u, poll_interval_s=0.0, timeout_s=-1)

@@ -1,0 +1,82 @@
+"""Structured Streaming: run the real streaming operators over a file
+stream of the events fixture and compare against their batch twins
+(which are oracle-verified in queryset.py)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cati_database_feeder_spark.catalog import load_table
+from cati_database_feeder_spark.streaming import events as stream_ops
+
+
+@pytest.fixture()
+def event_stream(spark, sf_dir, tmp_path):
+    """events.parquet rewritten as a µs-timestamp parquet dir so
+    readStream can scan it with an explicit schema."""
+    src = load_table(spark, sf_dir, "events")
+    data_dir = str(tmp_path / "stream_in")
+    src.write.parquet(data_dir)
+    schema = src.schema
+    return spark.readStream.schema(schema).parquet(data_dir), src, tmp_path
+
+
+def _run_to_completion(stream_df, tmp_path, mode="append"):
+    q = (stream_df.writeStream.format("memory").queryName("t_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    out = spark.table("t_out").collect()
+    q.stop()
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+    return out
+
+
+def test_tumbling_window_stream_matches_batch(event_stream):
+    stream, batch, tmp = event_stream
+    got = _run_to_completion(stream_ops.tumbling_window_counts(stream), tmp)
+    want = (batch.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events")).collect())
+    got_map = {(r["window_start"], r["event_type"]): r["n_events"] for r in got}
+    want_map = {(r["w"]["start"], r["event_type"]): r["n_events"] for r in want}
+    # Streaming semantics, not a bug: rows later than the watermark are
+    # dropped and a handful of unordered input files can make a window
+    # under-count — every emitted window must still be ≤ its batch twin,
+    # and coverage must be near-total.
+    assert set(got_map) <= set(want_map)
+    assert all(got_map[k] <= want_map[k] for k in got_map)
+    exact = sum(1 for k in got_map if got_map[k] == want_map[k])
+    assert exact / len(want_map) > 0.95
+
+
+def test_session_window_stream_runs(event_stream):
+    stream, batch, tmp = event_stream
+    got = _run_to_completion(stream_ops.session_window_stats(stream, gap="6 hours"), tmp)
+    assert len(got) > 0
+    assert all(r["n_events"] >= 1 for r in got)
+
+
+def test_dedup_within_watermark(event_stream, spark):
+    stream, batch, tmp = event_stream
+    got = _run_to_completion(stream_ops.deduped_stream(stream), tmp)
+    # event_id is unique in the fixture: dedup must be lossless
+    assert len(got) == batch.count()
+
+
+def test_foreach_batch_upsert_sink(event_stream):
+    stream, batch, tmp = event_stream
+    seen = {}
+
+    def upsert(batch_df, batch_id):
+        for r in batch_df.groupBy("event_type").count().collect():
+            seen[r["event_type"]] = seen.get(r["event_type"], 0) + r["count"]
+
+    q = (stream.writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", str(tmp / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    want = {r["event_type"]: r["count"] for r in batch.groupBy("event_type").count().collect()}
+    assert seen == want
