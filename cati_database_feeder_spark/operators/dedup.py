@@ -49,18 +49,40 @@ def exact_content_dedup(documents: DataFrame, id_col: str = "doc_id",
                  F.count(F.lit(1)).alias("n_copies")))
 
 
-def minhash_signature(text_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash over whitespace tokens: element i = min over tokens of
-    hash64(token || '#' || i). Per-row, no shuffle. The probability two
-    docs agree at element i equals their token-set Jaccard — the
-    classic estimator (Broder 1997)."""
-    toks = F.array_distinct(T.tokens(text_col))
+# Universal-hash family for MinHash perturbations: h_i = (a_i·h + b_i) mod P.
+# P = 2^31-1 (Mersenne prime) keeps every product < 2^62 — no bigint
+# overflow in either engine (DuckDB errors on overflow, Spark wraps; we
+# must never rely on wrap). Constants are fixed LCG-derived so the
+# DuckDB oracle can regenerate them from i alone.
+MINHASH_P = 2_147_483_647
 
-    # factory, NOT a default-arg lambda: a 2-param lambda makes Spark
-    # pass (element, index) and the seed would bind to the index column
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    a = (1103515245 * (i + 1) + 12345) % MINHASH_P
+    b = (69069 * (i + 1) + 1) % MINHASH_P
+    return (a or 1), b
+
+
+def token_hashes(text_col: Column) -> Column:
+    """Distinct tokens → base hashes in [0, P): ONE md5 per token; all
+    MinHash seeds derive from this by cheap arithmetic (16× fewer md5
+    calls than hashing per seed — the dominant cost at scale)."""
+    toks = F.array_distinct(T.tokens(text_col))
+    return F.transform(toks, lambda t: T.hash64(t) % F.lit(MINHASH_P))
+
+
+def minhash_signature(hashes_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from pre-computed base hashes (``token_hashes``
+    materialized as a column so codegen computes the md5s once, not once
+    per seed): element i = min over tokens of (a_i·h + b_i) mod P.
+    P[sig_i(A) == sig_i(B)] = Jaccard(A,B) — Broder 1997."""
+
+    # closure factory, NOT a default-arg lambda (a 2-param lambda makes
+    # Spark pass (element, index))
     def _minhash(i):
+        a, b = minhash_coeffs(i)
         return F.array_min(F.transform(
-            toks, lambda t: T.hash64(F.concat(t, F.lit(f"#{i}")))))
+            hashes_col, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)))
 
     return F.array(*[_minhash(i) for i in range(num_hashes)])
 
@@ -74,7 +96,11 @@ def minhash_lsh_candidates(documents: DataFrame, id_col: str = "doc_id",
     (band_idx, band_hash) — a single shuffle, no crossJoin, which is
     the whole point at 100 TB."""
     r = num_hashes // bands
-    sig = documents.select(F.col(id_col), minhash_signature(F.col(text_col), num_hashes).alias("sig"))
+    # token_hashes materialized as its own projection: the signature
+    # references it num_hashes times, so CollapseProject keeps the md5
+    # pass separate instead of inlining it per seed.
+    th = documents.select(F.col(id_col), token_hashes(F.col(text_col)).alias("th"))
+    sig = th.select(F.col(id_col), minhash_signature(F.col("th"), num_hashes).alias("sig"))
     banded = sig.select(
         id_col,
         F.explode(F.array(*[

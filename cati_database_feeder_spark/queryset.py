@@ -656,11 +656,21 @@ WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
   FROM documents
 ),
-seeds AS (SELECT unnest(range(16)) AS i),
+base AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM toks
+),
+seeds AS (
+  SELECT i,
+         CASE WHEN (1103515245 * (i + 1) + 12345) % 2147483647 = 0 THEN 1
+              ELSE (1103515245 * (i + 1) + 12345) % 2147483647 END AS a,
+         (69069 * (i + 1) + 1) % 2147483647 AS b
+  FROM (SELECT unnest(range(16)) AS i)
+),
 hashes AS (
-  SELECT doc_id, i,
-         min(CAST(concat('0x', substr(md5(concat(tok, '#', i)), 1, 15)) AS BIGINT)) AS mh
-  FROM toks CROSS JOIN seeds
+  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+  FROM base CROSS JOIN seeds
   GROUP BY doc_id, i
 ),
 buckets AS (

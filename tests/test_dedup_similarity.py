@@ -29,7 +29,8 @@ def test_exact_content_dedup_groups_exact_copies(docs):
 
 
 def test_minhash_similarity_ordering(docs):
-    sig = docs.select("doc_id", dedup.minhash_signature(F.col("text"), 32).alias("s"))
+    sig = docs.select("doc_id", dedup.minhash_signature(
+        dedup.token_hashes(F.col("text")), 32).alias("s"))
     sigs = {r["doc_id"]: r["s"] for r in sig.collect()}
     agree_12 = sum(a == b for a, b in zip(sigs[1], sigs[2]))
     agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
