@@ -110,12 +110,87 @@ def minhash_lsh_candidates(documents: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("bb"))
     buckets = banded.select(id_col, "bb.band", "bb.bucket")
-    a, b_ = buckets.alias("a"), buckets.alias("b")
-    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    # Pair generation via groupBy + in-bucket pair explode rather than a
+    # bucket self-join: a self-join would recompute the whole signature
+    # pipeline for both sides (Spark reuses no subplan without an
+    # exchange), doubling the scan+hash cost. One shuffle on
+    # (band, bucket), pairs emitted per bucket. A pathological bucket of
+    # size m emits m(m-1)/2 pairs in one task — at production scale cap
+    # bucket size first (boilerplate text explodes buckets; dropping
+    # buckets larger than a few hundred is standard and changes recall,
+    # not precision, which the verify phase doesn't need anyway).
+    return _bucket_pairs(buckets, ["band", "bucket"], id_col)
+
+
+def _bucket_pairs(buckets: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """(id_a, id_b) pairs of ids sharing a bucket key, id_a < id_b,
+    distinct. Self-equi-join on the bucket key: both sides are the same
+    subplan, so ReuseExchange computes the upstream once, and pair
+    emission streams out of the join instead of materializing per-bucket
+    id arrays (an in-bucket array explode allocates O(m²) per bucket in
+    ONE task — measurably worse when near-dup clusters make buckets
+    large, which is exactly when this operator matters)."""
+    from functools import reduce
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cond = reduce(lambda x, y: x & y,
+                  [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+                  + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+    return (a.join(b, cond)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
+
+
+def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", threshold: float = 0.6,
+                            block_col: str | None = None) -> DataFrame:
+    """Exact set-similarity self-join with prefix filtering (AllPairs —
+    Bayardo, Ma & Srikant, WWW 2007): returns every pair with token-set
+    Jaccard >= threshold, WITHOUT enumerating all O(n²) pairs.
+
+    Tokens are globally ordered by ascending document frequency; a doc
+    of n tokens keeps only its prefix of n - ceil(t·n) + 1 rarest
+    tokens. Two docs with Jaccard >= t must share >= ceil(t·max(|A|,|B|))
+    tokens, so under a consistent total order they share at least one
+    PREFIX token — candidates are exactly the pairs colliding on a
+    (block, prefix-token) bucket, then verified with the exact Jaccard.
+    No false negatives; identical output to the brute-force join.
+
+    At 100 TB this is the difference between O(block²) array
+    intersections and a candidate set proportional to rare-token
+    collisions. Three shuffles (token df agg, per-doc re-sort, bucket
+    pair-gen), all on bounded keys; prefixes keep the rarest tokens so
+    buckets stay small even when the corpus shares boilerplate."""
+    base = [F.col(id_col).alias("id"),
+            F.array_distinct(T.tokens(F.col(text_col))).alias("toks")]
+    blk = [F.col(block_col).alias("blk")] if block_col else []
+    toks = documents.select(*base, *blk).filter(F.size("toks") > 0)
+
+    tok_df = (toks.select(F.explode("toks").alias("tok"))
+                  .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+
+    blk_cols = ["blk"] if block_col else []
+    exploded = toks.select("id", *blk_cols, F.size("toks").alias("n"),
+                           F.explode("toks").alias("tok"))
+    # re-assemble each doc's tokens rarest-first ((df, tok) lexicographic
+    # — any consistent total order works, this one shrinks buckets most)
+    ordered = (exploded.join(tok_df, "tok")
+               .groupBy("id", *blk_cols, "n")
+               .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord")))
+    plen = (F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1).cast("int")
+    prefix = ordered.select(
+        "id", *blk_cols,
+        F.explode(F.transform(F.slice("ord", F.lit(1), plen),
+                              lambda s: s["tok"])).alias("tok"))
+
+    cands = _bucket_pairs(prefix, blk_cols + ["tok"], "id")
+
+    t_a = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    t_b = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    return (cands.join(t_a, "id_a").join(t_b, "id_b")
+            .withColumn("jaccard", token_jaccard(F.col("toks_a"), F.col("toks_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def token_jaccard(a_tokens: Column, b_tokens: Column) -> Column:

@@ -596,12 +596,12 @@ SELECT doc_id, labeled_lang,
 FROM scored
 """)
 def text_lang_id(spark, sf_dir):
-    """E8: script + stopword-voting language ID (no model, no UDF)."""
+    """E8: script + stopword-voting language ID (no model, no UDF);
+    staged form so the token array is built once per row
+    (functions/text.py:with_lang_id)."""
     d = T(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        text.lang_id_heuristic(F.col("text")).alias("detected_lang"))
+    return (text.with_lang_id(d.select("doc_id", F.col("lang").alias("labeled_lang"), "text"))
+            .select("doc_id", "labeled_lang", "detected_lang"))
 
 
 @register("text_fingerprint_dedup", sql=r"""
@@ -633,22 +633,15 @@ WHERE len(list_intersect(a.toks, b.toks))
         / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6
 """)
 def dedup_token_jaccard_pairs(spark, sf_dir):
-    """E6 near-dup, blocked variant: exact token-set Jaccard within
-    source blocks (the blocking key bounds the pair count — the same
-    idea LSH banding generalizes)."""
-    from cati_database_feeder_spark.operators.dedup import token_jaccard
+    """E6 near-dup, exact: prefix-filtered set-similarity join
+    (AllPairs) blocked by source. The oracle brute-forces every
+    within-source pair; the engine only verifies pairs that collide on
+    a rare prefix token — identical output, candidate count bounded by
+    rare-token collisions instead of O(block²)
+    (operators/dedup.py:jaccard_similarity_join)."""
+    from cati_database_feeder_spark.operators.dedup import jaccard_similarity_join
     d = T(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source",
-                    F.array_distinct(text.tokens(F.col("text"))).alias("toks"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    jac = token_jaccard(F.col("a.toks"), F.col("b.toks"))
-    return (a.join(b, (F.col("a.source") == F.col("b.source"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"),
-                    jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.6))
+    return jaccard_similarity_join(d, threshold=0.6, block_col="source")
 
 
 @register("dedup_minhash_lsh_pairs", sql=r"""
