@@ -44,6 +44,33 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(pieces).cast("bigint")
 
 
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-gram shingles from a pre-tokenized array column. ``toks``
+    MUST be a plain column reference, not an inline ``tokens(...)``
+    expression: this builds k ``element_at`` calls per shingle, and each
+    one embeds (and re-evaluates) the whole ``toks`` expression tree —
+    an inlined split turns the row cost from O(n) into O(k·n²)."""
+    n = F.size(toks)
+    m = F.greatest(n - F.lit(k - 1), F.lit(0))
+    # k shifted slices zipped into structs, one concat per shingle —
+    # measurably faster than sequence+element_at (single pass, ordinal
+    # field access instead of k indexed array lookups per element)
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(k)])
+    sh = F.transform(zipped, lambda s: F.concat_ws(
+        " ", *[s[str(j)] for j in range(k)]))
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (space-joined), the classic near-dup unit:
+    token order matters, so reordered text stops matching — unlike the
+    bag-of-tokens Jaccard. n tokens → n-k+1 shingles; fewer than k
+    tokens → empty array. One-off expression form — in pipelines stage
+    ``tokens(text)`` as a column and use ``shingles_from_tokens`` (see
+    its warning about inline re-evaluation)."""
+    return shingles_from_tokens(tokens(text), k)
+
+
 def stopword_count(text: Column, lang: str = "en") -> Column:
     """Number of tokens that are stopwords of *lang*."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

@@ -110,15 +110,6 @@ def minhash_lsh_candidates(documents: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("bb"))
     buckets = banded.select(id_col, "bb.band", "bb.bucket")
-    # Pair generation via groupBy + in-bucket pair explode rather than a
-    # bucket self-join: a self-join would recompute the whole signature
-    # pipeline for both sides (Spark reuses no subplan without an
-    # exchange), doubling the scan+hash cost. One shuffle on
-    # (band, bucket), pairs emitted per bucket. A pathological bucket of
-    # size m emits m(m-1)/2 pairs in one task — at production scale cap
-    # bucket size first (boilerplate text explodes buckets; dropping
-    # buckets larger than a few hundred is standard and changes recall,
-    # not precision, which the verify phase doesn't need anyway).
     return _bucket_pairs(buckets, ["band", "bucket"], id_col)
 
 
@@ -143,7 +134,8 @@ def _bucket_pairs(buckets: DataFrame, key_cols: list[str], id_col: str) -> DataF
 
 def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", threshold: float = 0.6,
-                            block_col: str | None = None) -> DataFrame:
+                            block_col: str | None = None,
+                            tokens_of=None) -> DataFrame:
     """Exact set-similarity self-join with prefix filtering (AllPairs —
     Bayardo, Ma & Srikant, WWW 2007): returns every pair with token-set
     Jaccard >= threshold, WITHOUT enumerating all O(n²) pairs.
@@ -160,16 +152,42 @@ def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
     intersections and a candidate set proportional to rare-token
     collisions. Three shuffles (token df agg, per-doc re-sort, bucket
     pair-gen), all on bounded keys; prefixes keep the rarest tokens so
-    buckets stay small even when the corpus shares boilerplate."""
-    base = [F.col(id_col).alias("id"),
-            F.array_distinct(T.tokens(F.col(text_col))).alias("toks")]
+    buckets stay small even when the corpus shares boilerplate.
+
+    ``tokens_of`` swaps the set element. It receives the STAGED
+    whitespace-token array column (so the split runs once per row) and
+    returns the element array; default identity (token Jaccard). Pass
+    ``lambda tk: text.shingles_from_tokens(tk, 3)`` for n-gram
+    (shingle) Jaccard — the algorithm is element-agnostic.
+
+    Identical token SETS are collapsed to one representative before
+    pairing (group = md5 of the sorted set) and group pairs are
+    expanded back afterwards: a cluster of m exact copies would
+    otherwise put m ids in every one of its prefix buckets — O(m²)
+    candidates per bucket — which is precisely the corpus shape
+    (boilerplate, mirrored pages) a dedup pipeline meets. Within-group
+    pairs are emitted with Jaccard exactly 1.0; cross-group Jaccard
+    equals the representative pair's value because members' sets are
+    identical. Output stays bit-identical to brute force."""
     blk = [F.col(block_col).alias("blk")] if block_col else []
-    toks = documents.select(*base, *blk).filter(F.size("toks") > 0)
+    blk_cols = ["blk"] if block_col else []
+    tok_stage = documents.select(F.col(id_col).alias("id"), *blk,
+                                 T.tokens(F.col(text_col)).alias("__tk"))
+    elems = tokens_of(F.col("__tk")) if tokens_of else F.col("__tk")
+    all_toks = (tok_stage
+                .select("id", *blk_cols, F.array_distinct(elems).alias("toks"))
+                .filter(F.size("toks") > 0))
+
+    # --- collapse identical sets (within block) to one representative
+    fp = F.md5(F.concat_ws("\u001f", F.array_sort("toks")))
+    wg = Window.partitionBy(*blk_cols, fp)
+    memb = all_toks.withColumn("gid", F.min("id").over(wg))
+    toks = (memb.filter(F.col("id") == F.col("gid"))
+            .select(F.col("gid").alias("id"), *blk_cols, "toks"))
 
     tok_df = (toks.select(F.explode("toks").alias("tok"))
                   .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
 
-    blk_cols = ["blk"] if block_col else []
     exploded = toks.select("id", *blk_cols, F.size("toks").alias("n"),
                            F.explode("toks").alias("tok"))
     # re-assemble each doc's tokens rarest-first ((df, tok) lexicographic
@@ -185,12 +203,31 @@ def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
 
     cands = _bucket_pairs(prefix, blk_cols + ["tok"], "id")
 
+    # Each verify side recomputes the tokenize/shingle projection (the
+    # branches prune differently, so their exchanges rarely canonicalize
+    # equal and AQE reuse only partially applies). persist() was tried
+    # and rejected — columnar (de)serialization of the array columns
+    # cost more than the recompute it saved; routing verification
+    # through ``ordered`` was tried and rejected too (its join+agg
+    # upstream is heavier than re-tokenizing).
     t_a = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     t_b = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
-    return (cands.join(t_a, "id_a").join(t_b, "id_b")
-            .withColumn("jaccard", token_jaccard(F.col("toks_a"), F.col("toks_b")))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    rep_pairs = (cands.join(t_a, "id_a").join(t_b, "id_b")
+                 .withColumn("jaccard", token_jaccard(F.col("toks_a"), F.col("toks_b")))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
+
+    # --- expand group pairs back to member pairs
+    mem = memb.select("gid", "id")
+    within = (_bucket_pairs(mem, ["gid"], "id")
+              .withColumn("jaccard", F.lit(1.0)))
+    ma = mem.select(F.col("gid").alias("id_a"), F.col("id").alias("x"))
+    mb = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("y"))
+    cross = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("x", "y").alias("id_a"),
+                     F.greatest("x", "y").alias("id_b"),
+                     "jaccard"))
+    return within.unionByName(cross)
 
 
 def token_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
@@ -216,13 +253,12 @@ def near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
-def simhash(text_col: Column, bits: int = 16) -> Column:
-    """SimHash (Charikar 2002): bit b of the signature is the sign of
-    Σ_tokens (±1 by bit b of the token hash). Near-dup docs differ in
-    few bits. Per-row expression; ``bits`` kept small enough that the
-    expression tree stays codegen-friendly."""
-    toks = T.tokens(text_col)
-    hashes = F.transform(toks, T.hash64)
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash (Charikar 2002) from a pre-computed token-hash array:
+    bit b of the signature is the sign of Σ_tokens (±1 by bit b of the
+    token hash). Near-dup docs differ in few bits. Stage the hash array
+    as its own column (like ``token_hashes`` for MinHash) so the md5
+    pass runs once, not once per bit."""
 
     def _vote(b):
         return F.aggregate(hashes, F.lit(0).cast("long"),
@@ -235,6 +271,68 @@ def simhash(text_col: Column, bits: int = 16) -> Column:
     for b, vote in enumerate(bit_votes):
         out = out + F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash(text_col: Column, bits: int = 16) -> Column:
+    """Single-expression SimHash over whitespace tokens (NON-distinct —
+    repeated tokens vote repeatedly, per the original weighting). For
+    pipelines prefer staging ``transform(tokens, hash64)`` into a column
+    and calling ``simhash_from_hashes`` — this inline form recomputes
+    the md5 pass once per bit."""
+    return simhash_from_hashes(F.transform(T.tokens(text_col), T.hash64), bits)
+
+
+def simhash_near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", bits: int = 16,
+                           max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """SimHash near-dup with pigeonhole banding: two signatures within
+    Hamming distance ``max_hamming`` differ in at most ``max_hamming``
+    of the ``chunks`` bit-chunks, so with chunks > max_hamming they
+    MUST agree on at least one chunk. Candidates are equality on
+    (chunk_idx, chunk_value) — an equi-join, no crossJoin — then exact
+    Hamming verification. Same shape Google used for web-scale simhash
+    dedup (Manku, Jain & Sarma, WWW 2007)."""
+    if chunks <= max_hamming:
+        raise ValueError("need chunks > max_hamming for exact recall")
+    width = bits // chunks
+    hashed = documents.select(
+        F.col(id_col).alias("id"),
+        F.transform(T.tokens(F.col(text_col)), T.hash64).alias("th"))
+    sig = hashed.select("id", simhash_from_hashes(F.col("th"), bits).alias("sig"))
+
+    # collapse identical signatures to one representative (exact-dup
+    # clusters would otherwise fill every chunk bucket with m ids —
+    # O(m²) candidates; see jaccard_similarity_join for the argument)
+    wg = Window.partitionBy("sig")
+    memb = sig.withColumn("gid", F.min("id").over(wg))
+    reps = (memb.filter(F.col("id") == F.col("gid"))
+            .select(F.col("gid").alias("id"), "sig"))
+
+    chunked = (reps.select("id", F.explode(F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftright(F.col("sig"), c * width)
+                  .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
+        for c in range(chunks)])).alias("cb"))
+        .select("id", "cb.chunk", "cb.val"))
+    cands = _bucket_pairs(chunked, ["chunk", "val"], "id")
+    s_a = reps.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    s_b = reps.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    rep_pairs = (cands.join(s_a, "id_a").join(s_b, "id_b")
+                 .withColumn("hamming",
+                             simhash_hamming(F.col("sig_a"), F.col("sig_b"), bits).cast("bigint"))
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))
+
+    mem = memb.select("gid", "id")
+    within = (_bucket_pairs(mem, ["gid"], "id")
+              .withColumn("hamming", F.lit(0).cast("bigint")))
+    ma = mem.select(F.col("gid").alias("id_a"), F.col("id").alias("x"))
+    mb = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("y"))
+    cross = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("x", "y").alias("id_a"),
+                     F.greatest("x", "y").alias("id_b"),
+                     "hamming"))
+    return within.unionByName(cross)
 
 
 def simhash_hamming(a: Column, b: Column, bits: int = 16) -> Column:

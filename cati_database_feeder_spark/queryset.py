@@ -685,6 +685,70 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_candidates(d, num_hashes=16, bands=4)
 
 
+@register("dedup_simhash_pairs", sql=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM base CROSS JOIN (SELECT unnest(range(16)) AS b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s, b.s)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+""")
+def dedup_simhash_pairs(spark, sf_dir):
+    """E7 near-dup, SimHash variant: 16-bit signatures, pairs within
+    Hamming distance 3. The oracle brute-forces all pairs; the engine
+    only verifies pairs agreeing on one of 4 bit-chunks (pigeonhole —
+    exact recall, no crossJoin)
+    (operators/dedup.py:simhash_near_dup_pairs)."""
+    from cati_database_feeder_spark.operators.dedup import simhash_near_dup_pairs
+    d = T(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, bits=16, max_hamming=3, chunks=4)
+
+
+@register("dedup_shingle_jaccard_pairs", sql=r"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct([concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+                        FOR i IN range(1, len(tk) - 1)]) AS toks
+  FROM (SELECT doc_id, source,
+               string_split_regex(trim(text), '\s+') AS tk
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.toks, b.toks))
+         / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(a.toks) > 0 AND len(b.toks) > 0
+  AND len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5
+""")
+def dedup_shingle_jaccard_pairs(spark, sf_dir):
+    """E7 near-dup, word-3-gram (shingle) variant: order-sensitive
+    Jaccard via the same prefix-filtered similarity join — the set
+    element is swapped from tokens to shingles, the algorithm is
+    unchanged (functions/text.py:word_shingles)."""
+    from cati_database_feeder_spark.operators.dedup import jaccard_similarity_join
+    d = T(spark, sf_dir, "documents")
+    return jaccard_similarity_join(
+        d, threshold=0.5, block_col="source",
+        tokens_of=lambda tk: text.shingles_from_tokens(tk, 3))
+
+
 # =====================================================================
 # Similarity-search pack — north-star E7 (operators/similarity.py)
 # =====================================================================
@@ -754,6 +818,30 @@ def embedding_lsh_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") % 100 == 0) \
          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     return lsh_topk(q, e, k=10, n_bits=8)
+
+
+@register("similarity_ivf_topk")  # iterative k-means: no SQL oracle, rows-only check
+def similarity_ivf_topk(spark, sf_dir):
+    """E7 100 TB shape: IVF — train a coarse quantizer (2 Lloyd
+    iterations, each one broadcast join + one groupBy), assign the
+    corpus to cells (write-time layout in production: partition parquet
+    by cell), probe the 4 nearest cells per query, exact rerank inside.
+    K-means is iterative and data-dependent, hence no SQL oracle
+    (operators/similarity.py:train_ivf_centroids/ivf_topk)."""
+    from pyspark.sql import Window
+    from cati_database_feeder_spark.functions import vectors as V
+    from cati_database_feeder_spark.operators.similarity import (
+        train_ivf_centroids, ivf_topk)
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0) \
+         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cents = train_ivf_centroids(e, n_cells=16)
+    dists = (e.crossJoin(F.broadcast(cents))
+             .withColumn("dist", V.l2_distance(F.col("embedding"), F.col("centroid"))))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+    assigned = (dists.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select("vec_id", "embedding", "cell"))
+    return ivf_topk(q, assigned, cents, k=10, nprobe=4)
 
 
 # =====================================================================

@@ -53,6 +53,22 @@ def test_near_dup_pairs_threshold(docs):
     assert not any(3 in p for p in ids)
 
 
+def test_word_shingles_edges(spark):
+    r = spark.range(1).select(
+        T.word_shingles(F.lit("a b c d"), 3).alias("s"),
+        T.word_shingles(F.lit("a b"), 3).alias("short"),
+        T.word_shingles(F.lit(""), 3).alias("empty")).first()
+    assert r["s"] == ["a b c", "b c d"]
+    assert r["short"] == [] and r["empty"] == []
+
+
+def test_simhash_near_dup_pairs_pigeonhole(docs):
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    assert out.get((1, 4)) == 0          # exact dup → distance 0
+    assert all(h <= 3 for h in out.values())
+
+
 def test_simhash_hamming_near_vs_far(spark, docs):
     h = docs.select("doc_id", dedup.simhash(F.col("text"), bits=16).alias("h"))
     hs = {r["doc_id"]: r["h"] for r in h.collect()}
