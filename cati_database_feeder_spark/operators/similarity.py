@@ -64,6 +64,26 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .select(q_id, F.col(c_id), F.round("cosine", 6).alias("cosine"), "rank"))
 
 
+def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
+                          n_bits: int = 8, c_id: str = "vec_id",
+                          c_vec: str = "embedding") -> DataFrame:
+    """Embedding-level near-dup: pairs in the same sign-LSH bucket with
+    cosine >= threshold. Candidate generation is an equi-join on the
+    bucket (one shuffle); only candidates pay the exact cosine. The
+    bucketing is deterministic (coordinate hyperplanes), so recall
+    misses are a fixed property of the algorithm, not run-to-run noise
+    — high-cosine pairs almost always agree on leading-dim signs."""
+    from cati_database_feeder_spark.operators.dedup import _bucket_pairs
+    cb = with_lsh_bucket(corpus, c_vec, n_bits)
+    cands = _bucket_pairs(cb.selectExpr(f"{c_id} as id", "bucket"), ["bucket"], "id")
+    v_a = corpus.select(F.col(c_id).alias("id_a"), F.col(c_vec).alias("va"))
+    v_b = corpus.select(F.col(c_id).alias("id_b"), F.col(c_vec).alias("vb"))
+    return (cands.join(v_a, "id_a").join(v_b, "id_b")
+            .withColumn("cos_raw", V.cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos_raw") >= threshold)
+            .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine")))
+
+
 def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
                         c_id: str = "vec_id", c_vec: str = "embedding",
                         iterations: int = 2) -> DataFrame:

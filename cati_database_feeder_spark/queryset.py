@@ -820,6 +820,31 @@ def embedding_lsh_topk(spark, sf_dir):
     return lsh_topk(q, e, k=10, n_bits=8)
 
 
+@register("dedup_embedding_cosine_pairs", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+         / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0), 6)
+         AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0) >= 0.3
+""")
+def dedup_embedding_cosine_pairs(spark, sf_dir):
+    """E7 embedding-level near-dup: sign-LSH bucket candidates + exact
+    cosine verify. Deterministic bucketing, so the oracle reproduces
+    the identical candidate set
+    (operators/similarity.py:cosine_near_dup_pairs)."""
+    from cati_database_feeder_spark.operators.similarity import cosine_near_dup_pairs
+    e = T(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, threshold=0.3, n_bits=4)
+
+
 @register("similarity_ivf_topk")  # iterative k-means: no SQL oracle, rows-only check
 def similarity_ivf_topk(spark, sf_dir):
     """E7 100 TB shape: IVF — train a coarse quantizer (2 Lloyd

@@ -79,6 +79,60 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """E9 transform: batch image resize in mapInPandas. The fake kernel
+    truncates/zero-pads the payload to width·height bytes (a real one
+    calls Pillow ``Image.resize`` on the decoded batch); the contract —
+    same row count, payload bytes replaced, meta dims set — is what the
+    pipeline depends on and what the test pins."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _HAVE_CODECS:
+            raise NotImplementedError(
+                "real codec path not wired in this container; "
+                "plug Pillow resize here")
+        target = width * height
+        for pdf in batches:
+            payloads = [bytes(p)[:target].ljust(target, b"\0") for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "media_type": pdf["media_type"],
+                "meta": [{"width": width, "height": height,
+                          "sample_rate": None, "n_frames": None}] * len(pdf),
+            })
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """E9 transform, one-to-many: split each video payload into
+    ``n_frames`` evenly spaced frames (fake kernel: byte-range chunks;
+    real kernel: ffmpeg keyframe extraction). Emits one row per frame —
+    the fan-out shape (explode inside mapInPandas) that turns a video
+    corpus into a frame corpus for downstream image ops."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _HAVE_CODECS:
+            raise NotImplementedError(
+                "real codec path not wired in this container; "
+                "plug ffmpeg frame sampling here")
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * step:(i + 1) * step])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "frame": frames})
+
+    return media.mapInPandas(
+        kernel, schema="media_id long, frame_idx int, frame binary")
+
+
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test adapter: documents.text bytes play the opaque payload so the
     whole E9 path is exercisable on the synthetic fixtures."""

@@ -69,6 +69,42 @@ def deduped_stream(events: DataFrame, keys: list[str] | None = None,
             .dropDuplicatesWithinWatermark(keys or ["event_id"]))
 
 
+def stateful_running_counts(events: DataFrame,
+                            watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count and totals that survive across micro-batches —
+    the escape hatch for stateful logic that windowed aggregates can't
+    express (counters, custom sessionization, online model state).
+    State is one tiny tuple per user; rows arrive Arrow-batched, so the
+    Python boundary is vectorized, never per-row. Emits the updated
+    running totals for every user seen in the micro-batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_fn(key, pdf_iter, state):
+        import pandas as pd
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "value_total": [total], "last_ts": [last_ts]})
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update_fn,
+                outputStructType="user_id long, n_events long, "
+                                 "value_total double, last_ts timestamp",
+                stateStructType="n long, total double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def start_foreach_batch_upsert(stream_df: DataFrame, upsert_fn,
                                checkpoint_dir: str, trigger_seconds: int = 10):
     """foreachBatch sink: every micro-batch is handed to ``upsert_fn``

@@ -22,6 +22,32 @@ def test_extract_features_schema_and_determinism(spark, sf_dir):
     assert all(0.0 <= v <= 1.0 for v in rows[0]["feature"])
 
 
+def test_resize_images_contract(spark, sf_dir):
+    media = multimodal.documents_as_media(spark, sf_dir).limit(20)
+    out = multimodal.resize_images(media, width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(bytes(r["payload"])) == 32 for r in rows)
+    assert all(r["meta"]["width"] == 8 and r["meta"]["height"] == 4 for r in rows)
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    media = multimodal.documents_as_media(spark, sf_dir).limit(5)
+    frames = multimodal.sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 20                       # 5 media × 4 frames
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, fr in by_media.items():
+        assert sorted(f["frame_idx"] for f in fr) == [0, 1, 2, 3]
+        # frames are byte ranges of the source payload, in order
+        joined = b"".join(bytes(f["frame"]) for f in
+                          sorted(fr, key=lambda f: f["frame_idx"]))
+        assert src[mid].startswith(joined[:len(src[mid])])
+
+
 def test_binary_dir_scan(spark, tmp_path):
     (tmp_path / "a.bin").write_bytes(b"\x89PNG fake image bytes")
     (tmp_path / "b.bin").write_bytes(b"RIFF fake audio bytes")

@@ -65,6 +65,27 @@ def test_dedup_within_watermark(event_stream, spark):
     assert len(got) == batch.count()
 
 
+def test_stateful_running_counts(event_stream):
+    stream, batch, tmp = event_stream
+    got = _run_to_completion(stream_ops.stateful_running_counts(stream), tmp,
+                             mode="update")
+    # final running count per user (last update wins) must equal the
+    # batch per-user count; totals likewise
+    final = {}
+    for r in got:
+        prev = final.get(r["user_id"])
+        if prev is None or r["n_events"] >= prev["n_events"]:
+            final[r["user_id"]] = r
+    want = {r["user_id"]: r for r in
+            batch.groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("value").alias("tot")).collect()}
+    assert set(final) == set(want)
+    assert all(final[u]["n_events"] == want[u]["n"] for u in want)
+    assert all(abs(final[u]["value_total"] - float(want[u]["tot"])) < 1e-6
+               for u in want)
+
+
 def test_foreach_batch_upsert_sink(event_stream):
     stream, batch, tmp = event_stream
     seen = {}
