@@ -367,6 +367,28 @@ def agg_pricing_summary(spark, sf_dir):
                  F.count(F.lit(1)).alias("count_order")))
 
 
+@register("skew_salted_agg", sql="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""")
+def skew_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation (operators/skew.py:salted_agg):
+    a random salt spreads each hot key over N partitions for the
+    partial agg, the final agg recombines exactly. The oracle is the
+    plain one-phase aggregate — results are identical by construction
+    (decimal-exact partials), only the shuffle distribution differs."""
+    from cati_database_feeder_spark.operators.skew import salted_agg
+    li = T(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li, ["l_returnflag"],
+        partial_aggs=[F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("p_qty"),
+                      F.count(F.lit(1)).alias("p_n")],
+        aggs=[F.sum("p_qty").cast("double").alias("sum_qty"),
+              F.sum("p_n").alias("n")])
+
+
 @register("agg_distinct_counts", sql="""
 SELECT o_orderpriority,
        COUNT(DISTINCT o_custkey) AS n_customers,

@@ -1,0 +1,64 @@
+"""Scale-posture mechanics: skew salting and bucketed co-located joins.
+
+These don't add semantics — they pin the PHYSICAL properties the 100 TB
+design depends on: salted plans produce bit-identical results to their
+unsalted twins, and bucketed tables join without a shuffle exchange.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cati_database_feeder_spark.catalog import load_table
+from cati_database_feeder_spark.operators import skew
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {r["l_returnflag"]: (r["s"], r["n"]) for r in
+              li.groupBy("l_returnflag")
+                .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+                      .cast("double").alias("s"),
+                     F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r["l_returnflag"]: (r["s"], r["n"]) for r in
+              skew.salted_agg(
+                  li, ["l_returnflag"],
+                  partial_aggs=[F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+                                 .alias("p_s"),
+                                F.count(F.lit(1)).alias("p_n")],
+                  aggs=[F.sum("p_s").cast("double").alias("s"),
+                        F.sum("p_n").alias("n")],
+                  n_salts=16).collect()}
+    assert salted == direct
+
+
+def test_replicate_salt_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = (load_table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("o_custkey"), "c_name"))
+    plain = skew.replicate_salt_join(orders, cust, "o_custkey", n_salts=4)
+    want = orders.join(cust, "o_custkey")
+    assert plain.count() == want.count()
+    got = {(r["o_orderkey"], r["c_name"]) for r in plain.collect()}
+    exp = {(r["o_orderkey"], r["c_name"]) for r in want.collect()}
+    assert got == exp
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+           .option("path", str(tmp_path / "b_orders"))
+           .mode("overwrite").saveAsTable("b_orders"))
+    (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .option("path", str(tmp_path / "b_cust"))
+         .mode("overwrite").saveAsTable("b_cust"))
+    bo, bc = spark.table("b_orders"), spark.table("b_cust")
+    j = bo.hint("merge").join(bc, bo.o_custkey == bc.c_custkey)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # bucket layout replaces the shuffle: no hash-partitioning exchange
+    assert "Exchange hashpartitioning" not in plan
+    assert j.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
