@@ -28,9 +28,16 @@ def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the IO path (file listing, parquet footers, codegen of a
+    # trivial plan) so the first timed query measures its own plan, not
+    # session spin-up. Standard benchmarking hygiene; the per-query
+    # numbers remain cold w.r.t. their own plans and data.
+    from cati_database_feeder_spark.catalog import TABLES
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet").limit(1).collect()
+
     timings: dict[str, float] = {}
     for name, fn in queryset.QUERIES.items():
-        # warm the IO path once so the first query doesn't pay JVM spin-up
         t0 = time.time()
         df = fn(spark, sf_dir)
         # foreach-noop forces full computation of every row without

@@ -95,6 +95,34 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def with_quality_scores(df, text_col: str = "text",
+                        stop_col: str = "n_stopwords",
+                        out_col: str = "quality"):
+    """Staged DataFrame form of ``quality_score`` (same rationale as
+    ``with_lang_id``): the token array and the stopword count become
+    named columns, so the tokenizer runs once per row instead of once
+    per sub-score. Bit-identical to the Column form — operand order in
+    the final sum is unchanged."""
+    staged = df.withColumn("__toks", tokens(F.col(text_col)))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    staged = staged.withColumns({
+        "__n_tok": F.size("__toks"),
+        stop_col: F.size(F.filter(
+            F.col("__toks"),
+            lambda t: F.array_contains(sw, F.lower(t)))).cast("bigint"),
+    })
+    n_chars = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    mean_word_len = n_chars.cast("double") / F.greatest(F.col("__n_tok"), F.lit(1)).cast("double")
+    stop_ratio = F.col(stop_col).cast("double") / F.greatest(F.col("__n_tok"), F.lit(1)).cast("double")
+    quality = (
+        F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.lit(0.3) * (alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"))
+    )
+    return staged.withColumn(out_col, quality).drop("__toks", "__n_tok")
+
+
 def lang_id_heuristic(text: Column) -> Column:
     """Language-ID heuristic: script detection first (CJK / Cyrillic),
     then stopword voting among Latin-script languages, 'und' when no

@@ -432,6 +432,27 @@ def agg_rollup_region_nation(spark, sf_dir):
                  dsum(F.col("c_acctbal")).alias("acctbal_sum")))
 
 
+@register("agg_grouping_sets", sql="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form of rollup/cube) via
+    Spark SQL over a registered temp view — the one aggregation shape
+    with no direct DataFrame method."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
 @register("agg_cube_status_priority", sql="""
 SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_priority,
@@ -585,12 +606,11 @@ FROM documents
 """)
 def text_quality_scores(spark, sf_dir):
     """E8: C4-style cheap quality heuristics (mean word length band,
-    stopword presence, alphabetic ratio)."""
+    stopword presence, alphabetic ratio); staged so the tokenizer runs
+    once per row (functions/text.py:with_quality_scores)."""
     d = T(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        text.stopword_count(F.col("text")).alias("n_stopwords"),
-        text.quality_score(F.col("text")).alias("quality"))
+    return (text.with_quality_scores(d.select("doc_id", "text"))
+            .select("doc_id", "n_stopwords", "quality"))
 
 
 @register("text_lang_id", sql=r"""
