@@ -367,6 +367,73 @@ def agg_pricing_summary(spark, sf_dir):
                  F.count(F.lit(1)).alias("count_order")))
 
 
+@register("q3_shipping_priority", sql="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filter → two broadcast joins
+    → hash agg → top-k with deterministic tie-break. The classic
+    'filters push, dims broadcast, one shuffle for the agg' plan."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+              .agg(dsum(rev).alias("revenue"))
+              .select("l_orderkey", "revenue",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                      "o_orderpriority")
+              .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+              .limit(10))
+
+
+@register("q10_returned_items", sql="""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue,
+       n.n_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: fact-side filter, snowflake of broadcast dims,
+    grouped revenue, top-k."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy("c_custkey", "c_name", "n_name")
+              .agg(dsum(rev).alias("revenue"))
+              .select("c_custkey", "c_name", "revenue", "n_name")
+              .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+              .limit(20))
+
+
 @register("skew_salted_agg", sql="""
 SELECT l_returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

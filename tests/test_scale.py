@@ -43,6 +43,23 @@ def test_replicate_salt_join_matches_plain(spark, sf_dir):
     assert got == exp
 
 
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Write-time partitioning by a coarse key → reads with a filter on
+    that key scan only matching directories (PartitionFilters in the
+    scan, not a post-scan Filter). The 100 TB layout for time-series:
+    partition by date, prune by date."""
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    events.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "event_type" in m.group(1)
+    want = events.filter(F.col("event_type") == "click").count()
+    assert back.count() == want
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
