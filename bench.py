@@ -36,14 +36,21 @@ def main() -> None:
     for t in TABLES:
         spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet").limit(1).collect()
 
+    # Two passes, min per query: machine-load noise on a shared box
+    # swings single-shot wall times by 2x; the min of two runs is a
+    # far better estimate of the plan's actual cost. Pass 1 also
+    # absorbs first-compilation (codegen) of each plan.
     timings: dict[str, float] = {}
-    for name, fn in queryset.QUERIES.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # foreach-noop forces full computation of every row without
-        # driver-side materialization
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        for name, fn in queryset.QUERIES.items():
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # foreach-noop forces full computation of every row without
+            # driver-side materialization
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
