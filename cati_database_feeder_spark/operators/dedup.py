@@ -122,7 +122,14 @@ def _bucket_pairs(buckets: DataFrame, key_cols: list[str], id_col: str) -> DataF
     ONE task — measurably worse when near-dup clusters make buckets
     large, which is exactly when this operator matters)."""
     from functools import reduce
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # shuffle_hash hint, NOT broadcast: a broadcast build side is a
+    # separate full recompute of the upstream plan, while two identical
+    # shuffle exchanges canonicalize equal and AQE reuses the first
+    # (ReusedExchange — verified in the final adaptive plan). On a real
+    # cluster the bucket table wouldn't fit the broadcast threshold
+    # anyway, so this also makes local plans match cluster plans.
+    a = buckets.alias("a").hint("shuffle_hash")
+    b = buckets.alias("b").hint("shuffle_hash")
     cond = reduce(lambda x, y: x & y,
                   [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
                   + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
