@@ -1025,6 +1025,87 @@ def events_tumbling_window(spark, sf_dir):
                     "event_type", "n_events", "value_sum"))
 
 
+@register("events_sliding_window", sql="""
+WITH expanded AS (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w,
+         event_id
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-02'
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events
+FROM expanded GROUP BY 1
+""")
+def events_sliding_window(spark, sf_dir):
+    """§2.8 batch form of the streaming sliding window (10-minute
+    window, 5-minute slide — each event lands in exactly two windows;
+    the oracle expands both bucket starts per event explicitly)."""
+    e = T(spark, sf_dir, "events")
+    return (e.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+            .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                    "n_events"))
+
+
+@register("array_functions", sql="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS v_sum,
+       round(list_max(embedding::DOUBLE[]), 6) AS v_max,
+       round(list_min(embedding::DOUBLE[]), 6) AS v_min,
+       len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos,
+       round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS self_dot
+FROM embeddings WHERE vec_id % 7 = 0
+""")
+def array_functions(spark, sf_dir):
+    """Higher-order array function pack (transform/filter/aggregate/
+    zip_with) — the per-row JVM vector algebra everything in E7 builds
+    on, exposed as its own checkable surface."""
+    e = T(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return (e.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("v_sum"),
+        F.round(F.array_max(v), 6).alias("v_max"),
+        F.round(F.array_min(v), 6).alias("v_min"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(vectors.dot(F.col("embedding"), F.col("embedding")), 6).alias("self_dot")))
+
+
+@register("string_functions", sql="""
+SELECT c_custkey,
+       upper(c_name) AS up_name,
+       lower(c_mktsegment) AS lo_seg,
+       length(c_name) AS name_len,
+       replace(c_name, '#', '-') AS dashed,
+       regexp_extract(c_name, '[0-9]+$', 0) AS trailing_digits,
+       reverse(c_mktsegment) AS rev_seg,
+       concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+       lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+       trim(concat(' ', c_name, ' ')) AS trimmed
+FROM customer WHERE c_custkey % 13 = 0
+""")
+def string_functions(spark, sf_dir):
+    """String scalar pack beyond the reference ops: case mapping,
+    regexp extraction, padding, replace/reverse/concat_ws — parity
+    surface for ETL string munging."""
+    c = T(spark, sf_dir, "customer")
+    return (c.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("lo_seg"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+        F.regexp_extract("c_name", "[0-9]+$", 0).alias("trailing_digits"),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed")))
+
+
 @register("events_session_window", sql="""
 WITH ordered AS (
   SELECT user_id, ts,
