@@ -36,7 +36,8 @@ def existing_keys_snapshot(orders: DataFrame) -> DataFrame:
 
 
 def feeder_pipeline(orders: DataFrame, customer: DataFrame,
-                    existing: DataFrame, wave_number: int = 19) -> DataFrame:
+                    existing: DataFrame, wave_number: int = 19,
+                    blank_labels: bool = False) -> DataFrame:
     """The full transform chain, one declarative plan.
 
     Semantics per reference op (file:line cites into /root/reference):
@@ -48,6 +49,10 @@ def feeder_pipeline(orders: DataFrame, customer: DataFrame,
       #26 varchar truncation  feeder.py:205
       #27 smallint clamp      feeder.py:180-182
       #14 projection/rename   feeder.py:184-225
+
+    ``blank_labels=True`` reproduces the wave-6 variant, which writes
+    empty strings for every label column instead of the Excel values
+    (feeder_w6.py:199-224).
     """
     interviews = (
         orders
@@ -66,7 +71,7 @@ def feeder_pipeline(orders: DataFrame, customer: DataFrame,
         scalar.truncate_str(F.col("c_name"), 100).alias("name_rec"),    # #26
         scalar.clamp_smallint(F.round(F.col("o_totalprice") / 100).cast("int"))
               .alias("age_rec1"),                                       # #27
-        F.col("c_mktsegment").alias("q_region_label"),
+        (F.lit("") if blank_labels else F.col("c_mktsegment")).alias("q_region_label"),
         F.col("c_acctbal").alias("db_reward"),
         scalar.iso_date(F.col("o_orderdate")).alias("date"),            # #23
         scalar.iso_datetime(F.col("o_orderdate")).alias("recruited_at"),  # #24

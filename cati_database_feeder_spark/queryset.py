@@ -74,6 +74,34 @@ def flagship_feeder(spark, sf_dir):
     return feeder_plan.feeder_pipeline(orders, customer, existing)
 
 
+@register("flagship_feeder_w6", sql="""
+WITH existing AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0)
+SELECT o.o_orderkey AS id,
+       6 AS wave,
+       CASE WHEN o.o_orderstatus = 'F' THEN 'complete' ELSE 'interrupted' END AS status,
+       CAST(o.o_custkey AS VARCHAR) AS phone,
+       o.o_orderstatus AS result,
+       substr(c.c_name, 1, 100) AS name_rec,
+       LEAST(CAST(round(o.o_totalprice / 100) AS INTEGER), 32767) AS age_rec1,
+       '' AS q_region_label,
+       c.c_acctbal AS db_reward,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS date,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS recruited_at
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus IS DISTINCT FROM 'P'
+  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = o.o_orderkey)
+""")
+def flagship_feeder_w6(spark, sf_dir):
+    """Wave-6 variant (feeder_w6.py:199-224): identical plan, label
+    columns written as empty strings, wave literal 6."""
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    existing = feeder_plan.existing_keys_snapshot(orders)
+    return feeder_plan.feeder_pipeline(orders, customer, existing,
+                                       wave_number=6, blank_labels=True)
+
+
 @register("feeder_skipped_report", sql="""
 SELECT o.o_orderkey, o.o_custkey
 FROM orders o
@@ -199,6 +227,39 @@ def union_pages(spark, sf_dir):
 # =====================================================================
 # Join pack — op #17 variants + extensions E1-E5 (operators/joins.py)
 # =====================================================================
+
+@register("bulk_multi_wave", sql="""
+WITH waves AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, 17 AS wave FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, 18 AS wave FROM orders WHERE o_orderkey % 3 = 1
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, 19 AS wave FROM orders WHERE o_orderkey % 3 = 2
+)
+SELECT wave, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_customers
+FROM waves
+WHERE o_orderstatus IS DISTINCT FROM 'P'
+GROUP BY wave
+""")
+def bulk_multi_wave(spark, sf_dir):
+    """bulk.py restated (SURVEY.md §3.2): instead of re-running the
+    pipeline per wave sequentially (bulk.py:8-10), each wave becomes a
+    filtered frame with its wave literal, unioned into ONE job — the
+    dedup key is already (phone, wave), so a single plan is correct and
+    the cluster parallelizes across waves for free."""
+    orders = T(spark, sf_dir, "orders")
+    waves = None
+    for wave, rem in ((17, 0), (18, 1), (19, 2)):
+        frame = (orders.filter(F.col("o_orderkey") % 3 == rem)
+                 .select("o_orderkey", "o_custkey", "o_orderstatus",
+                         F.lit(wave).alias("wave")))
+        waves = frame if waves is None else waves.unionByName(frame)
+    return (waves
+            .filter(~F.col("o_orderstatus").eqNullSafe("P"))
+            .groupBy("wave")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("o_custkey").alias("n_customers")))
+
 
 @register("join_inner_customer_orders", sql="""
 SELECT c.c_custkey, c.c_name,
