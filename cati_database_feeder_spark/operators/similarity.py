@@ -87,26 +87,42 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
 def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
                         c_id: str = "vec_id", c_vec: str = "embedding",
                         iterations: int = 2) -> DataFrame:
-    """K-means-ish coarse quantizer, fully in DataFrame ops: seed cells
-    by id hash, then Lloyd iterations of assign (argmin distance) +
-    re-center (mean per cell). Each iteration is one broadcast join +
-    one groupBy — linear scans, no crossJoin of corpus×corpus."""
+    """K-means-ish coarse quantizer: seed cells by id hash, then Lloyd
+    iterations of assign (argmin distance) + re-center (mean per cell).
+    Each iteration is one broadcast join + one groupBy — linear scans,
+    no crossJoin of corpus×corpus.
+
+    Centroids are COLLECTED to the driver after every iteration and
+    re-broadcast as a literal frame: n_cells·dim doubles is a few KB,
+    and cutting the lineage there keeps iteration k's plan flat instead
+    of nesting iteration k-1's whole plan inside it (iterative
+    DataFrame algorithms otherwise compound their lineage
+    exponentially). This is the standard shape for small-model /
+    big-data iterations: state lives on the driver, data never leaves
+    executors."""
+    spark = corpus.sparkSession
     assigned = corpus.select(c_id, c_vec, (F.col(c_id) % n_cells).alias("cell"))
-    dim_probe = corpus.select(F.size(c_vec).alias("d")).limit(1)
-    dim = dim_probe.collect()[0]["d"]
+    dim = corpus.select(F.size(c_vec).alias("d")).limit(1).collect()[0]["d"]
+
+    def _centroids_of(frame: DataFrame) -> DataFrame:
+        rows = (frame.groupBy("cell")
+                .agg(F.array(*[
+                    F.avg(F.element_at(F.col(c_vec), i + 1)).alias(f"m{i}")
+                    for i in range(dim)]).alias("centroid"))
+                .collect())
+        return spark.createDataFrame(
+            [(r["cell"], [float(x) for x in r["centroid"]]) for r in rows],
+            schema="cell int, centroid array<double>")
+
+    centroids = _centroids_of(assigned)
     for _ in range(iterations):
-        centroids = (assigned.groupBy("cell")
-                     .agg(F.array(*[
-                         F.avg(F.element_at(F.col(c_vec), i + 1)).alias(f"m{i}")
-                         for i in range(dim)]).alias("centroid")))
         dists = (corpus.crossJoin(F.broadcast(centroids))
                  .withColumn("dist", V.l2_distance(F.col(c_vec), F.col("centroid"))))
         w = Window.partitionBy(c_id).orderBy(F.asc("dist"), F.asc("cell"))
         assigned = (dists.withColumn("rn", F.row_number().over(w))
                     .filter(F.col("rn") == 1).select(c_id, c_vec, "cell"))
-    return (assigned.groupBy("cell")
-            .agg(F.array(*[F.avg(F.element_at(F.col(c_vec), i + 1)) for i in range(dim)])
-                 .alias("centroid")))
+        centroids = _centroids_of(assigned)
+    return centroids
 
 
 def ivf_topk(queries: DataFrame, corpus_assigned: DataFrame, centroids: DataFrame,
