@@ -193,6 +193,49 @@ def backfill_coalesce_repair(spark, sf_dir):
         "id", scalar.coalesce_recruiting_date(F.col("Q5011_2T"), iv_iso).alias("q5011_2t"))
 
 
+@register("optional_column_default", sql="""
+SELECT o_orderkey AS id,
+       o_totalprice AS db_reward,
+       CAST(NULL AS DOUBLE) AS db_rew
+FROM orders WHERE o_orderkey % 17 = 0
+""")
+def optional_column_default(spark, sf_dir):
+    """Op #19 (feeder.py:176-178 ``row.get(col, None)``): schema-
+    evolution guard — a column present in some waves and absent in
+    others projects as its value or a typed NULL
+    (functions/scalar.py:optional_column)."""
+    orders = T(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 17 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        scalar.optional_column(orders.columns, "o_totalprice").alias("db_reward"),
+        scalar.optional_column(orders.columns, "db_rew").alias("db_rew"))
+
+
+@register("null_normalization", sql="""
+WITH input AS (
+  SELECT event_id,
+         CASE WHEN event_id % 4 = 0 THEN 'NaN'::DOUBLE ELSE value END AS v
+  FROM events WHERE event_id % 2 = 0
+)
+SELECT event_id,
+       CASE WHEN isnan(v) THEN NULL ELSE v END AS v_clean
+FROM input
+""")
+def null_normalization(spark, sf_dir):
+    """Op #13 (feeder.py:146 ``replace({np.nan: None})``): NaN→NULL
+    normalization as a column expression — NaN compares equal to
+    itself in pandas but poisons aggregates; NULL is the relational
+    form both engines agree on."""
+    e = T(spark, sf_dir, "events")
+    inp = (e.filter(F.col("event_id") % 2 == 0)
+           .select("event_id",
+                   F.when(F.col("event_id") % 4 == 0, F.lit(float("nan")))
+                    .otherwise(F.col("value")).alias("v")))
+    return inp.select(
+        "event_id",
+        F.when(F.isnan("v"), F.lit(None)).otherwise(F.col("v")).alias("v_clean"))
+
+
 @register("limit_first_match", sql="""
 SELECT o_orderkey AS id, o_totalprice
 FROM orders
