@@ -30,6 +30,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
+def cosine_from_norms(a: Column, b: Column,
+                      norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with pre-computed norms. In any pairwise plan, compute
+    ‖v‖ once per VECTOR as a column and pass it here — the inline
+    ``cosine`` recomputes both norms per PAIR (3 array folds instead
+    of 1). Same arithmetic, bit-identical result."""
+    return dot(a, b) / F.nullif(norm_a * norm_b, F.lit(0.0))
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     """Euclidean distance between two vectors."""
     diffs = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))

@@ -29,10 +29,15 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                      c_id: str = "vec_id", c_vec: str = "embedding",
                      broadcast_queries: bool = True) -> DataFrame:
     """Exact top-k: broadcast the (small) query set against the corpus,
-    score, rank per query with a deterministic tie-break."""
-    q = F.broadcast(queries) if broadcast_queries else queries
-    scored = (corpus.crossJoin(q)
-              .withColumn("cosine", V.cosine(F.col(c_vec), F.col(q_vec))))
+    score, rank per query with a deterministic tie-break. Norms are
+    pre-computed per vector (not per pair) — bit-identical cosine, a
+    third of the per-pair array folds."""
+    qn = queries.withColumn("__qn", V.norm(F.col(q_vec)))
+    q = F.broadcast(qn) if broadcast_queries else qn
+    scored = (corpus.withColumn("__cn", V.norm(F.col(c_vec)))
+              .crossJoin(q)
+              .withColumn("cosine", V.cosine_from_norms(
+                  F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn"))))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -53,11 +58,13 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              n_bits: int = 8, q_id: str = "q_id", q_vec: str = "q_vec",
              c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
     """Approximate top-k: candidates share the LSH bucket (equi-join),
-    exact cosine rerank within candidates."""
-    qb = with_lsh_bucket(queries, q_vec, n_bits)
-    cb = with_lsh_bucket(corpus, c_vec, n_bits)
+    exact cosine rerank within candidates (norms pre-computed per
+    vector, see brute_force_topk)."""
+    qb = with_lsh_bucket(queries, q_vec, n_bits).withColumn("__qn", V.norm(F.col(q_vec)))
+    cb = with_lsh_bucket(corpus, c_vec, n_bits).withColumn("__cn", V.norm(F.col(c_vec)))
     scored = (cb.join(F.broadcast(qb), on="bucket")
-              .withColumn("cosine", V.cosine(F.col(c_vec), F.col(q_vec))))
+              .withColumn("cosine", V.cosine_from_norms(
+                  F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn"))))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -76,10 +83,14 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
     from cati_database_feeder_spark.operators.dedup import _bucket_pairs
     cb = with_lsh_bucket(corpus, c_vec, n_bits)
     cands = _bucket_pairs(cb.selectExpr(f"{c_id} as id", "bucket"), ["bucket"], "id")
-    v_a = corpus.select(F.col(c_id).alias("id_a"), F.col(c_vec).alias("va"))
-    v_b = corpus.select(F.col(c_id).alias("id_b"), F.col(c_vec).alias("vb"))
+    # norms once per vector, not once per pair (V.cosine_from_norms)
+    v_a = corpus.select(F.col(c_id).alias("id_a"), F.col(c_vec).alias("va"),
+                        V.norm(F.col(c_vec)).alias("na"))
+    v_b = corpus.select(F.col(c_id).alias("id_b"), F.col(c_vec).alias("vb"),
+                        V.norm(F.col(c_vec)).alias("nb"))
     return (cands.join(v_a, "id_a").join(v_b, "id_b")
-            .withColumn("cos_raw", V.cosine(F.col("va"), F.col("vb")))
+            .withColumn("cos_raw", V.cosine_from_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")))
             .filter(F.col("cos_raw") >= threshold)
             .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine")))
 
