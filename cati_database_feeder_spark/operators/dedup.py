@@ -238,9 +238,13 @@ def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
 
 
 def token_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
-    """Exact token-set Jaccard via array intersection/union (JVM-side)."""
+    """Exact token-set Jaccard (JVM-side). PRECONDITION: both arrays
+    hold distinct elements (every caller applies ``array_distinct``
+    upstream) — then |A∪B| = |A|+|B|-|A∩B|, so one intersection pass
+    replaces intersect+union. Integer sizes divide to the identical
+    double as the two-pass form."""
     inter = F.size(F.array_intersect(a_tokens, b_tokens)).cast("double")
-    union = F.size(F.array_union(a_tokens, b_tokens)).cast("double")
+    union = (F.size(a_tokens) + F.size(b_tokens)).cast("double") - inter
     return inter / F.nullif(union, F.lit(0.0))
 
 
