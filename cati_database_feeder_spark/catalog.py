@@ -32,6 +32,10 @@ _NANOS_TS_COLS = {"events": ["ts"]}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one canonical table. Column pruning + filter pushdown are
     Catalyst's job — callers just ``select``/``filter`` declaratively."""
+    if name in _NANOS_TS_COLS:
+        # Runtime-settable; makes nanos columns arrive as epoch-ns bigints
+        # on ANY session, not just ones built by session.get_session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":

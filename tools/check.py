@@ -22,8 +22,21 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 import __spark_entry__ as entrymod
-from cati_database_feeder_spark.session import get_session
+from pyspark.sql import SparkSession
 from cati_database_feeder_spark.catalog import TABLES
+
+
+def plain_session():
+    """A deliberately PLAIN session, mirroring the driver's harness —
+    no engine-side configs, so any query that depends on session.py
+    setup fails here the way it fails in CORRECTNESS_r{N}.json."""
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
 
 
 def canon(v):
@@ -46,7 +59,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2] if len(sys.argv) > 2 else ""
 
-    spark = get_session("check")
+    spark = plain_session()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
