@@ -45,24 +45,29 @@ def backfill_recruiting_date(df: DataFrame, file_col: str | None = None,
     """
     iv_ts = scalar.parse_ru_timestamp(F.col("IVDate1"))
     iv_iso = scalar.iso_datetime(iv_ts)
-    coalesced = scalar.coalesce_recruiting_date(F.col("Q5011_2T"), iv_iso)
+    rec = scalar.nullify_nan_string(F.col("Q5011_2T"))
 
     part = [file_col] if file_col else [F.lit(1)]
-    w = Window.partitionBy(*part).orderBy(F.col("id"))
-    # first non-null recruiting date / first row's IVDate1 per file —
-    # the declarative form of the reference's iloc[0] peek.
-    first_iv = F.first(iv_ts, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    first_rec = F.first(scalar.nullify_nan_string(F.col("Q5011_2T")), ignorenulls=True) \
-                 .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    w = (Window.partitionBy(*part).orderBy(F.col("id"))
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    # Reference peek semantics (add_q5011_2t.py:27-45): IVDate1 comes
+    # from the literal FIRST row (iloc[0], nulls included), while the
+    # recruiting month comes from the first row whose Q5011_2T is
+    # neither NaN nor "nan" — those can be different rows.
+    first_iv = F.first(iv_ts).over(w)
+    first_rec = F.first(rec, ignorenulls=True).over(w)
     shifted = month_mismatch_flag(first_iv, first_rec)
 
     if faithful:
-        repaired = scalar.month_increment_faithful(coalesced)
+        repaired = scalar.month_increment_faithful(rec)
     else:
         repaired = scalar.iso_datetime(
-            scalar.month_increment(F.to_timestamp(coalesced, "yyyy-MM-dd HH:mm:ss")))
+            scalar.month_increment(F.to_timestamp(rec, "yyyy-MM-dd HH:mm:ss")))
 
+    # update_table (add_q5011_2t.py:56-69): a NULL/"nan" recruiting date
+    # falls back to the reformatted IVDate1 and is NEVER month-repaired;
+    # the repair applies only to originally-present values.
     return df.withColumn(
         "q5011_2t",
-        F.when(shifted & coalesced.isNotNull(), repaired).otherwise(coalesced),
+        F.when(rec.isNull(), iv_iso).when(shifted, repaired).otherwise(rec),
     )

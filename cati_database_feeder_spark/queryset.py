@@ -193,6 +193,93 @@ def backfill_coalesce_repair(spark, sf_dir):
         "id", scalar.coalesce_recruiting_date(F.col("Q5011_2T"), iv_iso).alias("q5011_2t"))
 
 
+@register("backfill_month_repair_per_file", sql="""
+WITH input AS (
+  SELECT o_orderkey AS id,
+         o_orderkey % 4 AS file_id,
+         TIMESTAMP '1995-03-01 00:00:00'
+           + (o_orderkey % 4) * INTERVAL 1 MONTH
+           + (o_orderkey % 27) * INTERVAL 1 DAY
+           + (o_orderkey % 23) * INTERVAL 1 HOUR AS iv_ts
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+synth AS (
+  SELECT id, file_id,
+         strftime(iv_ts, '%d.%m.%Y %H:%M:%S') AS IVDate1,
+         CASE WHEN id % 3 = 0 THEN 'nan'
+              WHEN file_id IN (1, 3)
+                THEN strftime(iv_ts + INTERVAL 1 MONTH + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S')
+              ELSE strftime(iv_ts + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S')
+         END AS Q5011_2T
+  FROM input
+),
+peek AS (
+  SELECT *,
+         first_value(IVDate1) OVER w AS first_iv,
+         first_value(nullif(Q5011_2T, 'nan') IGNORE NULLS) OVER w AS first_rec
+  FROM synth
+  WINDOW w AS (PARTITION BY file_id ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT id, file_id,
+       CASE WHEN nullif(Q5011_2T, 'nan') IS NULL
+              THEN strftime(strptime(IVDate1, '%d.%m.%Y %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+            WHEN strftime(strptime(first_iv, '%d.%m.%Y %H:%M:%S'), '%m') <> substr(first_rec, 6, 2)
+              THEN strftime(strptime(Q5011_2T, '%Y-%m-%d %H:%M:%S') + INTERVAL 1 MONTH,
+                            '%Y-%m-%d %H:%M:%S')
+            ELSE Q5011_2T END AS q5011_2t
+FROM peek
+""")
+def backfill_month_repair_per_file(spark, sf_dir):
+    """Op #33 (add_q5011_2t.py:27-45 peek, 56-69 repair): per-file
+    month-consistency gate over a synthesized multi-file batch. Files
+    1 and 3 carry a one-month recruiting-date shift; the flag is taken
+    from the first row per file (IVDate1) and the first non-null
+    Q5011_2T, then only originally-present values are repaired —
+    NULL/"nan" rows fall back to the reformatted IVDate1 unrepaired."""
+    from cati_database_feeder_spark.plans.backfill import backfill_recruiting_date
+    orders = T(spark, sf_dir, "orders")
+    iv_ts = F.expr(
+        "timestamp'1995-03-01 00:00:00' + make_interval(0, CAST(o_orderkey % 4 AS INT), 0, "
+        "CAST(o_orderkey % 27 AS INT), CAST(o_orderkey % 23 AS INT), 0, 0)")
+    inp = (orders.filter(F.col("o_orderkey") % 5 == 0)
+           .select(F.col("o_orderkey").alias("id"),
+                   (F.col("o_orderkey") % 4).alias("file_id"),
+                   iv_ts.alias("iv_ts")))
+    synth = inp.select(
+        "id", "file_id",
+        F.date_format("iv_ts", "dd.MM.yyyy HH:mm:ss").alias("IVDate1"),
+        F.when(F.col("id") % 3 == 0, F.lit("nan"))
+         .when(F.col("file_id").isin(1, 3),
+               scalar.iso_datetime(F.expr("iv_ts + INTERVAL 1 MONTH + INTERVAL 2 HOURS")))
+         .otherwise(scalar.iso_datetime(F.expr("iv_ts + INTERVAL 2 HOURS")))
+         .alias("Q5011_2T"))
+    return (backfill_recruiting_date(synth, file_col="file_id")
+            .select("id", "file_id", "q5011_2t"))
+
+
+@register("clean_log_tail", sql="""
+SELECT o_orderkey AS id,
+       list_extract(list_filter(string_split(log, chr(10)), x -> x <> ''), -1) AS last_entry
+FROM (SELECT o_orderkey,
+             concat('export started', chr(10), chr(10),
+                    'page ', CAST(o_orderkey % 7 AS VARCHAR), chr(10),
+                    o_orderpriority, chr(10)) AS log
+      FROM orders WHERE o_orderkey % 13 = 0)
+""")
+def clean_log_tail_query(spark, sf_dir):
+    """Op #31 (feeder.py:97-101): split the export log on newlines, drop
+    empties, take the last entry — exercised over synthesized logs with
+    blank interior lines and a trailing newline."""
+    orders = T(spark, sf_dir, "orders")
+    logs = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.concat(F.lit("export started\n\npage "),
+                 (F.col("o_orderkey") % 7).cast("string"),
+                 F.lit("\n"), F.col("o_orderpriority"), F.lit("\n")).alias("log"))
+    return logs.select("id", scalar.clean_log_tail(F.col("log")).alias("last_entry"))
+
+
 @register("optional_column_default", sql="""
 SELECT o_orderkey AS id,
        o_totalprice AS db_reward,

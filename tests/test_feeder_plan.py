@@ -48,3 +48,44 @@ def test_skipped_report_partitions_existing(spark, sf_dir):
     existing = feeder.existing_keys_snapshot(orders)
     skipped = feeder.feeder_skipped_report(orders, existing)
     assert skipped.count() == existing.count()
+
+
+def test_backfill_month_repair_per_file(spark):
+    """Op #33 (reference add_q5011_2t.py:27-45, 56-69): the shift flag
+    is peeked per file — IVDate1 from the literal first row, month from
+    the first non-null Q5011_2T — and repair skips NULL/"nan" rows."""
+    from cati_database_feeder_spark.plans.backfill import backfill_recruiting_date
+
+    rows = [
+        # file A: shifted (first row iv month 03 vs first non-null rec month 04)
+        (1, "A", "05.03.2022 10:00:00", "nan"),
+        (2, "A", "06.03.2022 11:00:00", "2022-04-06 11:30:00"),
+        (3, "A", "07.03.2022 12:00:00", "2022-04-07 12:30:00"),
+        # file B: consistent (iv month 05 == rec month 05)
+        (4, "B", "01.05.2022 09:00:00", "2022-05-01 09:30:00"),
+        (5, "B", "02.05.2022 09:00:00", "nan"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "file_id", "IVDate1", "Q5011_2T"])
+    out = {r["id"]: r["q5011_2t"]
+           for r in backfill_recruiting_date(df, file_col="file_id").collect()}
+    assert out[1] == "2022-03-05 10:00:00"   # nan -> IVDate1, NOT repaired
+    assert out[2] == "2022-05-06 11:30:00"   # shifted file: +1 month
+    assert out[3] == "2022-05-07 12:30:00"
+    assert out[4] == "2022-05-01 09:30:00"   # consistent file: untouched
+    assert out[5] == "2022-05-02 09:00:00"   # nan -> IVDate1
+
+
+def test_backfill_faithful_december_bug(spark):
+    """Faithful mode preserves the reference's no-rollover bug
+    (add_q5011_2t.py:96-100): December repairs to month "13"."""
+    from cati_database_feeder_spark.plans.backfill import backfill_recruiting_date
+
+    rows = [
+        (1, "11.12.2022 10:00:00", "2023-01-11 10:30:00"),
+        (2, "12.12.2022 10:00:00", "2022-12-12 10:30:00"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "IVDate1", "Q5011_2T"])
+    out = {r["id"]: r["q5011_2t"]
+           for r in backfill_recruiting_date(df, faithful=True).collect()}
+    assert out[1] == "2023-02-11 10:30:00"
+    assert out[2] == "2022-13-12 10:30:00"  # the reference bug, on purpose
