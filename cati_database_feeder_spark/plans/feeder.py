@@ -35,46 +35,130 @@ def existing_keys_snapshot(orders: DataFrame) -> DataFrame:
     return orders.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey")
 
 
+def survey_export_frame(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Synthesize the reference's Excel export schema (the column set
+    ``insert_data_into_database`` reads, feeder.py:184-225) from the
+    star tables — including the dotted ``Q3.1``-style headers that need
+    backtick quoting in Spark. ``DB_Rew`` and ``Reward`` are deliberately
+    ABSENT so the optional-column path (#19, feeder.py:176-178) runs."""
+    j = orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey, "inner")
+    k, ck = F.col("o_orderkey"), F.col("o_custkey")
+    s = lambda c: c.cast("string")
+    return j.select(
+        k.alias("ID"),
+        ck.cast("string").alias("Phone"),
+        F.col("o_orderstatus").alias("Result"),
+        F.date_format("o_orderdate", scalar.RU_TS_FORMAT).alias("IVDate1"),
+        F.concat(F.lit("ext-"), s(k)).alias("ExtID"),
+        F.col("c_mktsegment").alias("DB_RegionName"),
+        F.col("o_orderpriority").alias("DB_OperatorName"),
+        (k % 89).alias("DB_Region"),
+        (ck % 7).alias("DB_Operator"),
+        F.lit("09:00").alias("DB_CallIntervalBegin"),
+        F.lit("21:00").alias("DB_CallIntervalEnd"),
+        ((k % 12) - 3).alias("DB_TimeDifference"),
+        F.substring("c_name", 1, 12).alias("Q3_label"),
+        (k % 5).alias("Q3.1"),
+        F.concat(F.lit("q31-"), s(k % 5)).alias("Q3.1_label"),
+        (k % 3).alias("Q3.2"),
+        F.concat(F.lit("q32-"), s(k % 3)).alias("Q3.2_label"),
+        ((k % 2) + 1).alias("S_SEX"),
+        F.when((k % 2) + 1 == 1, "male").otherwise("female").alias("S_SEX_label"),
+        F.col("c_name").alias("Q2"),
+        F.round(F.col("o_totalprice") / 100).cast("int").alias("AGE"),
+        F.concat(F.lit("age-"), s(k % 6)).alias("S_AGE_label"),
+        (k % 4).alias("Q9.1"),
+        (ck % 10).alias("Q10"),
+        (k % 11).alias("Q11"),
+        F.concat(F.lit("q11-"), s(k % 11)).alias("Q11_label"),
+        F.concat(F.lit("t-"), s(ck % 13)).alias("Q11_8T"),
+        (k % 83).alias("QREGION"),
+        F.col("c_mktsegment").alias("QREGION_label"),
+        (ck % 4).alias("Q4"),
+        F.concat(F.lit("op-"), s(ck % 4)).alias("Q4_label"),
+        F.col("c_acctbal").alias("DB_Reward"),
+        F.concat(F.lit("city-"), s(F.col("c_nationkey"))).alias("d2006_label"),
+        F.concat(F.lit("edu-"), s(k % 3)).alias("d2003_label"),
+        F.concat(F.lit("job-"), s(ck % 5)).alias("d2005_label"),
+        F.concat(F.lit("inc-"), s(k % 7)).alias("q84_label"),
+    )
+
+
 def feeder_pipeline(orders: DataFrame, customer: DataFrame,
                     existing: DataFrame, wave_number: int = 19,
                     blank_labels: bool = False) -> DataFrame:
-    """The full transform chain, one declarative plan.
+    """The full transform chain, one declarative plan, at the reference's
+    full 40-column width (feeder.py:184-225 query_parameters dict).
 
     Semantics per reference op (file:line cites into /root/reference):
       #15 reject filter       feeder.py:163-166  (status 'P' plays "Брак")
       #16 status CASE         feeder.py:168-171  ('F' complete, else interrupted)
       #17 anti-join dedup     feeder.py:157-160
       #18 wave literal        feeder.py:186
-      #22-24 date parse/fmt   feeder.py:173-174
+      #19 optional columns    feeder.py:176-178  (DB_Reward/DB_Rew/Reward row.get)
+      #22-23 date parse/fmt   feeder.py:173-174  (IVDate1 string → ISO date)
       #26 varchar truncation  feeder.py:205
       #27 smallint clamp      feeder.py:180-182
-      #14 projection/rename   feeder.py:184-225
+      #14 projection/rename   feeder.py:184-225  (all 40 output columns,
+                              incl. dotted `Q3.1` headers backtick-quoted)
 
     ``blank_labels=True`` reproduces the wave-6 variant, which writes
-    empty strings for every label column instead of the Excel values
-    (feeder_w6.py:199-224).
+    empty strings for the 12 label columns instead of the Excel values
+    (feeder_w6.py:198-225).
     """
-    interviews = (
-        orders
-        .filter(scalar.reject_predicate(F.col("o_orderstatus"), "P"))  # #15
-        .join(F.broadcast(existing), on="o_orderkey", how="left_anti")  # #17
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+    survey = survey_export_frame(orders, customer)
+    base = (
+        survey
+        .join(F.broadcast(existing.withColumnRenamed("o_orderkey", "ID")),
+              on="ID", how="left_anti")                                 # #17
+        .filter(scalar.reject_predicate(F.col("Result"), "P"))          # #15
     )
-    return interviews.select(
-        F.col("o_orderkey").alias("id"),
+    lab = (lambda c: F.lit("")) if blank_labels else (lambda c: c)
+    q = lambda name: F.col(f"`{name}`")
+    return base.select(
+        F.col("ID").alias("id"),
         F.lit(wave_number).alias("wave"),                               # #18
-        scalar.status_case(F.col("o_orderstatus"), complete_value="F",
+        scalar.status_case(F.col("Result"), complete_value="F",
                            complete_status="complete",
                            interrupted_status="interrupted").alias("status"),  # #16
-        F.col("o_custkey").cast("string").alias("phone"),
-        F.col("o_orderstatus").alias("result"),
-        scalar.truncate_str(F.col("c_name"), 100).alias("name_rec"),    # #26
-        scalar.clamp_smallint(F.round(F.col("o_totalprice") / 100).cast("int"))
-              .alias("age_rec1"),                                       # #27
-        (F.lit("") if blank_labels else F.col("c_mktsegment")).alias("q_region_label"),
-        F.col("c_acctbal").alias("db_reward"),
-        scalar.iso_date(F.col("o_orderdate")).alias("date"),            # #23
-        scalar.iso_datetime(F.col("o_orderdate")).alias("recruited_at"),  # #24
+        F.col("Phone").alias("phone"),
+        F.col("Result").alias("result"),
+        F.col("ExtID").alias("ext_id"),
+        F.col("DB_RegionName").alias("region_name"),
+        F.col("DB_OperatorName").alias("operator_name"),
+        F.col("DB_Region").alias("region"),
+        F.col("DB_Operator").alias("operator"),
+        F.col("DB_CallIntervalBegin").alias("call_interval_begin"),
+        F.col("DB_CallIntervalEnd").alias("call_interval_end"),
+        F.col("DB_TimeDifference").alias("time_difference"),
+        lab(F.col("Q3_label")).alias("q3_label"),
+        q("Q3.1").alias("q3_1"),
+        lab(q("Q3.1_label")).alias("q3_1_label"),
+        q("Q3.2").alias("q3_2"),
+        lab(q("Q3.2_label")).alias("q3_2_label"),
+        F.col("S_SEX").alias("s_sex"),
+        lab(F.col("S_SEX_label")).alias("s_sex_label"),
+        scalar.truncate_str(F.col("Q2"), 100).alias("name_rec"),        # #26
+        scalar.clamp_smallint(F.col("AGE")).alias("age_rec1"),          # #27
+        lab(F.col("S_AGE_label")).alias("age_rec2"),
+        q("Q9.1").alias("q9_1"),
+        F.col("Q10").alias("q10"),
+        F.col("Q11").alias("q11"),
+        lab(F.col("Q11_label")).alias("q11_label"),
+        F.col("Q11_8T").alias("q11_8t"),
+        F.col("QREGION").alias("q_region"),
+        lab(F.col("QREGION_label")).alias("q_region_label"),
+        F.col("Q4").alias("q_oper_code"),
+        lab(F.col("Q4_label")).alias("q_oper_name"),
+        scalar.optional_column(survey.columns, "DB_Reward").alias("db_reward"),  # #19
+        scalar.optional_column(survey.columns, "DB_Rew").alias("db_rew"),
+        scalar.optional_column(survey.columns, "Reward").alias("reward"),
+        lab(F.col("d2006_label")).alias("q_city"),
+        lab(F.col("d2003_label")).alias("q_obrazovanie"),
+        lab(F.col("d2005_label")).alias("q_rabota"),
+        lab(F.col("q84_label")).alias("q_dohod"),
+        scalar.iso_date(scalar.parse_ru_timestamp(F.col("IVDate1"))).alias("date"),  # #22-23
     )
 
 

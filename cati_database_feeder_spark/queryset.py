@@ -48,53 +48,85 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # plans/feeder.py and functions/scalar.py docstrings)
 # =====================================================================
 
-@register("flagship_feeder", sql="""
+_FEEDER_40COL_SQL = """
 WITH existing AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0)
 SELECT o.o_orderkey AS id,
-       19 AS wave,
+       {wave} AS wave,
        CASE WHEN o.o_orderstatus = 'F' THEN 'complete' ELSE 'interrupted' END AS status,
        CAST(o.o_custkey AS VARCHAR) AS phone,
        o.o_orderstatus AS result,
+       concat('ext-', CAST(o.o_orderkey AS VARCHAR)) AS ext_id,
+       c.c_mktsegment AS region_name,
+       o.o_orderpriority AS operator_name,
+       o.o_orderkey % 89 AS region,
+       o.o_custkey % 7 AS operator,
+       '09:00' AS call_interval_begin,
+       '21:00' AS call_interval_end,
+       (o.o_orderkey % 12) - 3 AS time_difference,
+       {q3_label} AS q3_label,
+       o.o_orderkey % 5 AS q3_1,
+       {q3_1_label} AS q3_1_label,
+       o.o_orderkey % 3 AS q3_2,
+       {q3_2_label} AS q3_2_label,
+       (o.o_orderkey % 2) + 1 AS s_sex,
+       {s_sex_label} AS s_sex_label,
        substr(c.c_name, 1, 100) AS name_rec,
        LEAST(CAST(round(o.o_totalprice / 100) AS INTEGER), 32767) AS age_rec1,
-       c.c_mktsegment AS q_region_label,
+       {age_rec2} AS age_rec2,
+       o.o_orderkey % 4 AS q9_1,
+       o.o_custkey % 10 AS q10,
+       o.o_orderkey % 11 AS q11,
+       {q11_label} AS q11_label,
+       concat('t-', CAST(o.o_custkey % 13 AS VARCHAR)) AS q11_8t,
+       o.o_orderkey % 83 AS q_region,
+       {q_region_label} AS q_region_label,
+       o.o_custkey % 4 AS q_oper_code,
+       {q_oper_name} AS q_oper_name,
        c.c_acctbal AS db_reward,
-       strftime(o.o_orderdate, '%Y-%m-%d') AS date,
-       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS recruited_at
+       CAST(NULL AS DOUBLE) AS db_rew,
+       CAST(NULL AS DOUBLE) AS reward,
+       {q_city} AS q_city,
+       {q_obrazovanie} AS q_obrazovanie,
+       {q_rabota} AS q_rabota,
+       {q_dohod} AS q_dohod,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS date
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_orderstatus IS DISTINCT FROM 'P'
   AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = o.o_orderkey)
-""")
+"""
+
+_FEEDER_LABELS = dict(
+    q3_label="substr(c.c_name, 1, 12)",
+    q3_1_label="concat('q31-', CAST(o.o_orderkey % 5 AS VARCHAR))",
+    q3_2_label="concat('q32-', CAST(o.o_orderkey % 3 AS VARCHAR))",
+    s_sex_label="CASE WHEN (o.o_orderkey % 2) + 1 = 1 THEN 'male' ELSE 'female' END",
+    age_rec2="concat('age-', CAST(o.o_orderkey % 6 AS VARCHAR))",
+    q11_label="concat('q11-', CAST(o.o_orderkey % 11 AS VARCHAR))",
+    q_region_label="c.c_mktsegment",
+    q_oper_name="concat('op-', CAST(o.o_custkey % 4 AS VARCHAR))",
+    q_city="concat('city-', CAST(c.c_nationkey AS VARCHAR))",
+    q_obrazovanie="concat('edu-', CAST(o.o_orderkey % 3 AS VARCHAR))",
+    q_rabota="concat('job-', CAST(o.o_custkey % 5 AS VARCHAR))",
+    q_dohod="concat('inc-', CAST(o.o_orderkey % 7 AS VARCHAR))",
+)
+_FEEDER_BLANKS = {k: "''" for k in _FEEDER_LABELS}
+
+
+@register("flagship_feeder", sql=_FEEDER_40COL_SQL.format(wave=19, **_FEEDER_LABELS))
 def flagship_feeder(spark, sf_dir):
-    """Ops #14-#18, #22-#24, #26-#27 as one plan (plans/feeder.py)."""
+    """Ops #14-#19, #22-#23, #26-#27 as one plan at the reference's full
+    40-column width (plans/feeder.py, reference feeder.py:184-225)."""
     orders = T(spark, sf_dir, "orders")
     customer = T(spark, sf_dir, "customer")
     existing = feeder_plan.existing_keys_snapshot(orders)
     return feeder_plan.feeder_pipeline(orders, customer, existing)
 
 
-@register("flagship_feeder_w6", sql="""
-WITH existing AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0)
-SELECT o.o_orderkey AS id,
-       6 AS wave,
-       CASE WHEN o.o_orderstatus = 'F' THEN 'complete' ELSE 'interrupted' END AS status,
-       CAST(o.o_custkey AS VARCHAR) AS phone,
-       o.o_orderstatus AS result,
-       substr(c.c_name, 1, 100) AS name_rec,
-       LEAST(CAST(round(o.o_totalprice / 100) AS INTEGER), 32767) AS age_rec1,
-       '' AS q_region_label,
-       c.c_acctbal AS db_reward,
-       strftime(o.o_orderdate, '%Y-%m-%d') AS date,
-       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS recruited_at
-FROM orders o
-JOIN customer c ON o.o_custkey = c.c_custkey
-WHERE o.o_orderstatus IS DISTINCT FROM 'P'
-  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = o.o_orderkey)
-""")
+@register("flagship_feeder_w6", sql=_FEEDER_40COL_SQL.format(wave=6, **_FEEDER_BLANKS))
 def flagship_feeder_w6(spark, sf_dir):
-    """Wave-6 variant (feeder_w6.py:199-224): identical plan, label
-    columns written as empty strings, wave literal 6."""
+    """Wave-6 variant (feeder_w6.py:198-225): identical plan, the 12
+    label columns written as empty strings, wave literal 6."""
     orders = T(spark, sf_dir, "orders")
     customer = T(spark, sf_dir, "customer")
     existing = feeder_plan.existing_keys_snapshot(orders)

@@ -24,8 +24,12 @@ def test_flagship_no_rejects_no_existing(spark, sf_dir):
     assert all((r["status"] == "complete") == (r["result"] == "F") for r in rows)
     # smallint clamp (#27)
     assert all(r["age_rec1"] <= 32767 for r in rows)
-    # ISO formats (#23, #24)
-    assert all(len(r["date"]) == 10 and len(r["recruited_at"]) == 19 for r in rows)
+    # ISO date via the IVDate1 string round-trip (#22-#23)
+    assert all(len(r["date"]) == 10 for r in rows)
+    # full reference width (#14, feeder.py:184-225): all 40 columns
+    assert len(out.columns) == 40
+    # optional columns absent from the export surface as typed NULLs (#19)
+    assert all(r["db_rew"] is None and r["reward"] is None for r in rows)
 
 
 def test_flagship_plan_shape(spark, sf_dir):
