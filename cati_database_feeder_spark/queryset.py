@@ -1180,25 +1180,77 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
 @register("similarity_ivf_topk")  # iterative k-means: no SQL oracle, rows-only check
 def similarity_ivf_topk(spark, sf_dir):
     """E7 100 TB shape: IVF — train a coarse quantizer (2 Lloyd
-    iterations, each one broadcast join + one groupBy), assign the
-    corpus to cells (write-time layout in production: partition parquet
-    by cell), probe the 4 nearest cells per query, exact rerank inside.
-    K-means is iterative and data-dependent, hence no SQL oracle
+    iterations; assignment is a per-row argmin over the literal
+    centroid array, so each iteration is map-only plus one
+    n_cells-group aggregate — no crossJoin, no corpus-wide window),
+    assign the corpus to cells (write-time layout in production:
+    partition parquet by cell), probe the 4 nearest cells per query,
+    exact rerank inside. K-means is iterative and data-dependent,
+    hence no SQL oracle; the fixed-centroid half of the pipeline is
+    hash-checked separately by ``ivf_assign_topk``
     (operators/similarity.py:train_ivf_centroids/ivf_topk)."""
-    from pyspark.sql import Window
-    from cati_database_feeder_spark.functions import vectors as V
     from cati_database_feeder_spark.operators.similarity import (
-        train_ivf_centroids, ivf_topk)
+        assign_cells, train_ivf_centroids, ivf_topk)
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0) \
          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     cents = train_ivf_centroids(e, n_cells=16)
-    dists = (e.crossJoin(F.broadcast(cents))
-             .withColumn("dist", V.l2_distance(F.col("embedding"), F.col("centroid"))))
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
-    assigned = (dists.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1).select("vec_id", "embedding", "cell"))
+    assigned = assign_cells(e, cents)
     return ivf_topk(q, assigned, cents, k=10, nprobe=4)
+
+
+@register("ivf_assign_topk", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT e.vec_id, e.v, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY -list_dot_product(e.v, c.centroid) ASC, c.cell ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT q.q_id, q.qv, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+                            ORDER BY -list_dot_product(q.qv, c.centroid) ASC, c.cell ASC) AS rn
+  FROM q CROSS JOIN cents c
+),
+pr AS (SELECT q_id, qv, cell FROM probes WHERE rn <= 4),
+scored AS (
+  SELECT pr.q_id, co.vec_id,
+         list_dot_product(co.v, pr.qv)
+           / nullif(sqrt(list_dot_product(co.v, co.v)) * sqrt(list_dot_product(pr.qv, pr.qv)), 0.0)
+           AS cos_raw
+  FROM corpus co JOIN pr ON co.cell = pr.cell
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 10
+""")
+def ivf_assign_topk(spark, sf_dir):
+    """E7: the deterministic (fixed-centroid) half of IVF, fully
+    hash-checked — seed centroids are the 16 lowest-id corpus vectors
+    (collected once: bounded driver-side model state, same exception as
+    k-means centroids), assignment + probe rank cells by inner product
+    (``list_dot_product`` is bit-reproducible in DuckDB), exact cosine
+    rerank inside the 4 probed cells. Assignment and probing are
+    per-row argmins over the literal centroid array — no crossJoin, no
+    corpus-wide window, no shuffle until the k-sized rerank."""
+    from cati_database_feeder_spark.operators.similarity import (
+        assign_cells, ivf_topk)
+    e = T(spark, sf_dir, "embeddings")
+    cents = [(int(r["vec_id"]), list(r["embedding"]))
+             for r in e.filter(F.col("vec_id") < 16)
+                       .select("vec_id", "embedding").collect()]
+    q = e.filter(F.col("vec_id") % 100 == 0) \
+         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    assigned = assign_cells(e, cents, by="ip")
+    return ivf_topk(q, assigned, cents, k=10, nprobe=4, by="ip")
 
 
 # =====================================================================

@@ -101,12 +101,7 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     exact = similarity.brute_force_topk(q, emb, k=5).collect()
     cents = similarity.train_ivf_centroids(emb, n_cells=8, iterations=1)
-    assigned = emb.crossJoin(F.broadcast(cents)) \
-        .withColumn("dist", V.l2_distance(F.col("embedding"), F.col("centroid")))
-    from pyspark.sql import Window
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
-    assigned = assigned.withColumn("rn", F.row_number().over(w)) \
-        .filter(F.col("rn") == 1).select("vec_id", "embedding", "cell")
+    assigned = similarity.assign_cells(emb, cents)
     approx = similarity.ivf_topk(q, assigned, cents, k=5, nprobe=4).collect()
     exact_sets = {}
     for r in exact:
