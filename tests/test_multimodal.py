@@ -57,3 +57,19 @@ def test_binary_dir_scan(spark, tmp_path):
     assert {bytes(r["payload"])[:4] for r in rows} == {b"\x89PNG", b"RIFF"}
     feats = multimodal.extract_features(media).collect()
     assert len(feats) == 2
+
+
+def test_codec_guard_never_raises(spark, sf_dir):
+    """Forcing the real-codec path on undecodable payloads (or with the
+    codec library absent) must fall back per item to the deterministic
+    fake — a poison payload must never kill the stage."""
+    media = multimodal.documents_as_media(spark, sf_dir).limit(20)
+    forced = multimodal.extract_features(media, use_real_codecs=True).collect()
+    fake = multimodal.extract_features(media, use_real_codecs=False).collect()
+    assert len(forced) == len(fake) == 20
+    if not multimodal._HAVE_CODECS:
+        # no Pillow: forced path degrades to exactly the fake features
+        assert {r["media_id"]: r["feature"] for r in forced} == \
+               {r["media_id"]: r["feature"] for r in fake}
+    resized = multimodal.resize_images(media, 8, 8, use_real_codecs=True).collect()
+    assert all(len(bytes(r["payload"])) == 64 for r in resized)
