@@ -862,7 +862,7 @@ def window_lag_delta(spark, sf_dir):
 
 @register("text_token_stats", sql=r"""
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
        n_chars,
        length(text) AS n_chars_check
@@ -881,14 +881,14 @@ def text_token_stats(spark, sf_dir):
 
 @register("text_quality_scores", sql=r"""
 SELECT doc_id,
-       len(list_filter(string_split_regex(trim(text), '\s+'),
+       len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
                        t -> lower(t) IN ('the','a','of','and','to','in','is'))) AS n_stopwords,
-       (CASE WHEN length(text) / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) >= 3
-              AND length(text) / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) <= 12
+       (CASE WHEN length(text) / CAST(greatest(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 1) AS DOUBLE) >= 3
+              AND length(text) / CAST(greatest(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 1) AS DOUBLE) <= 12
              THEN 0.4 ELSE 0.0 END
-        + CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+        + CASE WHEN len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
                                     t -> lower(t) IN ('the','a','of','and','to','in','is')))
-                    / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) > 0.01
+                    / CAST(greatest(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 1) AS DOUBLE) > 0.01
                THEN 0.3 ELSE 0.0 END)
        + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                 / CAST(greatest(length(text), 1) AS DOUBLE)) AS quality
@@ -906,13 +906,13 @@ def text_quality_scores(spark, sf_dir):
 @register("text_lang_id", sql=r"""
 WITH scored AS (
   SELECT doc_id, text, lang AS labeled_lang,
-         len(list_filter(string_split_regex(trim(text), '\s+'),
+         len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
              t -> lower(t) IN ('the','a','of','and','to','in','is'))) AS v_en,
-         len(list_filter(string_split_regex(trim(text), '\s+'),
+         len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
              t -> lower(t) IN ('der','die','das','und','ist','ein'))) AS v_de,
-         len(list_filter(string_split_regex(trim(text), '\s+'),
+         len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
              t -> lower(t) IN ('el','la','de','que','y','es'))) AS v_es,
-         len(list_filter(string_split_regex(trim(text), '\s+'),
+         len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
              t -> lower(t) IN ('le','la','et','les','des','est'))) AS v_fr
   FROM documents
 )
@@ -954,7 +954,7 @@ def text_fingerprint_dedup(spark, sf_dir):
 @register("dedup_token_jaccard_pairs", sql=r"""
 WITH toks AS (
   SELECT doc_id, source,
-         list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -978,7 +978,7 @@ def dedup_token_jaccard_pairs(spark, sf_dir):
 
 @register("dedup_minhash_lsh_pairs", sql=r"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS tok
   FROM documents
 ),
 base AS (
@@ -1019,7 +1019,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 
 @register("dedup_simhash_pairs", sql=r"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
   FROM documents
 ),
 base AS (
@@ -1058,7 +1058,7 @@ WITH sh AS (
          list_distinct([concat_ws(' ', tk[i], tk[i+1], tk[i+2])
                         FOR i IN range(1, len(tk) - 1)]) AS toks
   FROM (SELECT doc_id, source,
-               string_split_regex(trim(text), '\s+') AS tk
+               list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
         FROM documents)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1385,14 +1385,15 @@ def string_functions(spark, sf_dir):
 WITH ordered AS (
   SELECT user_id, ts,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL '6 hours' OR
+                   >= INTERVAL '6 hours' OR
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              THEN 1 ELSE 0 END AS new_session
+              THEN 1 ELSE 0 END AS new_session,
+         event_id
   FROM events
 ),
 sessions AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM ordered
 )

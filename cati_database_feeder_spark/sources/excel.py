@@ -42,7 +42,11 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for path, content in zip(pdf["path"], pdf["content"]):
             try:
                 payload = bytes(content)
-                if path.endswith(".zip") or payload[:2] == b"PK" and path.endswith(".zip"):
+                # extension-only detection on purpose: xlsx files are
+                # ALSO zip archives (PK magic), so sniffing bytes would
+                # mis-unwrap them; the reference unwraps only *.zip
+                # (feeder.py:119, add_q5011_2t.py:112)
+                if path.endswith(".zip"):
                     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
                         # reference semantics: first archive member is the data
                         # (feeder.py:120: namelist()[0])
