@@ -112,7 +112,15 @@ def merge_upsert(df: DataFrame, connection, target: str, key_cols: list[str],
     cols = df.columns
     if write_staging is None:
         def write_staging(d: DataFrame, table_name: str) -> None:
-            rows = [tuple(r) for r in d.collect()]  # test-scale only
+            # driver-side materialization is TEST-SCALE ONLY: hard-capped
+            # so a production-size frame fails fast with the right fix
+            # instead of OOMing the driver
+            rows = [tuple(r) for r in d.limit(_MAX_LOCAL_STAGING_ROWS + 1).collect()]
+            if len(rows) > _MAX_LOCAL_STAGING_ROWS:
+                raise ValueError(
+                    f"default staging write collects to the driver and is capped at "
+                    f"{_MAX_LOCAL_STAGING_ROWS} rows; pass "
+                    f"write_staging=lambda d, t: jdbc_append(d, url, t) for production")
             placeholders = ", ".join(["?"] * len(cols))
             ddl = ", ".join(f"{c} {t}" for c, t in _ddl_types(d))
             connection.execute(f"CREATE OR REPLACE TABLE {table_name} ({ddl})")
@@ -130,6 +138,8 @@ def merge_upsert(df: DataFrame, connection, target: str, key_cols: list[str],
         connection.execute(stmt)
     return stmts
 
+
+_MAX_LOCAL_STAGING_ROWS = 100_000
 
 _SPARK_TO_SQL = {
     "bigint": "BIGINT", "int": "INTEGER", "double": "DOUBLE",

@@ -13,16 +13,16 @@ from cati_database_feeder_spark.sources import excel, rest
 
 @pytest.fixture(scope="module")
 def xlsx_dir(tmp_path_factory):
-    # xlsx fixtures need openpyxl, which this container doesn't ship;
-    # the decode path's degraded-mode behavior is covered below either way
-    pytest.importorskip("openpyxl")
+    # hand-built OOXML fixture (conftest.make_xlsx): decodes via openpyxl
+    # when present, else through the dependency-free minimal reader —
+    # either way the decode kernel actually executes
+    from conftest import make_xlsx
     d = tmp_path_factory.mktemp("xlsx")
-    frame = pd.DataFrame({"ID": [1, 2], "Phone": ["79001", "79002"], "Result": ["Полное", "Брак"]})
-    frame.to_excel(d / "wave1.xlsx", index=False)
-    buf = io.BytesIO()
-    frame.to_excel(buf, index=False)
+    payload = make_xlsx(["ID", "Phone", "Result"],
+                        [["1", "79001", "Полное"], ["2", "79002", "Брак"]])
+    (d / "wave1.xlsx").write_bytes(payload)
     with zipfile.ZipFile(d / "wave2.zip", "w") as zf:
-        zf.writestr("export.xlsx", buf.getvalue())
+        zf.writestr("export.xlsx", payload)
     return str(d)
 
 
