@@ -52,3 +52,45 @@ def range_join(probe: DataFrame, buckets: DataFrame, cond: Column) -> DataFrame:
     """E4: theta/range join; build side broadcast → nested-loop without
     a shuffle of the probe side."""
     return probe.join(F.broadcast(buckets), on=cond, how="inner")
+
+
+def asof_join_backward(left: DataFrame, right: DataFrame, on: str,
+                       ts_col: str, tie_col: str, carry_cols: list[str],
+                       prefix: str = "asof_") -> DataFrame:
+    """As-of join (backward): for each left row, the most recent right
+    row with ``right.ts <= left.ts`` for the same key; equal timestamps
+    DO match, ties resolved toward the larger ``tie_col``.
+
+    Physical shape: tag both sides, union, ONE shuffle on the key, and
+    a running ``last(ignorenulls)`` window — the merge-ordered plan.
+    Never a range join (whose candidate set explodes quadratically on
+    hot keys) and never a per-key collect. At 100 TB this is the only
+    shape that survives: cost is one sort per key group, same as any
+    windowed aggregate.
+
+    ``on``/``ts_col``/``tie_col`` must exist under the same names on
+    both sides; ``carry_cols`` are taken from the right side and must
+    be non-null there (NULL carries would pull an older row's value —
+    coalesce first if the source is nullable).
+    """
+    from pyspark.sql import Window
+
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    l2 = left.select(
+        *left.columns,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(rdt[c]).alias(f"__carry_{c}") for c in carry_cols])
+    r2 = right.select(
+        *[(F.col(c) if c in (on, ts_col, tie_col)
+           else F.lit(None).cast(ldt[c])).alias(c) for c in left.columns],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__carry_{c}") for c in carry_cols])
+    w = (Window.partitionBy(on)
+         .orderBy(F.col(ts_col), F.col("__side"), F.col(tie_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = l2.unionByName(r2)
+    for c in carry_cols:
+        u = u.withColumn(f"{prefix}{c}",
+                         F.last(F.col(f"__carry_{c}"), ignorenulls=True).over(w))
+    return (u.filter(F.col("__side") == 1)
+            .drop("__side", *[f"__carry_{c}" for c in carry_cols]))

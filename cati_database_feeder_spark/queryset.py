@@ -1461,3 +1461,214 @@ def multimodal_binary_features(spark, sf_dir):
         F.octet_length(payload).cast("bigint").alias("n_bytes"),
         F.md5(payload).alias("content_hash"),
         F.hex(F.substring("text", 1, 8).cast("binary")).alias("header_hex"))
+
+
+# =====================================================================
+# Round-2 coverage pack: as-of join, doc-frequency, range-frame rolling
+# aggregates, pivot/unpivot, filtered aggregates, histogram, regex
+# =====================================================================
+
+@register("join_asof_backward", sql="""
+WITH base AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t, value FROM events),
+u AS (
+  SELECT event_id, user_id, t, 1 AS side,
+         NULL::BIGINT AS c_eid, NULL::BIGINT AS c_t, NULL::DOUBLE AS c_val
+  FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, user_id, t, 0, event_id, t, value
+  FROM base WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT *,
+         last_value(c_eid IGNORE NULLS) OVER w AS asof_event_id,
+         last_value(c_t IGNORE NULLS) OVER w AS asof_t,
+         last_value(c_val IGNORE NULLS) OVER w AS asof_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, t, asof_event_id, asof_value, t - asof_t AS lag_us
+FROM m WHERE side = 1
+""")
+def join_asof_backward_query(spark, sf_dir):
+    """As-of join (backward): each click matched to the user's most
+    recent prior-or-equal purchase — the time-series join Spark lacks
+    natively, as the merge-ordered union+window plan (ONE shuffle on
+    the key; never a range join, operators/joins.py:asof_join_backward).
+    Timestamps compared as epoch-µs bigints so Spark's ns→µs parquet
+    truncation and DuckDB's native ns agree."""
+    from cati_database_feeder_spark.operators.joins import asof_join_backward
+    e = T(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id", "event_type",
+                    F.unix_micros("ts").alias("t"), "value")
+    clicks = base.filter(F.col("event_type") == "click") \
+                 .select("event_id", "user_id", "t")
+    purchases = base.filter(F.col("event_type") == "purchase") \
+                    .select("event_id", "user_id", "t", "value")
+    joined = asof_join_backward(clicks, purchases, on="user_id",
+                                ts_col="t", tie_col="event_id",
+                                carry_cols=["event_id", "t", "value"])
+    return joined.select(
+        "event_id", "user_id", "t",
+        F.col("asof_event_id"),
+        F.col("asof_value"),
+        (F.col("t") - F.col("asof_t")).alias("lag_us"))
+
+
+@register("text_token_doc_freq", sql="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS t(token)
+)
+SELECT token, COUNT(*) AS df
+FROM toks
+GROUP BY token
+HAVING COUNT(*) >= 5
+ORDER BY df DESC, token
+LIMIT 50
+""")
+def text_token_doc_freq(spark, sf_dir):
+    """E8 / training-pipeline op: token document frequency — the
+    vocabulary table every corpus pipeline builds (stopword discovery,
+    df-based filtering, idf weights). Per-doc distinct then explode +
+    count: one shuffle, partial aggregation map-side."""
+    from cati_database_feeder_spark.functions import text as TX
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("token"))
+    return (toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= 5)
+            .orderBy(F.desc("df"), F.asc("token"))
+            .limit(50))
+
+
+@register("window_range_rolling_sum", sql="""
+SELECT o_orderkey, o_custkey,
+       datediff('day', DATE '1992-01-01', o_orderdate) AS day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
+FROM orders
+""")
+def window_range_rolling_sum(spark, sf_dir):
+    """§2.6 extension: RANGE-frame rolling aggregate (30-day revenue
+    window per customer) — the time-window running total, with the
+    decimal-accumulate/double-cast trick so frame sums are
+    order-insensitive bit-exact."""
+    o = T(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (Window.partitionBy("o_custkey").orderBy(day)
+         .rangeBetween(-30, 0))
+    return o.select(
+        "o_orderkey", "o_custkey", day.alias("day"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w)
+         .cast("double").alias("rolling_30d"))
+
+
+@register("pivot_status_by_priority", sql="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+FROM orders
+GROUP BY o_orderpriority
+""")
+def pivot_status_by_priority(spark, sf_dir):
+    """§2.5 extension: pivot (long → wide) with an explicit value list —
+    explicit values keep the plan one-pass (no extra distinct job to
+    discover columns, which at 100 TB is a full extra scan)."""
+    o = T(spark, sf_dir, "orders")
+    p = (o.groupBy("o_orderpriority")
+         .pivot("o_orderstatus", ["F", "O", "P"])
+         .agg(F.count(F.lit(1))))
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"))
+
+
+@register("unpivot_status_counts", sql="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'f_cnt' AS status, f_cnt AS cnt FROM wide
+UNION ALL
+SELECT o_orderpriority, 'o_cnt', o_cnt FROM wide
+UNION ALL
+SELECT o_orderpriority, 'p_cnt', p_cnt FROM wide
+""")
+def unpivot_status_counts(spark, sf_dir):
+    """§2.5 extension: unpivot/melt (wide → long) via the native
+    ``DataFrame.unpivot`` — round-trips the pivot above."""
+    wide = pivot_status_by_priority(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderpriority"], values=["f_cnt", "o_cnt", "p_cnt"],
+        variableColumnName="status", valueColumnName="cnt")
+
+
+@register("agg_filtered_counts", sql="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) FILTER (WHERE o_orderstatus = 'O')
+            AS DOUBLE) AS open_revenue
+FROM orders
+GROUP BY o_orderpriority
+""")
+def agg_filtered_counts(spark, sf_dir):
+    """§2.5 extension: FILTER-clause conditional aggregates (count_if /
+    conditional sums) — one scan, no self-joins for per-predicate
+    totals."""
+    o = T(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+                 F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+                 F.sum(F.when(F.col("o_orderstatus") == "O",
+                              F.col("o_totalprice")).cast("decimal(28,6)"))
+                  .cast("double").alias("open_revenue")))
+
+
+@register("agg_value_histogram", sql="""
+SELECT event_type,
+       LEAST(CAST(floor(value / 50) AS INTEGER), 9) AS bin,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, LEAST(CAST(floor(value / 50) AS INTEGER), 9)
+""")
+def agg_value_histogram(spark, sf_dir):
+    """§2.5 extension: fixed-width histogram binning (floor-before-cast
+    so Spark's truncating and DuckDB's rounding int casts agree) —
+    the profile/quality-report shape run over every numeric column."""
+    e = T(spark, sf_dir, "events")
+    bin_col = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    return (e.groupBy("event_type", bin_col.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("string_regex_extract", sql="""
+SELECT event_id,
+       len(regexp_extract_all(props, '[0-9]+')) AS n_numbers,
+       regexp_extract_all(props, '[0-9]+')[1] AS first_number,
+       CASE WHEN regexp_matches(props, '"k"') THEN 1 ELSE 0 END AS has_k
+FROM events
+WHERE event_id % 3 = 0
+""")
+def string_regex_extract(spark, sf_dir):
+    """E8/§2.3 extension: regex extraction pack — extract-all + count +
+    first-match + boolean match over the JSON props strings, all
+    codegen expressions."""
+    e = T(spark, sf_dir, "events")
+    nums = F.regexp_extract_all("props", F.lit("[0-9]+"), 0)
+    return (e.filter(F.col("event_id") % 3 == 0)
+            .select("event_id",
+                    F.size(nums).cast("bigint").alias("n_numbers"),
+                    F.element_at(nums, 1).alias("first_number"),
+                    F.when(F.col("props").rlike('"k"'), 1).otherwise(0).alias("has_k")))

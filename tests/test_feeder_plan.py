@@ -93,3 +93,27 @@ def test_backfill_faithful_december_bug(spark):
            for r in backfill_recruiting_date(df, faithful=True).collect()}
     assert out[1] == "2023-02-11 10:30:00"
     assert out[2] == "2022-13-12 10:30:00"  # the reference bug, on purpose
+
+
+def test_asof_join_backward_semantics(spark):
+    """Backward as-of: <= matches (equal ts included), ties toward the
+    larger tie column, no prior right row -> NULL carries."""
+    from cati_database_feeder_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 101, 20), (2, 200, 5), (3, 300, 7)],
+        ["k", "eid", "t"])
+    right = spark.createDataFrame(
+        [(101, 1, 10, 1.0),   # equal ts as left eid=100 -> matches it
+         (102, 1, 10, 2.0),   # same ts, larger eid wins the tie
+         (103, 1, 15, 3.0),   # between the two left rows
+         (104, 2, 6, 4.0)],   # AFTER left (2,5): no match for it
+        ["eid", "k", "t", "value"])
+    out = {r["eid"]: r for r in asof_join_backward(
+        left, right.select("k", "eid", "t", "value"),
+        on="k", ts_col="t", tie_col="eid",
+        carry_cols=["eid", "value"]).collect()}
+    assert out[100]["asof_eid"] == 102 and out[100]["asof_value"] == 2.0
+    assert out[101]["asof_eid"] == 103 and out[101]["asof_value"] == 3.0
+    assert out[200]["asof_eid"] is None      # right row is in the future
+    assert out[300]["asof_eid"] is None      # no right rows for key 3
