@@ -96,14 +96,17 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
 
 
 def _centroid_literal(centroid_rows: list[tuple[int, list[float]]]):
-    """Driver-side centroid table as ONE literal array column:
-    ``array<struct<cell:int, centroid:array<double>>>``. A few KB of
-    constants shipped with the plan — no join, no broadcast exchange."""
-    return F.array(*[
-        F.struct(
-            F.lit(int(cell)).cast("int").alias("cell"),
-            F.array(*[F.lit(float(x)) for x in vec]).alias("centroid"))
-        for cell, vec in centroid_rows])
+    """Driver-side centroid table as TWO flat literal columns (cells:
+    ``array<int>``, centroids: ``array<array<double>>``) zipped into
+    structs. ``F.lit`` on the nested list produces a single Literal
+    node, so plan analysis cost is independent of n_cells·dim — a
+    per-element ``F.array(F.lit(...)...)`` tree costs ~1k expression
+    nodes per use and dominates iteration time. A few KB of constants
+    shipped with the plan — no join, no broadcast exchange."""
+    cells = F.lit([int(c) for c, _ in centroid_rows])
+    cents = F.lit([[float(x) for x in vec] for _, vec in centroid_rows])
+    return F.zip_with(cells, cents,
+                      lambda c, v: F.struct(c.alias("cell"), v.alias("centroid")))
 
 
 def nearest_cells(vec, centroid_rows: list[tuple[int, list[float]]],
@@ -153,16 +156,18 @@ def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     literals: state lives on the driver, data never leaves executors,
     and each iteration's plan stays flat instead of nesting the
     previous iteration's plan inside it."""
-    dim = corpus.select(F.size(c_vec).alias("d")).limit(1).collect()[0]["d"]
-
     def _centroids_of(frame: DataFrame) -> list[tuple[int, list[float]]]:
-        rows = (frame.groupBy("cell")
-                .agg(F.array(*[
-                    F.avg(F.element_at(F.col(c_vec), i + 1)).alias(f"m{i}")
-                    for i in range(dim)]).alias("centroid"))
+        # posexplode + one (cell, pos) aggregate instead of `dim`
+        # separate avg(element_at) expressions: the same answer with a
+        # plan whose size is independent of the vector dimension —
+        # per-iteration compile cost stays flat as dim grows
+        rows = (frame.select("cell", F.posexplode(F.col(c_vec)).alias("pos", "x"))
+                .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
                 .collect())
-        return sorted((int(r["cell"]), [float(x) for x in r["centroid"]])
-                      for r in rows)
+        acc: dict[int, dict[int, float]] = {}
+        for r in rows:
+            acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        return sorted((cell, [d[p] for p in sorted(d)]) for cell, d in acc.items())
 
     centroids = _centroids_of(
         corpus.select(c_id, c_vec, (F.col(c_id) % n_cells).alias("cell")))
