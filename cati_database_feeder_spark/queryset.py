@@ -1672,3 +1672,140 @@ def string_regex_extract(spark, sf_dir):
                     F.size(nums).cast("bigint").alias("n_numbers"),
                     F.element_at(nums, 1).alias("first_number"),
                     F.when(F.col("props").rlike('"k"'), 1).otherwise(0).alias("has_k")))
+
+
+@register("dedup_char_ngram_jaccard_pairs", sql=r"""
+WITH nt AS (
+  SELECT doc_id, source,
+         array_to_string(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''), ' ') AS s
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         list_distinct([s[i:i+7] FOR i IN range(1, length(s) - 6, 4)]) AS toks
+  FROM nt
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.toks, b.toks))
+         / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(a.toks) > 0 AND len(b.toks) > 0
+  AND len(list_intersect(a.toks, b.toks))
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8
+""")
+def dedup_char_ngram_jaccard_pairs(spark, sf_dir):
+    """E7 near-dup, character-8-gram variant with stride-4 sampling
+    (strided shingling): whitespace-insensitive char-level Jaccard
+    through the same prefix-filtered AllPairs join — only the set
+    element changes; the stride bounds per-doc set size at len/4
+    (functions/text.py:char_ngrams_from_tokens)."""
+    from cati_database_feeder_spark.operators.dedup import jaccard_similarity_join
+    d = T(spark, sf_dir, "documents")
+    return jaccard_similarity_join(
+        d, threshold=0.8, block_col="source",
+        tokens_of=lambda tk: text.char_ngrams_from_tokens(tk, 8, stride=4))
+
+
+@register("text_quality_filter", sql=r"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
+         (CASE WHEN length(text) / CAST(greatest(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 1) AS DOUBLE) >= 3
+                AND length(text) / CAST(greatest(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 1) AS DOUBLE) <= 12
+               THEN 0.4 ELSE 0.0 END
+          + CASE WHEN len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
+                                      t -> lower(t) IN ('the','a','of','and','to','in','is')))
+                      / CAST(greatest(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 1) AS DOUBLE) > 0.01
+                 THEN 0.3 ELSE 0.0 END)
+         + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / CAST(greatest(length(text), 1) AS DOUBLE)) AS quality
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, quality
+FROM scored
+WHERE quality >= 0.55 AND n_tokens BETWEEN 10 AND 1000 AND lang IN ('en', 'de', 'es')
+""")
+def text_quality_filter(spark, sf_dir):
+    """E8 composite: the C4-style cleaning pass every pretraining corpus
+    runs — quality-score threshold + token-count band + language
+    allowlist, in ONE scan (filters all pushed; survivors only)."""
+    d = T(spark, sf_dir, "documents")
+    scored = (text.with_quality_scores(d.select("doc_id", "text", "lang"))
+              .withColumn("n_tokens", text.token_count(F.col("text"))))
+    return (scored
+            .filter((F.col("quality") >= 0.55)
+                    & F.col("n_tokens").between(10, 1000)
+                    & F.col("lang").isin("en", "de", "es"))
+            .select("doc_id", "lang", "n_tokens", "quality"))
+
+
+@register("split_train_holdout", sql=r"""
+WITH assigned AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
+              THEN 'train' ELSE 'holdout' END AS split
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM assigned
+GROUP BY split, lang
+""")
+def split_train_holdout(spark, sf_dir):
+    """Training-pipeline op: deterministic hash-based train/holdout
+    split (md5 — the portable hash both engines agree on, so the same
+    doc lands in the same split in any engine, any run, any cluster
+    size), plus the per-split per-language manifest counts."""
+    d = T(spark, sf_dir, "documents")
+    split = F.when(
+        text.hash64(F.col("doc_id").cast("string")) % 100 < 90, "train"
+    ).otherwise("holdout")
+    return (d.select("doc_id", "lang", "n_chars", split.alias("split"))
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+@register("snapshot_diff", sql="""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS old_price
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS new_price
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'inserted'
+            WHEN new.o_orderkey IS NULL THEN 'deleted'
+            WHEN old_price <> new_price THEN 'updated'
+            ELSE 'unchanged' END AS change_type,
+       old_price, new_price
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE CASE WHEN old.o_orderkey IS NULL THEN 'inserted'
+           WHEN new.o_orderkey IS NULL THEN 'deleted'
+           WHEN old_price <> new_price THEN 'updated'
+           ELSE 'unchanged' END <> 'unchanged'
+""")
+def snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot diff — the incremental-feed generalization of
+    the reference's existing-keys check: full-outer join two table
+    versions, classify inserted/deleted/updated, emit only changes.
+    One shuffle on the key; at 100 TB both snapshots partition by the
+    key and the join co-locates."""
+    o = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = o.filter(k % 7 != 0).select(k.alias("o_orderkey"),
+                                      F.col("o_totalprice").alias("old_price"))
+    new = o.filter(k % 5 != 0).select(
+        k.alias("o_orderkey"),
+        F.when(k % 3 == 0, F.col("o_totalprice") + 100)
+         .otherwise(F.col("o_totalprice")).alias("new_price"))
+    j = old.join(new, "o_orderkey", "full_outer")
+    change = (F.when(F.col("old_price").isNull(), "inserted")
+              .when(F.col("new_price").isNull(), "deleted")
+              .when(F.col("old_price") != F.col("new_price"), "updated")
+              .otherwise("unchanged"))
+    return (j.withColumn("change_type", change)
+            .filter(F.col("change_type") != "unchanged")
+            .select("o_orderkey", "change_type", "old_price", "new_price"))
