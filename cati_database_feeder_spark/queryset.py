@@ -1809,3 +1809,38 @@ def snapshot_diff(spark, sf_dir):
     return (j.withColumn("change_type", change)
             .filter(F.col("change_type") != "unchanged")
             .select("o_orderkey", "change_type", "old_price", "new_price"))
+
+
+@register("events_daily_gap_fill", sql="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events WHERE user_id < 20
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+cal AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day, COALESCE(d.n, 0) AS n
+FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+""")
+def events_daily_gap_fill(spark, sf_dir):
+    """Time-series gap fill (calendar densification): per-user daily
+    counts with missing days zero-filled over each user's own span —
+    the hypertable-rollup shape. The calendar is generated from the
+    aggregated spans (sequence+explode), so its size is output-sized,
+    never events-sized; the fill join is a left join back to the
+    aggregate."""
+    e = T(spark, sf_dir, "events")
+    daily = (e.filter(F.col("user_id") < 20)
+             .groupBy("user_id", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"),
+                                         F.max("day").alias("d1"))
+    cal = spans.select("user_id",
+                       F.explode(F.sequence("d0", "d1")).alias("day"))
+    return (cal.join(daily, ["user_id", "day"], "left")
+            .select("user_id",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n")))
