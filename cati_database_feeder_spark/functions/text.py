@@ -229,3 +229,80 @@ def hash64(col: Column) -> Column:
     differ, md5 is identical in both.
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# Portable PII-ish patterns (Java regex == RE2 semantics for these):
+# kept deliberately simple so the DuckDB oracle can mirror them verbatim.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_DIGITS_RE = r"[0-9]{7,}"
+
+
+def pii_email_count(text: Column) -> Column:
+    """Number of email-shaped substrings (PII scan primitive)."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)).cast("bigint")
+
+
+def pii_long_digit_count(text: Column) -> Column:
+    """Number of 7+-digit runs (phone/ID-shaped substrings)."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_LONG_DIGITS_RE), 0)).cast("bigint")
+
+
+def with_doc_profile(df, text_col: str = "text"):
+    """One-pass per-document profile: token counts, BPE-ish piece count,
+    stopword count, quality score, language ID, and PII counts — all
+    from a SINGLE staged tokenization (the token array and its lowered
+    copy are materialized once per row and every downstream column
+    reads the staged copy). This is the form a 100 TB profiling pass
+    runs: one scan, one projection chain, zero shuffles, zero Python.
+
+    Adds columns: n_tokens, n_pieces, n_stopwords, quality,
+    detected_lang, pii_emails, pii_digit_runs.
+    """
+    t = F.col(text_col)
+    staged = df.withColumn("__toks", tokens(t))
+    staged = staged.withColumn("__ltoks", F.transform(F.col("__toks"), F.lower))
+
+    def _vote(sw):
+        arr = F.array(*[F.lit(w) for w in sw])
+        return F.size(F.filter(F.col("__ltoks"), lambda x: F.array_contains(arr, x)))
+
+    staged = staged.withColumns({f"__v_{lang}": _vote(sw) for lang, sw in STOPWORDS.items()})
+    staged = staged.withColumns({
+        "n_tokens": F.size("__toks").cast("bigint"),
+        "n_pieces": bpe_ish_token_count(t),
+        "n_stopwords": F.col("__v_en").cast("bigint"),
+    })
+
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    mean_word_len = n_chars.cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    stop_ratio = (F.col("n_stopwords").cast("double")
+                  / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"))
+    # identical operands and operation order as quality_score → the
+    # double is bit-identical across the staged and column forms
+    quality = (
+        F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.lit(0.3) * (alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"))
+    )
+
+    votes = {lang: F.col(f"__v_{lang}") for lang in STOPWORDS}
+    best_latin = F.greatest(*votes.values())
+    latin_pick = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):
+        latin_pick = F.when(votes[lang] == best_latin, F.lit(lang)).otherwise(latin_pick)
+    detected = (
+        F.when(t.rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+         .when(t.rlike("[\\u0400-\\u04ff]"), F.lit("ru"))
+         .when(best_latin > 0, latin_pick)
+         .otherwise(F.lit("und"))
+    )
+
+    return (staged
+            .withColumns({
+                "quality": quality,
+                "detected_lang": detected,
+                "pii_emails": pii_email_count(t),
+                "pii_digit_runs": pii_long_digit_count(t),
+            })
+            .drop("__toks", "__ltoks", *[f"__v_{lang}" for lang in STOPWORDS]))

@@ -1,0 +1,87 @@
+"""Connected components (operators/graph.py) and BM25 (operators/search.py)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from cati_database_feeder_spark.operators.graph import connected_components
+from cati_database_feeder_spark.operators.search import bm25_topk
+
+
+def test_connected_components_basic(spark):
+    # two components: {1,2,3,4} via a chain, {10,11}; 20-20 self-pair-free
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-2-...-9: worst case for min-label propagation;
+    # must still converge within the default max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"])
+    got = connected_components(pairs).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == 10
+
+
+def test_connected_components_deterministic_min_canonical(spark):
+    # edges listed high-to-low; canonical id is still the min
+    pairs = spark.createDataFrame([(9, 5), (5, 7)], ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {5: 5, 7: 5, 9: 5}
+
+
+def test_bm25_ranks_term_frequency(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark filler filler"),
+         (2, "spark filler filler filler filler"),
+         (3, "filler filler filler filler filler")],
+        ["doc_id", "text"])
+    rows = bm25_topk(docs, terms=["spark"], k=10).collect()
+    # doc 3 has no match → absent; doc 1 outranks doc 2 on tf
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert rows[0]["score"] > rows[1]["score"] > 0
+
+
+def test_bm25_length_normalization(spark):
+    # same tf, longer doc scores lower (b > 0)
+    docs = spark.createDataFrame(
+        [(1, "query short"),
+         (2, "query " + "pad " * 50)],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r["score"]
+            for r in bm25_topk(docs, terms=["query"], k=10).collect()}
+    assert rows[1] > rows[2]
+
+
+def test_bm25_no_corpus_wide_shuffle_of_nonmatches(spark):
+    # plan property: the exploded side is filtered before the explode
+    docs = spark.createDataFrame(
+        [(1, "vector stuff"), (2, "nothing here")], ["doc_id", "text"])
+    plan = bm25_topk(docs, terms=["vector"], k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_with_doc_profile_columns(spark):
+    from cati_database_feeder_spark.functions.text import with_doc_profile
+    docs = spark.createDataFrame(
+        [(1, "the cat and the hat mailed cat@example.com on 12345678"),
+         (2, ""),
+         (3, "der hund und die katze ist ein tier")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in with_doc_profile(docs).collect()}
+    assert rows[1]["n_tokens"] == 9
+    assert rows[1]["n_stopwords"] == 3  # the, and, the
+    assert rows[1]["pii_emails"] == 1
+    assert rows[1]["pii_digit_runs"] == 1
+    assert rows[1]["detected_lang"] == "en"
+    assert rows[3]["detected_lang"] == "de"
+    # empty text: no tokens, quality from zero-guards, no crash
+    assert rows[2]["n_tokens"] == 0 and rows[2]["detected_lang"] == "und"
