@@ -16,6 +16,14 @@ query tokenization IS staged to one pass; persist()-based sharing of
 the token stage was measured slower than recompute (columnar array
 (de)serialization > re-split cost — see dedup.py:213-219), so the
 repeated tokenize across *queries* is accepted deliberately.
+
+The one cross-query stage that IS shared (queryset.shared_stage) is
+the verified near-dup pair set, consumed by both the pairs query and
+cluster-components. Its build is timed explicitly as
+"stage:jaccard_pairs" so the headline total charges it exactly ONCE
+and the consumer queries report their incremental cost — the
+materialize-once economics a production pipeline has, without hiding
+the stage cost from the total.
 """
 
 from __future__ import annotations
@@ -50,6 +58,13 @@ def main() -> None:
     # far better estimate of the plan's actual cost. Pass 1 also
     # absorbs first-compilation (codegen) of each plan.
     timings: dict[str, float] = {}
+
+    # Build + time shared pipeline stages first (see module docstring):
+    # the total charges each stage once; queries then time incremental.
+    t0 = time.time()
+    queryset._jaccard_pairs_stage(spark, sf_dir).count()
+    timings["stage:jaccard_pairs"] = round(time.time() - t0, 3)
+
     for _pass in range(2):
         for name, fn in queryset.QUERIES.items():
             t0 = time.time()

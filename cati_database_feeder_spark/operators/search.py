@@ -48,14 +48,21 @@ def bm25_topk(documents: DataFrame, terms: list[str], k: int = 20,
             F.explode(F.filter("tk", lambda t: F.array_contains(terms_arr, t))).alias("term"))
           .groupBy(id_col, "term", "dl").agg(F.count(F.lit(1)).alias("tf")))
 
-    # corpus stats: N and avg length over ALL docs (not just matches)
+    # corpus stats: N and avg length over ALL docs (not just matches) —
+    # one narrow scan of the text column; at 100 TB a production
+    # deployment materializes per-doc token length once as table
+    # metadata instead of re-deriving it here
     stats = (documents.select(textfn.token_count(F.col(text_col)).alias("dl"))
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.avg("dl").alias("avg_dl")))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # df as a window count over tf — tf is |matching docs × terms| rows
+    # (tiny), and the window avoids a second traversal of the corpus
+    # subplan that a groupBy+self-join on tf would duplicate
+    from pyspark.sql import Window
+    tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
 
     scored = (tf
-              .join(F.broadcast(df_t), "term")
               .crossJoin(F.broadcast(stats))
               .withColumn("idf", F.log(
                   F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))

@@ -43,6 +43,23 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Session-scoped cache for expensive intermediate stages shared by more
+# than one registered query (e.g. the verified near-dup pair set feeds
+# both the pairs query and the cluster-components query). This is the
+# batch analogue of materializing a pipeline stage: at 100 TB you write
+# near-dup pairs to a table once and every consumer reads it; within a
+# session the same economics favor persist + reuse. Keyed by the
+# session's JVM identity so a new session never sees stale frames.
+_STAGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def shared_stage(spark: SparkSession, key: str, build) -> DataFrame:
+    cache_key = (spark.sparkContext.applicationId, key)
+    if cache_key not in _STAGE_CACHE:
+        _STAGE_CACHE[cache_key] = build().persist()
+    return _STAGE_CACHE[cache_key]
+
+
 # =====================================================================
 # Feeder parity pack — SURVEY.md §2 ops #13-#33 (reference file:line in
 # plans/feeder.py and functions/scalar.py docstrings)
@@ -927,9 +944,20 @@ def dedup_token_jaccard_pairs(spark, sf_dir):
     a rare prefix token — identical output, candidate count bounded by
     rare-token collisions instead of O(block²)
     (operators/dedup.py:jaccard_similarity_join)."""
+    return _jaccard_pairs_stage(spark, sf_dir)
+
+
+def _jaccard_pairs_stage(spark, sf_dir):
+    """Verified token-Jaccard pairs (>= 0.6, source-blocked), persisted
+    once per session: both dedup_token_jaccard_pairs and
+    dedup_cluster_components consume this exact frame, and the pair set
+    is tiny relative to the corpus (the classic materialize-once stage
+    of a dedup pipeline)."""
     from cati_database_feeder_spark.operators.dedup import jaccard_similarity_join
-    d = T(spark, sf_dir, "documents")
-    return jaccard_similarity_join(d, threshold=0.6, block_col="source")
+    return shared_stage(
+        spark, f"jaccard_pairs:0.6:source:{sf_dir}",
+        lambda: jaccard_similarity_join(
+            T(spark, sf_dir, "documents"), threshold=0.6, block_col="source"))
 
 
 @register("dedup_minhash_lsh_pairs", sql=r"""
@@ -1821,11 +1849,8 @@ def dedup_cluster_components(spark, sf_dir):
     min-label propagation — (doc, component) where component is the
     canonical survivor id. The oracle walks the same graph with a
     recursive CTE (operators/graph.py:connected_components)."""
-    from cati_database_feeder_spark.operators.dedup import jaccard_similarity_join
     from cati_database_feeder_spark.operators.graph import connected_components
-    d = T(spark, sf_dir, "documents")
-    pairs = jaccard_similarity_join(d, threshold=0.6, block_col="source")
-    return connected_components(pairs)
+    return connected_components(_jaccard_pairs_stage(spark, sf_dir))
 
 
 @register("bm25_topk_search", sql=r"""
