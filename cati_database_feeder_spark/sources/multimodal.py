@@ -6,30 +6,113 @@ All heavy per-item work — decode, resize, feature-extract, frame-sample
 — runs in Arrow-batched ``mapInPandas`` so bytes never round-trip
 through the driver and Python sees whole columnar batches.
 
-Codec strategy: when Pillow is importable the kernels decode for real;
-any per-item decode failure (or a missing library) falls back to a
-deterministic fake, so the pipeline NEVER raises on undecodable bytes
-— at 100 TB some fraction of payloads is always corrupt, and a poison
-row must not kill the stage. The Spark-side contract (schemas, batch
-shapes, partitioning) is identical on both paths and pinned by tests.
-This mirrors how the reference treats zip bytes as opaque until one
-decode step (feeder.py:119-121).
+Codec strategy, three tiers per item:
+1. pure-numpy decoders for uncompressed formats — PGM (P5) / PPM (P6),
+   24-bit BMP, PCM-16 WAV — always available, run REAL decode in any
+   container;
+2. Pillow, when importable, for compressed image formats;
+3. a deterministic md5 fake as the per-item fallback, so the pipeline
+   NEVER raises on undecodable bytes — at 100 TB some fraction of
+   payloads is always corrupt, and a poison row must not kill the
+   stage.
+The Spark-side contract (schemas, batch shapes, partitioning) is
+identical on all paths and pinned by tests. This mirrors how the
+reference treats zip bytes as opaque until one decode step
+(feeder.py:119-121).
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-try:  # real codecs when present
+try:  # optional extra codecs (compressed formats)
     import PIL.Image  # noqa: F401
     _HAVE_CODECS = True
 except ImportError:
     _HAVE_CODECS = False
+
+_PNM_HEADER = re.compile(
+    rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)\s")
+
+
+def decode_image_gray(payload: bytes) -> np.ndarray:
+    """Pure-numpy image decode: PGM(P5)/PPM(P6) and uncompressed 24-bit
+    BMP → 2-D grayscale float array in [0, 1]. Raises ValueError for
+    any other format (callers fall through to Pillow / the fake)."""
+    if payload[:2] in (b"P5", b"P6"):
+        m = _PNM_HEADER.match(payload)
+        if not m:
+            raise ValueError("bad PNM header")
+        magic, w, h, maxval = (m.group(1), int(m.group(2)),
+                               int(m.group(3)), int(m.group(4)))
+        ch = 3 if magic == b"P6" else 1
+        data = payload[m.end():m.end() + w * h * ch]
+        if len(data) < w * h * ch:
+            raise ValueError("truncated PNM payload")
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
+        gray = arr.mean(axis=2) if ch == 3 else arr[:, :, 0]
+        return gray / float(maxval)
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w = struct.unpack_from("<i", payload, 18)[0]
+        h_raw = struct.unpack_from("<i", payload, 22)[0]
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0 or w <= 0 or h_raw == 0:
+            raise ValueError("only uncompressed 24-bit BMP")
+        h = abs(h_raw)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        if len(payload) < data_off + stride * h:
+            raise ValueError("truncated BMP payload")
+        rows = np.frombuffer(payload, dtype=np.uint8,
+                             count=stride * h, offset=data_off)
+        rows = rows.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+        if h_raw > 0:  # bottom-up storage
+            rows = rows[::-1]
+        return rows.astype(np.float64).mean(axis=2) / 255.0
+    raise ValueError("unsupported image format")
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """Pure-numpy PCM-16 WAV decode → (sample_rate, mono float samples
+    in [-1, 1]). Raises ValueError on anything but canonical
+    RIFF/WAVE/fmt/data PCM-16."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+        raise ValueError("only PCM-16")
+    samples = np.frombuffer(data[:len(data) - len(data) % (2 * n_ch)],
+                            dtype="<i2").astype(np.float64) / 32768.0
+    return rate, samples.reshape(-1, n_ch).mean(axis=1)
+
+
+def resize_gray_nn(gray: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of a 2-D array (vectorized index map)."""
+    ys = (np.arange(height) * gray.shape[0]) // height
+    xs = (np.arange(width) * gray.shape[1]) // width
+    return gray[ys][:, xs]
 
 MEDIA_SCHEMA = (
     "media_id long, payload binary, media_type string, "
@@ -59,8 +142,16 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def _real_image_features(payload: bytes, dim: int) -> list[float]:
-    """Pillow decode → grayscale → dim×1 resample → normalized pixels.
-    Raises on undecodable bytes; callers catch and fall back."""
+    """Real decode → grayscale → dim×1 resample → normalized pixels.
+    Numpy decoders first (always available), Pillow for compressed
+    formats when importable. Raises on undecodable bytes; callers
+    catch and fall back."""
+    try:
+        gray = decode_image_gray(payload)
+        return [float(x) for x in resize_gray_nn(gray, dim, 1)[0]]
+    except ValueError:
+        if not _HAVE_CODECS:
+            raise
     import io
 
     import PIL.Image
@@ -68,19 +159,33 @@ def _real_image_features(payload: bytes, dim: int) -> list[float]:
     return [px / 255.0 for px in img.getdata()]
 
 
+def _real_audio_features(payload: bytes, dim: int) -> list[float]:
+    """PCM-16 WAV → per-bucket RMS over ``dim`` equal time slices —
+    the cheap audio fingerprint shape (real spectral features swap in
+    the same kernel)."""
+    _, samples = decode_wav_pcm16(payload)
+    if samples.size == 0:
+        raise ValueError("empty audio")
+    chunks = np.array_split(samples, dim)
+    return [float(np.sqrt(np.mean(c * c))) if c.size else 0.0 for c in chunks]
+
+
 def extract_features(media: DataFrame, dim: int = 8,
                      use_real_codecs: bool | None = None) -> DataFrame:
     """E9 transform: per-item decode + feature extraction in
     mapInPandas. Arrow batches bound memory; partition count controls
     parallelism, so at 100 TB this is ``repartition(n_tasks)`` away
-    from full-cluster utilization. Real Pillow decode when available;
+    from full-cluster utilization. Real decode first (numpy formats
+    always, Pillow when available; WAV for media_type='audio');
     per-item fallback to the deterministic fake on decode failure —
     corrupt payloads must never kill the stage."""
-    real = _HAVE_CODECS if use_real_codecs is None else use_real_codecs
+    real = True if use_real_codecs is None else use_real_codecs
 
-    def one(payload: bytes) -> list[float]:
+    def one(payload: bytes, media_type: str) -> list[float]:
         if real:
             try:
+                if media_type == "audio":
+                    return _real_audio_features(payload, dim)
                 return _real_image_features(payload, dim)
             except Exception:
                 pass
@@ -91,7 +196,7 @@ def extract_features(media: DataFrame, dim: int = 8,
             payloads = [bytes(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "feature": [one(p) for p in payloads],
+                "feature": [one(p, t) for p, t in zip(payloads, pdf["media_type"])],
                 "n_bytes": [len(p) for p in payloads],
                 "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
             })
@@ -107,19 +212,26 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
     payload to width·height bytes. Both paths keep the contract the
     pipeline depends on — same row count, payload replaced, meta dims
     set — which is what the test pins."""
-    real = _HAVE_CODECS if use_real_codecs is None else use_real_codecs
+    real = True if use_real_codecs is None else use_real_codecs
     target = width * height
 
     def one(payload: bytes) -> bytes:
         if real:
             try:
-                import io
-
-                import PIL.Image
-                img = PIL.Image.open(io.BytesIO(payload)).convert("L")
-                return img.resize((width, height)).tobytes()
+                gray = decode_image_gray(payload)
+                out = resize_gray_nn(gray, width, height)
+                return (out * 255.0).round().clip(0, 255).astype(np.uint8).tobytes()
             except Exception:
                 pass
+            if _HAVE_CODECS:
+                try:
+                    import io
+
+                    import PIL.Image
+                    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+                    return img.resize((width, height)).tobytes()
+                except Exception:
+                    pass
         return payload[:target].ljust(target, b"\0")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -73,3 +73,79 @@ def test_codec_guard_never_raises(spark, sf_dir):
                {r["media_id"]: r["feature"] for r in fake}
     resized = multimodal.resize_images(media, 8, 8, use_real_codecs=True).collect()
     assert all(len(bytes(r["payload"])) == 64 for r in resized)
+
+
+# ---- real (dependency-free) codec tier -------------------------------
+
+def _make_ppm(w, h, rgb):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb) * (w * h)
+
+
+def _make_pgm(w, h, val):
+    return b"P5\n# comment\n%d %d\n255\n" % (w, h) + bytes([val]) * (w * h)
+
+
+def _make_bmp24(w, h, bgr):
+    import struct
+    stride = (w * 3 + 3) & ~3
+    img = (bytes(bgr) * w).ljust(stride, b"\0") * h
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
+              + struct.pack("<iiiHHIIiiII", 40, w, h, 1, 24, 0, len(img),
+                            2835, 2835, 0, 0))
+    return header + img
+
+
+def _make_wav(rate, samples):
+    import struct
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_decode_image_gray_formats():
+    g = multimodal.decode_image_gray(_make_ppm(4, 2, (255, 0, 0)))
+    assert g.shape == (2, 4)
+    assert abs(g[0, 0] - 85 / 255) < 1e-9       # mean of (255,0,0)
+    g = multimodal.decode_image_gray(_make_pgm(3, 3, 128))
+    assert g.shape == (3, 3) and abs(g[1, 1] - 128 / 255) < 1e-9
+    g = multimodal.decode_image_gray(_make_bmp24(5, 3, (0, 0, 255)))
+    assert g.shape == (3, 5) and abs(g[0, 0] - 85 / 255) < 1e-9
+    import pytest
+    with pytest.raises(ValueError):
+        multimodal.decode_image_gray(b"\x89PNG not supported without Pillow")
+
+
+def test_decode_wav_pcm16():
+    rate, mono = multimodal.decode_wav_pcm16(_make_wav(8000, [0, 16384, -16384, 0]))
+    assert rate == 8000
+    assert len(mono) == 4
+    assert abs(mono[1] - 0.5) < 1e-4 and abs(mono[2] + 0.5) < 1e-4
+
+
+def test_extract_features_real_decode(spark):
+    rows = [
+        (1, _make_ppm(8, 8, (255, 255, 255)), "image", None),   # white image
+        (2, _make_wav(8000, [16384] * 800), "audio", None),     # constant tone
+        (3, b"corrupt payload", "image", None),                 # fake fallback
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"]
+             for r in multimodal.extract_features(media, dim=4).collect()}
+    assert all(abs(v - 1.0) < 1e-6 for v in feats[1])       # real pixels
+    assert all(abs(v - 0.5) < 1e-3 for v in feats[2])       # RMS of 0.5 tone
+    expected_fake = multimodal._fake_decode_features(b"corrupt payload", 4)
+    assert all(abs(a - b) < 1e-6 for a, b in zip(feats[3], expected_fake))
+
+
+def test_resize_images_real_decode(spark):
+    # 2x2 PPM: left column black, right column white → nn-resize to 4x2
+    payload = (b"P6\n2 2\n255\n"
+               + bytes((0, 0, 0)) + bytes((255, 255, 255))
+               + bytes((0, 0, 0)) + bytes((255, 255, 255)))
+    media = spark.createDataFrame([(1, payload, "image", None)],
+                                  multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, width=4, height=2).collect()[0]
+    px = list(bytes(out["payload"]))
+    assert px == [0, 0, 255, 255, 0, 0, 255, 255]
