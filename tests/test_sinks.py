@@ -86,3 +86,48 @@ def test_jdbc_append_read_roundtrip_embedded_derby(spark):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "grp" in plan.lower()
     assert filtered.count() == 40
+
+
+def test_merge_upsert_production_shape_jdbc_staging_real_merge(spark):
+    """E12's production shape fully live: staging moves through the
+    parallel JDBC batched append (not the driver), and the keyed upsert
+    is ONE server-side MERGE — executed on embedded Derby (which has
+    ANSI MERGE) through a real java.sql connection. Identifiers are
+    uppercase because Spark's JDBC writer quotes column names while the
+    MERGE references them unquoted; Derby folds unquoted to uppercase,
+    so uppercase is the name both sides agree on (Postgres folds to
+    lowercase — same rule, opposite case)."""
+    url = "jdbc:derby:memory:merge_e2e;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    class JvmConn:  # DB-API-ish adapter over java.sql for the one MERGE
+        def __init__(self):
+            self._c = spark._jvm.java.sql.DriverManager.getConnection(url)
+
+        def execute(self, stmt, *args):
+            s = self._c.createStatement()
+            try:
+                s.execute(stmt)
+            finally:
+                s.close()
+
+    con = JvmConn()
+    con.execute("CREATE TABLE recruits_log "
+                "(ID BIGINT, Q5010 VARCHAR(100), STATUS VARCHAR(10))")
+    con.execute("INSERT INTO recruits_log VALUES (1, NULL, 'old'), (2, NULL, 'old')")
+
+    updates = spark.createDataFrame(
+        [(1, "answer-1", "new"), (3, "answer-3", "new")],
+        ["ID", "Q5010", "STATUS"])
+    stmts = jdbc.merge_upsert(
+        updates, con, "recruits_log", key_cols=["ID"],
+        update_cols=["Q5010", "STATUS"], dialect="merge",
+        staging="staging_upsert",
+        write_staging=lambda d, t: jdbc.jdbc_append(d, url, t, properties=props))
+    assert len(stmts) == 1 and stmts[0].startswith("MERGE INTO recruits_log")
+
+    rows = {r["ID"]: (r["Q5010"], r["STATUS"]) for r in
+            jdbc.jdbc_read(spark, url, "recruits_log", properties=props).collect()}
+    assert rows[1] == ("answer-1", "new")     # matched -> updated
+    assert rows[2] == (None, "old")           # untouched
+    assert rows[3] == ("answer-3", "new")     # not matched -> inserted
