@@ -118,3 +118,15 @@ def start_foreach_batch_upsert(stream_df: DataFrame, upsert_fn,
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .outputMode("update")
             .start())
+
+
+def enrich_with_dimension(events: DataFrame, dim: DataFrame,
+                          on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast) dimension snapshot — the standard lookup-table shape.
+    Stream-static joins need no watermark and keep NO join state: the
+    static side is re-resolved per micro-batch, so a dimension refresh
+    lands in the next batch automatically. At 100 TB the dim side stays
+    broadcast-sized (it's a dimension) while the stream side scales
+    with executor count."""
+    return events.join(F.broadcast(dim), on, "left")

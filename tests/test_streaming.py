@@ -101,3 +101,19 @@ def test_foreach_batch_upsert_sink(event_stream):
     q.stop()
     want = {r["event_type"]: r["count"] for r in batch.groupBy("event_type").count().collect()}
     assert seen == want
+
+
+def test_stream_static_enrichment_join(event_stream, spark):
+    stream_df, batch_src, tmp_path = event_stream
+    dim = spark.createDataFrame(
+        [(i, f"segment-{i % 3}") for i in range(200)], ["user_id", "segment"])
+    enriched = stream_ops.enrich_with_dimension(stream_df, dim, on="user_id")
+    got = _run_to_completion(
+        enriched.groupBy("segment").agg(F.count(F.lit(1)).alias("n")),
+        tmp_path, mode="complete")
+    # batch twin over the same inputs
+    want = {r["segment"]: r["n"] for r in
+            batch_src.join(F.broadcast(dim), "user_id", "left")
+            .groupBy("segment").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {r["segment"]: r["n"] for r in got} == want
+    assert sum(want.values()) == batch_src.count()
