@@ -53,17 +53,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         nbr_min = (edges.join(labels.withColumnRenamed("id", "src"), "src")
                    .groupBy("dst").agg(F.min("label").alias("nbr_label"))
                    .withColumnRenamed("dst", "id"))
+        # the changed flag rides along in the same projection, so the
+        # convergence check is a filter-count over the checkpointed
+        # frame — no extra join against the previous state per round
         new_labels = (labels.join(nbr_min, "id", "left")
                       .select("id",
                               F.least(F.col("label"),
                                       F.coalesce("nbr_label", "label"))
-                               .alias("label"))
+                               .alias("new_label"),
+                              (F.coalesce("nbr_label", "label") < F.col("label"))
+                               .alias("changed"))
+                      .withColumnRenamed("new_label", "label")
                       .localCheckpoint(eager=True))
-        # one tiny action per round for the convergence check — a single
-        # long back to the driver, the standard iterative-algorithm shape
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-                   .filter(F.col("label") != F.col("old")).count())
-        labels = new_labels
+        changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
 

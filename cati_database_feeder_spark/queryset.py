@@ -1818,6 +1818,57 @@ def events_daily_gap_fill(spark, sf_dir):
                     F.coalesce(F.col("n"), F.lit(0)).alias("n")))
 
 
+@register("funnel_view_to_purchase", sql="""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+first_view AS (
+  SELECT user_id, min(ts_s) AS first_view_s
+  FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+  SELECT v.user_id, v.first_view_s, min(p.ts_s) AS first_purchase_s
+  FROM first_view v
+  LEFT JOIN ev p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+                AND p.ts_s >= v.first_view_s AND p.ts_s <= v.first_view_s + 86400
+  GROUP BY v.user_id, v.first_view_s
+)
+SELECT user_id, first_view_s, first_purchase_s,
+       CASE WHEN first_purchase_s IS NOT NULL THEN 1 ELSE 0 END AS converted
+FROM conv
+""")
+def funnel_view_to_purchase(spark, sf_dir):
+    """Event-funnel analysis: per user, first 'view' then earliest
+    'purchase' within 24 h — the conversion shape every event pipeline
+    computes. One aggregate per side, then an equi-join on user_id with
+    a range predicate (at 100 TB both sides hash-partition on user_id:
+    one shuffle each, no windows over raw events). Timestamps compare
+    at whole-second resolution on BOTH engines because the parquet ts
+    is nanos: Spark reads it truncated to micros while DuckDB keeps
+    nanos, so any sub-second comparison could disagree at the window
+    boundary; epoch-second floor is the resolution both engines share
+    exactly."""
+    e = T(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    views = (e.filter(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min(sec).alias("first_view_s")))
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", sec.alias("ts_s")))
+    conv = (views.join(
+                purch,
+                (views.user_id == purch.user_id)
+                & (purch.ts_s >= views.first_view_s)
+                & (purch.ts_s <= views.first_view_s + 86400),
+                "left")
+            .groupBy(views.user_id, "first_view_s")
+            .agg(F.min("ts_s").alias("first_purchase_s")))
+    return conv.select(
+        "user_id", "first_view_s", "first_purchase_s",
+        F.when(F.col("first_purchase_s").isNotNull(), 1).otherwise(0)
+         .alias("converted"))
+
+
 @register("dedup_cluster_components", sql=r"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, source,
@@ -1914,6 +1965,7 @@ _CHECK_ORDER = [
     "scalar_functions", "join_inner_left_pack", "set_ops_pack",
     "agg_cube_grouping_sets", "window_running_lag", "text_doc_profile",
     "pivot_unpivot_roundtrip", "dedup_cluster_components", "bm25_topk_search",
+    "funnel_view_to_purchase",
     "similarity_ivf_topk",
     # -- unchanged, re-confirmed while budget remains --
     "flagship_feeder", "feeder_skipped_report", "bulk_multi_wave",
@@ -1923,8 +1975,8 @@ _CHECK_ORDER = [
     "dedup_token_jaccard_pairs", "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs", "dedup_shingle_jaccard_pairs",
     "embedding_cosine_topk", "dedup_embedding_cosine_pairs",
-    "array_functions",
     # ---- tail: triple-green in r1, code unchanged, pytest-covered ----
+    "array_functions",
     "flagship_feeder_w6", "month_surgery_faithful", "union_pages",
     "top_k_orders", "skew_salted_agg", "agg_rollup_region_nation",
     "window_top_orders_per_customer", "window_first_occurrence_dedup",
