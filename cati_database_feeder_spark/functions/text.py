@@ -174,39 +174,6 @@ def lang_id_heuristic(text: Column) -> Column:
     )
 
 
-def with_lang_id(df, text_col: str = "text", out_col: str = "detected_lang"):
-    """Staged DataFrame form of ``lang_id_heuristic``: the single-column
-    expression inlines the tokenize+lower pass into every stopword vote
-    and again into the argmax (~12 scans of the token array per row,
-    and higher-order functions don't codegen, so no CSE rescues it).
-    Here tokenization and each vote are materialized as named columns
-    across projection levels — CollapseProject keeps multiply-referenced
-    non-trivial aliases in their own ProjectExec, so each pass runs
-    once. Same result, ~4× less per-row work; use this form in
-    pipelines, the Column form in one-off expressions."""
-    toks = F.transform(tokens(F.col(text_col)), F.lower)
-    staged = df.withColumn("__toks", toks)
-
-    def _vote(sw):
-        arr = F.array(*[F.lit(w) for w in sw])
-        return F.size(F.filter(F.col("__toks"), lambda t: F.array_contains(arr, t)))
-
-    staged = staged.withColumns({f"__v_{lang}": _vote(sw) for lang, sw in STOPWORDS.items()})
-    votes = {lang: F.col(f"__v_{lang}") for lang in STOPWORDS}
-    best_latin = F.greatest(*votes.values())
-    latin_pick = F.lit("und")
-    for lang in reversed(list(STOPWORDS)):
-        latin_pick = F.when(votes[lang] == best_latin, F.lit(lang)).otherwise(latin_pick)
-    out = (
-        F.when(F.col(text_col).rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
-         .when(F.col(text_col).rlike("[\\u0400-\\u04ff]"), F.lit("ru"))
-         .when(best_latin > 0, latin_pick)
-         .otherwise(F.lit("und"))
-    )
-    return (staged.withColumn(out_col, out)
-            .drop("__toks", *[f"__v_{lang}" for lang in STOPWORDS]))
-
-
 def fingerprint_md5(text: Column) -> Column:
     """Exact-dup fingerprint: md5 hex of the raw text (stable across
     engines, used as the exact-dedup grouping key)."""

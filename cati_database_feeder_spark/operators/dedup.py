@@ -29,12 +29,9 @@ from pyspark.sql import functions as F
 from cati_database_feeder_spark.functions import text as T
 
 
-def exact_dedup(df: DataFrame, keys: list[str], order: list) -> DataFrame:
-    """E6: keep first row per key by deterministic order (window form —
-    use dropDuplicates(keys) when the representative doesn't matter)."""
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return (df.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1).drop("__rn"))
+# (keep-first-per-key dedup lives in operators/windows.py:
+# first_occurrence_dedup — the window form with a deterministic order;
+# use dropDuplicates(keys) when the representative doesn't matter)
 
 
 def exact_content_dedup(documents: DataFrame, id_col: str = "doc_id",
