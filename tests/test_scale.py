@@ -79,3 +79,40 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     assert j.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_doc_profile_single_pass_no_shuffle(spark, sf_dir):
+    """The per-doc profile must stay one scan + projection chain:
+    zero exchanges, zero Python — the 100 TB profiling contract."""
+    from cati_database_feeder_spark.queryset import QUERIES
+    plan = _plan(QUERIES["text_doc_profile"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "FileScan parquet" in plan and plan.count("FileScan parquet") == 1
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bm25_topk_is_heap_not_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition heap + driver merge), never a full Sort of the corpus."""
+    from cati_database_feeder_spark.queryset import QUERIES
+    plan = _plan(QUERIES["bm25_topk_search"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_k_orders_is_heap_not_global_sort(spark, sf_dir):
+    from cati_database_feeder_spark.queryset import QUERIES
+    plan = _plan(QUERIES["top_k_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_feeder_zero_exchange(spark, sf_dir):
+    """Scan → broadcast joins only: the flagship pipeline must not
+    shuffle (dims broadcast, anti-join broadcast)."""
+    from cati_database_feeder_spark.queryset import QUERIES
+    plan = _plan(QUERIES["flagship_feeder"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
