@@ -273,3 +273,35 @@ def with_doc_profile(df, text_col: str = "text"):
                 "pii_digit_runs": pii_long_digit_count(t),
             })
             .drop("__toks", "__ltoks", *[f"__v_{lang}" for lang in STOPWORDS]))
+
+
+def chunk_documents(df, chunk_tokens: int = 64, overlap: int = 16,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """E23: split each document into overlapping token-window chunks —
+    the standard context-length preprocessing of every LLM training
+    pipeline (chunk i covers tokens [i·step, i·step + chunk_tokens),
+    step = chunk_tokens − overlap).
+
+    One staged tokenization, then sequence+posexplode — the output is
+    chunk-sized, never tokens×chunks: slice() materializes each chunk
+    once. Pure codegen expressions, no shuffle, no Python; at 100 TB
+    this is a map-only pass whose output feeds straight into the
+    tokenizer shards. An empty document yields one empty chunk (the
+    degenerate window at start 0), keeping row accounting exact.
+    """
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    staged = df.withColumn("__tk", tokens(F.col(text_col)))
+    n = F.size("__tk")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    exploded = staged.select(
+        F.col(id_col), "__tk",
+        F.posexplode(starts).alias("chunk_idx", "start"))
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(chunk_tokens), F.size("__tk") - F.col("start"))
+         .cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.slice("__tk", F.col("start") + 1, chunk_tokens))
+         .alias("chunk_text"))

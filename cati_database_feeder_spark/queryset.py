@@ -1818,6 +1818,33 @@ def events_daily_gap_fill(spark, sf_dir):
                     F.coalesce(F.col("n"), F.lit(0)).alias("n")))
 
 
+@register("text_chunk_documents", sql=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 48)) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST(s / 48 AS BIGINT) AS chunk_idx,
+       CAST(least(64, len(tk) - s) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(tk[s + 1:s + 64], ' ') AS chunk_text
+FROM starts
+""")
+def text_chunk_documents(spark, sf_dir):
+    """E23: overlapping token-window chunking (64-token chunks, 16-token
+    overlap) — the context-length preprocessing every LLM training
+    pipeline runs between cleaning and tokenization
+    (functions/text.py:chunk_documents). Map-only: one staged
+    tokenization, sequence+posexplode, slice per chunk."""
+    d = T(spark, sf_dir, "documents")
+    return text.chunk_documents(d.select("doc_id", "text"),
+                                chunk_tokens=64, overlap=16)
+
+
 @register("funnel_view_to_purchase", sql="""
 WITH ev AS (
   SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
@@ -1965,18 +1992,18 @@ _CHECK_ORDER = [
     "scalar_functions", "join_inner_left_pack", "set_ops_pack",
     "agg_cube_grouping_sets", "window_running_lag", "text_doc_profile",
     "pivot_unpivot_roundtrip", "dedup_cluster_components", "bm25_topk_search",
-    "funnel_view_to_purchase",
+    "funnel_view_to_purchase", "text_chunk_documents",
     "similarity_ivf_topk",
     # -- unchanged, re-confirmed while budget remains --
     "flagship_feeder", "feeder_skipped_report", "bulk_multi_wave",
-    "limit_first_match", "backfill_coalesce_repair", "join_multiway_star",
+    "limit_first_match", "backfill_coalesce_repair",
     "join_range_buckets", "cross_join_pairs", "agg_pricing_summary",
     "q3_shipping_priority", "q10_returned_items", "text_fingerprint_dedup",
     "dedup_token_jaccard_pairs", "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs", "dedup_shingle_jaccard_pairs",
     "embedding_cosine_topk", "dedup_embedding_cosine_pairs",
     # ---- tail: triple-green in r1, code unchanged, pytest-covered ----
-    "array_functions",
+    "join_multiway_star", "array_functions",
     "flagship_feeder_w6", "month_surgery_faithful", "union_pages",
     "top_k_orders", "skew_salted_agg", "agg_rollup_region_nation",
     "window_top_orders_per_customer", "window_first_occurrence_dedup",

@@ -85,3 +85,24 @@ def test_with_doc_profile_columns(spark):
     assert rows[3]["detected_lang"] == "de"
     # empty text: no tokens, quality from zero-guards, no crash
     assert rows[2]["n_tokens"] == 0 and rows[2]["detected_lang"] == "und"
+
+
+def test_chunk_documents_windows(spark):
+    from cati_database_feeder_spark.functions.text import chunk_documents
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens, 2 chunks
+         (2, "only three tokens"),                     # shorter than chunk
+         (3, "")],                                     # empty -> one empty chunk
+        ["doc_id", "text"])
+    rows = chunk_documents(docs, chunk_tokens=8, overlap=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"].split() == [f"t{i}" for i in range(8)]
+    assert c1[1]["chunk_text"].split() == [f"t{i}" for i in range(4, 10)]
+    assert c1[1]["n_chunk_tokens"] == 6
+    assert c1[2]["chunk_text"].split() == [f"t{i}" for i in range(8, 10)]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 3
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == ""
