@@ -1,0 +1,111 @@
+"""Property-based checks (hypothesis) for the operators whose
+correctness argument is subtle: the prefix-filtered AllPairs join must
+equal brute force for ANY corpus (including all-identical, empty, and
+adversarially overlapping token sets), connected components must equal
+union-find for ANY edge list, and SimHash pigeonhole banding must have
+exact recall. Fixed fixtures can't cover these shapes; random ones do.
+
+Examples are deliberately few and small: each example round-trips
+through Spark, so the budget goes to shape diversity, not volume.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from cati_database_feeder_spark.operators.dedup import (
+    jaccard_similarity_join, simhash_near_dup_pairs)
+from cati_database_feeder_spark.operators.graph import connected_components
+
+_SETTINGS = dict(max_examples=12, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+# small alphabet → heavy token overlap → dense candidate buckets,
+# identical-set clusters, and boundary-exact Jaccard values
+_token = st.sampled_from(["a", "b", "c", "d", "e"])
+_doc = st.lists(_token, min_size=0, max_size=8).map(" ".join)
+
+
+def _brute_jaccard_pairs(docs, threshold):
+    out = set()
+    sets = {i: set(t.split()) for i, t in docs}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if union and inter / union >= threshold:
+                    out.add((i, j))
+    return out
+
+
+@given(docs=st.lists(_doc, min_size=0, max_size=12),
+       threshold=st.sampled_from([0.5, 0.6, 0.8, 1.0]))
+@settings(**_SETTINGS)
+def test_allpairs_join_equals_brute_force(spark, docs, threshold):
+    rows = [(i, t, "s") for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string") \
+        if rows else spark.createDataFrame([], "doc_id long, text string, source string")
+    got = {(r["id_a"], r["id_b"])
+           for r in jaccard_similarity_join(
+               df, threshold=threshold, block_col="source").collect()}
+    want = _brute_jaccard_pairs(list(enumerate(docs)), threshold)
+    assert got == want
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_connected_components_equals_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == _union_find_components(edges)
+
+
+@given(docs=st.lists(_doc.filter(lambda t: t.strip()), min_size=2, max_size=10))
+@settings(**_SETTINGS)
+def test_simhash_banding_exact_recall(spark, docs):
+    """Pigeonhole guarantee: every pair within max_hamming MUST be
+    returned (banding may only prune pairs that are provably far)."""
+    from cati_database_feeder_spark.operators.dedup import (
+        simhash_from_hashes, simhash_hamming)
+    from cati_database_feeder_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_dup_pairs(df, max_hamming=3).collect()}
+
+    sigs = {r["doc_id"]: r["sig"] for r in df.select(
+        "doc_id",
+        simhash_from_hashes(
+            F.transform(T.tokens(F.col("text")), T.hash64)).alias("sig")).collect()}
+    for i in sigs:
+        for j in sigs:
+            if i < j:
+                ham = bin(sigs[i] ^ sigs[j]).count("1")
+                if ham <= 3:
+                    assert (i, j) in got and got[(i, j)] == ham
+                else:
+                    assert (i, j) not in got
