@@ -19,7 +19,10 @@ from cati_database_feeder_spark.operators.dedup import (
     jaccard_similarity_join, simhash_near_dup_pairs)
 from cati_database_feeder_spark.operators.graph import connected_components
 
-_SETTINGS = dict(max_examples=12, deadline=None,
+# derandomize: the driver's gate must be reproducible run-to-run — a
+# fresh falsifying example should come from widening max_examples
+# locally, never from CI roulette
+_SETTINGS = dict(max_examples=12, deadline=None, derandomize=True,
                  suppress_health_check=[HealthCheck.function_scoped_fixture])
 
 # small alphabet → heavy token overlap → dense candidate buckets,
