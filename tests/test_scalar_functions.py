@@ -91,3 +91,29 @@ def test_optional_column(spark):
 def test_normalize_nan(spark):
     df = spark.createDataFrame([(float("nan"),), (2.5,)], ["v"])
     assert one(df.select(scalar.normalize_nan(F.col("v")).alias("out"))) == [None, 2.5]
+
+
+def test_weighted_median_udaf(spark):
+    from cati_database_feeder_spark.functions.udafs import weighted_median
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 100.0, 0.1),
+         ("b", 5.0, 10.0), ("b", 50.0, 1.0),
+         ("c", None, 1.0)],
+        ["grp", "v", "w"])
+    got = {r["grp"]: r["wm"] for r in
+           df.groupBy("grp").agg(weighted_median("v", "w").alias("wm")).collect()}
+    assert got["a"] == 2.0      # cum weights 1.0,2.0,2.1; half=1.05 -> 2.0
+    assert got["b"] == 5.0      # heavy weight pins the median at 5
+    assert got["c"] is None     # all-null group -> NULL
+
+
+def test_trimmed_mean_udaf(spark):
+    from cati_database_feeder_spark.functions.udafs import trimmed_mean
+    from pyspark.sql import functions as F
+    vals = list(range(1, 11)) + [10_000]        # outlier at the top
+    df = spark.createDataFrame([("g", float(v)) for v in vals], ["grp", "v"])
+    got = df.groupBy("grp").agg(trimmed_mean("v").alias("tm")).collect()[0]["tm"]
+    assert got < 100            # outlier trimmed away
+    plain = df.groupBy("grp").agg(F.avg("v")).collect()[0][1]
+    assert plain > 900          # untrimmed mean is dominated by it
