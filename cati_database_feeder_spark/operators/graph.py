@@ -29,10 +29,17 @@ from pyspark.sql import functions as F
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 15) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
     """(id, component) for every node in ``pairs``; component = min node
     id reachable through the pair graph. Deterministic for any input
-    order — min() is order-insensitive."""
+    order — min() is order-insensitive.
+
+    Raises RuntimeError if labels are still changing after ``max_iter``
+    rounds (a path-graph of diameter > max_iter): an unconverged result
+    silently splits components, which for a dedup pipeline means
+    keeping duplicates — failing loudly is the only safe behavior.
+    Rounds cost nothing once converged (the loop breaks), so the
+    default is generous; dup clusters converge in single digits."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -69,6 +76,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels.drop("changed")
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — graph diameter exceeds "
+            f"max_iter; raise max_iter or pre-contract the graph")
 
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("component"))

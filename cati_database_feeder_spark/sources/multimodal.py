@@ -53,6 +53,10 @@ def decode_image_gray(payload: bytes) -> np.ndarray:
             raise ValueError("bad PNM header")
         magic, w, h, maxval = (m.group(1), int(m.group(2)),
                                int(m.group(3)), int(m.group(4)))
+        if not (0 < maxval <= 255):
+            # maxval > 255 means 2-byte big-endian samples — a different
+            # stride; refuse rather than misparse
+            raise ValueError("only 8-bit PNM samples")
         ch = 3 if magic == b"P6" else 1
         data = payload[m.end():m.end() + w * h * ch]
         if len(data) < w * h * ch:

@@ -106,3 +106,11 @@ def test_chunk_documents_windows(spark):
     assert c1[2]["chunk_text"].split() == [f"t{i}" for i in range(8, 10)]
     assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 3
     assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == ""
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(5)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        from cati_database_feeder_spark.operators.graph import connected_components
+        connected_components(pairs, max_iter=2)
