@@ -1845,6 +1845,54 @@ def text_chunk_documents(spark, sf_dir):
                                 chunk_tokens=64, overlap=16)
 
 
+@register("decontaminate_against_benchmark", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+3], ' ')
+                        FOR i IN range(1, len(tk) - 2)]) AS shingles
+  FROM tk WHERE len(tk) >= 4
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 50 = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 50 <> 0
+)
+SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS n_shared_shingles
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+""")
+def decontaminate_against_benchmark(spark, sf_dir):
+    """E25 benchmark decontamination: flag training documents sharing
+    any 4-token shingle with a held-out benchmark set (here: every
+    50th doc plays the benchmark) — the eval-overlap scrub every LLM
+    corpus runs (the GPT-3 paper's 13-gram method, shortened to 4 so
+    the synthetic near-random fixture text actually produces overlap;
+    the width is a parameter, the plan is identical at 13). The benchmark shingle set is tiny
+    and broadcast; the corpus side explodes shingles ONCE and
+    equi-joins — no pairwise comparison anywhere, so the cost is
+    corpus-linear at 100 TB. Output: contaminated doc_id + distinct
+    shared-shingle count (functions/text.py:shingles_from_tokens)."""
+    d = T(spark, sf_dir, "documents")
+    staged = (d.select("doc_id", text.tokens(F.col("text")).alias("__tk"))
+              .filter(F.size("__tk") >= 4)
+              .select("doc_id",
+                      F.array_distinct(
+                          text.shingles_from_tokens(F.col("__tk"), 4)).alias("sh")))
+    bench = (staged.filter(F.col("doc_id") % 50 == 0)
+             .select(F.explode("sh").alias("shingle")).distinct())
+    corpus = (staged.filter(F.col("doc_id") % 50 != 0)
+              .select("doc_id", F.explode("sh").alias("shingle")))
+    return (corpus.join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("shingle").alias("n_shared_shingles")))
+
+
 @register("funnel_view_to_purchase", sql="""
 WITH ev AS (
   SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
@@ -1993,17 +2041,18 @@ _CHECK_ORDER = [
     "agg_cube_grouping_sets", "window_running_lag", "text_doc_profile",
     "pivot_unpivot_roundtrip", "dedup_cluster_components", "bm25_topk_search",
     "funnel_view_to_purchase", "text_chunk_documents",
+    "decontaminate_against_benchmark",
     "similarity_ivf_topk",
     # -- unchanged, re-confirmed while budget remains --
     "flagship_feeder", "feeder_skipped_report", "bulk_multi_wave",
     "limit_first_match", "backfill_coalesce_repair",
     "join_range_buckets", "cross_join_pairs", "agg_pricing_summary",
-    "q3_shipping_priority", "q10_returned_items", "text_fingerprint_dedup",
+    "q10_returned_items", "text_fingerprint_dedup",
     "dedup_token_jaccard_pairs", "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs", "dedup_shingle_jaccard_pairs",
     "embedding_cosine_topk", "dedup_embedding_cosine_pairs",
     # ---- tail: triple-green in r1, code unchanged, pytest-covered ----
-    "join_multiway_star", "array_functions",
+    "q3_shipping_priority", "join_multiway_star", "array_functions",
     "flagship_feeder_w6", "month_surgery_faithful", "union_pages",
     "top_k_orders", "skew_salted_agg", "agg_rollup_region_nation",
     "window_top_orders_per_customer", "window_first_occurrence_dedup",
