@@ -238,6 +238,11 @@ def with_doc_profile(df, text_col: str = "text"):
         "n_tokens": F.size("__toks").cast("bigint"),
         "n_pieces": bpe_ish_token_count(t),
         "n_stopwords": F.col("__v_en").cast("bigint"),
+        # Gopher-style repetition signal: fraction of tokens that are
+        # repeats of an earlier token (0 = all distinct, ->1 = loops)
+        "repetition_ratio": (F.lit(1.0)
+            - F.size(F.array_distinct("__toks")).cast("double")
+            / F.greatest(F.size("__toks"), F.lit(1)).cast("double")),
     })
 
     n_chars = F.length(t)

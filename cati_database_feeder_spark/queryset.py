@@ -861,7 +861,7 @@ WITH toks AS (
   FROM documents
 ),
 scored AS (
-  SELECT doc_id, lang, text, n_chars,
+  SELECT doc_id, lang, text, n_chars, tk,
          len(tk) AS n_tokens,
          len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
          len(list_filter(tk, t -> lower(t) IN ('the','a','of','and','to','in','is'))) AS v_en,
@@ -872,6 +872,8 @@ scored AS (
 )
 SELECT doc_id, n_tokens, n_pieces, n_chars,
        v_en AS n_stopwords,
+       1.0 - len(list_distinct(tk)) / CAST(greatest(len(tk), 1) AS DOUBLE)
+           AS repetition_ratio,
        (CASE WHEN length(text) / CAST(greatest(n_tokens, 1) AS DOUBLE) >= 3
               AND length(text) / CAST(greatest(n_tokens, 1) AS DOUBLE) <= 12
              THEN 0.4 ELSE 0.0 END
@@ -905,8 +907,9 @@ def text_doc_profile(spark, sf_dir):
     prof = text.with_doc_profile(
         d.select("doc_id", "text", "n_chars", F.col("lang").alias("labeled_lang")))
     return prof.select("doc_id", "n_tokens", "n_pieces", "n_chars",
-                       "n_stopwords", "quality", "labeled_lang",
-                       "detected_lang", "pii_emails", "pii_digit_runs")
+                       "n_stopwords", "repetition_ratio", "quality",
+                       "labeled_lang", "detected_lang", "pii_emails",
+                       "pii_digit_runs")
 
 
 @register("text_fingerprint_dedup", sql=r"""
