@@ -55,14 +55,55 @@ def frame_key(rows, cols):
     return out
 
 
+def oracle_connection(sf_dir: str):
+    """DuckDB connection with every canonical table registered as a
+    view over the same parquet files Spark reads."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def compare_query(spark, con, sf_dir: str, name: str, fn, oracle: str | None):
+    """Run one query on Spark and (if it has an oracle) in DuckDB, and
+    return (status, problems): status in {'pass','weak','fail'};
+    problems is human-readable detail for failures. Importable so the
+    pytest suite can run the identical comparison the CLI gate runs."""
+    try:
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+    except Exception:
+        return "fail", [f"spark error: {traceback.format_exc()}"]
+    if oracle is None:
+        return "weak", [f"rows={len(srows)} (no oracle, rows-only check)"]
+    try:
+        rel = con.execute(oracle)
+        ocols = [d[0] for d in rel.description]
+        orows = rel.fetchall()
+    except Exception:
+        return "fail", [f"duckdb error: {traceback.format_exc()}"]
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if sorted(scols) != sorted(c.lower() for c in ocols) and sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+        problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+    if not problems:
+        sk, ok = frame_key(srows, [c.lower() for c in scols]), frame_key(orows, [c.lower() for c in ocols])
+        if sk != ok:
+            ndiff = sum(1 for a, b in zip(sk, ok) if a != b)
+            problems.append(f"values differ ({ndiff} rows); first: spark={next((a for a,b in zip(sk,ok) if a!=b), None)} oracle={next((b for a,b in zip(sk,ok) if a!=b), None)}")
+    if problems:
+        return "fail", problems
+    return "pass", [f"{len(srows)} rows"]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2] if len(sys.argv) > 2 else ""
 
     spark = plain_session()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    con = oracle_connection(sf_dir)
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -71,43 +112,15 @@ def main():
         if only and not name.startswith(only):
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
-        except Exception:
-            print(f"FAIL {name}: spark error")
-            traceback.print_exc()
+        status, detail = compare_query(spark, con, sf_dir, name, fn, oracles.get(name))
+        if status == "fail":
+            print(f"FAIL {name}: {'; '.join(detail)}")
             failed += 1
-            continue
-        if name not in oracles:
-            print(f"weak {name}: rows={len(srows)} (no oracle, rows-only check) [{time.time()-t0:.1f}s]")
+        elif status == "weak":
+            print(f"weak {name}: {detail[0]} [{time.time()-t0:.1f}s]")
             weak += 1
-            continue
-        try:
-            rel = con.execute(oracles[name])
-            ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
-        except Exception:
-            print(f"FAIL {name}: duckdb error")
-            traceback.print_exc()
-            failed += 1
-            continue
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(c.lower() for c in ocols) and sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if not problems:
-            sk, ok = frame_key(srows, [c.lower() for c in scols]), frame_key(orows, [c.lower() for c in ocols])
-            if sk != ok:
-                ndiff = sum(1 for a, b in zip(sk, ok) if a != b)
-                problems.append(f"values differ ({ndiff} rows); first: spark={next((a for a,b in zip(sk,ok) if a!=b), None)} oracle={next((b for a,b in zip(sk,ok) if a!=b), None)}")
-        if problems:
-            print(f"FAIL {name}: {'; '.join(problems)}")
-            failed += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            print(f"PASS {name} ({detail[0]}) [{time.time()-t0:.1f}s]")
             passed += 1
     print(f"\n{passed} passed, {failed} failed, {weak} weak (rows-only)")
     return 1 if failed else 0
