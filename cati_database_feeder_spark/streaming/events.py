@@ -130,3 +130,31 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame,
     broadcast-sized (it's a dimension) while the stream side scales
     with executor count."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def stream_stream_conversion_join(views: DataFrame, purchases: DataFrame,
+                                  watermark: str = "1 hour",
+                                  within: str = "24 hours") -> DataFrame:
+    """Stream-stream interval join: each view event joins purchase
+    events of the same user that arrive within ``within`` AFTER it —
+    the streaming twin of the batch funnel (queryset.py:
+    funnel_view_to_purchase). Both sides carry watermarks, and the
+    time-range predicate bounds the join state: a buffered view can be
+    dropped once the watermark passes view_ts + within, a purchase once
+    it can no longer match any live view. Without BOTH the watermarks
+    and the range condition, Spark would buffer each side forever —
+    the range predicate is what makes this runnable on an unbounded
+    stream."""
+    v = (views.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("view_ts")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("purchase_ts")))
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(F.col("v_user").alias("user_id"), "view_ts", "purchase_ts")

@@ -117,3 +117,24 @@ def test_stream_static_enrichment_join(event_stream, spark):
             .groupBy("segment").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert {r["segment"]: r["n"] for r in got} == want
     assert sum(want.values()) == batch_src.count()
+
+
+def test_stream_stream_interval_join_matches_batch(event_stream, spark):
+    stream_df, batch_src, tmp_path = event_stream
+    views_s = stream_df.filter(F.col("event_type") == "view")
+    purch_s = stream_df.filter(F.col("event_type") == "purchase")
+    joined = stream_ops.stream_stream_conversion_join(views_s, purch_s)
+    got = sorted((r["user_id"], r["view_ts"], r["purchase_ts"])
+                 for r in _run_to_completion(joined, tmp_path))
+
+    v = batch_src.filter(F.col("event_type") == "view") \
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+    p = batch_src.filter(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+    want = sorted((r["v_user"], r["view_ts"], r["purchase_ts"]) for r in
+                  v.join(p, (F.col("v_user") == F.col("p_user"))
+                         & (F.col("purchase_ts") >= F.col("view_ts"))
+                         & (F.col("purchase_ts") <= F.col("view_ts")
+                            + F.expr("INTERVAL 24 hours"))).collect())
+    assert got == want
+    assert len(got) > 0
