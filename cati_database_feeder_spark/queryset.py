@@ -658,6 +658,83 @@ def q10_returned_items(spark, sf_dir):
               .limit(20))
 
 
+@register("q5_local_supplier_volume", sql="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+""")
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: six-way join with the classic same-nation
+    customer/supplier correlation predicate. Region/nation/supplier/
+    customer broadcast; only the fact-fact (orders⋈lineitem) edge would
+    shuffle on a cluster, co-partitioned on orderkey."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    su = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(su), (li.l_suppkey == su.s_suppkey)
+                    & (c.c_nationkey == su.s_nationkey))
+              .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .groupBy("n_name")
+              .agg(dsum(rev).alias("revenue"))
+              .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+
+@register("q18_large_volume_customers", sql="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 150
+)
+SELECT c.c_custkey, o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 50
+""")
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered aggregate feeding a semi-join
+    back into the fact — the find-the-whales query. The big-orders set
+    is output-sized, so it broadcasts into a left-semi; the second
+    aggregation only sees surviving orders."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("qty"))
+           .filter(F.col("qty") > 150)
+           .select("l_orderkey"))
+    return (li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+                    li.l_orderkey == F.col("bk"), "left_semi")
+              .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("c_custkey", "o_orderkey",
+                       F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"))
+              .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+                    .cast("double").alias("total_qty"))
+              .select("c_custkey", "o_orderkey", "o_orderdate_s", "total_qty")
+              .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+              .limit(50))
+
+
 @register("skew_salted_agg", sql="""
 SELECT l_returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
@@ -2060,6 +2137,7 @@ _CHECK_ORDER = [
     "top_k_orders", "skew_salted_agg", "agg_rollup_region_nation",
     "window_top_orders_per_customer", "window_first_occurrence_dedup",
     "agg_distinct_counts", "embedding_lsh_topk", "string_functions",
+    "q5_local_supplier_volume", "q18_large_volume_customers",
 ]
 
 _missing = [n for n in _CHECK_ORDER if n not in QUERIES]
