@@ -1324,7 +1324,7 @@ def ivf_assign_topk(spark, sf_dir):
 @register("json_extract_props", sql="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events
@@ -1798,7 +1798,7 @@ WITH assigned AS (
               THEN 'train' ELSE 'holdout' END AS split
   FROM documents
 )
-SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM assigned
 GROUP BY split, lang
 """)
