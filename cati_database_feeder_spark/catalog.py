@@ -22,24 +22,33 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# columns stored as TIMESTAMP(NANOS) in parquet, which Spark can only
-# read as epoch-nanos longs (session.py nanosAsLong); converted to µs
-# timestamps at load — integer div so no double precision loss, and the
-# same floor-truncation DuckDB applies when it narrows ns to its native µs
-_NANOS_TS_COLS = {"events": ["ts"]}
+# Event-time contract: these columns are ALWAYS TIMESTAMP (LTZ, µs)
+# after load_table, whatever the parquet file's physical type is. The
+# upstream generator has shipped both timestamp[ns] (Spark: epoch-ns
+# bigint under nanosAsLong) and timestamp[us] (Spark: TIMESTAMP_NTZ);
+# downstream event-time code — unix_micros(), withWatermark(), window()
+# — requires TIMESTAMP, so the normalization happens once, here, not in
+# every consumer. Under the pinned UTC session zone (session.py) the
+# NTZ→LTZ cast is value-identical, matching DuckDB's naive-µs reads.
+_EVENT_TIME_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one canonical table. Column pruning + filter pushdown are
     Catalyst's job — callers just ``select``/``filter`` declaratively."""
-    if name in _NANOS_TS_COLS:
-        # Runtime-settable; makes nanos columns arrive as epoch-ns bigints
-        # on ANY session, not just ones built by session.get_session.
+    if name in _EVENT_TIME_COLS:
+        # Runtime-settable; makes TIMESTAMP(NANOS) parquet readable (as
+        # epoch-ns bigints) on ANY session, not just session.get_session's.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, []):
-        if dict(df.dtypes).get(col) == "bigint":
+    for col in _EVENT_TIME_COLS.get(name, []):
+        dt = dict(df.dtypes).get(col)
+        if dt == "bigint":  # physical timestamp[ns] → epoch-ns long
+            # integer div, no double roundtrip — same floor-truncation
+            # DuckDB applies narrowing ns to its native µs
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dt == "timestamp_ntz":  # physical timestamp[us], no tz
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
