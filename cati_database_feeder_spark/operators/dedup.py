@@ -68,6 +68,45 @@ def token_hashes(text_col: Column) -> Column:
     return F.transform(toks, lambda t: T.hash64(t) % F.lit(MINHASH_P))
 
 
+def tokset_groups(documents: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, gid, toks): exact distinct-token-set membership — gid is the
+    min id among docs whose token SETS are identical (md5 of the sorted
+    set). This is the collapse key for MinHash candidate generation and
+    verification: identical sets get identical signatures, so a cluster
+    of m exact copies would put m ids in every band bucket (O(m²)
+    candidate rows from one cluster) and cost m² verifications; reps
+    make both linear, and group expansion afterwards restores the exact
+    pair set (identical sets ⇒ identical Jaccard vs any third set, and
+    1.0 vs each other)."""
+    toks = documents.select(F.col(id_col).alias("id"),
+                            F.array_distinct(T.tokens(F.col(text_col))).alias("toks"))
+    fp = F.md5(F.concat_ws("\u001f", F.array_sort("toks")))
+    return toks.withColumn("gid", F.min("id").over(Window.partitionBy(fp)))
+
+
+def expand_group_pairs(rep_pairs: DataFrame, mem: DataFrame,
+                       within_defaults: dict[str, Column] | None = None) -> DataFrame:
+    """Member-pair expansion after rep-collapse: every rep-level pair
+    becomes |A|×|B| member pairs (least/greatest-normalized, carrying
+    the rep pair's extra columns — value-correct because members' sets
+    are identical to their rep's), and every multi-member group emits
+    its internal pairs with ``within_defaults`` for the extra columns
+    (e.g. jaccard=1.0, hamming=0). ``mem`` is (gid, id); within and
+    cross sets are disjoint (same gid vs different gids), so the union
+    is duplicate-free."""
+    extra = [c for c in rep_pairs.columns if c not in ("id_a", "id_b")]
+    ma = mem.select(F.col("gid").alias("id_a"), F.col("id").alias("x"))
+    mb = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("y"))
+    cross = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("x", "y").alias("id_a"),
+                     F.greatest("x", "y").alias("id_b"), *extra))
+    within = _bucket_pairs(mem.select("gid", "id"), ["gid"], "id")
+    for c in extra:
+        within = within.withColumn(c, (within_defaults or {})[c])
+    return within.unionByName(cross)
+
+
 def minhash_signature(hashes_col: Column, num_hashes: int = 16) -> Column:
     """MinHash signature from pre-computed base hashes (``token_hashes``
     materialized as a column so codegen computes the md5s once, not once
@@ -86,28 +125,43 @@ def minhash_signature(hashes_col: Column, num_hashes: int = 16) -> Column:
 
 def minhash_lsh_candidates(documents: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_hashes: int = 16,
-                           bands: int = 4) -> DataFrame:
+                           bands: int = 4, groups: DataFrame | None = None,
+                           expand: bool = True) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes//bands`` rows; docs sharing any band bucket are
     candidates. Candidate generation is groupBy-equality on
     (band_idx, band_hash) — a single shuffle, no crossJoin, which is
-    the whole point at 100 TB."""
+    the whole point at 100 TB.
+
+    Banding runs over exact-token-set REPRESENTATIVES (tokset_groups):
+    identical sets have identical signatures, so they land together in
+    every band — a cluster of m copies would emit O(m²) pairs from each
+    of its buckets. Collapse first, expand after: same output, cluster
+    cost linear. ``groups`` injects a precomputed (persisted) membership
+    frame; ``expand=False`` returns rep-level pairs only, for pipelines
+    that verify before expanding (near_dup_pairs)."""
     r = num_hashes // bands
-    # token_hashes materialized as its own projection: the signature
-    # references it num_hashes times, so CollapseProject keeps the md5
-    # pass separate instead of inlining it per seed.
-    th = documents.select(F.col(id_col), token_hashes(F.col(text_col)).alias("th"))
-    sig = th.select(F.col(id_col), minhash_signature(F.col("th"), num_hashes).alias("sig"))
+    memb = groups if groups is not None else tokset_groups(documents, id_col, text_col)
+    # the hash array is its own projection: the signature references it
+    # num_hashes times, so CollapseProject keeps the md5 pass separate
+    # instead of inlining it per seed.
+    th = (memb.filter(F.col("id") == F.col("gid"))
+          .select("id", F.transform("toks", lambda t: T.hash64(t) % F.lit(MINHASH_P))
+                         .alias("th")))
+    sig = th.select("id", minhash_signature(F.col("th"), num_hashes).alias("sig"))
     banded = sig.select(
-        id_col,
+        "id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws(",", *[F.element_at("sig", b * r + j + 1).cast("string")
                                               for j in range(r)])).alias("bucket"))
             for b in range(bands)
         ])).alias("bb"))
-    buckets = banded.select(id_col, "bb.band", "bb.bucket")
-    return _bucket_pairs(buckets, ["band", "bucket"], id_col)
+    buckets = banded.select("id", "bb.band", "bb.bucket")
+    rep_cands = _bucket_pairs(buckets, ["band", "bucket"], "id")
+    if not expand:
+        return rep_cands
+    return expand_group_pairs(rep_cands, memb.select("gid", "id"))
 
 
 def _bucket_pairs(buckets: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -222,16 +276,8 @@ def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
                  .select("id_a", "id_b", "jaccard"))
 
     # --- expand group pairs back to member pairs
-    mem = memb.select("gid", "id")
-    within = (_bucket_pairs(mem, ["gid"], "id")
-              .withColumn("jaccard", F.lit(1.0)))
-    ma = mem.select(F.col("gid").alias("id_a"), F.col("id").alias("x"))
-    mb = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("y"))
-    cross = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
-             .select(F.least("x", "y").alias("id_a"),
-                     F.greatest("x", "y").alias("id_b"),
-                     "jaccard"))
-    return within.unionByName(cross)
+    return expand_group_pairs(rep_pairs, memb.select("gid", "id"),
+                              {"jaccard": F.lit(1.0)})
 
 
 def token_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
@@ -247,18 +293,32 @@ def token_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
 
 def near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", threshold: float = 0.7,
-                   num_hashes: int = 16, bands: int = 4) -> DataFrame:
-    """MinHash-LSH candidates verified with exact token Jaccard —
-    the standard two-phase near-dup pipeline."""
-    cands = minhash_lsh_candidates(documents, id_col, text_col, num_hashes, bands)
-    toks = documents.select(F.col(id_col), F.array_distinct(T.tokens(F.col(text_col))).alias("toks"))
-    joined = (cands
-              .join(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
-              .join(toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("toks", "toks_b"), "id_b"))
-    return (joined
-            .withColumn("jaccard", F.round(token_jaccard(F.col("toks_a"), F.col("toks_b")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+                   num_hashes: int = 16, bands: int = 4,
+                   groups: DataFrame | None = None,
+                   rep_candidates: DataFrame | None = None) -> DataFrame:
+    """MinHash-LSH candidates verified with exact token Jaccard — the
+    standard two-phase near-dup pipeline, with verification run at REP
+    level: docs with identical token sets verify once (cross pairs
+    inherit the rep pair's Jaccard exactly, within pairs are 1.0 by
+    identity), so a cluster of m copies costs one verification instead
+    of m². ``groups``/``rep_candidates`` inject persisted stage frames
+    — the production shape, where membership and candidates are written
+    once and every consumer (verify, clustering, reporting) reads them.
+    Output is bit-identical to verifying every expanded pair."""
+    memb = groups if groups is not None else tokset_groups(documents, id_col, text_col)
+    cands = rep_candidates if rep_candidates is not None else minhash_lsh_candidates(
+        documents, id_col, text_col, num_hashes, bands, groups=memb, expand=False)
+    reps = memb.filter(F.col("id") == F.col("gid"))
+    t_a = reps.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    t_b = reps.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    rep_pairs = (cands.join(t_a, "id_a").join(t_b, "id_b")
+                 .withColumn("jaccard", F.round(token_jaccard(F.col("toks_a"), F.col("toks_b")), 6))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
+    # empty-token groups never verify (Jaccard undefined → NULL →
+    # filtered), so their within-pairs must not shortcut to 1.0 either
+    mem = memb.filter(F.size("toks") > 0).select("gid", "id")
+    return expand_group_pairs(rep_pairs, mem, {"jaccard": F.lit(1.0)})
 
 
 def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
@@ -331,16 +391,8 @@ def simhash_near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
                  .filter(F.col("hamming") <= max_hamming)
                  .select("id_a", "id_b", "hamming"))
 
-    mem = memb.select("gid", "id")
-    within = (_bucket_pairs(mem, ["gid"], "id")
-              .withColumn("hamming", F.lit(0).cast("bigint")))
-    ma = mem.select(F.col("gid").alias("id_a"), F.col("id").alias("x"))
-    mb = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("y"))
-    cross = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
-             .select(F.least("x", "y").alias("id_a"),
-                     F.greatest("x", "y").alias("id_b"),
-                     "hamming"))
-    return within.unionByName(cross)
+    return expand_group_pairs(rep_pairs, memb.select("gid", "id"),
+                              {"hamming": F.lit(0).cast("bigint")})
 
 
 def simhash_hamming(a: Column, b: Column, bits: int = 16) -> Column:
