@@ -28,6 +28,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of RDDs currently held in block-manager storage. Best-effort
+    (classic py4j API); returns empty on Connect, where the leak this
+    guards against is bounded by the session anyway."""
+    try:
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    except Exception:
+        return set()
+
+
+def _release_rdds(sc, ids: set[int]) -> None:
+    """Unpersist specific checkpointed RDDs. localCheckpoint frames are
+    backed by persisted RDDs that DataFrame.unpersist() does NOT release
+    (it only touches the Dataset cache registry), so per-round frames
+    would otherwise accumulate in storage for the session lifetime."""
+    try:
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
     """(id, component) for every node in ``pairs``; component = min node
@@ -40,6 +65,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     keeping duplicates — failing loudly is the only safe behavior.
     Rounds cost nothing once converged (the loop breaks), so the
     default is generous; dup clusters converge in single digits."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    sc = pairs.sparkSession.sparkContext
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -52,9 +80,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # 4s/6s/23s/46s with persist, constant ~2s with checkpoint). On a
     # real cluster a reliable checkpoint dir gives the same truncation
     # with executor-loss tolerance.
+    before = _persistent_rdd_ids(sc)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
+    label_rdds = _persistent_rdd_ids(sc) - before
 
     for _ in range(max_iter):
         nbr_min = (edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -63,6 +93,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # the changed flag rides along in the same projection, so the
         # convergence check is a filter-count over the checkpointed
         # frame — no extra join against the previous state per round
+        before = _persistent_rdd_ids(sc)
         new_labels = (labels.join(nbr_min, "id", "left")
                       .select("id",
                               F.least(F.col("label"),
@@ -72,12 +103,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                .alias("changed"))
                       .withColumnRenamed("new_label", "label")
                       .localCheckpoint(eager=True))
+        new_rdds = _persistent_rdd_ids(sc) - before
         changed = new_labels.filter("changed").count()
+        # the eager checkpoint above fully materialized new_labels, so
+        # the previous round's frame is dead — release its storage now,
+        # keeping live label state at <= 2 frames for any round count
+        _release_rdds(sc, label_rdds)
+        label_rdds = new_rdds
         labels = new_labels.drop("changed")
         if changed == 0:
             break
     else:
         edges.unpersist()
+        _release_rdds(sc, label_rdds)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing) — graph diameter exceeds "

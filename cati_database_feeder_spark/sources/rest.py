@@ -68,6 +68,53 @@ def fetch_paginated(spark: SparkSession, base_url: str, n_pages: int,
     return spark.range(n_pages).mapInPandas(fetch_pages, schema=PAGE_SCHEMA)
 
 
+# The reference's async-export options payload (feeder.py:52-84),
+# preserved verbatim as a source config: every flag its API accepts for
+# a results-data export, with the reference's defaults. ``counterId``
+# is per-call and injected by export_request_payload.
+EXPORT_OPTIONS: dict = {
+    "exportFormat": 2,
+    "spssEncoding": 0,
+    "dateFrom": None,
+    "dateTo": None,
+    "includeAll": False,
+    "addNumericPublicId": False,
+    "allowFullSizeStrings": False,
+    "exportQuestionText": False,
+    "exportLabelsInsteadValues": False,
+    "exportLabelsAndCodeValues": True,
+    "ignoreErrors": True,
+    "exportHostAddress": False,
+    "exportUserAgent": False,
+    "exportInterviewDumpUrl": False,
+    "exportInterviewResult": True,
+    "exportContactData": True,
+    "exportValidationComments": False,
+    "exportValidationDetails": False,
+    "includeTotalDurations": False,
+    "exportEndedCreatedDifference": False,
+    "exportContractorInfo": False,
+    "convertMultiLineTextToSingleLine": False,
+    "exportSpoofingDataFields": False,
+    "exportMobileAppId": False,
+    "exportDurationInMinutes": False,
+    "exportQuestionsDuration": False,
+    "exportUpdatedAt": False,
+    "archiveSingleXlsxResultFile": True,
+    "easyTabsIntegration": False,
+}
+
+
+def export_request_payload(counter_id: int,
+                           options: dict | None = None) -> str:
+    """JSON body for the create-export POST (feeder.py:49-87):
+    EXPORT_OPTIONS (or an override dict) plus the per-call counterId.
+    Callers POST this via their injected ``create`` callable and hand
+    the returned request id to ``poll_export_job``."""
+    body = {"counterId": counter_id, **(EXPORT_OPTIONS if options is None else options)}
+    return json.dumps(body)
+
+
 def poll_export_job(create: Callable[[], int],
                     get_status: Callable[[int], dict],
                     download: Callable[[str], str],

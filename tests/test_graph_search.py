@@ -114,3 +114,26 @@ def test_connected_components_raises_on_nonconvergence(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         from cati_database_feeder_spark.operators.graph import connected_components
         connected_components(pairs, max_iter=2)
+
+
+def test_connected_components_rejects_nonpositive_max_iter(spark):
+    import pytest
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(pairs, max_iter=0)
+
+
+def test_connected_components_releases_per_round_storage(spark):
+    # per-round localCheckpoint frames must not accumulate in the block
+    # manager: after the run, live persisted RDDs return to (near) the
+    # pre-run count — the path graph forces ~9 rounds, so a leak would
+    # show up as ~9 extra persisted RDDs
+    from cati_database_feeder_spark.operators.graph import _persistent_rdd_ids
+    sc = spark.sparkContext
+    baseline = len(_persistent_rdd_ids(sc))
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)], ["id_a", "id_b"])
+    out = connected_components(pairs)
+    assert out.count() == 10
+    leaked = len(_persistent_rdd_ids(sc)) - baseline
+    # the returned frame's own checkpoint (and nothing else) may remain
+    assert leaked <= 2, f"{leaked} persisted RDDs leaked across rounds"

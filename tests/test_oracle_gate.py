@@ -31,6 +31,39 @@ def oracle_con():
     con.close()
 
 
+# Bare integer SUM() in a DuckDB oracle's OUTPUT is the bug class that
+# cost rounds 2 and 3: DuckDB types SUM(int) as HUGEINT/DECIMAL(38,0)
+# while Spark's sum(bigint) is bigint, so the driver's schema/hash
+# compare fails even when values agree. Every SUM in an oracle must be
+# wrapped in CAST(...), except the reviewed-safe occurrences below —
+# adding a new bare SUM means either casting it or consciously
+# extending this table with the reason it cannot mismatch.
+_BARE_SUM_ALLOWED = {
+    # HAVING comparison — never reaches the output schema
+    "q18_large_volume_customers": 1,
+    # CTE-internal signature arithmetic, consumed before the output
+    "dedup_simhash_pairs": 2,
+    # CTE-internal session counter feeding a later GROUP BY key
+    "events_session_window": 1,
+    # SUM over DOUBLE ln() terms — double in both engines
+    "bm25_topk_search": 1,
+}
+
+
+def test_every_integer_sum_in_oracle_output_is_cast():
+    import re
+    bare_sum = re.compile(r"(?i)(?<!CAST\()sum\s*\(")
+    offenders = {}
+    for name, sql in sorted(_ORACLES.items()):
+        n = len(bare_sum.findall(sql))
+        if n != _BARE_SUM_ALLOWED.get(name, 0):
+            offenders[name] = n
+    assert not offenders, (
+        f"oracles with unreviewed bare SUM( occurrences: {offenders} — "
+        f"wrap in CAST(... AS BIGINT/DOUBLE) or extend _BARE_SUM_ALLOWED "
+        f"with the reason the DuckDB result type cannot diverge from Spark's")
+
+
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(spark, oracle_con, name):
     status, detail = compare_query(

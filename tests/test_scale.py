@@ -43,6 +43,33 @@ def test_replicate_salt_join_matches_plain(spark, sf_dir):
     assert got == exp
 
 
+def test_shared_stage_evicts_stale_sessions_and_clears(spark):
+    from cati_database_feeder_spark import queryset
+
+    built = []
+
+    def build():
+        built.append(1)
+        return spark.range(3)
+
+    queryset.shared_stage(spark, "t_stage", build)
+    queryset.shared_stage(spark, "t_stage", build)
+    assert len(built) == 1  # second call served from cache
+
+    # an entry keyed by a stopped session's applicationId must be
+    # evicted on the next access, not held for the process lifetime
+    queryset._STAGE_CACHE[("app-from-a-dead-session", "t_stage")] = spark.range(1)
+    queryset.shared_stage(spark, "t_stage", build)
+    assert not any(k[0] == "app-from-a-dead-session"
+                   for k in queryset._STAGE_CACHE)
+
+    queryset.clear_stage_cache()
+    assert queryset._STAGE_CACHE == {}
+    queryset.shared_stage(spark, "t_stage", build)
+    assert len(built) == 2  # rebuilt after clear
+    queryset.clear_stage_cache()
+
+
 def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     """Write-time partitioning by a coarse key → reads with a filter on
     that key scan only matching directories (PartitionFilters in the

@@ -87,3 +87,32 @@ def test_poll_export_job_timeout():
     with pytest.raises(TimeoutError):
         rest.poll_export_job(create=lambda: 1, get_status=lambda r: {"state": 1},
                              download=lambda u: u, poll_interval_s=0.0, timeout_s=-1)
+
+
+def test_export_request_payload_preserves_reference_options():
+    # the reference's create-export body (feeder.py:52-84): 29 flags +
+    # the injected counterId, defaults preserved verbatim
+    body = json.loads(rest.export_request_payload(counter_id=77))
+    assert body["counterId"] == 77
+    assert len(body) == 30
+    assert body["exportFormat"] == 2 and body["spssEncoding"] == 0
+    assert body["dateFrom"] is None and body["dateTo"] is None
+    true_flags = {k for k, v in body.items() if v is True}
+    assert true_flags == {"exportLabelsAndCodeValues", "ignoreErrors",
+                          "exportInterviewResult", "exportContactData",
+                          "archiveSingleXlsxResultFile"}
+
+
+def test_export_request_payload_flows_through_create():
+    # a create-callable that POSTs the payload sees the full options
+    # dict, and an override dict passes through untouched
+    posted = []
+
+    def create():
+        posted.append(rest.export_request_payload(9, options={"exportFormat": 1}))
+        return 1
+
+    rest.poll_export_job(create=create,
+                         get_status=lambda r: {"state": 3, "fileUrl": "u"},
+                         download=lambda u: u, poll_interval_s=0.0)
+    assert json.loads(posted[0]) == {"counterId": 9, "exportFormat": 1}
