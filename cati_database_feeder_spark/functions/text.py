@@ -214,6 +214,19 @@ def pii_long_digit_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(PII_LONG_DIGITS_RE), 0)).cast("bigint")
 
 
+def redact_pii(text: Column, email_token: str = "<EMAIL>",
+               number_token: str = "<NUM>") -> Column:
+    """PII REDACTION (E22's write side): replace every email-shaped
+    substring and every 7+-digit run with stable placeholder tokens —
+    the scrub a corpus actually ships with, not just the scan counts.
+    Emails replace first so their digit-bearing local parts don't get
+    half-rewritten by the number pass. Pure codegen regexp_replace:
+    map-only, zero shuffle, linear in corpus size."""
+    return F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, email_token),
+        PII_LONG_DIGITS_RE, number_token)
+
+
 def with_doc_profile(df, text_col: str = "text"):
     """One-pass per-document profile: token counts, BPE-ish piece count,
     stopword count, quality score, language ID, and PII counts — all

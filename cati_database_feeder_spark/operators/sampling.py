@@ -1,0 +1,49 @@
+"""Deterministic sampling operators for training-data mixing.
+
+A pretraining pipeline rarely trains on the raw corpus mix: it
+up-samples high-value strata (curated sources, target languages) and
+down-samples the rest, and the selection must be REPRODUCIBLE — the
+same document keeps or drops its slot on any engine, any cluster size,
+any rerun, so ablations and incremental rebuilds stay comparable.
+
+Random `df.sample()` gives none of that (seed is partition-dependent).
+Hash-gating gives all of it: keep a row iff
+``md5hash(key) mod GRAIN < fraction * GRAIN``. The gate is a pure
+projection-level predicate — map-only, zero shuffle, pushed into the
+scan like any other filter — so sampling 100 TB costs one pass and
+composes with partition pruning. md5 keeps the gate portable across
+engines (same property the oracle relies on everywhere else;
+functions/text.py:hash64).
+
+Generalizes the reference's per-wave scoping (feeder.py:127-143 reads
+exactly one wave) to per-stratum fractional scoping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cati_database_feeder_spark.functions import text as T
+
+# gate granularity: fractions are exact multiples of 1/GRAIN, so every
+# threshold is an integer compare (no float-vs-decimal drift between
+# engines)
+GRAIN = 10_000
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Keep each row with its stratum's fraction, deterministically by
+    ``key_col``: the hash gate assigns every key a stable bucket in
+    [0, GRAIN) and a stratum keeps buckets below fraction*GRAIN. Strata
+    absent from ``fractions`` fall back to ``default_fraction``.
+    Rows pass or fail independently of partitioning and execution order
+    — the property that makes ablation A/B corpora reconstructible."""
+    bucket = T.hash64(F.col(key_col).cast("string")) % GRAIN
+    threshold: Column = F.lit(int(round(default_fraction * GRAIN)))
+    for value, frac in sorted(fractions.items()):
+        threshold = F.when(F.col(stratum_col) == value,
+                           F.lit(int(round(frac * GRAIN)))).otherwise(threshold)
+    return df.filter(bucket < threshold)

@@ -117,3 +117,41 @@ def test_trimmed_mean_udaf(spark):
     assert got < 100            # outlier trimmed away
     plain = df.groupBy("grp").agg(F.avg("v")).collect()[0][1]
     assert plain > 900          # untrimmed mean is dominated by it
+
+
+def test_redact_pii_replaces_emails_then_numbers(spark):
+    from cati_database_feeder_spark.functions.text import redact_pii
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "mail bob123456789@ex.com or call 5551234567 now"),
+         (2, "digits 123456 stay, 1234567 goes"),
+         (3, "clean text")],
+        ["id", "text"])
+    got = {r["id"]: r["red"] for r in
+           df.select("id", redact_pii(F.col("text")).alias("red")).collect()}
+    # email (including its digit-bearing local part) becomes ONE token;
+    # the standalone long run is replaced separately
+    assert got[1] == "mail <EMAIL> or call <NUM> now"
+    assert got[2] == "digits 123456 stay, <NUM> goes"   # 6 digits under threshold
+    assert got[3] == "clean text"
+
+
+def test_stratified_sample_deterministic_and_gated(spark):
+    from cati_database_feeder_spark.operators.sampling import stratified_sample
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "xx") for i in range(400)],
+        ["doc_id", "lang"])
+    half = stratified_sample(df, "lang", "doc_id", {"en": 0.5})
+    ids1 = {r["doc_id"] for r in half.collect()}
+    # deterministic: identical selection on a different partitioning
+    ids2 = {r["doc_id"] for r in
+            stratified_sample(df.repartition(7), "lang", "doc_id",
+                              {"en": 0.5}).collect()}
+    assert ids1 == ids2
+    # strata without a fraction default to 0 (dropped entirely)
+    assert all(i % 2 == 0 for i in ids1)
+    # hash gate keeps roughly the requested share of the stratum
+    assert 60 <= len(ids1) <= 140
+    # default_fraction=1.0 keeps everything
+    assert stratified_sample(df, "lang", "doc_id", {},
+                             default_fraction=1.0).count() == 400
