@@ -119,15 +119,24 @@ def poll_export_job(create: Callable[[], int],
                     get_status: Callable[[int], dict],
                     download: Callable[[str], str],
                     poll_interval_s: float = 10.0,
-                    timeout_s: float = 3600.0) -> str:
+                    timeout_s: float = 3600.0,
+                    on_log: Callable[[str], None] | None = None) -> str:
     """Op #6: create→poll→download as a driver utility (the reference's
     while-sleep at feeder.py:103-116, with a timeout the reference
     lacks). Returns the downloaded file's local/remote path; callers
-    then ``spark.read`` it. state == 3 means ready (feeder.py:113)."""
+    then ``spark.read`` it. state == 3 means ready (feeder.py:113).
+
+    ``on_log`` receives the newest non-empty server-log line on each
+    poll — the reference prints the log tail while waiting
+    (feeder.py:107-111: split, drop empties, print last)."""
     request_id = create()
     deadline = time.monotonic() + timeout_s
     while True:
         status = get_status(request_id)
+        if on_log and status.get("log"):
+            lines = [ln for ln in status["log"].split("\n") if ln]
+            if lines:
+                on_log(lines[-1])
         if status.get("state") == 3:
             return download(status["fileUrl"])
         if time.monotonic() > deadline:

@@ -116,3 +116,18 @@ def test_export_request_payload_flows_through_create():
                          get_status=lambda r: {"state": 3, "fileUrl": "u"},
                          download=lambda u: u, poll_interval_s=0.0)
     assert json.loads(posted[0]) == {"counterId": 9, "exportFormat": 1}
+
+
+def test_poll_export_job_streams_log_tail():
+    # reference behavior (feeder.py:107-111): each poll prints the last
+    # non-empty server-log line while waiting for state 3
+    states = iter([
+        {"state": 1, "log": "started\n"},
+        {"state": 2, "log": "started\nvalidating\n"},
+        {"state": 3, "log": "started\nvalidating\ndone\n", "fileUrl": "u"},
+    ])
+    seen = []
+    rest.poll_export_job(create=lambda: 1, get_status=lambda r: next(states),
+                         download=lambda u: u, poll_interval_s=0.0,
+                         on_log=seen.append)
+    assert seen == ["started", "validating", "done"]
