@@ -96,6 +96,21 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def fit_line(payload: dict, budget: int = 1900) -> str:
+    """Serialize the headline payload to a single compact JSON line no
+    longer than ``budget`` bytes, eliding the cheapest per-query entries
+    (never the total) until it fits. The budget exists because the
+    round harness parses the line out of a 2000-byte output tail; a
+    longer line arrives front-truncated and unparseable."""
+    line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > budget and payload["queries"]:
+        drop = min(payload["queries"], key=payload["queries"].get)
+        del payload["queries"][drop]
+        payload["elided_fast_queries"] = payload.get("elided_fast_queries", 0) + 1
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -132,13 +147,7 @@ def main() -> None:
         json.dump({"total_sec": total, "queries": timings, "sf": payload["sf"]},
                   f, indent=1, sort_keys=True)
 
-    line = json.dumps(payload, separators=(",", ":"))
-    while len(line) > 1900 and payload["queries"]:
-        drop = min(payload["queries"], key=payload["queries"].get)
-        del payload["queries"][drop]
-        payload["elided_fast_queries"] = payload.get("elided_fast_queries", 0) + 1
-        line = json.dumps(payload, separators=(",", ":"))
-    print(line, flush=True)
+    print(fit_line(payload), flush=True)
 
 
 if __name__ == "__main__":
