@@ -39,3 +39,26 @@ def test_final_line_fits_tail_budget_for_current_registry():
 def test_fit_line_noop_when_under_budget():
     line = bench.fit_line({"value": 1.0, "queries": {"a": 1.0}}, budget=1900)
     assert json.loads(line) == {"value": 1.0, "queries": {"a": 1.0}}
+
+
+def test_check_window_covers_every_query_without_driver_evidence():
+    """Rotation ratchet: the external harness value-checks only the
+    first 50 registered queries, so any query that has NEVER earned a
+    driver triple-green row (and any rows-only-by-design query, which
+    must be re-recorded each round) has to sit inside that window.
+    Adding a query without rotating _CHECK_ORDER fails here, not two
+    rounds later in a verdict."""
+    import glob
+
+    names = list(queryset.QUERIES)
+    window = set(names[:50])
+    proven = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        for name, res in json.load(open(path)).items():
+            if res.get("hash_match") is True:
+                proven.add(name)
+    missing = (set(names) - proven) - window
+    assert not missing, (
+        f"queries with no driver-green evidence sit past the 50-slot "
+        f"window: {sorted(missing)} — move them to the front of "
+        f"_CHECK_ORDER (queryset.py)")
