@@ -21,7 +21,7 @@ exactly one wave) to per-stratum fractional scoping.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cati_database_feeder_spark.functions import text as T
@@ -47,3 +47,47 @@ def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
         threshold = F.when(F.col(stratum_col) == value,
                            F.lit(int(round(frac * GRAIN)))).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def global_shuffle_ordinals(df: DataFrame, key: Column,
+                            tie_cols: list[str],
+                            partitions: int | None = None) -> DataFrame:
+    """Assign every row its global ordinal under a deterministic
+    pseudo-random permutation — the corpus-shuffle step that fixes a
+    training order (epoch slicing, resumable loaders) reproducibly.
+
+    The naive form, ``row_number() OVER (ORDER BY key)``, is a
+    single-partition global sort — the one shape that cannot scale.
+    This is its distributed twin:
+
+    1. range-partition by the shuffle key (Spark's sampled
+       RangePartitioner — partition i holds strictly smaller keys than
+       partition i+1),
+    2. per-partition row counts → cumulative offsets. The collect is
+       bounded by the PARTITION COUNT, not the data (one long per
+       partition — the same bounded-driver-state class as IVF
+       centroids, similarity.py),
+    3. local sort + local row_number + broadcast-joined offset.
+
+    The result equals the global rank by (key, tie_cols) for ANY
+    partition boundaries, because range partitions are totally ordered
+    on the key — correctness does not depend on the sampler's choices.
+    ``key`` should be a hash of a stable id (md5 → deterministic
+    permutation on any engine/cluster/rerun)."""
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    ranged = (df.withColumn("__key", key)
+              .repartitionByRange(n, "__key", *tie_cols)
+              .withColumn("__pid", F.spark_partition_id()))
+    counts = sorted((r["__pid"], r["cnt"]) for r in
+                    ranged.groupBy("__pid")
+                          .agg(F.count(F.lit(1)).alias("cnt")).collect())
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy("__key", *tie_cols)
+    return (ranged.join(F.broadcast(off), "__pid")
+            .withColumn("pos", F.row_number().over(w) + F.col("__off"))
+            .drop("__key", "__pid", "__off"))

@@ -2015,6 +2015,25 @@ def sample_stratified_mix(spark, sf_dir):
                  F.sum("n_chars").alias("total_chars")))
 
 
+@register("corpus_shuffle_order", sql=r"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+FROM documents
+""")
+def corpus_shuffle_order(spark, sf_dir):
+    """Training-order assignment: a deterministic pseudo-random global
+    permutation of the corpus (operators/sampling.py:
+    global_shuffle_ordinals). The oracle's row_number-over-global-ORDER
+    is a single-partition sort; the engine computes the identical
+    ordinal via range-partition + per-partition offset lift — the shape
+    that scales, with driver state bounded by partition count."""
+    from cati_database_feeder_spark.operators.sampling import global_shuffle_ordinals
+    d = T(spark, sf_dir, "documents")
+    out = global_shuffle_ordinals(
+        d.select("doc_id"), F.md5(F.col("doc_id").cast("string")), ["doc_id"])
+    return out.select("doc_id", F.col("pos").cast("bigint").alias("pos"))
+
+
 @register("snapshot_diff", sql="""
 WITH old AS (
   SELECT o_orderkey, o_totalprice AS old_price
@@ -2319,7 +2338,7 @@ _CHECK_ORDER = [
     "join_asof_backward",
     # -- new this round --
     "near_dup_pairs", "skew_replicate_salt_join",
-    "text_pii_redact", "sample_stratified_mix",
+    "text_pii_redact", "sample_stratified_mix", "corpus_shuffle_order",
     # -- code changed this round (broadcast hints dropped / stage
     #    sharing added / ts cast at load) --
     "q10_returned_items", "dedup_minhash_lsh_pairs",
@@ -2337,9 +2356,10 @@ _CHECK_ORDER = [
     "embedding_cosine_topk", "dedup_embedding_cosine_pairs",
     "scalar_functions", "join_inner_left_pack", "set_ops_pack",
     "agg_cube_grouping_sets", "window_running_lag", "text_doc_profile",
-    "pivot_unpivot_roundtrip", "dedup_cluster_components",
+    "pivot_unpivot_roundtrip",
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r03
     # at sf0.01, code unchanged since; still oracle-checked in-suite ----
+    "dedup_cluster_components",
     "bm25_topk_search", "funnel_view_to_purchase",
     "text_chunk_documents", "decontaminate_against_benchmark",
     "null_normalization", "json_extract_props",

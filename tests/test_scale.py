@@ -143,3 +143,39 @@ def test_flagship_feeder_zero_exchange(spark, sf_dir):
     plan = _plan(QUERIES["flagship_feeder"](spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_global_shuffle_ordinals_equals_global_rank(spark):
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.operators.sampling import global_shuffle_ordinals
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    key = F.md5(F.col("doc_id").cast("string"))
+    got = {r["doc_id"]: r["pos"] for r in
+           global_shuffle_ordinals(df, key, ["doc_id"], partitions=7).collect()}
+    rows = sorted((format(__import__("hashlib").md5(str(i).encode()).hexdigest()), i)
+                  for i in range(500))
+    want = {doc: pos + 1 for pos, (_, doc) in enumerate(rows)}
+    assert got == want
+    # deterministic under a different input partitioning AND partition count
+    got2 = {r["doc_id"]: r["pos"] for r in
+            global_shuffle_ordinals(df.repartition(13), key, ["doc_id"],
+                                    partitions=3).collect()}
+    assert got2 == want
+    # ordinals are a dense 1..N permutation
+    assert sorted(got.values()) == list(range(1, 501))
+
+
+def test_global_shuffle_ordinals_no_single_partition_sort(spark):
+    """Plan property: the ordinal assignment must not contain a global
+    (single-partition) sort — the window sorts within range partitions
+    only."""
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.operators.sampling import global_shuffle_ordinals
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    out = global_shuffle_ordinals(
+        df, F.md5(F.col("doc_id").cast("string")), ["doc_id"], partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(" in plan.lower()
+    # no Exchange SinglePartition feeding a Sort (the global-sort shape)
+    assert "singlepartition" not in plan.lower()
