@@ -17,14 +17,15 @@ the token stage was measured slower than recompute (columnar array
 (de)serialization > re-split cost — see dedup.py:213-219), so the
 repeated tokenize across *queries* is accepted deliberately.
 
-Two cross-query stages ARE shared (queryset.shared_stage): the
+Three cross-query stages ARE shared (queryset.shared_stage): the
 verified token-Jaccard pair set (consumed by the pairs query and
-cluster-components) and the MinHash-LSH candidate set (consumed by the
-raw-candidates query and the verified near_dup_pairs query). Each
-build is timed explicitly as "stage:..." so the headline total charges
-it exactly ONCE and the consumer queries report their incremental cost
-— the materialize-once economics a production pipeline has, without
-hiding the stage cost from the total.
+cluster-components), the exact-token-set membership, and the rep-level
+MinHash-LSH candidate set (both consumed by the raw-candidates query
+and the verified near_dup_pairs query). Each build is timed explicitly
+as "stage:..." so the headline total charges it exactly ONCE and the
+consumer queries report their incremental cost — the materialize-once
+economics a production pipeline has, without hiding the stage cost
+from the total.
 """
 
 from __future__ import annotations
