@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from cati_database_feeder_spark.functions import text as T
 
@@ -71,14 +72,29 @@ def global_shuffle_ordinals(df: DataFrame, key: Column,
 
     The result equals the global rank by (key, tie_cols) for ANY
     partition boundaries, because range partitions are totally ordered
-    on the key — correctness does not depend on the sampler's choices.
-    ``key`` should be a hash of a stable id (md5 → deterministic
-    permutation on any engine/cluster/rerun)."""
+    on the key. That invariant holds only if steps 2 and 3 observe the
+    SAME boundaries: Spark's RangePartitioner samples boundaries per
+    query execution (seeded from the shuffle RDD's id), so an unpinned
+    plan executed twice — once for the counts collect, once for the
+    consumer's action — can land DIFFERENT boundaries, making the
+    collected offsets inconsistent with the final job's partition
+    assignment (duplicated/gapped ordinals; small uniform inputs mask
+    it, large/skewed ones don't). The ranged frame is therefore
+    persisted (MEMORY_AND_DISK) before the counts job: the collect
+    materializes the cache, and every downstream action reads the same
+    stored blocks instead of re-sampling the shuffle.
+
+    Caller contract: the returned DataFrame reads a pinned intermediate
+    that is the size of ``df``. After materializing the result, call
+    :func:`release_ordinals` on it (or let session-end / LRU eviction
+    reclaim the blocks). ``key`` should be a hash of a stable id
+    (md5 → deterministic permutation on any engine/cluster/rerun)."""
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
     ranged = (df.withColumn("__key", key)
               .repartitionByRange(n, "__key", *tie_cols)
-              .withColumn("__pid", F.spark_partition_id()))
+              .withColumn("__pid", F.spark_partition_id())
+              .persist(StorageLevel.MEMORY_AND_DISK))
     counts = sorted((r["__pid"], r["cnt"]) for r in
                     ranged.groupBy("__pid")
                           .agg(F.count(F.lit(1)).alias("cnt")).collect())
@@ -88,6 +104,17 @@ def global_shuffle_ordinals(df: DataFrame, key: Column,
         acc += cnt
     off = spark.createDataFrame(offsets, "__pid int, __off long")
     w = Window.partitionBy("__pid").orderBy("__key", *tie_cols)
-    return (ranged.join(F.broadcast(off), "__pid")
-            .withColumn("pos", F.row_number().over(w) + F.col("__off"))
-            .drop("__key", "__pid", "__off"))
+    out = (ranged.join(F.broadcast(off), "__pid")
+           .withColumn("pos", F.row_number().over(w) + F.col("__off"))
+           .drop("__key", "__pid", "__off"))
+    out._graft_pinned = ranged
+    return out
+
+
+def release_ordinals(out: DataFrame) -> None:
+    """Unpersist the intermediate pinned by :func:`global_shuffle_ordinals`.
+    Safe to call on any DataFrame; a no-op if nothing is pinned."""
+    pinned = getattr(out, "_graft_pinned", None)
+    if pinned is not None:
+        pinned.unpersist()
+        out._graft_pinned = None

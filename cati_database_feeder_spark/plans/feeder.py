@@ -11,11 +11,18 @@ schema (orders⋈customer stand in for the survey export, a key snapshot
 stands in for the `recruits_log` phone scan — role mapping per
 FIXTURES.md §B). Scale posture:
 
-- the existing-keys side is a key-only projection, broadcast to the
-  fact side (`F.broadcast`) → the dedup anti-join is shuffle-free, the
-  direct fix for the reference's O(n·m) per-row list scan
-  (feeder.py:157-160);
-- the customer dimension join is also broadcast (dimensions ≪ facts);
+- the existing-keys side is a key-only projection; whether it is
+  broadcast (shuffle-free anti-join — the direct fix for the
+  reference's O(n·m) per-row list scan, feeder.py:157-160) or
+  shuffled is AQE's runtime call by measured size. The reference's
+  key set is per-wave and bounded (feeder.py:127-143 reads one wave),
+  so broadcast is usually what AQE picks — but this stand-in snapshot
+  scales with orders, and a FORCED broadcast hint is honored
+  regardless of size, which is an executor-OOM at 100 TB. No hints on
+  fact-derived frames;
+- same posture for the customer join: customer scales with the data
+  (sf×150k rows), so its strategy is AQE's call too — broadcast under
+  the threshold locally, sort-merge at scale;
 - filters sit before the join so Catalyst pushes them into the scan;
 - every computed column is a built-in expression → whole-stage codegen.
 """
@@ -41,8 +48,7 @@ def survey_export_frame(orders: DataFrame, customer: DataFrame) -> DataFrame:
     star tables — including the dotted ``Q3.1``-style headers that need
     backtick quoting in Spark. ``DB_Rew`` and ``Reward`` are deliberately
     ABSENT so the optional-column path (#19, feeder.py:176-178) runs."""
-    j = orders.join(F.broadcast(customer),
-                    orders.o_custkey == customer.c_custkey, "inner")
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
     k, ck = F.col("o_orderkey"), F.col("o_custkey")
     s = lambda c: c.cast("string")
     return j.select(
@@ -110,7 +116,7 @@ def feeder_pipeline(orders: DataFrame, customer: DataFrame,
     survey = survey_export_frame(orders, customer)
     base = (
         survey
-        .join(F.broadcast(existing.withColumnRenamed("o_orderkey", "ID")),
+        .join(existing.withColumnRenamed("o_orderkey", "ID"),
               on="ID", how="left_anti")                                 # #17
         .filter(scalar.reject_predicate(F.col("Result"), "P"))          # #15
     )
@@ -164,6 +170,8 @@ def feeder_pipeline(orders: DataFrame, customer: DataFrame,
 
 def feeder_skipped_report(orders: DataFrame, existing: DataFrame) -> DataFrame:
     """The reference's skipped-phones report (feeder.py:245-246) is the
-    semi-join complement of the dedup anti-join."""
-    return (orders.join(F.broadcast(existing), on="o_orderkey", how="left_semi")
+    semi-join complement of the dedup anti-join. Like the anti-join, the
+    existing side is fact-derived, so broadcast-vs-shuffle is AQE's
+    runtime decision, not a forced hint."""
+    return (orders.join(existing, on="o_orderkey", how="left_semi")
                   .select("o_orderkey", "o_custkey"))

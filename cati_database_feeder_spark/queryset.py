@@ -494,15 +494,18 @@ GROUP BY r.r_name, n.n_name
 """)
 def join_multiway_star(spark, sf_dir):
     """E1+E3: the TPC-H Q5 shape — fact⋈fact sort-merge (lineitem⋈orders
-    on the biggest key), then explicitly broadcast dimension joins so
-    the fact side never shuffles for lookups."""
+    on the biggest key), then dimension lookups. Only nation and region
+    (true fixed-size dimensions) carry broadcast hints; customer scales
+    with the data (sf×150k rows — many GB at 100 TB), so its join
+    strategy is left to AQE — broadcast under the threshold locally,
+    sort-merge at scale."""
     l = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
     c = T(spark, sf_dir, "customer")
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region")
     return (l.join(o, l.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

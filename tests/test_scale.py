@@ -137,8 +137,11 @@ def test_top_k_orders_is_heap_not_global_sort(spark, sf_dir):
 
 
 def test_flagship_feeder_zero_exchange(spark, sf_dir):
-    """Scan → broadcast joins only: the flagship pipeline must not
-    shuffle (dims broadcast, anti-join broadcast)."""
+    """Scan → broadcast joins only at THIS scale: the plan carries no
+    forced broadcast hints (the snapshot and customer are fact-derived
+    and would OOM a forced broadcast at 100 TB); Catalyst/AQE picks
+    broadcast here because the measured sides are under the threshold,
+    so the small-scale plan must still be shuffle-free."""
     from cati_database_feeder_spark.queryset import QUERIES
     plan = _plan(QUERIES["flagship_feeder"](spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan
@@ -164,6 +167,32 @@ def test_global_shuffle_ordinals_equals_global_rank(spark):
     assert got2 == want
     # ordinals are a dense 1..N permutation
     assert sorted(got.values()) == list(range(1, 501))
+
+
+def test_global_shuffle_ordinals_pinned_across_executions(spark):
+    """Advisor repro (round 4): unpinned, the counts job and the consumer
+    job each re-sample range boundaries (RangePartitioner seeds from the
+    shuffle RDD id) and can disagree once inputs are large enough for
+    reservoir sampling to engage — at 200k rows in 2 input partitions the
+    unpinned plan produced 175,772 wrong ordinals. The persist pins one
+    materialized partitioning for both jobs, so pos must be exactly a
+    permutation of 1..n, and a second, separate action must agree."""
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.operators.sampling import (
+        global_shuffle_ordinals, release_ordinals)
+
+    n = 200_000
+    df = spark.range(n).select(F.col("id").alias("doc_id")).coalesce(2)
+    out = global_shuffle_ordinals(
+        df, F.md5(F.col("doc_id").cast("string")), ["doc_id"], partitions=16)
+    pos1 = sorted(r["pos"] for r in out.collect())
+    assert pos1 == list(range(1, n + 1))
+    # a second query execution over the same returned frame must read the
+    # same pinned partitioning, not re-sample it
+    pos2 = sorted(r["pos"] for r in out.collect())
+    assert pos2 == pos1
+    release_ordinals(out)
+    assert out._graft_pinned is None
 
 
 def test_global_shuffle_ordinals_no_single_partition_sort(spark):
