@@ -81,7 +81,13 @@ def tokset_groups(documents: DataFrame, id_col: str = "doc_id",
     1.0 vs each other)."""
     toks = documents.select(F.col(id_col).alias("id"),
                             F.array_distinct(T.tokens(F.col(text_col))).alias("toks"))
-    fp = F.md5(F.concat_ws("\u001f", F.array_sort("toks")))
+    # partition by the sorted array itself, not a string encoding of it:
+    # concat_ws with any separator is ambiguous when a token can contain
+    # the separator (tokens come from a \\s+ split and U+001F is not
+    # regex whitespace, so e.g. {'a\x1fb'} vs {'a','b'} would collide
+    # into one group), while array equality is collision-free by
+    # construction and skips the concat+md5 pass entirely.
+    fp = F.array_sort("toks")
     return toks.withColumn("gid", F.min("id").over(Window.partitionBy(fp)))
 
 
@@ -96,6 +102,13 @@ def expand_group_pairs(rep_pairs: DataFrame, mem: DataFrame,
     cross sets are disjoint (same gid vs different gids), so the union
     is duplicate-free."""
     extra = [c for c in rep_pairs.columns if c not in ("id_a", "id_b")]
+    missing = [c for c in extra if c not in (within_defaults or {})]
+    if missing:
+        raise ValueError(
+            f"expand_group_pairs: rep_pairs carries extra column(s) {missing} "
+            f"with no within-group default; pass within_defaults entries for "
+            f"{sorted(extra)} (the value each within-group pair should get, "
+            f"e.g. jaccard=lit(1.0), hamming=lit(0))")
     ma = mem.select(F.col("gid").alias("id_a"), F.col("id").alias("x"))
     mb = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("y"))
     cross = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
@@ -237,7 +250,9 @@ def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
                 .filter(F.size("toks") > 0))
 
     # --- collapse identical sets (within block) to one representative
-    fp = F.md5(F.concat_ws("\u001f", F.array_sort("toks")))
+    # (partition by the sorted array itself — see tokset_groups for why
+    # a concat_ws string encoding would be collision-prone)
+    fp = F.array_sort("toks")
     wg = Window.partitionBy(*blk_cols, fp)
     memb = all_toks.withColumn("gid", F.min("id").over(wg))
     toks = (memb.filter(F.col("id") == F.col("gid"))

@@ -28,12 +28,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _persistent_rdd_ids(sc) -> set[int]:
-    """Ids of RDDs currently held in block-manager storage. Best-effort
-    (classic py4j API); returns empty on Connect, where the leak this
-    guards against is bounded by the session anyway."""
+def _checkpointed_rdd_ids(df: DataFrame) -> set[int]:
+    """Id of the persisted RDD backing an eagerly localCheckpoint-ed
+    frame, read straight off its LogicalRDD plan node. Direct ownership
+    attribution: diffing global block-manager state before/after the
+    checkpoint would sweep in any RDD another thread persisted in the
+    window and later force-unpersist someone else's cached data. Returns
+    empty when the plan/API is unavailable (e.g. Connect), where the
+    leak this guards against is bounded by the session anyway."""
     try:
-        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        return {int(df._jdf.queryExecution().analyzed().rdd().id())}
     except Exception:
         return set()
 
@@ -80,11 +84,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # 4s/6s/23s/46s with persist, constant ~2s with checkpoint). On a
     # real cluster a reliable checkpoint dir gives the same truncation
     # with executor-loss tolerance.
-    before = _persistent_rdd_ids(sc)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
-    label_rdds = _persistent_rdd_ids(sc) - before
+    label_rdds = _checkpointed_rdd_ids(labels)
 
     for _ in range(max_iter):
         nbr_min = (edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -93,7 +96,6 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # the changed flag rides along in the same projection, so the
         # convergence check is a filter-count over the checkpointed
         # frame — no extra join against the previous state per round
-        before = _persistent_rdd_ids(sc)
         new_labels = (labels.join(nbr_min, "id", "left")
                       .select("id",
                               F.least(F.col("label"),
@@ -103,7 +105,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                .alias("changed"))
                       .withColumnRenamed("new_label", "label")
                       .localCheckpoint(eager=True))
-        new_rdds = _persistent_rdd_ids(sc) - before
+        new_rdds = _checkpointed_rdd_ids(new_labels)
         changed = new_labels.filter("changed").count()
         # the eager checkpoint above fully materialized new_labels, so
         # the previous round's frame is dead — release its storage now,

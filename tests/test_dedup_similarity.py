@@ -119,3 +119,29 @@ def test_lang_id_scripts(spark):
          ("你好世界",), ("привет мир",), ("xyzzy plugh",)], ["text"])
     out = [r["l"] for r in df.select(T.lang_id_heuristic(F.col("text")).alias("l")).collect()]
     assert out == ["en", "de", "zh", "ru", "und"]
+
+
+def test_tokset_groups_separator_token_no_collision(spark):
+    """Regression (advisor r4): the group key must distinguish {'a\x1fb'}
+    from {'a','b'} — a concat_ws('\x1f') string encoding collides them
+    into one group and emits a false jaccard=1.0 pair."""
+    rows = [(1, "a\u001fb"), (2, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    memb = dedup.tokset_groups(df).collect()
+    gids = {r["id"]: r["gid"] for r in memb}
+    assert gids[1] != gids[2] or gids == {1: 1, 2: 2}
+    assert gids[1] == 1 and gids[2] == 2
+    # and the exact-Jaccard join must NOT pair them
+    pairs = dedup.jaccard_similarity_join(df, threshold=0.5).collect()
+    assert pairs == []
+
+
+def test_expand_group_pairs_missing_default_is_descriptive(spark):
+    """A rep-pair frame with extra columns but no within-group default
+    must fail with an actionable ValueError, not a bare KeyError."""
+    rep = spark.createDataFrame([(1, 2, 0.9)], ["id_a", "id_b", "jaccard"])
+    mem = spark.createDataFrame([(1, 1), (2, 2)], ["gid", "id"])
+    with pytest.raises(ValueError, match="jaccard"):
+        dedup.expand_group_pairs(rep, mem)
+    with pytest.raises(ValueError, match="within_defaults"):
+        dedup.expand_group_pairs(rep, mem, {})

@@ -128,12 +128,15 @@ def test_connected_components_releases_per_round_storage(spark):
     # manager: after the run, live persisted RDDs return to (near) the
     # pre-run count — the path graph forces ~9 rounds, so a leak would
     # show up as ~9 extra persisted RDDs
-    from cati_database_feeder_spark.operators.graph import _persistent_rdd_ids
     sc = spark.sparkContext
-    baseline = len(_persistent_rdd_ids(sc))
+
+    def persisted():
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    baseline = len(persisted())
     pairs = spark.createDataFrame([(i, i + 1) for i in range(9)], ["id_a", "id_b"])
     out = connected_components(pairs)
     assert out.count() == 10
-    leaked = len(_persistent_rdd_ids(sc)) - baseline
+    leaked = len(persisted()) - baseline
     # the returned frame's own checkpoint (and nothing else) may remain
     assert leaked <= 2, f"{leaked} persisted RDDs leaked across rounds"
