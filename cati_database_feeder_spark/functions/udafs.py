@@ -16,7 +16,8 @@ documented per function; anything unbounded should be restructured
 
 from __future__ import annotations
 
-import numpy as np
+import math
+
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
@@ -47,10 +48,14 @@ def trimmed_mean(values: pd.Series) -> float:
     """Mean of the middle 80% (10% trimmed at each tail) — the robust
     location estimate quality pipelines use to ignore outlier scores.
     Not expressible with built-ins without two percentile passes plus a
-    re-filter join; one vectorized group call replaces three jobs."""
+    re-filter join; one vectorized group call replaces three jobs.
+
+    The sum is math.fsum — exactly rounded, so the result is independent
+    of row order (a pairwise/sequential float sum is not), which is what
+    lets a SQL oracle reproduce it bit-for-bit on integer-valued inputs."""
     v = values.dropna().sort_values()
     if v.empty:
         return None
     k = int(len(v) * 0.1)
     trimmed = v.iloc[k:len(v) - k] if len(v) > 2 * k else v
-    return float(np.mean(trimmed))
+    return float(math.fsum(trimmed)) / len(trimmed)

@@ -25,6 +25,18 @@ FIXTURES.md §B). Scale posture:
   the threshold locally, sort-merge at scale;
 - filters sit before the join so Catalyst pushes them into the scan;
 - every computed column is a built-in expression → whole-stage codegen.
+
+Perf attribution (round 5, warm noop-write at sf0.1, local[32]): the
+full pipeline is 0.64 s, of which the synthesized 40-column export
+surface (survey_export_frame — ~15 concat + date_format string builds
+per row) is 0.63 s and the anti-join + downstream transform add
+< 0.02 s; the bare orders⋈customer join is 0.16 s. The 2× move vs the
+round-1 bench number is the round-2 widening from an 11-column to the
+reference's full 40-column projection (feeder.py:184-225) — i.e. the
+parity tax of building the export strings at all, not a plan defect:
+the string work is inside one WholeStageCodegen over the scan, there
+is no extra shuffle or Python. Irreducible short of faking narrower
+output.
 """
 
 from __future__ import annotations

@@ -2315,6 +2315,89 @@ def bm25_topk_search(spark, sf_dir):
     return bm25_topk(d, terms=["spark", "query", "vector"], k=20)
 
 
+@register("udaf_weighted_median", sql="""
+WITH ranked AS (
+  SELECT l_orderkey, l_extendedprice AS v,
+         SUM(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice) AS cumw,
+         SUM(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_orderkey) AS totw
+  FROM lineitem
+  WHERE l_orderkey % 250 = 0
+)
+SELECT l_orderkey, MIN(v) AS wmedian
+FROM ranked WHERE cumw >= totw / 2.0
+GROUP BY l_orderkey
+ORDER BY wmedian DESC, l_orderkey
+LIMIT 50
+""")
+def udaf_weighted_median(spark, sf_dir):
+    """§2.9 Arrow GROUPED_AGG UDAF (functions/udafs.py:weighted_median):
+    per-order weighted median price, weights = quantity. Groups are
+    l_orderkey — bounded at <= 7 lineitems per order at ANY scale, which
+    is exactly the UDAF's documented contract (the full group lands in
+    one task). The 1-in-250 orderkey slice bounds the GROUP COUNT too:
+    a GROUPED_AGG pays one Python call per group (measured ~1.5 ms each
+    on local[32]), so calling it for every order in the corpus is the
+    other way a Python aggregate hurts at scale — measured 29 s for
+    150k groups at sf0.1 vs ~1 s for 600. Oracle exactness: weights cast to
+    BIGINT so cumulative sums are exact integers in both engines
+    (quantity is integral); the output value is a raw data double,
+    never an accumulated one; top-50 cut is totally ordered
+    (wmedian DESC, l_orderkey)."""
+    from cati_database_feeder_spark.functions.udafs import weighted_median
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 250 == 0)
+    return (li.groupBy("l_orderkey")
+            .agg(weighted_median(F.col("l_extendedprice"),
+                                 F.col("l_quantity").cast("long")).alias("wmedian"))
+            .orderBy(F.desc("wmedian"), F.asc("l_orderkey"))
+            .limit(50))
+
+
+@register("udaf_trimmed_mean", sql="""
+WITH vals AS (
+  SELECT o_orderpriority AS priority,
+         CAST(floor(o_totalprice) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY floor(o_totalprice), o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+kept AS (
+  SELECT priority, v,
+         CAST(floor(n * 0.1) AS BIGINT) AS k, n
+  FROM vals
+  WHERE n <= 2 * CAST(floor(n * 0.1) AS BIGINT)
+     OR (rn > CAST(floor(n * 0.1) AS BIGINT)
+         AND rn <= n - CAST(floor(n * 0.1) AS BIGINT))
+)
+SELECT priority,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS tmean
+FROM kept
+GROUP BY priority
+ORDER BY priority
+""")
+def udaf_trimmed_mean(spark, sf_dir):
+    """§2.9 Arrow GROUPED_AGG UDAF (functions/udafs.py:trimmed_mean):
+    10%-trimmed mean of floor(o_totalprice) per order priority. The
+    measure is floored to an integer so the trimmed sum is exact in both
+    engines (fsum of int-valued doubles == DuckDB BIGINT sum) and the
+    mean is one double division of identical operands — no accumulated
+    float drift. Boundary ties don't matter: trimming cuts by sorted
+    position and tied values are interchangeable. Five groups of
+    unbounded size — fine for a demo aggregate; at 100 TB you'd bound
+    groups (or t-digest) per the UDAF's documented cost model."""
+    from cati_database_feeder_spark.functions.udafs import trimmed_mean
+    o = T(spark, sf_dir, "orders")
+    vals = o.select(F.col("o_orderpriority").alias("priority"),
+                    F.floor("o_totalprice").cast("long").alias("v"))
+    # no built-in aggregates alongside: Spark rejects mixing GROUPED_AGG
+    # pandas UDFs with non-pandas aggregates in one agg()
+    return (vals.groupBy("priority")
+            .agg(trimmed_mean(F.col("v")).alias("tmean"))
+            .orderBy("priority"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -2329,40 +2412,18 @@ def bm25_topk_search(spark, sf_dir):
 # oracle on every pytest run (tests/test_oracle_gate.py) and by
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
-    # -- never driver-checked before r4 (registered late in r2/r3;
-    #    pytest-oracle-green only until now) --
-    "q5_local_supplier_volume", "q18_large_volume_customers",
-    "q3_shipping_priority", "join_multiway_star", "array_functions",
-    "flagship_feeder_w6", "month_surgery_faithful", "union_pages",
-    "top_k_orders", "skew_salted_agg", "agg_rollup_region_nation",
-    "window_top_orders_per_customer", "window_first_occurrence_dedup",
-    "agg_distinct_counts", "embedding_lsh_topk", "string_functions",
-    # -- fixed this round (events.ts NTZ normalization) --
-    "join_asof_backward",
-    # -- new this round --
-    "near_dup_pairs", "skew_replicate_salt_join",
-    "text_pii_redact", "sample_stratified_mix", "corpus_shuffle_order",
-    # -- code changed this round (broadcast hints dropped / stage
-    #    sharing added / ts cast at load) --
-    "q10_returned_items", "dedup_minhash_lsh_pairs",
-    "events_tumbling_window", "events_session_window",
-    "events_daily_gap_fill",
-    # -- rows-only by design (no SQL-expressible oracle); keep in the
-    #    window so the driver records the weaker check every round --
-    "approx_aggregates", "similarity_ivf_topk",
-    # -- r3 triple-green, re-confirmed while budget remains --
-    "flagship_feeder", "feeder_skipped_report", "bulk_multi_wave",
-    "limit_first_match", "backfill_coalesce_repair",
-    "join_range_buckets", "cross_join_pairs", "agg_pricing_summary",
-    "text_fingerprint_dedup", "dedup_token_jaccard_pairs",
-    "dedup_simhash_pairs", "dedup_shingle_jaccard_pairs",
-    "embedding_cosine_topk", "dedup_embedding_cosine_pairs",
-    "scalar_functions", "join_inner_left_pack", "set_ops_pack",
-    "agg_cube_grouping_sets", "window_running_lag", "text_doc_profile",
-    "pivot_unpivot_roundtrip",
-    # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r03
-    # at sf0.01, code unchanged since; still oracle-checked in-suite ----
-    "dedup_cluster_components",
+    # -- new this round (never driver-checked) --
+    "udaf_weighted_median", "udaf_trimmed_mean",
+    # -- code changed this round (broadcast posture: hints dropped;
+    #    tokset fingerprint now array-keyed; sampling persist pin;
+    #    checkpoint ownership in components) --
+    "join_multiway_star", "flagship_feeder", "flagship_feeder_w6",
+    "feeder_skipped_report", "corpus_shuffle_order",
+    "dedup_token_jaccard_pairs", "dedup_shingle_jaccard_pairs",
+    "dedup_char_ngram_jaccard_pairs", "dedup_minhash_lsh_pairs",
+    "near_dup_pairs", "dedup_simhash_pairs", "dedup_cluster_components",
+    # -- r4 tail rotated through the window (last driver green is r3 or
+    #    older; the ratchet requires recency, not mere existence) --
     "bm25_topk_search", "funnel_view_to_purchase",
     "text_chunk_documents", "decontaminate_against_benchmark",
     "null_normalization", "json_extract_props",
@@ -2371,8 +2432,31 @@ _CHECK_ORDER = [
     "multimodal_binary_features", "text_token_doc_freq",
     "window_range_rolling_sum", "agg_filtered_counts",
     "agg_value_histogram", "string_regex_extract",
-    "dedup_char_ngram_jaccard_pairs", "text_quality_filter",
-    "split_train_holdout", "snapshot_diff",
+    "text_quality_filter", "split_train_holdout", "snapshot_diff",
+    # -- rows-only by design (no SQL-expressible oracle); keep in the
+    #    window so the driver records the weaker check every round --
+    "approx_aggregates", "similarity_ivf_topk",
+    # -- r4 triple-green, re-confirmed while budget remains --
+    "q5_local_supplier_volume", "q18_large_volume_customers",
+    "q3_shipping_priority", "q10_returned_items", "skew_salted_agg",
+    "skew_replicate_salt_join", "sample_stratified_mix",
+    "text_pii_redact", "join_asof_backward", "events_tumbling_window",
+    "events_session_window", "events_daily_gap_fill",
+    "agg_pricing_summary", "window_top_orders_per_customer",
+    "array_functions",
+    # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r04
+    # at sf0.01, code unchanged since; still oracle-checked in-suite
+    # (tests/test_oracle_gate.py) and by tools/check.py every run ----
+    "month_surgery_faithful", "union_pages",
+    "top_k_orders", "agg_rollup_region_nation",
+    "window_first_occurrence_dedup", "agg_distinct_counts",
+    "embedding_lsh_topk", "string_functions", "bulk_multi_wave",
+    "limit_first_match", "backfill_coalesce_repair",
+    "join_range_buckets", "cross_join_pairs",
+    "text_fingerprint_dedup", "embedding_cosine_topk",
+    "dedup_embedding_cosine_pairs", "scalar_functions",
+    "join_inner_left_pack", "set_ops_pack", "agg_cube_grouping_sets",
+    "window_running_lag", "text_doc_profile", "pivot_unpivot_roundtrip",
 ]
 
 _missing = [n for n in _CHECK_ORDER if n not in QUERIES]

@@ -41,24 +41,36 @@ def test_fit_line_noop_when_under_budget():
     assert json.loads(line) == {"value": 1.0, "queries": {"a": 1.0}}
 
 
-def test_check_window_covers_every_query_without_driver_evidence():
-    """Rotation ratchet: the external harness value-checks only the
-    first 50 registered queries, so any query that has NEVER earned a
-    driver triple-green row (and any rows-only-by-design query, which
-    must be re-recorded each round) has to sit inside that window.
-    Adding a query without rotating _CHECK_ORDER fails here, not two
-    rounds later in a verdict."""
+def test_check_window_covers_every_query_without_recent_evidence():
+    """Rotation ratchet, recency edition: the external harness
+    value-checks only the first 50 registered queries, so every query
+    sitting PAST that window must have a driver triple-green row that is
+    at most 2 rounds older than the upcoming round — a green from three
+    rounds ago says nothing about code that kept changing. Queries with
+    no green at all (new ones, and rows-only-by-design ones whose weaker
+    check must be re-recorded each round) must always sit inside the
+    window. Adding a query without rotating _CHECK_ORDER, or letting a
+    tail green go stale, fails here — not two rounds later in a
+    verdict."""
     import glob
+    import os
+    import re
 
-    names = list(queryset.QUERIES)
-    window = set(names[:50])
-    proven = set()
+    last_green: dict[str, int] = {}
+    rounds = []
     for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        rnum = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        rounds.append(rnum)
         for name, res in json.load(open(path)).items():
             if res.get("hash_match") is True:
-                proven.add(name)
-    missing = (set(names) - proven) - window
-    assert not missing, (
-        f"queries with no driver-green evidence sit past the 50-slot "
-        f"window: {sorted(missing)} — move them to the front of "
-        f"_CHECK_ORDER (queryset.py)")
+                last_green[name] = max(last_green.get(name, 0), rnum)
+    upcoming = max(rounds) + 1
+    names = list(queryset.QUERIES)
+    window = set(names[:50])
+    stale = sorted(
+        n for n in names if n not in window
+        and upcoming - last_green.get(n, -10 ** 6) > 2)
+    assert not stale, (
+        f"queries past the 50-slot window whose last driver-green is "
+        f"missing or older than round {upcoming - 2}: {stale} — rotate "
+        f"them to the front of _CHECK_ORDER (queryset.py)")
