@@ -17,11 +17,13 @@ the token stage was measured slower than recompute (columnar array
 (de)serialization > re-split cost — see dedup.py:213-219), so the
 repeated tokenize across *queries* is accepted deliberately.
 
-Three cross-query stages ARE shared (queryset.shared_stage): the
+Four cross-query stages ARE shared (queryset.shared_stage): the
 verified token-Jaccard pair set (consumed by the pairs query and
-cluster-components), the exact-token-set membership, and the rep-level
-MinHash-LSH candidate set (both consumed by the raw-candidates query
-and the verified near_dup_pairs query). Each build is timed explicitly
+cluster-components), the exact-token-set membership, the LSH banding
+table (signature pass; consumed by candidate generation and the
+incremental-ingest probe), and the rep-level MinHash-LSH candidate set
+(consumed by the raw-candidates query and the verified near_dup_pairs
+query). Each build is timed explicitly
 as "stage:..." so the headline total charges it exactly ONCE and the
 consumer queries report their incremental cost — the materialize-once
 economics a production pipeline has, without hiding the stage cost
@@ -67,6 +69,9 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     queryset._tokset_groups_stage(spark, sf_dir).count()
     timings["stage:tokset_groups"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    queryset._band_buckets_stage(spark, sf_dir).count()
+    timings["stage:band_buckets"] = round(time.time() - t0, 3)
     t0 = time.time()
     queryset._minhash_rep_cands_stage(spark, sf_dir).count()
     timings["stage:minhash_rep_cands"] = round(time.time() - t0, 3)

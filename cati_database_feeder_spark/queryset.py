@@ -1156,16 +1156,29 @@ def _tokset_groups_stage(spark, sf_dir):
         lambda: tokset_groups(T(spark, sf_dir, "documents")))
 
 
+def _band_buckets_stage(spark, sf_dir):
+    """Rep-level LSH banding table (id, band, bucket; 16 hashes, 4
+    bands), persisted once per session: the signature pass is the
+    expensive half of MinHash, and this frame is exactly what a
+    production corpus materializes per snapshot — candidate generation
+    AND every incremental ingest probe read it."""
+    from cati_database_feeder_spark.operators.dedup import rep_band_buckets
+    return shared_stage(
+        spark, f"band_buckets:16:4:{sf_dir}",
+        lambda: rep_band_buckets(_tokset_groups_stage(spark, sf_dir),
+                                 num_hashes=16, bands=4))
+
+
 def _minhash_rep_cands_stage(spark, sf_dir):
     """Rep-level MinHash-LSH candidate pairs (16 hashes, 4 bands),
     persisted once per session; two longs per row, tiny relative to
-    the corpus."""
-    from cati_database_feeder_spark.operators.dedup import minhash_lsh_candidates
+    the corpus. Built from the persisted banding table, so the
+    signature pass is charged once (stage:band_buckets)."""
+    from cati_database_feeder_spark.operators.dedup import _bucket_pairs
     return shared_stage(
         spark, f"minhash_rep_cands:16:4:{sf_dir}",
-        lambda: minhash_lsh_candidates(
-            T(spark, sf_dir, "documents"), num_hashes=16, bands=4,
-            groups=_tokset_groups_stage(spark, sf_dir), expand=False))
+        lambda: _bucket_pairs(_band_buckets_stage(spark, sf_dir),
+                              ["band", "bucket"], "id"))
 
 
 @register("near_dup_pairs", sql=r"""
@@ -1230,6 +1243,79 @@ def near_dup_pairs_verified(spark, sf_dir):
     return near_dup_pairs(d, threshold=0.7,
                           groups=_tokset_groups_stage(spark, sf_dir),
                           rep_candidates=_minhash_rep_cands_stage(spark, sf_dir))
+
+
+@register("near_dup_incremental", sql=r"""
+WITH toksets AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toksets
+),
+base AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM toks
+),
+seeds AS (
+  SELECT i,
+         CASE WHEN (1103515245 * (i + 1) + 12345) % 2147483647 = 0 THEN 1
+              ELSE (1103515245 * (i + 1) + 12345) % 2147483647 END AS a,
+         (69069 * (i + 1) + 1) % 2147483647 AS b
+  FROM (SELECT unnest(range(16)) AS i)
+),
+hashes AS (
+  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+  FROM base CROSS JOIN seeds
+  GROUP BY doc_id, i
+),
+buckets AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM hashes
+  GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(ta.toks, tb.toks))
+               / CAST(len(ta.toks) + len(tb.toks)
+                      - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN toksets ta ON ta.doc_id = c.id_a
+JOIN toksets tb ON tb.doc_id = c.id_b
+WHERE round(len(list_intersect(ta.toks, tb.toks))
+              / CAST(len(ta.toks) + len(tb.toks)
+                     - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE), 6) >= 0.7
+  AND (c.id_a % 50 = 0 OR c.id_b % 50 = 0)
+""")
+def near_dup_incremental(spark, sf_dir):
+    """E7 incremental: dedup a NEW ingest batch (1-in-50 doc_ids play
+    the delta — a ~2% ingest against a 98% corpus) without
+    re-enumerating corpus×corpus pairs (operators/dedup.py:
+    incremental_near_dup_pairs: the candidate join probes the corpus
+    banding table with only the delta-containing groups' buckets, and
+    within-group 1.0-pairs are generated only for delta-containing
+    groups). Output is provably the full verified near-dup pair set
+    restricted to pairs touching the delta — which is exactly what the
+    oracle states: the near_dup_pairs SQL plus a delta-membership
+    predicate. Membership and the banding table are injected persisted
+    corpus-snapshot stages (corpus ∪ delta here IS the documents table,
+    so they are shared with the full near-dup queries — the
+    probe-a-materialized-table economics this operator exists for)."""
+    from cati_database_feeder_spark.operators.dedup import incremental_near_dup_pairs
+    d = T(spark, sf_dir, "documents")
+    return incremental_near_dup_pairs(
+        corpus=d.filter(F.col("doc_id") % 50 != 0),
+        delta=d.filter(F.col("doc_id") % 50 == 0),
+        threshold=0.7,
+        groups=_tokset_groups_stage(spark, sf_dir),
+        buckets=_band_buckets_stage(spark, sf_dir))
 
 
 @register("dedup_simhash_pairs", sql=r"""
@@ -2413,7 +2499,7 @@ def udaf_trimmed_mean(spark, sf_dir):
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
     # -- new this round (never driver-checked) --
-    "udaf_weighted_median", "udaf_trimmed_mean",
+    "udaf_weighted_median", "udaf_trimmed_mean", "near_dup_incremental",
     # -- code changed this round (broadcast posture: hints dropped;
     #    tokset fingerprint now array-keyed; sampling persist pin;
     #    checkpoint ownership in components) --
@@ -2443,11 +2529,10 @@ _CHECK_ORDER = [
     "text_pii_redact", "join_asof_backward", "events_tumbling_window",
     "events_session_window", "events_daily_gap_fill",
     "agg_pricing_summary", "window_top_orders_per_customer",
-    "array_functions",
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r04
     # at sf0.01, code unchanged since; still oracle-checked in-suite
     # (tests/test_oracle_gate.py) and by tools/check.py every run ----
-    "month_surgery_faithful", "union_pages",
+    "array_functions", "month_surgery_faithful", "union_pages",
     "top_k_orders", "agg_rollup_region_nation",
     "window_first_occurrence_dedup", "agg_distinct_counts",
     "embedding_lsh_topk", "string_functions", "bulk_multi_wave",

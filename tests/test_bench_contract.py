@@ -16,6 +16,7 @@ def _payload():
     timings = {name: 0.12 for name in queryset.QUERIES}
     timings["stage:jaccard_pairs"] = 10.1
     timings["stage:tokset_groups"] = 0.7
+    timings["stage:band_buckets"] = 1.4
     timings["stage:minhash_rep_cands"] = 5.8
     total = round(sum(timings.values()), 3)
     return total, {

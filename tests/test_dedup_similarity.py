@@ -145,3 +145,45 @@ def test_expand_group_pairs_missing_default_is_descriptive(spark):
         dedup.expand_group_pairs(rep, mem)
     with pytest.raises(ValueError, match="within_defaults"):
         dedup.expand_group_pairs(rep, mem, {})
+
+
+def test_incremental_near_dup_equals_filtered_full_run(spark, sf_dir):
+    """The incremental operator's contract: exactly the full-corpus
+    verified pair set restricted to pairs touching the delta."""
+    from cati_database_feeder_spark.catalog import load_table
+    d = load_table(spark, sf_dir, "documents")
+    full = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.near_dup_pairs(d, threshold=0.7).collect()}
+    want = {(a, b, j) for a, b, j in full if a % 10 == 0 or b % 10 == 0}
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in dedup.incremental_near_dup_pairs(
+               corpus=d.filter(F.col("doc_id") % 10 != 0),
+               delta=d.filter(F.col("doc_id") % 10 == 0),
+               threshold=0.7).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_incremental_near_dup_empty_delta_and_corpus_only_clusters(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),    # cluster the delta doc joins
+        (2, "alpha beta gamma delta"),
+        (3, "alpha beta gamma delta"),
+        (4, "foo bar baz qux"),           # corpus-only exact-dup cluster
+        (5, "foo bar baz qux"),
+        (10, "delta gamma beta alpha"),   # delta: same token SET as 1-3
+        (20, "totally unrelated text here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = df.filter(F.col("doc_id") < 10)
+    delta = df.filter(F.col("doc_id") >= 10)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.incremental_near_dup_pairs(corpus, delta,
+                                                     threshold=0.6).collect()}
+    # exactly the delta-touching pairs: the 1-2-3 internal pairs and the
+    # corpus-only 4-5 cluster are absent, the delta twin matches all of
+    # its group at jaccard 1.0
+    assert got == {(1, 10): 1.0, (2, 10): 1.0, (3, 10): 1.0}
+    # empty delta -> empty output
+    empty = dedup.incremental_near_dup_pairs(
+        corpus, delta.filter(F.col("doc_id") < 0), threshold=0.6)
+    assert empty.count() == 0
