@@ -125,3 +125,48 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def incremental_components(labels: DataFrame, new_pairs: DataFrame,
+                           id_a: str = "id_a", id_b: str = "id_b",
+                           max_iter: int = 50) -> DataFrame:
+    """Update an existing (id, component) labeling with NEW edges
+    without reprocessing the old graph — the ingest-time companion of
+    :func:`connected_components` (and the consumer of
+    dedup.incremental_near_dup_pairs' delta pair output): at 100 TB the
+    corpus graph's closure is computed once, and each batch must only
+    pay for what the batch touches.
+
+    Contraction argument: each existing component is collapsed to one
+    super-node (its label), the NEW edges are mapped into super-node
+    space, and min-label propagation runs on that contracted graph —
+    whose size is bounded by the new edge count, not the corpus. The
+    result expands back through the old labeling. Contracting a
+    connected subgraph preserves connectivity, so the output equals
+    ``connected_components(old_edges ∪ new_edges)`` exactly.
+
+    PRECONDITION: ``labels`` is a correct components labeling with
+    component == min member id (exactly what connected_components
+    emits); then super-node ids are min member ids and the contracted
+    propagation's min-label equals the full graph's min member id.
+    Endpoints absent from ``labels`` enter as singletons, so the output
+    covers labels ∪ new-edge endpoints."""
+    e = new_pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    l_src = labels.select(F.col("id").alias("src"), F.col("component").alias("csrc"))
+    l_dst = labels.select(F.col("id").alias("dst"), F.col("component").alias("cdst"))
+    super_edges = (e.join(l_src, "src", "left").join(l_dst, "dst", "left")
+                   .select(F.coalesce("csrc", "src").alias("id_a"),
+                           F.coalesce("cdst", "dst").alias("id_b"))
+                   .filter(F.col("id_a") != F.col("id_b")))
+    sup = connected_components(super_edges, max_iter=max_iter)
+    singletons = (e.select(F.col("src").alias("id"))
+                  .unionByName(e.select(F.col("dst").alias("id")))
+                  .distinct()
+                  .join(labels.select("id"), "id", "left_anti")
+                  .withColumn("component", F.col("id")))
+    all_nodes = labels.unionByName(singletons)
+    relabel = sup.select(F.col("id").alias("component"),
+                         F.col("component").alias("new_component"))
+    return (all_nodes.join(relabel, "component", "left")
+            .select("id", F.coalesce("new_component", "component")
+                          .alias("component")))

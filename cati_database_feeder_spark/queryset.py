@@ -2365,6 +2365,52 @@ def dedup_cluster_components(spark, sf_dir):
     return connected_components(_jaccard_pairs_stage(spark, sf_dir))
 
 
+@register("dedup_cluster_incremental", sql=r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))
+          / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, min(lab) AS component FROM reach GROUP BY id
+""")
+def dedup_cluster_incremental(spark, sf_dir):
+    """E6/E7/E20 ingest-time closure update: the corpus's cluster labels
+    (components over corpus-internal verified pairs) are updated with
+    the delta-touching pairs of a 1-in-50 ingest batch WITHOUT
+    reprocessing the corpus graph (operators/graph.py:
+    incremental_components — old components contract to super-nodes,
+    propagation runs on a graph bounded by the NEW edge count, labels
+    expand back). The oracle is the full recursive-CTE closure over ALL
+    pairs — the contraction argument says the incremental result must
+    equal it exactly, and this row proves it does. Pairs come from the
+    shared verified-Jaccard stage; the base labeling is computed
+    in-query only because the demo has no prior snapshot to read — a
+    production pipeline loads it from the last run's output."""
+    from cati_database_feeder_spark.operators.graph import (
+        connected_components, incremental_components)
+    pairs = _jaccard_pairs_stage(spark, sf_dir)
+    delta_a = F.col("id_a") % 50 == 0
+    delta_b = F.col("id_b") % 50 == 0
+    base = connected_components(pairs.filter(~delta_a & ~delta_b))
+    return incremental_components(base, pairs.filter(delta_a | delta_b))
+
+
 @register("bm25_topk_search", sql=r"""
 WITH lens AS (
   SELECT doc_id,
@@ -2500,6 +2546,7 @@ def udaf_trimmed_mean(spark, sf_dir):
 _CHECK_ORDER = [
     # -- new this round (never driver-checked) --
     "udaf_weighted_median", "udaf_trimmed_mean", "near_dup_incremental",
+    "dedup_cluster_incremental",
     # -- code changed this round (broadcast posture: hints dropped;
     #    tokset fingerprint now array-keyed; sampling persist pin;
     #    checkpoint ownership in components) --
@@ -2528,10 +2575,11 @@ _CHECK_ORDER = [
     "skew_replicate_salt_join", "sample_stratified_mix",
     "text_pii_redact", "join_asof_backward", "events_tumbling_window",
     "events_session_window", "events_daily_gap_fill",
-    "agg_pricing_summary", "window_top_orders_per_customer",
+    "agg_pricing_summary",
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r04
     # at sf0.01, code unchanged since; still oracle-checked in-suite
     # (tests/test_oracle_gate.py) and by tools/check.py every run ----
+    "window_top_orders_per_customer",
     "array_functions", "month_surgery_faithful", "union_pages",
     "top_k_orders", "agg_rollup_region_nation",
     "window_first_occurrence_dedup", "agg_distinct_counts",

@@ -140,3 +140,48 @@ def test_connected_components_releases_per_round_storage(spark):
     leaked = len(persisted()) - baseline
     # the returned frame's own checkpoint (and nothing else) may remain
     assert leaked <= 2, f"{leaked} persisted RDDs leaked across rounds"
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Contraction correctness: for an ARBITRARY split of the edge list
+    into old/new, updating CC(old) with the new edges must equal CC over
+    the union — including components merged across the split, new-only
+    nodes, and edges internal to existing components."""
+    from cati_database_feeder_spark.operators.graph import (
+        connected_components, incremental_components)
+    edges = [(1, 2), (2, 3), (4, 5), (6, 7), (8, 9),
+             (3, 4),      # merges {1,2,3} with {4,5}
+             (1, 2),      # internal to an existing component
+             (9, 10),     # extends {8,9} with a brand-new node
+             (11, 12)]    # entirely new component
+    old, new = edges[:5], edges[5:]
+    base = connected_components(
+        spark.createDataFrame(old, ["id_a", "id_b"]))
+    got = {(r["id"], r["component"]) for r in incremental_components(
+        base, spark.createDataFrame(new, ["id_a", "id_b"])).collect()}
+    want = {(r["id"], r["component"]) for r in connected_components(
+        spark.createDataFrame(edges, ["id_a", "id_b"])).collect()}
+    assert got == want
+
+
+def test_incremental_components_no_new_edges_is_identity(spark):
+    from cati_database_feeder_spark.operators.graph import (
+        connected_components, incremental_components)
+    base = connected_components(
+        spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"]))
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = {(r["id"], r["component"])
+           for r in incremental_components(base, empty).collect()}
+    assert got == {(1, 1), (2, 1), (3, 3), (4, 3)}
+
+
+def test_incremental_components_empty_base_is_full_cc(spark):
+    from cati_database_feeder_spark.operators.graph import (
+        connected_components, incremental_components)
+    empty = spark.createDataFrame([], "id long, component long")
+    pairs = spark.createDataFrame([(5, 6), (6, 7)], ["id_a", "id_b"])
+    got = {(r["id"], r["component"])
+           for r in incremental_components(empty, pairs).collect()}
+    want = {(r["id"], r["component"])
+            for r in connected_components(pairs).collect()}
+    assert got == want == {(5, 5), (6, 5), (7, 5)}
