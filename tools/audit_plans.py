@@ -36,7 +36,9 @@ def audit(df):
         "shj": len(re.findall(r"ShuffledHashJoin", plan)),
         "exch": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
         "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
-        "python": bool(re.search(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|BatchEvalPython", plan)),
+        "python": bool(re.search(
+            r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"
+            r"|BatchEvalPython|AggregateInPandas|ArrowAggregatePython", plan)),
     }
 
 
