@@ -17,13 +17,14 @@ the token stage was measured slower than recompute (columnar array
 (de)serialization > re-split cost — see dedup.py:213-219), so the
 repeated tokenize across *queries* is accepted deliberately.
 
-Four cross-query stages ARE shared (queryset.shared_stage): the
+Five cross-query stages ARE shared (queryset.shared_stage): the
 verified token-Jaccard pair set (consumed by the pairs query and
 cluster-components), the exact-token-set membership, the LSH banding
 table (signature pass; consumed by candidate generation and the
-incremental-ingest probe), and the rep-level MinHash-LSH candidate set
+incremental-ingest probe), the rep-level MinHash-LSH candidate set
 (consumed by the raw-candidates query and the verified near_dup_pairs
-query). Each build is timed explicitly
+query), and the corpus base cluster labeling (the prior-run output an
+incremental closure update starts from). Each build is timed explicitly
 as "stage:..." so the headline total charges it exactly ONCE and the
 consumer queries report their incremental cost — the materialize-once
 economics a production pipeline has, without hiding the stage cost
@@ -75,6 +76,9 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     queryset._minhash_rep_cands_stage(spark, sf_dir).count()
     timings["stage:minhash_rep_cands"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    queryset._cluster_base_labels_stage(spark, sf_dir).count()
+    timings["stage:cluster_base_labels"] = round(time.time() - t0, 3)
 
     def run_once(name, fn):
         t0 = time.time()

@@ -18,6 +18,7 @@ def _payload():
     timings["stage:tokset_groups"] = 0.7
     timings["stage:band_buckets"] = 1.4
     timings["stage:minhash_rep_cands"] = 5.8
+    timings["stage:cluster_base_labels"] = 6.0
     total = round(sum(timings.values()), 3)
     return total, {
         "metric": "headline_queries_total_wall",
