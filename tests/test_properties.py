@@ -14,6 +14,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from cati_database_feeder_spark.operators.dedup import (
     jaccard_similarity_join, simhash_near_dup_pairs)
@@ -112,3 +113,54 @@ def test_simhash_banding_exact_recall(spark, docs):
                     assert (i, j) in got and got[(i, j)] == ham
                 else:
                     assert (i, j) not in got
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=20),
+    split=st.integers(0, 20))
+@settings(**_SETTINGS)
+def test_incremental_components_equals_full_for_any_split(spark, edges, split):
+    """For ANY edge list and ANY old/new split point, updating CC(old)
+    with the new edges equals CC over the union — the contraction
+    argument, exercised over random graphs (merges across the split,
+    self-contained new components, edges internal to old components)."""
+    from cati_database_feeder_spark.operators.graph import incremental_components
+
+    old, new = edges[:split], edges[split:]
+    base = (connected_components(spark.createDataFrame(old, "id_a long, id_b long"))
+            if old else spark.createDataFrame([], "id long, component long"))
+    new_df = (spark.createDataFrame(new, "id_a long, id_b long")
+              if new else spark.createDataFrame([], "id_a long, id_b long"))
+    got = {r["id"]: r["component"]
+           for r in incremental_components(base, new_df).collect()}
+    assert got == _union_find_components(edges)
+
+
+@given(docs=st.lists(_doc, min_size=0, max_size=10),
+       delta_mod=st.sampled_from([2, 3, 4]))
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_near_dup_equals_filtered_full_for_any_corpus(
+        spark, docs, delta_mod):
+    """For ANY corpus and ANY id-based delta slice, the incremental
+    output equals the full near-dup pair set restricted to pairs that
+    touch the delta — including all-identical corpora (dense within
+    groups), empty deltas, and empty-token docs."""
+    from cati_database_feeder_spark.operators.dedup import (
+        incremental_near_dup_pairs, near_dup_pairs)
+
+    schema = "doc_id long, text string"
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = (spark.createDataFrame(rows, schema) if rows
+          else spark.createDataFrame([], schema))
+    corpus = df.filter(F.col("doc_id") % delta_mod != 0)
+    delta = df.filter(F.col("doc_id") % delta_mod == 0)
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in incremental_near_dup_pairs(
+               corpus, delta, threshold=0.6).collect()}
+    full = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in near_dup_pairs(df, threshold=0.6).collect()}
+    want = {(a, b, j) for a, b, j in full
+            if a % delta_mod == 0 or b % delta_mod == 0}
+    assert got == want
