@@ -132,6 +132,23 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame,
     return events.join(F.broadcast(dim), on, "left")
 
 
+def ingest_dedup_against_corpus(stream: DataFrame, corpus_keys: DataFrame,
+                                on: str = "event_id") -> DataFrame:
+    """Streaming ingest dedup: drop stream rows whose key already exists
+    in the corpus snapshot — the streaming twin of the feeder's
+    existing-keys anti-join (reference feeder.py:157-160) and the
+    entry point of the incremental-ingest path (what survives here
+    feeds dedup.incremental_near_dup_pairs / graph.incremental_components
+    in the batch layer). Stream-static left_anti keeps NO join state:
+    the static side is re-resolved per micro-batch, so a corpus-snapshot
+    refresh lands in the next batch automatically. No broadcast hint —
+    the key snapshot scales with the corpus, so broadcast-vs-shuffle is
+    AQE's per-batch call by measured size (same rule as the batch
+    feeder, plans/feeder.py)."""
+    return stream.join(corpus_keys.select(on).dropDuplicates([on]),
+                       on, "left_anti")
+
+
 def stream_stream_conversion_join(views: DataFrame, purchases: DataFrame,
                                   watermark: str = "1 hour",
                                   within: str = "24 hours") -> DataFrame:

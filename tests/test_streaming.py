@@ -138,3 +138,16 @@ def test_stream_stream_interval_join_matches_batch(event_stream, spark):
                             + F.expr("INTERVAL 24 hours"))).collect())
     assert got == want
     assert len(got) > 0
+
+
+def test_ingest_dedup_against_corpus_matches_batch_anti_join(event_stream, spark):
+    """Stream-static left_anti dedup must drop exactly the rows whose
+    key is in the corpus snapshot — bit-identical to the batch anti-join
+    twin (the feeder's #17), with no join state carried across batches."""
+    stream, batch, tmp = event_stream
+    corpus = batch.filter(F.col("event_id") % 10 == 0).select("event_id")
+    got = _run_to_completion(
+        stream_ops.ingest_dedup_against_corpus(stream, corpus), tmp)
+    want = batch.join(corpus, "event_id", "left_anti")
+    assert len(got) == want.count()
+    assert all(r["event_id"] % 10 != 0 for r in got)
