@@ -743,10 +743,13 @@ LIMIT 50
 def q18_large_volume_customers(spark, sf_dir):
     """TPC-H Q18 shape: HAVING-filtered aggregate feeding a semi-join
     back into the fact — the find-the-whales query. The big-orders set
-    is output-sized (whales are rare by construction), so IT broadcasts
-    into a left-semi; orders/customer scale with the data and get no
-    hint — after the semi-join both sides are whale-sized, which AQE
-    sees at runtime and broadcasts anyway."""
+    is rare per order but grows LINEARLY with the data (the LIMIT 50
+    caps the final output, not ``big``), so like every scaling frame in
+    this file it carries no broadcast hint: AQE broadcasts the
+    semi-join build side while its runtime size fits and falls back to
+    a shuffled join when it doesn't — a forced hint would be honored
+    regardless of size and is exactly the executor-OOM class this
+    registry removed from customer/orders edges in earlier rounds."""
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
@@ -754,7 +757,7 @@ def q18_large_volume_customers(spark, sf_dir):
            .agg(F.sum("l_quantity").alias("qty"))
            .filter(F.col("qty") > 150)
            .select("l_orderkey"))
-    return (li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+    return (li.join(big.withColumnRenamed("l_orderkey", "bk"),
                     li.l_orderkey == F.col("bk"), "left_semi")
               .join(o, li.l_orderkey == o.o_orderkey)
               .join(c, o.o_custkey == c.c_custkey)
