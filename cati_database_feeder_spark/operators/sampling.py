@@ -23,14 +23,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
-from cati_database_feeder_spark.functions import text as T
 
 # gate granularity: fractions are exact multiples of 1/GRAIN, so every
 # threshold is an integer compare (no float-vs-decimal drift between
 # engines)
 GRAIN = 10_000
+
+# hex-key bucketing reads this many leading hex digits — 52 bits, exact
+# in a bigint, uniform for any cryptographic/avalanche hash prefix
+_HEX_PREFIX = 13
 
 
 def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
@@ -42,6 +43,7 @@ def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
     absent from ``fractions`` fall back to ``default_fraction``.
     Rows pass or fail independently of partitioning and execution order
     — the property that makes ablation A/B corpora reconstructible."""
+    from cati_database_feeder_spark.functions import text as T
     bucket = T.hash64(F.col(key_col).cast("string")) % GRAIN
     threshold: Column = F.lit(int(round(default_fraction * GRAIN)))
     for value, frac in sorted(fractions.items()):
@@ -52,7 +54,8 @@ def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
 
 def global_shuffle_ordinals(df: DataFrame, key: Column,
                             tie_cols: list[str],
-                            partitions: int | None = None) -> DataFrame:
+                            partitions: int | None = None,
+                            hex_key: bool = True) -> DataFrame:
     """Assign every row its global ordinal under a deterministic
     pseudo-random permutation — the corpus-shuffle step that fixes a
     training order (epoch slicing, resumable loaders) reproducibly.
@@ -61,60 +64,89 @@ def global_shuffle_ordinals(df: DataFrame, key: Column,
     single-partition global sort — the one shape that cannot scale.
     This is its distributed twin:
 
-    1. range-partition by the shuffle key (Spark's sampled
-       RangePartitioner — partition i holds strictly smaller keys than
-       partition i+1),
-    2. per-partition row counts → cumulative offsets. The collect is
+    1. bucket every row by a MONOTONE literal function of the key
+       (details below) — partition i holds strictly smaller keys than
+       partition i+1, and equal keys always share a partition;
+    2. per-bucket row counts → cumulative offsets. The collect is
        bounded by the PARTITION COUNT, not the data (one long per
-       partition — the same bounded-driver-state class as IVF
-       centroids, similarity.py),
+       bucket — the same bounded-driver-state class as IVF centroids,
+       similarity.py);
     3. local sort + local row_number + broadcast-joined offset.
 
     The result equals the global rank by (key, tie_cols) for ANY
-    partition boundaries, because range partitions are totally ordered
-    on the key. That invariant holds only if steps 2 and 3 observe the
-    SAME boundaries: Spark's RangePartitioner samples boundaries per
-    query execution (seeded from the shuffle RDD's id), so an unpinned
-    plan executed twice — once for the counts collect, once for the
-    consumer's action — can land DIFFERENT boundaries, making the
-    collected offsets inconsistent with the final job's partition
-    assignment (duplicated/gapped ordinals; small uniform inputs mask
-    it, large/skewed ones don't). The ranged frame is therefore
-    persisted (MEMORY_AND_DISK) before the counts job: the collect
-    materializes the cache, and every downstream action reads the same
-    stored blocks instead of re-sampling the shuffle.
+    monotone bucketing, so correctness never depends on where the
+    boundaries fall — only determinism does. Earlier rounds derived
+    buckets from a live RangePartitioner, whose boundaries re-sample
+    per query execution (seeded from the shuffle RDD id); the counts
+    job and the consumer's job could then disagree unless both read one
+    persisted shuffle — a df-sized MEMORY_AND_DISK pin held across
+    jobs, a corpus-sized spill at 100 TB. Literal buckets make every
+    execution identical BY CONSTRUCTION: zero cache, nothing to
+    release.
 
-    Caller contract: the returned DataFrame reads a pinned intermediate
-    that is the size of ``df``. After materializing the result, call
-    :func:`release_ordinals` on it (or let session-end / LRU eviction
-    reclaim the blocks). ``key`` should be a hash of a stable id
-    (md5 → deterministic permutation on any engine/cluster/rerun)."""
+    Bucketing, by ``hex_key``:
+
+    - ``True`` (default): ``key`` is a lowercase-hex hash string (md5 —
+      the documented contract; the same engine-portable choice as
+      functions/text.hash64). The bucket is integer division of the
+      first 13 hex digits — a pure plan-time expression, uniform by the
+      hash's avalanche property, costing NO extra job at all.
+    - ``False``: arbitrary orderable keys. One extra pass over the
+      pruned key column range-partitions it and collects each
+      partition's (max, count); the observed maxima become literal
+      upper bounds (a when-chain — HOF lambdas with outer references
+      fail to bind across the broadcast join) and the counts come for
+      free from the same job. Balanced for any key distribution at the
+      cost of one sampled shuffle of the key column.
+    """
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
-    ranged = (df.withColumn("__key", key)
-              .repartitionByRange(n, "__key", *tie_cols)
-              .withColumn("__pid", F.spark_partition_id())
-              .persist(StorageLevel.MEMORY_AND_DISK))
-    counts = sorted((r["__pid"], r["cnt"]) for r in
-                    ranged.groupBy("__pid")
-                          .agg(F.count(F.lit(1)).alias("cnt")).collect())
-    offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
-        acc += cnt
+    keyed = df.withColumn("__key", key)
+    if hex_key:
+        # integer DIV against a literal step: monotone over fixed-width
+        # lowercase hex, exact (52-bit prefix, no double rounding)
+        step = (16 ** _HEX_PREFIX + n - 1) // n
+        pid = F.expr(
+            f"CAST(CAST(conv(substring(__key, 1, {_HEX_PREFIX}), 16, 10) "
+            f"AS BIGINT) DIV {step} AS INT)")
+        counts = (keyed.select(pid.alias("__pid"))
+                  .groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt"))
+                  .collect())
+        counts.sort(key=lambda r: r["__pid"])
+        offsets, acc = [], 0
+        for r in counts:
+            offsets.append((r["__pid"], acc))
+            acc += r["cnt"]
+    else:
+        # one pass over the pruned key column: sampled range shuffle,
+        # then per-partition (max, count) — n rows to the driver
+        stats = (keyed.select("__key")
+                 .repartitionByRange(n, "__key")
+                 .withColumn("__p", F.spark_partition_id())
+                 .groupBy("__p")
+                 .agg(F.max("__key").alias("mx"),
+                      F.count(F.lit(1)).alias("cnt"))
+                 .collect())
+        stats.sort(key=lambda r: r["__p"])
+        # upper bound of every partition but the last; empty partitions
+        # contribute no boundary (absent from stats entirely). Rows of
+        # the j-th non-empty partition exceed exactly j observed maxima,
+        # so the literal rule reproduces the partitioner's assignment —
+        # and its counts — with compacted bucket ids.
+        bounds = [r["mx"] for r in stats[:-1]]
+        pid = F.lit(0)
+        for b in bounds:
+            pid = pid + F.when(F.col("__key") > F.lit(b), 1).otherwise(0)
+        pid = pid.cast("int")
+        offsets, acc = [], 0
+        for i, r in enumerate(stats):
+            offsets.append((i, acc))
+            acc += r["cnt"]
+    if not offsets:  # empty input: no offsets — empty result
+        offsets = [(0, 0)]
     off = spark.createDataFrame(offsets, "__pid int, __off long")
     w = Window.partitionBy("__pid").orderBy("__key", *tie_cols)
-    out = (ranged.join(F.broadcast(off), "__pid")
-           .withColumn("pos", F.row_number().over(w) + F.col("__off"))
-           .drop("__key", "__pid", "__off"))
-    out._graft_pinned = ranged
-    return out
-
-
-def release_ordinals(out: DataFrame) -> None:
-    """Unpersist the intermediate pinned by :func:`global_shuffle_ordinals`.
-    Safe to call on any DataFrame; a no-op if nothing is pinned."""
-    pinned = getattr(out, "_graft_pinned", None)
-    if pinned is not None:
-        pinned.unpersist()
-        out._graft_pinned = None
+    return (keyed.withColumn("__pid", pid)
+            .join(F.broadcast(off), "__pid")
+            .withColumn("pos", F.row_number().over(w) + F.col("__off"))
+            .drop("__key", "__pid", "__off"))

@@ -2117,8 +2117,9 @@ def corpus_shuffle_order(spark, sf_dir):
     permutation of the corpus (operators/sampling.py:
     global_shuffle_ordinals). The oracle's row_number-over-global-ORDER
     is a single-partition sort; the engine computes the identical
-    ordinal via range-partition + per-partition offset lift — the shape
-    that scales, with driver state bounded by partition count."""
+    ordinal via literal range boundaries + per-partition offset lift —
+    the shape that scales, with driver state bounded by partition count
+    and zero cached intermediates (operators/sampling.py docstring)."""
     from cati_database_feeder_spark.operators.sampling import global_shuffle_ordinals
     d = T(spark, sf_dir, "documents")
     out = global_shuffle_ordinals(

@@ -223,44 +223,55 @@ def test_global_shuffle_ordinals_equals_global_rank(spark):
     assert got2 == want
     # ordinals are a dense 1..N permutation
     assert sorted(got.values()) == list(range(1, 501))
+    # the non-hex (sampled-boundary) path must agree exactly — same
+    # global rank, any monotone bucketing
+    got3 = {r["doc_id"]: r["pos"] for r in
+            global_shuffle_ordinals(df, key, ["doc_id"], partitions=7,
+                                    hex_key=False).collect()}
+    assert got3 == want
 
 
 def test_global_shuffle_ordinals_pinned_across_executions(spark):
-    """Advisor repro (round 4): unpinned, the counts job and the consumer
-    job each re-sample range boundaries (RangePartitioner seeds from the
-    shuffle RDD id) and can disagree once inputs are large enough for
-    reservoir sampling to engage — at 200k rows in 2 input partitions the
-    unpinned plan produced 175,772 wrong ordinals. The persist pins one
-    materialized partitioning for both jobs, so pos must be exactly a
-    permutation of 1..n, and a second, separate action must agree."""
+    """Advisor repro (round 4): with partition assignment derived from a
+    live RangePartitioner, the counts job and the consumer job each
+    re-sample boundaries (seeded from the shuffle RDD id) and can
+    disagree once inputs are large enough for reservoir sampling to
+    engage — at 200k rows in 2 input partitions the unpinned round-4
+    plan produced 175,772 wrong ordinals. Boundary LITERALS (round 6)
+    make every execution deterministic by construction, with no cache:
+    pos must be exactly a permutation of 1..n, and a second, separate
+    action must agree."""
     from pyspark.sql import functions as F
-    from cati_database_feeder_spark.operators.sampling import (
-        global_shuffle_ordinals, release_ordinals)
+    from cati_database_feeder_spark.operators.sampling import global_shuffle_ordinals
 
     n = 200_000
     df = spark.range(n).select(F.col("id").alias("doc_id")).coalesce(2)
+    sc = spark.sparkContext
+    pinned_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     out = global_shuffle_ordinals(
         df, F.md5(F.col("doc_id").cast("string")), ["doc_id"], partitions=16)
     pos1 = sorted(r["pos"] for r in out.collect())
     assert pos1 == list(range(1, n + 1))
-    # a second query execution over the same returned frame must read the
-    # same pinned partitioning, not re-sample it
+    # a second query execution over the same returned frame must derive
+    # the same partition assignment (literals in the plan, not state)
     pos2 = sorted(r["pos"] for r in out.collect())
     assert pos2 == pos1
-    release_ordinals(out)
-    assert out._graft_pinned is None
+    # nothing pinned: the operator must leave no new persisted blocks
+    pinned_after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert pinned_after <= pinned_before
 
 
 def test_global_shuffle_ordinals_no_single_partition_sort(spark):
     """Plan property: the ordinal assignment must not contain a global
-    (single-partition) sort — the window sorts within range partitions
-    only."""
+    (single-partition) sort — the window sorts within literal-bounded
+    key partitions only."""
     from pyspark.sql import functions as F
     from cati_database_feeder_spark.operators.sampling import global_shuffle_ordinals
     df = spark.range(100).withColumnRenamed("id", "doc_id")
     out = global_shuffle_ordinals(
         df, F.md5(F.col("doc_id").cast("string")), ["doc_id"], partitions=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning(" in plan.lower()
+    # the window shuffle hashes on the literal-derived bucket id
+    assert "hashpartitioning(__pid" in plan
     # no Exchange SinglePartition feeding a Sort (the global-sort shape)
     assert "singlepartition" not in plan.lower()
