@@ -375,7 +375,12 @@ def incremental_near_dup_pairs(corpus: DataFrame, delta: DataFrame,
       they are rebuilt from scratch and the signature pass runs once
       per plan branch (probe, build, verify); injection plus the
       by-construction expansion below took the sf0.1 demo from 8.8 s
-      to 3.9 s, so inject them anywhere this runs repeatedly.
+      to 3.9 s, so inject them anywhere this runs repeatedly. A STALE
+      ``buckets`` snapshot (one that predates the delta) is
+      auto-repaired: delta-containing groups missing from it are
+      signed on the fly and unioned in, so no delta doc can silently
+      lose its candidates — the injected table need only cover the
+      corpus it was built from.
 
     Docs whose ids collide between corpus and delta are the caller's
     contract to avoid (ingest ids are unique)."""
@@ -390,6 +395,19 @@ def incremental_near_dup_pairs(corpus: DataFrame, delta: DataFrame,
             .filter(F.col("__gnew")).select("gid"))
     if buckets is None:
         buckets = rep_band_buckets(memb, num_hashes, bands)
+    else:
+        # Injected banding tables are materialized per corpus SNAPSHOT,
+        # so one that predates the delta misses every group whose rep is
+        # new — novel token sets, or a delta id becoming a group's gid —
+        # and a probe against it would silently yield zero candidates
+        # for exactly the docs the ingest is about. Sign the missing
+        # delta-containing reps here and union them in: cost is bounded
+        # by the BATCH (only gids absent from the snapshot are signed),
+        # and with a fresh table the left_anti is an empty no-op.
+        missing = gnew.join(buckets.select(F.col("id").alias("gid")),
+                            "gid", "left_anti")
+        buckets = buckets.unionByName(
+            rep_band_buckets(memb.join(missing, "gid"), num_hashes, bands))
     probe = buckets.join(gnew.withColumnRenamed("gid", "id"), "id")
     a = probe.select(F.col("id").alias("na"), "band", "bucket")
     b = buckets.select(F.col("id").alias("nb"), "band", "bucket")

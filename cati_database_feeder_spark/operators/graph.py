@@ -24,8 +24,12 @@ never need it, so the simpler propagation wins here.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_warned_rdd_ids = False
 
 
 def _checkpointed_rdd_ids(df: DataFrame) -> set[int]:
@@ -34,11 +38,22 @@ def _checkpointed_rdd_ids(df: DataFrame) -> set[int]:
     attribution: diffing global block-manager state before/after the
     checkpoint would sweep in any RDD another thread persisted in the
     window and later force-unpersist someone else's cached data. Returns
-    empty when the plan/API is unavailable (e.g. Connect), where the
-    leak this guards against is bounded by the session anyway."""
+    empty when the plan/API is unavailable (e.g. Connect, or a Spark
+    version whose localCheckpoint wraps the plan in something other than
+    LogicalRDD) — there per-round storage release degrades to a no-op,
+    bounded by the session; warn ONCE so the degradation is visible
+    instead of a silent leak."""
+    global _warned_rdd_ids
     try:
         return {int(df._jdf.queryExecution().analyzed().rdd().id())}
     except Exception:
+        if not _warned_rdd_ids:
+            _warned_rdd_ids = True
+            warnings.warn(
+                "connected_components: cannot read the checkpointed RDD id "
+                "off the plan (private-API shape changed?) — per-round "
+                "storage release is disabled; checkpointed label frames "
+                "will accumulate until session end", RuntimeWarning)
         return set()
 
 

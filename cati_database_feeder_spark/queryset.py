@@ -829,7 +829,7 @@ GROUP BY o_orderpriority
 """)
 def agg_distinct_counts(spark, sf_dir):
     """E-section distinct aggregate (exact; approx_count_distinct is
-    exposed in approx_aggregates as a weaker rows-only check)."""
+    exposed in approx_aggregates with an oracle-checked error bound)."""
     o = T(spark, sf_dir, "orders")
     return (o.groupBy("o_orderpriority")
             .agg(F.countDistinct("o_custkey").alias("n_customers"),
@@ -1728,23 +1728,46 @@ GROUP BY event_type
 """)
 def events_exact_median(spark, sf_dir):
     """E11 adjacents: exact interpolated median (approx variants are in
-    approx_aggregates, rows-only — sketches differ across engines)."""
+    approx_aggregates behind oracle-checked error bounds — raw sketch
+    values differ across engines)."""
     e = T(spark, sf_dir, "events")
     return (e.groupBy("event_type")
             .agg(F.expr("percentile(value, 0.5)").alias("median_value"),
                  davg(F.col("value")).alias("mean_value")))
 
 
-@register("approx_aggregates")  # no oracle: HLL/KLL sketches are engine-specific
+@register("approx_aggregates", sql="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_ok,
+       TRUE AS median_ok
+FROM events
+GROUP BY event_type
+""")
 def approx_aggregates(spark, sf_dir):
-    """E11: approx_count_distinct (HyperLogLog++) + approx percentiles.
-    Deliberately rows-only: sketch outputs are engine-specific by
-    design; the exact twins are oracle-checked in agg_distinct_counts
-    and events_exact_median."""
+    """E11: approx_count_distinct (HyperLogLog++) + approx percentiles —
+    in their VERIFIABLE form. Raw sketch outputs are engine-specific, so
+    hashing them against DuckDB is impossible; instead the query emits
+    the exact cardinality plus in-query bound checks: the HLL estimate
+    must sit within 3×rsd of the exact distinct count, and the approx
+    median must land between the exact 0.49/0.51 quantiles (rank error
+    1/accuracy = 1e-4, so the bound is generous by two orders). The
+    oracle asserts both booleans TRUE — a sketch drifting out of its
+    documented error envelope hash-mismatches instead of passing
+    rows-only. Exact twins live in agg_distinct_counts and
+    events_exact_median."""
     e = T(spark, sf_dir, "events")
     return (e.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
-                 F.percentile_approx("value", 0.5).alias("approx_median")))
+            .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("au"),
+                 F.count_distinct("user_id").alias("exact_users"),
+                 F.percentile_approx("value", 0.5).alias("am"),
+                 F.expr("percentile(value, 0.49)").alias("lo"),
+                 F.expr("percentile(value, 0.51)").alias("hi"))
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("au") - F.col("exact_users"))
+                     <= F.col("exact_users") * 0.03).alias("users_ok"),
+                    ((F.col("am") >= F.col("lo"))
+                     & (F.col("am") <= F.col("hi"))).alias("median_ok")))
 
 
 @register("multimodal_binary_features", sql="""

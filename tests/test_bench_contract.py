@@ -58,15 +58,19 @@ def test_check_window_covers_every_query_without_recent_evidence():
     import os
     import re
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict[str, int] = {}
     rounds = []
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         rnum = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         rounds.append(rnum)
         for name, res in json.load(open(path)).items():
             if res.get("hash_match") is True:
                 last_green[name] = max(last_green.get(name, 0), rnum)
-    upcoming = max(rounds) + 1
+    # no recorded rounds (fresh clone / artifact-less checkout): treat as
+    # round 0 so every past-window query fails with the descriptive
+    # message below instead of a ValueError from max()
+    upcoming = max(rounds, default=0) + 1
     names = list(queryset.QUERIES)
     window = set(names[:50])
     stale = sorted(

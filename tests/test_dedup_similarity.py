@@ -187,3 +187,38 @@ def test_incremental_near_dup_empty_delta_and_corpus_only_clusters(spark):
     empty = dedup.incremental_near_dup_pairs(
         corpus, delta.filter(F.col("doc_id") < 0), threshold=0.6)
     assert empty.count() == 0
+
+
+def test_incremental_near_dup_stale_buckets_auto_repaired(spark):
+    """Advisor repro (round 5): the documented production shape injects
+    a banding table materialized per corpus SNAPSHOT — i.e. one that
+    predates the delta. Two delta shapes are then absent from it: a
+    novel token set (id 30), and a delta id that becomes its group's
+    new rep/gid (id 0 < every corpus member). Without auto-repair both
+    probe into nothing and their pairs silently vanish; with it the
+    stale-injected run must equal the fresh-buckets run exactly."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (5, "foo bar baz qux"),
+        (0, "delta gamma beta alpha"),   # delta: same set as 1-2, NEW gid
+        (30, "foo bar baz qux quux"),    # delta: novel set, near-dup of 5
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = df.filter(F.col("doc_id").isin(1, 2, 5))
+    delta = df.filter(F.col("doc_id").isin(0, 30))
+    memb = dedup.tokset_groups(corpus.unionByName(delta))
+    stale = dedup.rep_band_buckets(dedup.tokset_groups(corpus))
+
+    def pairs(buckets):
+        return {(r["id_a"], r["id_b"], r["jaccard"])
+                for r in dedup.incremental_near_dup_pairs(
+                    corpus, delta, threshold=0.6, groups=memb,
+                    buckets=buckets).collect()}
+
+    got_stale = pairs(stale)
+    got_fresh = pairs(None)
+    assert got_stale == got_fresh
+    # the new-gid group's within-pairs must be present — these are the
+    # ones a stale probe loses entirely
+    assert {(0, 1, 1.0), (0, 2, 1.0)} <= got_stale
