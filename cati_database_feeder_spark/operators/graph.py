@@ -15,11 +15,12 @@ are dense blobs (near-cliques around a template), so diameter is small
 — single digits even at 100 TB. Each round is ONE hash shuffle of the
 edge list, the same cost class as one groupBy over the pairs; state
 between rounds is persisted and the previous round unpersisted, so
-lineage stays O(1) deep. For adversarially long path-graphs the
-classic fix is large-star/small-star (Kiveris et al., "Connected
+lineage stays O(1) deep. For adversarially long path-graphs the loop
+switches to large-star/small-star (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC'14), which converges in
-O(log n) rounds with the same per-round shuffle shape; dup graphs
-never need it, so the simpler propagation wins here.
+O(log²n) rounds with the same per-round shuffle shape — so a
+pathological chain in a 100 TB pair set converges instead of
+hard-stopping the pipeline (:func:`_star_components`).
 """
 
 from __future__ import annotations
@@ -72,18 +73,95 @@ def _release_rdds(sc, ids: set[int]) -> None:
         pass
 
 
+def _star_components(edges_sym: DataFrame, max_rounds: int = 100) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the diameter-independent fallback for adversarial graphs
+    where min-label propagation (one round per hop) would need as many
+    rounds as the longest path. Each round is two groupBy-min shuffles
+    of the edge list (the same cost class as one propagation round) and
+    the round count is O(log²n) worst-case, ~log n in practice.
+
+    ``edges_sym`` is the symmetric self-loop-free adjacency. State is a
+    DIRECTED edge list (src > dst, pointing at smaller ids):
+
+    - large-star: for each node u, connect every strictly larger
+      neighbor to m = min(Γ(u) ∪ {u});
+    - small-star: for each node u over its smaller neighbors Γ⁻(u),
+      connect u and all of Γ⁻(u) to their minimum.
+
+    Both steps preserve connectivity and only ever link nodes to
+    smaller nodes in their own component; the fixpoint is a forest of
+    stars rooted at each component's minimum, detected exactly (edge
+    set unchanged — count plus set-difference, two edge-list-sized jobs
+    a round, fine for a fallback). Per-round frames are eagerly
+    checkpointed and released like the main loop."""
+    sc = edges_sym.sparkSession.sparkContext
+    nodes = edges_sym.select(F.col("src").alias("id")).distinct()
+    e = (edges_sym.filter(F.col("src") != F.col("dst"))
+         .select(F.greatest("src", "dst").alias("src"),
+                 F.least("src", "dst").alias("dst"))
+         .distinct().localCheckpoint(eager=True))
+    e_rdds = _checkpointed_rdd_ids(e)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        lmin = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        large = (sym.join(lmin, "src")
+                 .filter(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("src"),
+                         F.least("mn", "src").alias("dst"))
+                 .distinct())
+        smin = large.groupBy("src").agg(F.min("dst").alias("mn"))
+        small = (large.join(smin, "src")
+                 .select(F.explode(F.array(
+                     F.struct(F.col("src").alias("s"), F.col("mn").alias("d")),
+                     F.struct(F.col("dst").alias("s"), F.col("mn").alias("d"))))
+                     .alias("x"))
+                 .select(F.col("x.s").alias("src"), F.col("x.d").alias("dst"))
+                 .filter(F.col("src") != F.col("dst"))
+                 .distinct().localCheckpoint(eager=True))
+        new_rdds = _checkpointed_rdd_ids(small)
+        n_new = small.count()
+        converged = (n_new == n_edges
+                     and small.subtract(e).limit(1).count() == 0)
+        _release_rdds(sc, e_rdds)
+        e, e_rdds, n_edges = small, new_rdds, n_new
+        if converged:
+            break
+    else:
+        _release_rdds(sc, e_rdds)
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_rounds} "
+            f"rounds — at O(log^2 n) convergence this exceeds any "
+            f"realizable graph; suspecting corrupt edge input")
+    labels = (e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+              .unionByName(e.select(F.col("dst").alias("id"),
+                                    F.col("dst").alias("component")))
+              .distinct())
+    singles = (nodes.join(labels.select("id"), "id", "left_anti")
+               .withColumn("component", F.col("id")))
+    out = labels.unionByName(singles).localCheckpoint(eager=True)
+    _release_rdds(sc, e_rdds)
+    return out
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
     """(id, component) for every node in ``pairs``; component = min node
     id reachable through the pair graph. Deterministic for any input
     order — min() is order-insensitive.
 
-    Raises RuntimeError if labels are still changing after ``max_iter``
-    rounds (a path-graph of diameter > max_iter): an unconverged result
-    silently splits components, which for a dedup pipeline means
-    keeping duplicates — failing loudly is the only safe behavior.
-    Rounds cost nothing once converged (the loop breaks), so the
-    default is generous; dup clusters converge in single digits."""
+    Min-label propagation needs one round per hop of graph diameter.
+    Dup clusters in a pretraining corpus are dense blobs (near-cliques
+    around a template) that converge in single digits, so propagation
+    is the cheap common path; if labels are still changing after
+    ``max_iter`` rounds (an adversarial path-shaped graph), the
+    computation switches to the diameter-independent
+    large-star/small-star algorithm (:func:`_star_components`) instead
+    of failing — same per-round shuffle shape, O(log²n) rounds
+    regardless of diameter."""
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sc = pairs.sparkSession.sparkContext
@@ -131,12 +209,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         if changed == 0:
             break
     else:
-        edges.unpersist()
+        # diameter > max_iter: propagation would need one round per hop,
+        # so hand the ORIGINAL edge set to the O(log²n) star algorithm
+        # (restarting loses at most max_iter cheap rounds of progress
+        # and keeps the fallback's correctness argument self-contained)
+        warnings.warn(
+            f"connected_components: {changed} labels still changing "
+            f"after {max_iter} propagation rounds (graph diameter > "
+            f"max_iter) — switching to large-star/small-star",
+            RuntimeWarning)
         _release_rdds(sc, label_rdds)
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — graph diameter exceeds "
-            f"max_iter; raise max_iter or pre-contract the graph")
+        out = _star_components(edges)
+        edges.unpersist()
+        return out
 
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("component"))

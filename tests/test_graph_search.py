@@ -108,12 +108,38 @@ def test_chunk_documents_windows(spark):
     assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == ""
 
 
-def test_connected_components_raises_on_nonconvergence(spark):
+def test_connected_components_star_fallback_on_long_path(spark):
+    """Diameter > max_iter no longer hard-stops: propagation hands the
+    original edges to large-star/small-star (Kiveris et al. SoCC'14),
+    which converges in O(log²n) rounds on the adversarial path graph —
+    here a 121-hop chain under max_iter=3."""
     import pytest
-    pairs = spark.createDataFrame([(i, i + 1) for i in range(5)], ["id_a", "id_b"])
-    with pytest.raises(RuntimeError, match="did not converge"):
-        from cati_database_feeder_spark.operators.graph import connected_components
-        connected_components(pairs, max_iter=2)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], ["id_a", "id_b"])
+    with pytest.warns(RuntimeWarning, match="large-star"):
+        got = connected_components(pairs, max_iter=3).collect()
+    assert len(got) == 121
+    assert all(r["component"] == 0 for r in got)
+
+
+def test_connected_components_star_fallback_matches_propagation(spark):
+    """The fallback must agree with propagation exactly on a mixed
+    graph: several components, listed high-to-low, plus a self-loop
+    singleton."""
+    import pytest
+    import random
+    rng = random.Random(6)
+    edges = [(i, i + 1) for i in range(0, 8)]              # chain 0..8
+    edges += [(20 + rng.randrange(10), 20 + rng.randrange(10))
+              for _ in range(15)]                          # blob 20..29
+    edges += [(40, 41), (99, 99)]                          # pair + self-loop
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    want = {(r["id"], r["component"])
+            for r in connected_components(pairs).collect()}
+    with pytest.warns(RuntimeWarning, match="large-star"):
+        got = {(r["id"], r["component"])
+               for r in connected_components(pairs, max_iter=1).collect()}
+    assert got == want and (99, 99) in got
 
 
 def test_connected_components_rejects_nonpositive_max_iter(spark):
