@@ -2584,41 +2584,16 @@ def udaf_trimmed_mean(spark, sf_dir):
 # oracle on every pytest run (tests/test_oracle_gate.py) and by
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
-    # -- new this round (never driver-checked) --
-    "udaf_weighted_median", "udaf_trimmed_mean", "near_dup_incremental",
-    "dedup_cluster_incremental",
-    # -- code changed this round (broadcast posture: hints dropped;
-    #    tokset fingerprint now array-keyed; sampling persist pin;
-    #    checkpoint ownership in components) --
-    "join_multiway_star", "flagship_feeder", "flagship_feeder_w6",
-    "feeder_skipped_report", "corpus_shuffle_order",
-    "dedup_token_jaccard_pairs", "dedup_shingle_jaccard_pairs",
-    "dedup_char_ngram_jaccard_pairs", "dedup_minhash_lsh_pairs",
-    "near_dup_pairs", "dedup_simhash_pairs", "dedup_cluster_components",
-    # -- r4 tail rotated through the window (last driver green is r3 or
-    #    older; the ratchet requires recency, not mere existence) --
-    "bm25_topk_search", "funnel_view_to_purchase",
-    "text_chunk_documents", "decontaminate_against_benchmark",
-    "null_normalization", "json_extract_props",
-    "events_sliding_window", "events_exact_median",
-    "backfill_month_repair_per_file", "ivf_assign_topk",
-    "multimodal_binary_features", "text_token_doc_freq",
-    "window_range_rolling_sum", "agg_filtered_counts",
-    "agg_value_histogram", "string_regex_extract",
-    "text_quality_filter", "split_train_holdout", "snapshot_diff",
-    # -- rows-only by design (no SQL-expressible oracle); keep in the
-    #    window so the driver records the weaker check every round --
-    "approx_aggregates", "similarity_ivf_topk",
-    # -- r4 triple-green, re-confirmed while budget remains --
-    "q5_local_supplier_volume", "q18_large_volume_customers",
-    "q3_shipping_priority", "q10_returned_items", "skew_salted_agg",
-    "skew_replicate_salt_join", "sample_stratified_mix",
-    "text_pii_redact", "join_asof_backward", "events_tumbling_window",
-    "events_session_window", "events_daily_gap_fill",
-    "agg_pricing_summary",
-    # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r04
-    # at sf0.01, code unchanged since; still oracle-checked in-suite
-    # (tests/test_oracle_gate.py) and by tools/check.py every run ----
+    # -- code changed this round (q18 broadcast posture; shuffle
+    #    ordinals now literal-bucketed; approx_aggregates gained its
+    #    error-bound oracle; stale-banding auto-repair in the
+    #    incremental path; star fallback in components) --
+    "corpus_shuffle_order", "q18_large_volume_customers",
+    "approx_aggregates", "near_dup_incremental",
+    "dedup_cluster_components", "dedup_cluster_incremental",
+    "sample_stratified_mix",
+    # -- r4-green tail rotated back through the window (last driver
+    #    green is r4; the ratchet requires recency, not existence) --
     "window_top_orders_per_customer",
     "array_functions", "month_surgery_faithful", "union_pages",
     "top_k_orders", "agg_rollup_region_nation",
@@ -2630,6 +2605,35 @@ _CHECK_ORDER = [
     "dedup_embedding_cosine_pairs", "scalar_functions",
     "join_inner_left_pack", "set_ops_pack", "agg_cube_grouping_sets",
     "window_running_lag", "text_doc_profile", "pivot_unpivot_roundtrip",
+    # -- rows-only by design (iterative k-means, no SQL-expressible
+    #    oracle); keep in the window so the driver records the weaker
+    #    check every round --
+    "similarity_ivf_topk",
+    # -- r5 triple-green, re-confirmed while budget remains: flagship +
+    #    dedup/search showcase --
+    "flagship_feeder", "flagship_feeder_w6", "feeder_skipped_report",
+    "join_multiway_star", "udaf_weighted_median", "udaf_trimmed_mean",
+    "near_dup_pairs", "dedup_minhash_lsh_pairs",
+    "dedup_token_jaccard_pairs", "dedup_shingle_jaccard_pairs",
+    "dedup_char_ngram_jaccard_pairs", "dedup_simhash_pairs",
+    "bm25_topk_search", "ivf_assign_topk", "snapshot_diff",
+    "events_exact_median", "null_normalization",
+    # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r05
+    # at sf0.01, code unchanged since; still oracle-checked in-suite
+    # (tests/test_oracle_gate.py) and by tools/check.py every run ----
+    "funnel_view_to_purchase", "text_chunk_documents",
+    "decontaminate_against_benchmark", "json_extract_props",
+    "events_sliding_window", "backfill_month_repair_per_file",
+    "multimodal_binary_features", "text_token_doc_freq",
+    "window_range_rolling_sum", "agg_filtered_counts",
+    "agg_value_histogram", "string_regex_extract",
+    "text_quality_filter", "split_train_holdout",
+    "q5_local_supplier_volume", "q3_shipping_priority",
+    "q10_returned_items", "skew_salted_agg",
+    "skew_replicate_salt_join", "text_pii_redact",
+    "join_asof_backward", "events_tumbling_window",
+    "events_session_window", "events_daily_gap_fill",
+    "agg_pricing_summary",
 ]
 
 _missing = [n for n in _CHECK_ORDER if n not in QUERIES]

@@ -1,0 +1,80 @@
+"""End-to-end incremental-ingest pipeline: file stream → streaming
+ingest dedup → incremental near-dup pairs → incremental component
+closure, asserted equal to a from-scratch batch recompute.
+
+Round 5 verified each layer piecewise (streaming anti-join vs its batch
+twin, incremental pairs vs restricted full pairs, incremental closure
+vs full closure); this test pins the COMPOSED contract — the
+snapshot/labeling handoff between layers:
+
+- the corpus key snapshot the stream dedups against is the same corpus
+  the pair delta probes,
+- the banding table is a STALE per-corpus-snapshot materialization
+  (production shape; exercises the auto-repair for delta groups),
+- the base labeling handed to incremental_components is exactly what
+  connected_components emitted for the prior corpus.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cati_database_feeder_spark.catalog import load_table
+from cati_database_feeder_spark.operators import dedup
+from cati_database_feeder_spark.operators.graph import (
+    connected_components, incremental_components)
+from cati_database_feeder_spark.streaming import events as stream_ops
+
+
+def test_stream_ingest_to_incremental_closure_equals_full_recompute(
+        spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    # the incoming batch: every delta doc PLUS replays of corpus docs —
+    # the replays must die at the streaming dedup, nothing downstream
+    # may ever see them
+    incoming = docs.filter((F.col("doc_id") % 10 == 0)
+                           | (F.col("doc_id") % 7 == 0))
+
+    # ---- layer 1: stream the batch in, dedup against the corpus keys
+    data_dir = str(tmp_path / "ingest_in")
+    incoming.write.parquet(data_dir)
+    stream = spark.readStream.schema(incoming.schema).parquet(data_dir)
+    q = (stream_ops.ingest_dedup_against_corpus(
+            stream, corpus.select("doc_id"), on="doc_id")
+         .writeStream.format("memory").queryName("ingested")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    survivors = spark.table("ingested").select("doc_id", "text")
+    q.stop()
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+    n_surv = survivors.count()
+    # exactly the true delta survived (replayed corpus ids dropped)
+    assert n_surv == docs.filter(F.col("doc_id") % 10 == 0).count()
+    delta = spark.createDataFrame(survivors.collect(), survivors.schema)
+
+    # ---- layer 2: near-dup pairs of the surviving batch vs the corpus,
+    # probing the corpus-snapshot banding table (stale w.r.t. the delta)
+    memb = dedup.tokset_groups(corpus.unionByName(delta))
+    stale_buckets = dedup.rep_band_buckets(dedup.tokset_groups(corpus))
+    new_pairs = dedup.incremental_near_dup_pairs(
+        corpus, delta, threshold=0.7, groups=memb, buckets=stale_buckets)
+
+    # ---- layer 3: fold the new pairs into the prior corpus labeling
+    base_labels = connected_components(
+        dedup.near_dup_pairs(corpus, threshold=0.7))
+    got = {(r["id"], r["component"]) for r in
+           incremental_components(base_labels, new_pairs).collect()}
+
+    # ---- the whole pipeline equals a from-scratch recompute
+    want = {(r["id"], r["component"]) for r in
+            connected_components(
+                dedup.near_dup_pairs(corpus.unionByName(delta),
+                                     threshold=0.7)).collect()}
+    # node sets coincide: base labels = corpus-pair endpoints,
+    # singletons = new-edge endpoints, and the full run's endpoints are
+    # exactly their union (corpus-internal pairs are corpus-deterministic)
+    assert len(want) > 0
+    assert got == want
