@@ -346,6 +346,21 @@ def near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
     return expand_group_pairs(rep_pairs, mem, {"jaccard": F.lit(1.0)})
 
 
+def delta_rep_buckets(memb: DataFrame, gids: DataFrame, buckets: DataFrame,
+                      num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Band-bucket rows for the reps of ``gids`` (a one-column ``gid``
+    frame) that are ABSENT from an existing ``buckets`` banding table —
+    the repair/maintenance primitive of the incremental path, used both
+    to patch a stale injected snapshot inside
+    :func:`incremental_near_dup_pairs` and to append a materialized
+    banding store after an ingest batch commits
+    (streaming/ingest.start_incremental_ingest). Cost is bounded by the
+    missing-group count, never the corpus."""
+    missing = gids.join(buckets.select(F.col("id").alias("gid")),
+                        "gid", "left_anti")
+    return rep_band_buckets(memb.join(missing, "gid"), num_hashes, bands)
+
+
 def incremental_near_dup_pairs(corpus: DataFrame, delta: DataFrame,
                                id_col: str = "doc_id", text_col: str = "text",
                                threshold: float = 0.7, num_hashes: int = 16,
@@ -404,10 +419,8 @@ def incremental_near_dup_pairs(corpus: DataFrame, delta: DataFrame,
         # delta-containing reps here and union them in: cost is bounded
         # by the BATCH (only gids absent from the snapshot are signed),
         # and with a fresh table the left_anti is an empty no-op.
-        missing = gnew.join(buckets.select(F.col("id").alias("gid")),
-                            "gid", "left_anti")
         buckets = buckets.unionByName(
-            rep_band_buckets(memb.join(missing, "gid"), num_hashes, bands))
+            delta_rep_buckets(memb, gnew, buckets, num_hashes, bands))
     probe = buckets.join(gnew.withColumnRenamed("gid", "id"), "id")
     a = probe.select(F.col("id").alias("na"), "band", "bucket")
     b = buckets.select(F.col("id").alias("nb"), "band", "bucket")

@@ -15,6 +15,7 @@ snapshot/labeling handoff between layers:
   connected_components emitted for the prior corpus.
 """
 
+import os
 import shutil
 
 import pytest
@@ -76,5 +77,51 @@ def test_stream_ingest_to_incremental_closure_equals_full_recompute(
     # node sets coincide: base labels = corpus-pair endpoints,
     # singletons = new-edge endpoints, and the full run's endpoints are
     # exactly their union (corpus-internal pairs are corpus-deterministic)
+    assert len(want) > 0
+    assert got == want
+
+
+def test_start_incremental_ingest_multi_batch_equals_full_recompute(
+        spark, sf_dir, tmp_path):
+    """The packaged operator (streaming/ingest.start_incremental_ingest)
+    fed three micro-batches — bootstrap, a batch carrying replayed ids,
+    a final batch — must leave a state dir whose corpus is exactly the
+    distinct doc set and whose labeling equals a from-scratch closure
+    over the whole corpus. maxFilesPerTrigger=1 forces one batch per
+    appended file, so the append-only buckets store and the label swap
+    are exercised across real batch boundaries."""
+    from cati_database_feeder_spark.streaming.ingest import (
+        start_incremental_ingest)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 2 == 0)      # 250 docs — keep it quick
+            .select("doc_id", "text"))
+    p0 = docs.filter(F.col("doc_id") % 3 == 0)
+    p1 = docs.filter(F.col("doc_id") % 3 == 1)
+    p2 = docs.filter(F.col("doc_id") % 3 == 2)
+    stream_dir = str(tmp_path / "stream_in")
+    p0.coalesce(1).write.mode("append").parquet(stream_dir)
+    # batch 2 replays a slice of batch 1's ids — exact dedup must drop them
+    p1.unionByName(p0.limit(20)).coalesce(1).write.mode("append").parquet(stream_dir)
+    p2.coalesce(1).write.mode("append").parquet(stream_dir)
+
+    state_dir = str(tmp_path / "state")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    q = start_incremental_ingest(stream, state_dir,
+                                 str(tmp_path / "ingest_ckpt"))
+    q.awaitTermination(300)
+    q.stop()
+
+    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
+    assert corpus.count() == docs.count()
+    assert corpus.select("doc_id").subtract(docs.select("doc_id")).count() == 0
+
+    got = {(r["id"], r["component"]) for r in
+           spark.read.parquet(os.path.join(state_dir, "labels")).collect()}
+    want = {(r["id"], r["component"]) for r in
+            connected_components(
+                dedup.near_dup_pairs(docs, threshold=0.7)
+                .select("id_a", "id_b")).collect()}
     assert len(want) > 0
     assert got == want
