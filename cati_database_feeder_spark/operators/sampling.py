@@ -99,9 +99,39 @@ def global_shuffle_ordinals(df: DataFrame, key: Column,
       free from the same job. Balanced for any key distribution at the
       cost of one sampled shuffle of the key column.
     """
+    keyed, pid, buckets = _global_order_buckets(df, key, partitions, hex_key)
+    offsets, acc = [], 0
+    for bpid, cnt, _ in buckets:
+        offsets.append((bpid, acc))
+        acc += cnt
+    if not offsets:  # empty input: no offsets — empty result
+        offsets = [(0, 0)]
+    off = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy("__key", *tie_cols)
+    return (keyed.withColumn("__pid", pid)
+            .join(F.broadcast(off), "__pid")
+            .withColumn("pos", F.row_number().over(w) + F.col("__off"))
+            .drop("__key", "__pid", "__off"))
+
+
+def _global_order_buckets(df: DataFrame, key: Column,
+                          partitions: int | None, hex_key: bool,
+                          value_col: str | None = None):
+    """Shared machinery of the global-order operators: returns
+    ``(keyed, pid, buckets)`` where ``keyed`` is ``df`` plus ``__key``,
+    ``pid`` is the monotone literal bucket expression described in
+    :func:`global_shuffle_ordinals`, and ``buckets`` is the sorted
+    driver-side list of ``(pid, row_count, value_sum)`` per non-empty
+    bucket (``value_sum`` None unless ``value_col`` given). One job,
+    driver state bounded by the bucket count."""
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
     keyed = df.withColumn("__key", key)
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    vcols = []
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("long")).alias("vs"))
+        vcols = [value_col]
     if hex_key:
         # integer DIV against a literal step: monotone over fixed-width
         # lowercase hex, exact (52-bit prefix, no double rounding)
@@ -109,44 +139,84 @@ def global_shuffle_ordinals(df: DataFrame, key: Column,
         pid = F.expr(
             f"CAST(CAST(conv(substring(__key, 1, {_HEX_PREFIX}), 16, 10) "
             f"AS BIGINT) DIV {step} AS INT)")
-        counts = (keyed.select(pid.alias("__pid"))
-                  .groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt"))
-                  .collect())
-        counts.sort(key=lambda r: r["__pid"])
-        offsets, acc = [], 0
-        for r in counts:
-            offsets.append((r["__pid"], acc))
-            acc += r["cnt"]
+        rows = (keyed.select(pid.alias("__pid"), *vcols)
+                .groupBy("__pid").agg(*aggs).collect())
+        rows.sort(key=lambda r: r["__pid"])
+        buckets = [(r["__pid"], r["cnt"],
+                    r["vs"] if value_col else None) for r in rows]
     else:
         # one pass over the pruned key column: sampled range shuffle,
-        # then per-partition (max, count) — n rows to the driver
-        stats = (keyed.select("__key")
+        # then per-partition (max, count[, sum]) — n rows to the driver
+        stats = (keyed.select("__key", *vcols)
                  .repartitionByRange(n, "__key")
                  .withColumn("__p", F.spark_partition_id())
                  .groupBy("__p")
-                 .agg(F.max("__key").alias("mx"),
-                      F.count(F.lit(1)).alias("cnt"))
+                 .agg(F.max("__key").alias("mx"), *aggs)
                  .collect())
         stats.sort(key=lambda r: r["__p"])
         # upper bound of every partition but the last; empty partitions
         # contribute no boundary (absent from stats entirely). Rows of
         # the j-th non-empty partition exceed exactly j observed maxima,
         # so the literal rule reproduces the partitioner's assignment —
-        # and its counts — with compacted bucket ids.
+        # and its aggregates — with compacted bucket ids.
         bounds = [r["mx"] for r in stats[:-1]]
         pid = F.lit(0)
         for b in bounds:
             pid = pid + F.when(F.col("__key") > F.lit(b), 1).otherwise(0)
         pid = pid.cast("int")
-        offsets, acc = [], 0
-        for i, r in enumerate(stats):
-            offsets.append((i, acc))
-            acc += r["cnt"]
-    if not offsets:  # empty input: no offsets — empty result
+        buckets = [(i, r["cnt"], r["vs"] if value_col else None)
+                   for i, r in enumerate(stats)]
+    return keyed, pid, buckets
+
+
+def pack_sequences(df: DataFrame, key: Column, tie_cols: list[str],
+                   n_tokens_col: str, budget: int,
+                   partitions: int | None = None,
+                   hex_key: bool = True) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a
+    deduped, filtered, shuffled corpus into fixed-budget training
+    sequences: documents are laid out in the deterministic pseudo-random
+    global order (same key contract as :func:`global_shuffle_ordinals`)
+    and the token stream is cut every ``budget`` tokens. Emits, per
+    document: ``seq_id`` (the sequence holding its first token),
+    ``seq_offset`` (where in that sequence it starts), ``n_seqs`` (how
+    many sequences it spans — 1 for everything shorter than a budget).
+    A loader can reconstruct every training sequence exactly from this
+    index, on any engine, with no re-shuffle.
+
+    Scale shape: the naive form is a running total OVER (ORDER BY key)
+    — a single-partition window. This runs the same literal-bucket
+    machinery as the ordinals operator with a per-bucket token SUM
+    collected alongside the counts, so each document's global start
+    offset = broadcast-joined bucket token offset + a within-bucket
+    running sum — one pass of bookkeeping, driver state bounded by the
+    bucket count, no global sort anywhere. Token counts cast to long;
+    sums are exact (no float drift between engines)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    keyed, pid, buckets = _global_order_buckets(
+        df, key, partitions, hex_key, value_col=n_tokens_col)
+    offsets, acc = [], 0
+    for bpid, _, vs in buckets:
+        offsets.append((bpid, acc))
+        acc += vs
+    if not offsets:
         offsets = [(0, 0)]
-    off = spark.createDataFrame(offsets, "__pid int, __off long")
-    w = Window.partitionBy("__pid").orderBy("__key", *tie_cols)
+    off = df.sparkSession.createDataFrame(offsets, "__pid int, __toff long")
+    w = (Window.partitionBy("__pid").orderBy("__key", *tie_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tok = F.col(n_tokens_col).cast("long")
+    start = (F.sum(tok).over(w) - tok + F.col("__toff")).alias("__start")
     return (keyed.withColumn("__pid", pid)
             .join(F.broadcast(off), "__pid")
-            .withColumn("pos", F.row_number().over(w) + F.col("__off"))
-            .drop("__key", "__pid", "__off"))
+            .withColumn("__start", start)
+            # integer DIV, not `/`: double division loses exactness past
+            # 2^53 total tokens — a few PB of text is within reach of that
+            .withColumn("seq_id", F.expr(f"__start DIV {budget}"))
+            .withColumn("seq_offset", F.col("__start") % budget)
+            .withColumn(
+                "n_seqs",
+                F.when(tok == 0, F.lit(1).cast("long")).otherwise(
+                    F.expr(f"(__start + CAST({n_tokens_col} AS BIGINT) - 1) "
+                           f"DIV {budget}") - F.col("seq_id") + 1))
+            .drop("__key", "__pid", "__toff", "__start"))

@@ -2110,6 +2110,47 @@ def text_pii_redact(spark, sf_dir):
                     (red != F.col("text")).alias("was_redacted"))
 
 
+@register("pack_training_sequences", sql=r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       start // 4096 AS seq_id,
+       start % 4096 AS seq_offset,
+       CASE WHEN n_tokens = 0 THEN 1
+            ELSE (start + n_tokens - 1) // 4096 - start // 4096 + 1
+       END AS n_seqs
+FROM ordered
+""")
+def pack_training_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/sampling.py:
+    pack_sequences): documents in the deterministic md5 shuffle order,
+    token stream cut every 4096 tokens; each doc gets the sequence id
+    and offset where its first token lands plus how many sequences it
+    spans — the index a training loader needs to materialize batches.
+    The oracle's running total OVER (ORDER BY ...) is the
+    single-partition shape; the engine computes the identical offsets
+    via literal bucket boundaries + a broadcast-joined per-bucket token
+    offset — no global sort, driver state bounded by bucket count."""
+    from cati_database_feeder_spark.operators.sampling import pack_sequences
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+    out = pack_sequences(d, F.md5(F.col("doc_id").cast("string")),
+                         ["doc_id"], "n_tokens", 4096)
+    return out.select("doc_id", "n_tokens", "seq_id", "seq_offset", "n_seqs")
+
+
 @register("sample_stratified_mix", sql=r"""
 WITH sampled AS (
   SELECT doc_id, lang, n_chars
@@ -2595,6 +2636,7 @@ _CHECK_ORDER = [
     #    ordinals now literal-bucketed; approx_aggregates gained its
     #    error-bound oracle; stale-banding auto-repair in the
     #    incremental path; star fallback in components) --
+    "pack_training_sequences",
     "corpus_shuffle_order", "q18_large_volume_customers",
     "approx_aggregates", "near_dup_incremental",
     "dedup_cluster_components", "dedup_cluster_incremental",
@@ -2624,10 +2666,11 @@ _CHECK_ORDER = [
     "dedup_token_jaccard_pairs", "dedup_shingle_jaccard_pairs",
     "dedup_char_ngram_jaccard_pairs", "dedup_simhash_pairs",
     "bm25_topk_search", "ivf_assign_topk", "snapshot_diff",
-    "events_exact_median", "null_normalization",
+    "events_exact_median",
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r05
     # at sf0.01, code unchanged since; still oracle-checked in-suite
     # (tests/test_oracle_gate.py) and by tools/check.py every run ----
+    "null_normalization",
     "funnel_view_to_purchase", "text_chunk_documents",
     "decontaminate_against_benchmark", "json_extract_props",
     "events_sliding_window", "backfill_month_repair_per_file",

@@ -47,6 +47,9 @@ _BARE_SUM_ALLOWED = {
     "events_session_window": 1,
     # SUM over DOUBLE ln() terms — double in both engines
     "bm25_topk_search": 1,
+    # running SUM(BIGINT) wrapped in CAST(COALESCE(...) AS BIGINT) one
+    # level out — the output type is pinned, just not adjacent to SUM(
+    "pack_training_sequences": 1,
     # CTE-internal window sums feeding only the cumw >= totw/2.0
     # comparison — never reach the output schema (output is MIN of a
     # raw data double)

@@ -261,6 +261,39 @@ def test_global_shuffle_ordinals_pinned_across_executions(spark):
     assert pinned_after <= pinned_before
 
 
+def test_pack_sequences_matches_single_partition_reference(spark):
+    """Packing invariants vs a driver-side reference over the exact
+    global order: start offsets are the exclusive running sum, seq_id /
+    seq_offset are integer div/mod, spans cover zero-token docs and
+    budget-straddling docs. Exercises both bucketing paths."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.operators.sampling import pack_sequences
+
+    rows = [(i, (i * 7) % 23) for i in range(300)]   # token counts 0..22
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    key = F.md5(F.col("doc_id").cast("string"))
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    want, acc = {}, 0
+    for doc, nt in order:
+        seq = acc // 10
+        span = 1 if nt == 0 else (acc + nt - 1) // 10 - seq + 1
+        want[doc] = (seq, acc % 10, span)
+        acc += nt
+    for hex_key in (True, False):
+        got = {r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_seqs"])
+               for r in pack_sequences(df, key, ["doc_id"], "n_tokens", 10,
+                                       partitions=7, hex_key=hex_key).collect()}
+        assert got == want
+    # budget-straddling really occurred (token counts up to 22 > 10)
+    assert any(v[2] >= 2 for v in want.values())
+    # no single-partition sort in the plan
+    out = pack_sequences(df, key, ["doc_id"], "n_tokens", 10, partitions=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "singlepartition" not in plan.lower()
+
+
 def test_global_shuffle_ordinals_no_single_partition_sort(spark):
     """Plan property: the ordinal assignment must not contain a global
     (single-partition) sort — the window sorts within literal-bounded
