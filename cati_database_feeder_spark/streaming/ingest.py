@@ -137,6 +137,40 @@ def ingest_batch(spark, batch: DataFrame, state_dir: str,
         delta.unpersist()
 
 
+def compact_state(spark, state_dir: str, target_files: int | None = None,
+                  prune_buckets: bool = True) -> None:
+    """Maintenance for the append-only stores: every ingest batch adds
+    one small parquet file to ``corpus/`` and ``buckets/``, and at
+    production batch cadence the file count — not the byte count — is
+    what degrades scan planning (per-file open cost, tiny row groups).
+    Rewrites both stores into ``target_files`` balanced files via the
+    same write-to-temp + rename swap the labels update uses. ``labels/``
+    is swap-written whole each batch and never needs compaction.
+
+    ``prune_buckets`` additionally drops banding rows whose id is no
+    longer its group's representative (superseded when a smaller id
+    joined the group): such rows are correctness-neutral — their
+    candidates always fail the rep-only verification join — but they
+    accumulate as pure probe/build overhead. Pruning costs one
+    tokenize pass over the corpus (the rep set must be recomputed),
+    which is the point of doing it HERE, amortized over many batches,
+    instead of per ingest."""
+    corpus_dir = os.path.join(state_dir, "corpus")
+    buckets_dir = os.path.join(state_dir, "buckets")
+    n = target_files or spark.sparkContext.defaultParallelism
+    if os.path.exists(corpus_dir):
+        _swap_write(spark.read.parquet(corpus_dir).repartition(n),
+                    corpus_dir)
+    if os.path.exists(buckets_dir):
+        buckets = spark.read.parquet(buckets_dir)
+        if prune_buckets and os.path.exists(corpus_dir):
+            memb = dedup.tokset_groups(spark.read.parquet(corpus_dir))
+            reps = (memb.filter(F.col("id") == F.col("gid"))
+                    .select("id"))
+            buckets = buckets.join(reps, "id", "left_semi")
+        _swap_write(buckets.repartition(n), buckets_dir)
+
+
 def start_incremental_ingest(stream: DataFrame, state_dir: str,
                              checkpoint_dir: str,
                              id_col: str = "doc_id",

@@ -81,6 +81,49 @@ def test_stream_ingest_to_incremental_closure_equals_full_recompute(
     assert got == want
 
 
+def test_ingest_batch_api_with_compaction(spark, tmp_path):
+    """The batch-level API (ingest_batch) + compact_state: three
+    batches where batch 2 supersedes an existing group's rep (doc 1
+    duplicates doc 10's text with a smaller id), compaction between
+    batches prunes the stale rep's banding rows and rewrites the
+    small-file stores, and the final labeling still equals a full
+    recompute."""
+    from cati_database_feeder_spark.streaming.ingest import (
+        compact_state, ingest_batch)
+
+    rows = [
+        (10, "alpha beta gamma delta"),
+        (11, "alpha beta gamma delta epsilon"),
+        (40, "foo bar baz qux"),
+        (1, "delta gamma beta alpha"),     # batch 2: same set as 10 -> new rep
+        (41, "foo bar baz qux quux"),
+        (70, "completely different text entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    state = str(tmp_path / "state")
+    ingest_batch(spark, df.filter(F.col("doc_id").isin(10, 11, 40)), state)
+    ingest_batch(spark, df.filter(F.col("doc_id").isin(1, 41)), state)
+
+    buckets_dir = os.path.join(state, "buckets")
+    before = spark.read.parquet(buckets_dir)
+    # doc 10's rows are now stale (doc 1 is the group's rep)
+    assert before.filter(F.col("id") == 10).count() > 0
+    compact_state(spark, state, target_files=2)
+    after = spark.read.parquet(buckets_dir)
+    assert after.filter(F.col("id") == 10).count() == 0
+    assert after.filter(F.col("id") == 1).count() > 0
+
+    ingest_batch(spark, df.filter(F.col("doc_id") == 70), state)
+    got = {(r["id"], r["component"]) for r in
+           spark.read.parquet(os.path.join(state, "labels")).collect()}
+    want = {(r["id"], r["component"]) for r in
+            connected_components(
+                dedup.near_dup_pairs(df, threshold=0.7)
+                .select("id_a", "id_b")).collect()}
+    assert len(want) > 0
+    assert got == want
+
+
 def test_start_incremental_ingest_multi_batch_equals_full_recompute(
         spark, sf_dir, tmp_path):
     """The packaged operator (streaming/ingest.start_incremental_ingest)
