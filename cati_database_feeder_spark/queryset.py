@@ -1503,6 +1503,37 @@ def similarity_ivf_topk(spark, sf_dir):
     return ivf_topk(q, assigned, cents, k=10, nprobe=4)
 
 
+@register("ivf_recall_check", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 100 = 0
+""")
+def ivf_recall_check(spark, sf_dir):
+    """E7 verification companion to ``similarity_ivf_topk``: the full
+    trained-IVF pipeline (2 Lloyd iterations, 16 cells, nprobe=4)
+    scored against exact brute-force top-10, reduced to one row —
+    query count plus a mean-recall@10 >= 0.35 boolean. K-means output
+    itself is float-order dependent and cannot be hash-oracled, but
+    the recall CONTRACT can: measured means are 0.56-0.64 across SFs
+    with deterministic seeds (first 16 vectors), so a sketch- or
+    clustering-regression that degrades retrieval flips the boolean
+    and hash-mismatches instead of hiding behind a rows-only pass."""
+    from cati_database_feeder_spark.operators.similarity import (
+        assign_cells, brute_force_topk, train_ivf_centroids, ivf_topk)
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0) \
+         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cents = train_ivf_centroids(e, n_cells=16)
+    assigned = assign_cells(e, cents)
+    ap = ivf_topk(q, assigned, cents, k=10, nprobe=4).select("q_id", "vec_id")
+    ex = brute_force_topk(q, e, k=10).select("q_id", "vec_id")
+    return (ex.agg(F.count_distinct("q_id").alias("n_queries"))
+            .crossJoin(ex.join(ap, ["q_id", "vec_id"])
+                       .agg(F.count(F.lit(1)).alias("h")))
+            .select("n_queries",
+                    (F.col("h") / (10.0 * F.col("n_queries")) >= 0.35)
+                    .alias("recall_ok")))
+
+
 @register("ivf_assign_topk", sql="""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid FROM e WHERE vec_id < 16),
@@ -2656,8 +2687,9 @@ _CHECK_ORDER = [
     "window_running_lag", "text_doc_profile", "pivot_unpivot_roundtrip",
     # -- rows-only by design (iterative k-means, no SQL-expressible
     #    oracle); keep in the window so the driver records the weaker
-    #    check every round --
-    "similarity_ivf_topk",
+    #    check every round, with the new recall gate hash-checked
+    #    beside it --
+    "similarity_ivf_topk", "ivf_recall_check",
     # -- r5 triple-green, re-confirmed while budget remains: flagship +
     #    dedup/search showcase --
     "flagship_feeder", "flagship_feeder_w6", "feeder_skipped_report",
@@ -2666,11 +2698,10 @@ _CHECK_ORDER = [
     "dedup_token_jaccard_pairs", "dedup_shingle_jaccard_pairs",
     "dedup_char_ngram_jaccard_pairs", "dedup_simhash_pairs",
     "bm25_topk_search", "ivf_assign_topk", "snapshot_diff",
-    "events_exact_median",
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r05
     # at sf0.01, code unchanged since; still oracle-checked in-suite
     # (tests/test_oracle_gate.py) and by tools/check.py every run ----
-    "null_normalization",
+    "events_exact_median", "null_normalization",
     "funnel_view_to_purchase", "text_chunk_documents",
     "decontaminate_against_benchmark", "json_extract_props",
     "events_sliding_window", "backfill_month_repair_per_file",
