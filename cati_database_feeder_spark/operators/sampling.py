@@ -52,6 +52,35 @@ def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
     return df.filter(bucket < threshold)
 
 
+def mixture_fractions(sizes: dict[str, float], alpha: float = 0.5,
+                      target_fraction: float = 1.0) -> dict[str, float]:
+    """Temperature-scaled mixture weights — the standard multilingual/
+    multi-source pretraining recipe (sampling probability ∝ size^α,
+    α<1 flattens toward uniform, α=1 is natural proportions): turns
+    per-stratum corpus SIZES into per-stratum KEEP fractions for
+    :func:`stratified_sample`, maximal subject to (a) expected kept
+    rows proportional to the α-tempered distribution, (b) no fraction
+    above 1 (can't up-sample by gating), (c) expected total kept ≤
+    ``target_fraction`` of the corpus. Pure driver-side arithmetic —
+    the scale cost lives entirely in the map-only hash gate it feeds."""
+    if not 0 <= target_fraction <= 1:
+        raise ValueError(f"target_fraction must be in [0,1], got {target_fraction}")
+    if any(s < 0 for s in sizes.values()):
+        raise ValueError("sizes must be non-negative")
+    pos = {k: s for k, s in sizes.items() if s > 0}
+    if not pos:
+        return {k: 0.0 for k in sizes}
+    total_w = sum(s ** alpha for s in pos.values())
+    q = {k: (s ** alpha) / total_w for k, s in pos.items()}
+    # expected kept under scale c is c (fractions f_i = c*q_i/s_i);
+    # the binding constraint is the stratum whose f_i hits 1 first
+    c = min(min(s / q[k] for k, s in pos.items()),
+            target_fraction * sum(sizes.values()))
+    out = {k: 0.0 for k in sizes}
+    out.update({k: min(1.0, c * q[k] / s) for k, s in pos.items()})
+    return out
+
+
 def global_shuffle_ordinals(df: DataFrame, key: Column,
                             tie_cols: list[str],
                             partitions: int | None = None,

@@ -261,6 +261,32 @@ def test_global_shuffle_ordinals_pinned_across_executions(spark):
     assert pinned_after <= pinned_before
 
 
+def test_mixture_fractions_temperature_properties():
+    import pytest
+    from cati_database_feeder_spark.operators.sampling import mixture_fractions
+
+    sizes = {"en": 1_000_000, "de": 100_000, "sw": 1_000}
+    # alpha=1: natural proportions — keep everything (c binds at the
+    # largest stratum's fraction hitting 1 simultaneously for all)
+    f1 = mixture_fractions(sizes, alpha=1.0)
+    assert all(f == pytest.approx(1.0) for f in f1.values())
+    # alpha=0.5 flattens: the smallest stratum keeps 100%, bigger ones
+    # are down-sampled, and EXPECTED KEPT follows size^0.5 exactly
+    f = mixture_fractions(sizes, alpha=0.5)
+    assert f["sw"] == pytest.approx(1.0)
+    kept = {k: f[k] * sizes[k] for k in sizes}
+    assert kept["en"] / kept["de"] == pytest.approx((10.0) ** 0.5, rel=1e-9)
+    assert kept["de"] / kept["sw"] == pytest.approx((100.0) ** 0.5, rel=1e-9)
+    # target_fraction caps expected total
+    fc = mixture_fractions(sizes, alpha=0.5, target_fraction=0.01)
+    assert sum(fc[k] * sizes[k] for k in sizes) == pytest.approx(
+        0.01 * sum(sizes.values()))
+    # zero-size strata come back 0.0, never a division error
+    assert mixture_fractions({"a": 0, "b": 10}, alpha=0.5)["a"] == 0.0
+    with pytest.raises(ValueError, match="target_fraction"):
+        mixture_fractions(sizes, target_fraction=1.5)
+
+
 def test_pack_sequences_matches_single_partition_reference(spark):
     """Packing invariants vs a driver-side reference over the exact
     global order: start offsets are the exclusive running sum, seq_id /
