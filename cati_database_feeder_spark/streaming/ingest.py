@@ -58,14 +58,21 @@ from cati_database_feeder_spark.operators.graph import (
 
 def _swap_write(df: DataFrame, target: str) -> None:
     """Replace the parquet dir at ``target`` with ``df`` atomically-ish:
-    write to a sibling temp dir, then rename over. The writing plan may
-    READ the old ``target`` (the labels update does), so an in-place
-    overwrite would corrupt its own input."""
+    write to a sibling temp dir, move the old dir aside, rename the new
+    one in, THEN delete the old — the target is never absent longer
+    than one rename, and a crash mid-swap leaves either the old or the
+    new state readable. The writing plan may READ the old ``target``
+    (the labels update does), so an in-place overwrite would corrupt
+    its own input."""
     tmp = target.rstrip("/") + "__tmp"
+    old = target.rstrip("/") + "__old"
     df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(target):
-        shutil.rmtree(target)
+        os.rename(target, old)
     os.rename(tmp, target)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def ingest_batch(spark, batch: DataFrame, state_dir: str,
@@ -83,17 +90,23 @@ def ingest_batch(spark, batch: DataFrame, state_dir: str,
              .dropDuplicates(["doc_id"]))
 
     if not os.path.exists(corpus_dir):
-        # bootstrap: the first batch IS the corpus snapshot
+        # bootstrap: the first batch IS the corpus snapshot. The corpus
+        # write goes LAST as the commit marker: a retry of a partially
+        # committed bootstrap (foreachBatch is at-least-once) must
+        # re-enter THIS branch and redo labels/buckets — were corpus
+        # written first, the retry would take the incremental path,
+        # see an empty delta, and return with labels/buckets missing
+        # forever.
         memb = dedup.tokset_groups(batch)
         pairs = dedup.near_dup_pairs(batch, threshold=threshold,
                                      num_hashes=num_hashes, bands=bands,
                                      groups=memb)
         labels = connected_components(
             pairs.select("id_a", "id_b"))
-        batch.write.mode("overwrite").parquet(corpus_dir)
         _swap_write(labels, labels_dir)
         (dedup.rep_band_buckets(memb, num_hashes, bands)
          .write.mode("overwrite").parquet(buckets_dir))
+        batch.write.mode("overwrite").parquet(corpus_dir)
         return
 
     corpus = spark.read.parquet(corpus_dir)

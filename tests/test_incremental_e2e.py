@@ -124,6 +124,51 @@ def test_ingest_batch_api_with_compaction(spark, tmp_path):
     assert got == want
 
 
+def test_ingest_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: redelivering a batch — including
+    a bootstrap retried from a partial commit where corpus/ (the commit
+    marker, written last) is missing — must leave the state byte-stable:
+    the labels relabel is a fixed point, the buckets append finds
+    nothing missing, the corpus anti-join drops everything."""
+    import shutil as sh
+
+    from cati_database_feeder_spark.streaming.ingest import ingest_batch
+
+    rows = [(10, "alpha beta gamma delta"), (11, "alpha beta gamma delta x"),
+            (40, "foo bar baz qux"), (41, "foo bar baz qux quux")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    b1 = df.filter(F.col("doc_id") < 40)
+    b2 = df.filter(F.col("doc_id") >= 40)
+    state = str(tmp_path / "state")
+
+    def snapshot():
+        lab = {(r["id"], r["component"]) for r in
+               spark.read.parquet(os.path.join(state, "labels")).collect()}
+        cor = sorted(r["doc_id"] for r in
+                     spark.read.parquet(os.path.join(state, "corpus")).collect())
+        bkt = sorted((r["id"], r["band"], r["bucket"]) for r in
+                     spark.read.parquet(os.path.join(state, "buckets")).collect())
+        return lab, cor, bkt
+
+    ingest_batch(spark, b1, state)
+    # crash-retry of the bootstrap: corpus/ (written last) missing,
+    # labels/ and buckets/ already committed → must re-bootstrap fully
+    s1 = snapshot()
+    sh.rmtree(os.path.join(state, "corpus"))
+    ingest_batch(spark, b1, state)
+    assert snapshot() == s1
+    # straight redelivery of a completed bootstrap batch
+    ingest_batch(spark, b1, state)
+    assert snapshot() == s1
+
+    ingest_batch(spark, b2, state)
+    s2 = snapshot()
+    assert s2 != s1
+    # redelivery of a completed incremental batch
+    ingest_batch(spark, b2, state)
+    assert snapshot() == s2
+
+
 def test_start_incremental_ingest_multi_batch_equals_full_recompute(
         spark, sf_dir, tmp_path):
     """The packaged operator (streaming/ingest.start_incremental_ingest)
