@@ -152,14 +152,24 @@ def _global_order_buckets(df: DataFrame, key: Column,
     :func:`global_shuffle_ordinals`, and ``buckets`` is the sorted
     driver-side list of ``(pid, row_count, value_sum)`` per non-empty
     bucket (``value_sum`` None unless ``value_col`` given). One job,
-    driver state bounded by the bucket count."""
+    driver state bounded by the bucket count.
+
+    Key contract, ENFORCED: keys must be non-null (and, under
+    ``hex_key``, valid lowercase hex). A null/non-hex key would make
+    the bucket expression NULL — such rows would silently vanish in
+    the downstream inner join on ``__pid`` and the driver-side sort
+    would crash on None — so the violation is surfaced here as a
+    descriptive error instead. ``value_col`` is coalesced to 0 per
+    row (a null token count contributes nothing to the running
+    offsets rather than poisoning a whole bucket's sum)."""
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
     keyed = df.withColumn("__key", key)
     aggs = [F.count(F.lit(1)).alias("cnt")]
     vcols = []
     if value_col is not None:
-        aggs.append(F.sum(F.col(value_col).cast("long")).alias("vs"))
+        aggs.append(F.sum(F.coalesce(F.col(value_col).cast("long"),
+                                     F.lit(0))).alias("vs"))
         vcols = [value_col]
     if hex_key:
         # integer DIV against a literal step: monotone over fixed-width
@@ -170,6 +180,14 @@ def _global_order_buckets(df: DataFrame, key: Column,
             f"AS BIGINT) DIV {step} AS INT)")
         rows = (keyed.select(pid.alias("__pid"), *vcols)
                 .groupBy("__pid").agg(*aggs).collect())
+        if any(r["__pid"] is None for r in rows):
+            raise ValueError(
+                "global-order key contract violated: a NULL or non-hex "
+                "key produced a NULL bucket id (the hex_key contract is "
+                "a non-null lowercase-hex hash string, e.g. md5(...)) — "
+                "rows with such keys would otherwise be silently dropped "
+                "by the __pid join; fix the key expression or filter "
+                "null keys upstream")
         rows.sort(key=lambda r: r["__pid"])
         buckets = [(r["__pid"], r["cnt"],
                     r["vs"] if value_col else None) for r in rows]
@@ -180,8 +198,16 @@ def _global_order_buckets(df: DataFrame, key: Column,
                  .repartitionByRange(n, "__key")
                  .withColumn("__p", F.spark_partition_id())
                  .groupBy("__p")
-                 .agg(F.max("__key").alias("mx"), *aggs)
+                 .agg(F.max("__key").alias("mx"),
+                      F.sum(F.col("__key").isNull().cast("long")).alias("nn"),
+                      *aggs)
                  .collect())
+        if any(r["nn"] for r in stats):
+            raise ValueError(
+                "global-order key contract violated: NULL keys observed "
+                "(the literal boundary rule cannot place them and the "
+                "within-bucket order by a NULL key is ill-defined) — "
+                "filter null keys upstream or coalesce the key expression")
         stats.sort(key=lambda r: r["__p"])
         # upper bound of every partition but the last; empty partitions
         # contribute no boundary (absent from stats entirely). Rows of
@@ -234,10 +260,14 @@ def pack_sequences(df: DataFrame, key: Column, tie_cols: list[str],
     off = df.sparkSession.createDataFrame(offsets, "__pid int, __toff long")
     w = (Window.partitionBy("__pid").orderBy("__key", *tie_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    tok = F.col(n_tokens_col).cast("long")
+    # null-safe token count: a null counts as 0 tokens (matches the
+    # coalesced bucket sums in _global_order_buckets — a null row keeps
+    # its slot in the order but consumes no budget)
+    tok = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
     start = (F.sum(tok).over(w) - tok + F.col("__toff")).alias("__start")
     return (keyed.withColumn("__pid", pid)
             .join(F.broadcast(off), "__pid")
+            .withColumn("__tok", tok)
             .withColumn("__start", start)
             # integer DIV, not `/`: double division loses exactness past
             # 2^53 total tokens — a few PB of text is within reach of that
@@ -245,7 +275,7 @@ def pack_sequences(df: DataFrame, key: Column, tie_cols: list[str],
             .withColumn("seq_offset", F.col("__start") % budget)
             .withColumn(
                 "n_seqs",
-                F.when(tok == 0, F.lit(1).cast("long")).otherwise(
-                    F.expr(f"(__start + CAST({n_tokens_col} AS BIGINT) - 1) "
-                           f"DIV {budget}") - F.col("seq_id") + 1))
-            .drop("__key", "__pid", "__toff", "__start"))
+                F.when(F.col("__tok") == 0, F.lit(1).cast("long")).otherwise(
+                    F.expr(f"(__start + __tok - 1) DIV {budget}")
+                    - F.col("seq_id") + 1))
+            .drop("__key", "__pid", "__toff", "__start", "__tok"))

@@ -27,11 +27,20 @@ from cati_database_feeder_spark.functions import vectors as V
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                      q_id: str = "q_id", q_vec: str = "q_vec",
                      c_id: str = "vec_id", c_vec: str = "embedding",
-                     broadcast_queries: bool = True) -> DataFrame:
-    """Exact top-k: broadcast the (small) query set against the corpus,
-    score, rank per query with a deterministic tie-break. Norms are
-    pre-computed per vector (not per pair) — bit-identical cosine, a
-    third of the per-pair array folds."""
+                     broadcast_queries: bool = False) -> DataFrame:
+    """Exact top-k: score every (query, corpus) pair, rank per query
+    with a deterministic tie-break. Norms are pre-computed per vector
+    (not per pair) — bit-identical cosine, a third of the per-pair
+    array folds.
+
+    No forced broadcast by default: Catalyst/AQE already picks
+    BroadcastNestedLoopJoin when the query side is under the broadcast
+    threshold, and a forced hint is honored REGARDLESS of size — a
+    query frame derived from the corpus grows linearly with data and
+    would OOM the driver at scale (the same rule written into
+    queryset.py's q18 docstring). ``broadcast_queries=True`` is the
+    explicit opt-in for a serving contract whose query set is bounded
+    by construction."""
     qn = queries.withColumn("__qn", V.norm(F.col(q_vec)))
     q = F.broadcast(qn) if broadcast_queries else qn
     scored = (corpus.withColumn("__cn", V.norm(F.col(c_vec)))
@@ -59,10 +68,13 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
     """Approximate top-k: candidates share the LSH bucket (equi-join),
     exact cosine rerank within candidates (norms pre-computed per
-    vector, see brute_force_topk)."""
+    vector, see brute_force_topk). The bucket join is hint-free: AQE
+    broadcasts the query side when it is genuinely small, and a
+    corpus-derived query frame (which scales with data) falls back to
+    a shuffle join instead of an unconditional broadcast."""
     qb = with_lsh_bucket(queries, q_vec, n_bits).withColumn("__qn", V.norm(F.col(q_vec)))
     cb = with_lsh_bucket(corpus, c_vec, n_bits).withColumn("__cn", V.norm(F.col(c_vec)))
-    scored = (cb.join(F.broadcast(qb), on="bucket")
+    scored = (cb.join(qb, on="bucket")
               .withColumn("cosine", V.cosine_from_norms(
                   F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn"))))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
@@ -185,14 +197,17 @@ def ivf_topk(queries: DataFrame, corpus_assigned: DataFrame,
     argmin — no crossJoin, no window on the query side), exact cosine
     rerank inside the probed cells. ``corpus_assigned`` must carry a
     ``cell`` column (write-time layout: partition the corpus parquet by
-    cell, so the probe join prunes partitions)."""
+    cell, so the probe join prunes partitions). The probe join is
+    hint-free — AQE broadcasts a small probe set on its own, and a
+    corpus-derived (linearly scaling) query frame degrades to a
+    shuffle join on ``cell`` instead of an unconditional broadcast."""
     probes = (queries
               .withColumn("cell", F.explode(
                   nearest_cells(F.col(q_vec), centroid_rows, nprobe, by)))
               .withColumn("__qn", V.norm(F.col(q_vec)))
               .select(q_id, q_vec, "__qn", "cell"))
     scored = (corpus_assigned.withColumn("__cn", V.norm(F.col(c_vec)))
-              .join(F.broadcast(probes), on="cell")
+              .join(probes, on="cell")
               .withColumn("cosine", V.cosine_from_norms(
                   F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn"))))
     w2 = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))

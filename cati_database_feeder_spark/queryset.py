@@ -1481,42 +1481,28 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     return cosine_near_dup_pairs(e, threshold=0.3, n_bits=4)
 
 
-@register("similarity_ivf_topk")  # iterative k-means: no SQL oracle, rows-only check
-def similarity_ivf_topk(spark, sf_dir):
-    """E7 100 TB shape: IVF — train a coarse quantizer (2 Lloyd
-    iterations; assignment is a per-row argmin over the literal
-    centroid array, so each iteration is map-only plus one
-    n_cells-group aggregate — no crossJoin, no corpus-wide window),
-    assign the corpus to cells (write-time layout in production:
-    partition parquet by cell), probe the 4 nearest cells per query,
-    exact rerank inside. K-means is iterative and data-dependent,
-    hence no SQL oracle; the fixed-centroid half of the pipeline is
-    hash-checked separately by ``ivf_assign_topk``
-    (operators/similarity.py:train_ivf_centroids/ivf_topk)."""
-    from cati_database_feeder_spark.operators.similarity import (
-        assign_cells, train_ivf_centroids, ivf_topk)
-    e = T(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0) \
-         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    cents = train_ivf_centroids(e, n_cells=16)
-    assigned = assign_cells(e, cents)
-    return ivf_topk(q, assigned, cents, k=10, nprobe=4)
-
-
 @register("ivf_recall_check", sql="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
 FROM embeddings WHERE vec_id % 100 = 0
 """)
 def ivf_recall_check(spark, sf_dir):
-    """E7 verification companion to ``similarity_ivf_topk``: the full
-    trained-IVF pipeline (2 Lloyd iterations, 16 cells, nprobe=4)
-    scored against exact brute-force top-10, reduced to one row —
-    query count plus a mean-recall@10 >= 0.35 boolean. K-means output
-    itself is float-order dependent and cannot be hash-oracled, but
-    the recall CONTRACT can: measured means are 0.56-0.64 across SFs
-    with deterministic seeds (first 16 vectors), so a sketch- or
-    clustering-regression that degrades retrieval flips the boolean
-    and hash-mismatches instead of hiding behind a rows-only pass."""
+    """E7 100 TB shape, hash-gated: the full trained-IVF pipeline —
+    train a coarse quantizer (2 Lloyd iterations, 16 cells; assignment
+    is a per-row argmin over the literal centroid array, so each
+    iteration is map-only plus one n_cells-group aggregate — no
+    crossJoin, no corpus-wide window), assign the corpus to cells
+    (write-time layout in production: partition parquet by cell),
+    probe the 4 nearest cells per query, exact rerank inside — scored
+    against exact brute-force top-10 and reduced to one row: query
+    count plus a mean-recall@10 >= 0.35 boolean. K-means OUTPUT is
+    float-order dependent and cannot be hash-oracled (the retired
+    ``similarity_ivf_topk`` demo sat rows-only for six rounds for
+    exactly that reason), but the retrieval CONTRACT can: measured
+    means are 0.56-0.64 across SFs with deterministic seeds (first 16
+    vectors), so a clustering regression that degrades retrieval flips
+    the boolean and hash-mismatches instead of hiding behind a
+    rows-only pass. The deterministic fixed-centroid half of IVF is
+    hash-checked value-by-value in ``ivf_assign_topk``."""
     from cati_database_feeder_spark.operators.similarity import (
         assign_cells, brute_force_topk, train_ivf_centroids, ivf_topk)
     e = T(spark, sf_dir, "embeddings")
@@ -1817,8 +1803,11 @@ FROM documents
 """)
 def multimodal_binary_features(spark, sf_dir):
     """E9: binary-column plumbing — documents.text cast to binary plays
-    the opaque payload (real decode UDFs are stubbed in
-    sources/multimodal.py; the Spark-side schema/plumbing is real)."""
+    the opaque payload. The full decode path (3-tier: real
+    PIL/soundfile decode when available, pure-Python header parse,
+    deterministic fake) lives in sources/multimodal.py:177-276 and is
+    exercised in tests/test_multimodal.py; this query oracle-checks the
+    JVM-side binary plumbing (octet_length/md5/hex over binary)."""
     d = T(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
     return d.select(
@@ -2205,6 +2194,71 @@ def sample_stratified_mix(spark, sf_dir):
     mix = {"en": 0.9, "zh": 0.5, "es": 0.5, "de": 0.25, "fr": 0.25}
     return (stratified_sample(d, "lang", "doc_id", mix)
             .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+@register("sample_tempered_mix", sql=r"""
+WITH sizes AS (SELECT lang, COUNT(*) AS s FROM documents GROUP BY lang),
+thr AS (
+  SELECT lang,
+         CAST(round(LEAST(1.0,
+              sqrt(CAST((SELECT MIN(s) FROM sizes) AS DOUBLE)
+                   / CAST(s AS DOUBLE))) * 10000) AS BIGINT) AS thr
+  FROM sizes
+),
+sampled AS (
+  SELECT d.lang, d.n_chars, t.thr
+  FROM documents d JOIN thr t USING (lang)
+  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 10000 < t.thr
+)
+SELECT lang, thr, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sampled
+GROUP BY lang, thr
+""")
+def sample_tempered_mix(spark, sf_dir):
+    """E32 end-to-end: temperature-scaled mixture weighting COMPOSED
+    with the deterministic hash gate — per-stratum sizes from a
+    groupBy (bounded driver state, one row per language), keep
+    fractions from ``mixture_fractions`` (α=0.5, no target cap), gate
+    applied by ``stratified_sample``, per-stratum manifest out with the
+    integer threshold each stratum gated on, so the oracle checks the
+    TEMPERED ARITHMETIC itself, not just the sampled counts.
+
+    Oracle reproducibility: the general ``mixture_fractions`` path
+    normalizes by Σ size^α, whose float value depends on summation
+    order — not something a SQL engine can be asked to replay bit-
+    for-bit. At α=0.5 with the target cap slack the result reduces
+    ALGEBRAICALLY to f_k = sqrt(s_min / s_k) (the binding constraint
+    is always the smallest stratum: Σ√s·min√s ≤ Σs), a closed form
+    both engines evaluate bit-identically (one correctly-rounded IEEE
+    division + one correctly-rounded sqrt, no order-dependent sums).
+    The query gates with the closed form and ASSERTS the general path
+    agrees to 1e-9 — a regression in ``mixture_fractions`` fails the
+    query, while the hash compare stays deterministic
+    (operators/sampling.py:mixture_fractions/stratified_sample)."""
+    import math
+
+    from cati_database_feeder_spark.operators.sampling import (
+        GRAIN, mixture_fractions, stratified_sample)
+    d = T(spark, sf_dir, "documents")
+    sizes = {r["lang"]: r["n"] for r in
+             d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    smin = min(sizes.values())
+    closed = {k: min(1.0, math.sqrt(smin / s)) for k, s in sizes.items()}
+    mix = mixture_fractions(sizes, alpha=0.5, target_fraction=1.0)
+    drift = {k: abs(mix[k] - closed[k]) for k in sizes}
+    if max(drift.values()) > 1e-9:
+        raise AssertionError(
+            f"mixture_fractions diverged from its α=0.5 closed form: {drift}")
+    thr = F.lit(0)
+    for lang, frac in sorted(closed.items()):
+        thr = F.when(F.col("lang") == lang,
+                     F.lit(int(round(frac * GRAIN)))).otherwise(thr)
+    return (stratified_sample(d, "lang", "doc_id", closed)
+            .withColumn("thr", thr.cast("bigint"))
+            .groupBy("lang", "thr")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("total_chars")))
 
@@ -2663,44 +2717,18 @@ def udaf_trimmed_mean(spark, sf_dir):
 # oracle on every pytest run (tests/test_oracle_gate.py) and by
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
-    # -- code changed this round (q18 broadcast posture; shuffle
-    #    ordinals now literal-bucketed; approx_aggregates gained its
-    #    error-bound oracle; stale-banding auto-repair in the
-    #    incremental path; star fallback in components) --
-    "pack_training_sequences",
-    "corpus_shuffle_order", "q18_large_volume_customers",
-    "approx_aggregates", "near_dup_incremental",
-    "dedup_cluster_components", "dedup_cluster_incremental",
-    "sample_stratified_mix",
-    # -- r4-green tail rotated back through the window (last driver
-    #    green is r4; the ratchet requires recency, not existence) --
-    "window_top_orders_per_customer",
-    "array_functions", "month_surgery_faithful", "union_pages",
-    "top_k_orders", "agg_rollup_region_nation",
-    "window_first_occurrence_dedup", "agg_distinct_counts",
-    "embedding_lsh_topk", "string_functions", "bulk_multi_wave",
-    "limit_first_match", "backfill_coalesce_repair",
-    "join_range_buckets", "cross_join_pairs",
-    "text_fingerprint_dedup", "embedding_cosine_topk",
-    "dedup_embedding_cosine_pairs", "scalar_functions",
-    "join_inner_left_pack", "set_ops_pack", "agg_cube_grouping_sets",
-    "window_running_lag", "text_doc_profile", "pivot_unpivot_roundtrip",
-    # -- rows-only by design (iterative k-means, no SQL-expressible
-    #    oracle); keep in the window so the driver records the weaker
-    #    check every round, with the new recall gate hash-checked
-    #    beside it --
-    "similarity_ivf_topk", "ivf_recall_check",
-    # -- r5 triple-green, re-confirmed while budget remains: flagship +
-    #    dedup/search showcase --
-    "flagship_feeder", "flagship_feeder_w6", "feeder_skipped_report",
-    "join_multiway_star", "udaf_weighted_median", "udaf_trimmed_mean",
-    "near_dup_pairs", "dedup_minhash_lsh_pairs",
-    "dedup_token_jaccard_pairs", "dedup_shingle_jaccard_pairs",
-    "dedup_char_ngram_jaccard_pairs", "dedup_simhash_pairs",
-    "bm25_topk_search", "ivf_assign_topk", "snapshot_diff",
-    # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r05
-    # at sf0.01, code unchanged since; still oracle-checked in-suite
-    # (tests/test_oracle_gate.py) and by tools/check.py every run ----
+    # -- new this round: tempered mixing composed end-to-end (E32) --
+    "sample_tempered_mix",
+    # -- code changed this round (similarity query-side broadcasts
+    #    dropped and similarity_ivf_topk's rows-only row retired into
+    #    ivf_recall_check; membership store behind the incremental
+    #    ingest path; null-key guards in the global-order machinery) --
+    "ivf_recall_check", "ivf_assign_topk", "embedding_cosine_topk",
+    "embedding_lsh_topk", "dedup_embedding_cosine_pairs",
+    "near_dup_incremental", "pack_training_sequences",
+    "corpus_shuffle_order", "sample_stratified_mix",
+    # -- r5-green tail rotated back through the window (last driver
+    #    green is r5; the ratchet requires recency, not existence) --
     "events_exact_median", "null_normalization",
     "funnel_view_to_purchase", "text_chunk_documents",
     "decontaminate_against_benchmark", "json_extract_props",
@@ -2715,6 +2743,30 @@ _CHECK_ORDER = [
     "join_asof_backward", "events_tumbling_window",
     "events_session_window", "events_daily_gap_fill",
     "agg_pricing_summary",
+    # -- r6 triple-green, re-confirmed while budget remains: the dedup
+    #    family (shares dedup.py with the membership-store work) +
+    #    flagship --
+    "near_dup_pairs", "dedup_minhash_lsh_pairs",
+    "dedup_token_jaccard_pairs", "dedup_shingle_jaccard_pairs",
+    "dedup_char_ngram_jaccard_pairs", "dedup_simhash_pairs",
+    "dedup_cluster_components", "dedup_cluster_incremental",
+    "text_fingerprint_dedup", "flagship_feeder",
+    "q18_large_volume_customers", "approx_aggregates",
+    "bm25_topk_search",
+    # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r06
+    # at sf0.01, code unchanged since; still oracle-checked in-suite
+    # (tests/test_oracle_gate.py) and by tools/check.py every run ----
+    "agg_cube_grouping_sets", "agg_distinct_counts",
+    "agg_rollup_region_nation", "array_functions",
+    "backfill_coalesce_repair", "bulk_multi_wave", "cross_join_pairs",
+    "feeder_skipped_report", "flagship_feeder_w6",
+    "join_inner_left_pack", "join_multiway_star", "join_range_buckets",
+    "limit_first_match", "month_surgery_faithful",
+    "pivot_unpivot_roundtrip", "scalar_functions", "set_ops_pack",
+    "snapshot_diff", "string_functions", "text_doc_profile",
+    "top_k_orders", "udaf_trimmed_mean", "udaf_weighted_median",
+    "union_pages", "window_first_occurrence_dedup",
+    "window_running_lag", "window_top_orders_per_customer",
 ]
 
 _missing = [n for n in _CHECK_ORDER if n not in QUERIES]
