@@ -79,6 +79,15 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     queryset._cluster_base_labels_stage(spark, sf_dir).count()
     timings["stage:cluster_base_labels"] = round(time.time() - t0, 3)
+    # the corpus-side membership + banding stores of the store-backed
+    # incremental path (near_dup_incremental_store): in production both
+    # are parquet tables maintained by ingest_batch — built once per
+    # corpus snapshot, probed by every batch — so their build is a
+    # stage, not a per-query cost
+    t0 = time.time()
+    queryset._corpus_store_stage(spark, sf_dir).count()
+    queryset._corpus_store_buckets_stage(spark, sf_dir).count()
+    timings["stage:corpus_store"] = round(time.time() - t0, 3)
 
     def run_once(name, fn):
         t0 = time.time()

@@ -394,8 +394,13 @@ def incremental_near_dup_pairs(corpus: DataFrame, delta: DataFrame,
       ``buckets`` snapshot (one that predates the delta) is
       auto-repaired: delta-containing groups missing from it are
       signed on the fly and unioned in, so no delta doc can silently
-      lose its candidates — the injected table need only cover the
-      corpus it was built from.
+      lose its candidates. PRECONDITION, stated precisely: the repair
+      closes the DELTA-side gap only — the injected table must cover
+      every current rep of the ``corpus`` ARGUMENT (be built from, or
+      maintained to cover, exactly that corpus; true by induction
+      under the ingest loop). A table stale w.r.t. the corpus itself —
+      corpus docs added after the snapshot that are not in this delta
+      — is NOT repaired here and silently loses corpus-side candidates.
 
     Docs whose ids collide between corpus and delta are the caller's
     contract to avoid (ingest ids are unique)."""
@@ -475,6 +480,153 @@ def incremental_near_dup_pairs(corpus: DataFrame, delta: DataFrame,
             .select(F.col("x").alias("id_a"), F.col("y").alias("id_b")))
     within = w_no.unionByName(w_nn).withColumn("jaccard", F.lit(1.0))
     return within.unionByName(cross)
+
+
+def tokset_key(toks: Column) -> Column:
+    """Fixed-width string key of a token SET for store lookups: md5 of
+    the ``to_json`` of the sorted array. The JSON step makes the
+    pre-hash encoding injective (the concat_ws separator ambiguity
+    tokset_groups' docstring warns about cannot occur: a token
+    containing a quote/backslash is escaped), so the only collision
+    source is md5 itself — the same accepted idiom as
+    ``exact_content_dedup``'s fingerprint grouping. NULL arrays hash
+    the literal ``'null'`` sentinel — no JSON array encoding starts
+    with anything but ``[``, so the sentinel cannot collide either.
+    32 hex chars regardless of document size: the reps store's key
+    column (scanned by every per-batch membership probe) stays
+    narrow no matter how large documents get."""
+    return F.md5(F.coalesce(F.to_json(F.array_sort(toks)), F.lit("null")))
+
+
+def delta_membership(delta: DataFrame, reps: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, gid, toks, key, known) token-set membership for a DELTA
+    against a persisted ``reps`` store ((gid, toks, key) — one row per
+    existing group) — the batch-bounded replacement for
+    ``tokset_groups(corpus ∪ delta)`` that reads NO corpus text: the
+    only corpus-derived input is the reps store's key column.
+
+    gid is STABLE: a delta doc whose token set matches a stored group
+    keeps that group's gid even when the doc's id is smaller than it —
+    so a group's representative NEVER changes after the group is
+    created, band rows in a banding store are never superseded, and
+    every append-only store stays valid without repair. (Pair output
+    is unchanged by the rep choice: grouping is a property of the sets,
+    members' sets are identical to their rep's, so verified Jaccards
+    and expanded pairs are the same for any member chosen as rep — see
+    tokset_groups for the expansion argument.) Delta docs with novel
+    sets group among themselves by min delta id.
+
+    Scale shape: tokenize + window over the BATCH only; one equi-join
+    of the batch keys against the store keys (AQE broadcasts the batch
+    side; at 100 TB the reps store is written bucketed by ``key`` so
+    the probe co-locates without a store-side shuffle)."""
+    dt = (delta.select(F.col(id_col).alias("id"),
+                       F.array_distinct(T.tokens(F.col(text_col))).alias("toks"))
+          .withColumn("key", tokset_key(F.col("toks"))))
+    dt = dt.withColumn("lgid", F.min("id").over(Window.partitionBy("key")))
+    rk = reps.select(F.col("gid").alias("sgid"), "key")
+    return (dt.join(rk, "key", "left")
+            .select("id",
+                    F.coalesce("sgid", "lgid").alias("gid"),
+                    "toks", "key",
+                    F.col("sgid").isNotNull().alias("known")))
+
+
+def incremental_near_dup_pairs_from_store(
+        delta: DataFrame, members: DataFrame, reps: DataFrame,
+        buckets: DataFrame, id_col: str = "doc_id",
+        text_col: str = "text", threshold: float = 0.7,
+        num_hashes: int = 16, bands: int = 4,
+        dmemb: DataFrame | None = None):
+    """Near-dup pairs of a new batch against a corpus summarized ONLY
+    by its derived stores — the fully-incremental form of
+    :func:`incremental_near_dup_pairs` whose per-batch cost never
+    includes a corpus tokenize pass. Inputs:
+
+    - ``members``: (id, gid) for every corpus doc (append-only store);
+    - ``reps``:    (gid, toks, key) one row per group (append-only);
+    - ``buckets``: (id, band, bucket) banding rows for every rep.
+
+    Returns ``(pairs, dmemb, new_reps)``: the delta-touching verified
+    pairs (same contract as incremental_near_dup_pairs — every pair
+    has >= 1 delta member, Jaccard >= threshold, within-identical-set
+    pairs at 1.0), the delta membership frame, and the rep rows of the
+    groups this batch CREATES — exactly what the caller appends to the
+    stores after committing (streaming/ingest.ingest_batch).
+
+    Per-batch cost, term by term: tokenize/window over the batch;
+    key-probe of the reps store (batch side broadcasts); band-bucket
+    probe of the banding store restricted to delta-touching gids;
+    verification joins against rep token arrays pulled by candidate id
+    (candidates broadcast, store scanned — no store-side shuffle when
+    the stores are written bucketed by their join keys, which is the
+    100 TB layout). NO input is the corpus text, so batch cost cannot
+    regress to a corpus scan no matter the corpus size. gid stability
+    (see :func:`delta_membership`) means no stale-rep repair exists on
+    this path at all."""
+    spark = delta.sparkSession
+    if dmemb is None:
+        dmemb = delta_membership(delta, reps, id_col, text_col)
+    new_reps = (dmemb.filter(~F.col("known") & (F.col("id") == F.col("gid")))
+                .select("gid", "toks", "key"))
+    new_buckets = rep_band_buckets(
+        new_reps.select(F.col("gid").alias("id"), "gid", "toks"),
+        num_hashes, bands)
+    buckets_all = buckets.unionByName(new_buckets)
+    gnew = dmemb.select("gid").distinct()
+    probe = (buckets_all.join(gnew.withColumnRenamed("gid", "id"), "id")
+             .select(F.col("id").alias("na"), "band", "bucket"))
+    rep_cands = (probe.hint("shuffle_hash")
+                 .join(buckets_all.select(F.col("id").alias("nb"),
+                                          "band", "bucket"),
+                       ["band", "bucket"])
+                 .filter(F.col("na") != F.col("nb"))
+                 .select(F.least("na", "nb").alias("id_a"),
+                         F.greatest("na", "nb").alias("id_b"))
+                 .distinct()
+                 # pin verify parallelism against AQE coalescing the
+                 # byte-tiny candidate pairs into one compute-bound task
+                 # (same measured rationale as incremental_near_dup_pairs)
+                 .repartition(spark.sparkContext.defaultParallelism, "id_a"))
+    reps_all = (reps.select("gid", "toks")
+                .unionByName(new_reps.select("gid", "toks")))
+    t_a = reps_all.select(F.col("gid").alias("id_a"), F.col("toks").alias("toks_a"))
+    t_b = reps_all.select(F.col("gid").alias("id_b"), F.col("toks").alias("toks_b"))
+    rep_pairs = (rep_cands.join(t_a, "id_a").join(t_b, "id_b")
+                 .withColumn("jaccard",
+                             F.round(token_jaccard(F.col("toks_a"), F.col("toks_b")), 6))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
+    # expansion: every emitted pair touches the delta BY CONSTRUCTION
+    # (the same disjoint-branch layout as incremental_near_dup_pairs);
+    # empty-token groups never verify (NULL Jaccard) so only the
+    # within-branch needs the explicit nonempty filter
+    mem_new = dmemb.select("gid", "id")
+    mem_all = members.unionByName(mem_new)
+    na = mem_new.select(F.col("gid").alias("id_a"), F.col("id").alias("x"))
+    oa = members.select(F.col("gid").alias("id_a"), F.col("id").alias("x"))
+    nb = mem_new.select(F.col("gid").alias("id_b"), F.col("id").alias("y"))
+    ab = mem_all.select(F.col("gid").alias("id_b"), F.col("id").alias("y"))
+    cross = (rep_pairs.join(na, "id_a").join(ab, "id_b")
+             .unionByName(rep_pairs.join(oa, "id_a").join(nb, "id_b"))
+             .select(F.least("x", "y").alias("id_a"),
+                     F.greatest("x", "y").alias("id_b"), "jaccard"))
+    wg = (gnew.join(reps_all.filter(F.size("toks") > 0).select("gid"), "gid")
+          .select("gid"))
+    mn_t = mem_new.join(wg, "gid")
+    mo_t = members.join(wg, "gid")
+    w_no = (mn_t.select("gid", F.col("id").alias("x"))
+            .join(mo_t.select("gid", F.col("id").alias("y")), "gid")
+            .select(F.least("x", "y").alias("id_a"),
+                    F.greatest("x", "y").alias("id_b")))
+    w_nn = (mn_t.select("gid", F.col("id").alias("x"))
+            .join(mem_new.select("gid", F.col("id").alias("y")), "gid")
+            .filter(F.col("x") < F.col("y"))
+            .select(F.col("x").alias("id_a"), F.col("y").alias("id_b")))
+    within = w_no.unionByName(w_nn).withColumn("jaccard", F.lit(1.0))
+    return within.unionByName(cross), dmemb, new_reps
 
 
 def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:

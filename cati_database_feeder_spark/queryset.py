@@ -1248,7 +1248,10 @@ def near_dup_pairs_verified(spark, sf_dir):
                           rep_candidates=_minhash_rep_cands_stage(spark, sf_dir))
 
 
-@register("near_dup_incremental", sql=r"""
+# shared by near_dup_incremental AND near_dup_incremental_store: the
+# two engine paths (corpus-tokenizing vs fully store-backed) must emit
+# the IDENTICAL delta-touching pair set, so they share one oracle
+_NEAR_DUP_INCR_SQL = r"""
 WITH toksets AS (
   SELECT doc_id,
          list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
@@ -1296,7 +1299,10 @@ WHERE round(len(list_intersect(ta.toks, tb.toks))
               / CAST(len(ta.toks) + len(tb.toks)
                      - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE), 6) >= 0.7
   AND (c.id_a % 50 = 0 OR c.id_b % 50 = 0)
-""")
+"""
+
+
+@register("near_dup_incremental", sql=_NEAR_DUP_INCR_SQL)
 def near_dup_incremental(spark, sf_dir):
     """E7 incremental: dedup a NEW ingest batch (1-in-50 doc_ids play
     the delta — a ~2% ingest against a 98% corpus) without
@@ -1319,6 +1325,56 @@ def near_dup_incremental(spark, sf_dir):
         threshold=0.7,
         groups=_tokset_groups_stage(spark, sf_dir),
         buckets=_band_buckets_stage(spark, sf_dir))
+
+
+def _corpus_store_stage(spark, sf_dir):
+    """Corpus-only (doc_id % 50 != 0) token-set membership — the
+    session stand-in for the MATERIALIZED membership store ingest_batch
+    maintains (members/ + reps/ parquet dirs): in production it is
+    read, never rebuilt; here it is persisted once and shared between
+    the store-path query and the banding stage below."""
+    from cati_database_feeder_spark.operators.dedup import tokset_groups
+    return shared_stage(
+        spark, f"corpus_store_memb:{sf_dir}",
+        lambda: tokset_groups(
+            T(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 != 0)))
+
+
+def _corpus_store_buckets_stage(spark, sf_dir):
+    """Corpus-only rep banding table — the session stand-in for the
+    buckets/ store."""
+    from cati_database_feeder_spark.operators.dedup import rep_band_buckets
+    return shared_stage(
+        spark, f"corpus_store_buckets:{sf_dir}",
+        lambda: rep_band_buckets(_corpus_store_stage(spark, sf_dir)))
+
+
+@register("near_dup_incremental_store", sql=_NEAR_DUP_INCR_SQL)
+def near_dup_incremental_store(spark, sf_dir):
+    """E31 headline path: the FULLY store-backed incremental near-dup —
+    per-batch inputs are the delta plus the three derived stores
+    (members, reps, buckets); no corpus text is read anywhere in the
+    plan (operators/dedup.py:incremental_near_dup_pairs_from_store,
+    plan-asserted in tests/test_incremental_e2e.py). Group ids are
+    STABLE (a delta doc joining an existing set keeps the stored gid),
+    which is invisible in the pair output — hence the oracle is shared
+    verbatim with ``near_dup_incremental``: both engine paths must
+    hash-match the same SQL. The stores here are session-persisted
+    stage frames standing in for the parquet dirs ingest_batch
+    maintains (streaming/ingest.py) — built once per corpus snapshot,
+    probed by every batch."""
+    from cati_database_feeder_spark.operators.dedup import (
+        incremental_near_dup_pairs_from_store, tokset_key)
+    d = T(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 50 == 0)
+    memb = _corpus_store_stage(spark, sf_dir)
+    members = memb.select("id", "gid")
+    reps = (memb.filter(F.col("id") == F.col("gid"))
+            .select("gid", "toks", tokset_key(F.col("toks")).alias("key")))
+    buckets = _corpus_store_buckets_stage(spark, sf_dir)
+    pairs, _, _ = incremental_near_dup_pairs_from_store(
+        delta, members, reps, buckets, threshold=0.7)
+    return pairs
 
 
 @register("dedup_simhash_pairs", sql=r"""
@@ -2717,8 +2773,10 @@ def udaf_trimmed_mean(spark, sf_dir):
 # oracle on every pytest run (tests/test_oracle_gate.py) and by
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
-    # -- new this round: tempered mixing composed end-to-end (E32) --
-    "sample_tempered_mix",
+    # -- new this round: the store-backed incremental path (E31
+    #    headline, shares near_dup_incremental's oracle) and tempered
+    #    mixing composed end-to-end (E32) --
+    "near_dup_incremental_store", "sample_tempered_mix",
     # -- code changed this round (similarity query-side broadcasts
     #    dropped and similarity_ivf_topk's rows-only row retired into
     #    ivf_recall_check; membership store behind the incremental
@@ -2752,11 +2810,10 @@ _CHECK_ORDER = [
     "dedup_cluster_components", "dedup_cluster_incremental",
     "text_fingerprint_dedup", "flagship_feeder",
     "q18_large_volume_customers", "approx_aggregates",
-    "bm25_topk_search",
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r06
     # at sf0.01, code unchanged since; still oracle-checked in-suite
     # (tests/test_oracle_gate.py) and by tools/check.py every run ----
-    "agg_cube_grouping_sets", "agg_distinct_counts",
+    "bm25_topk_search", "agg_cube_grouping_sets", "agg_distinct_counts",
     "agg_rollup_region_nation", "array_functions",
     "backfill_coalesce_repair", "bulk_multi_wave", "cross_join_pairs",
     "feeder_skipped_report", "flagship_feeder_w6",

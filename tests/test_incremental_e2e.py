@@ -82,12 +82,13 @@ def test_stream_ingest_to_incremental_closure_equals_full_recompute(
 
 
 def test_ingest_batch_api_with_compaction(spark, tmp_path):
-    """The batch-level API (ingest_batch) + compact_state: three
-    batches where batch 2 supersedes an existing group's rep (doc 1
-    duplicates doc 10's text with a smaller id), compaction between
-    batches prunes the stale rep's banding rows and rewrites the
-    small-file stores, and the final labeling still equals a full
-    recompute."""
+    """The batch-level API (ingest_batch) + compact_state under STABLE
+    group ids: doc 1 (batch 2) duplicates doc 10's token set with a
+    smaller id — under the membership store the group's rep stays doc
+    10 (a rep never changes after its group is created), so no banding
+    row ever goes stale, the members store maps 1 → 10, compaction is
+    a rewrite-not-a-prune, and the final labeling still equals a full
+    recompute (rep choice is invisible in the pair/label output)."""
     from cati_database_feeder_spark.streaming.ingest import (
         compact_state, ingest_batch)
 
@@ -95,7 +96,7 @@ def test_ingest_batch_api_with_compaction(spark, tmp_path):
         (10, "alpha beta gamma delta"),
         (11, "alpha beta gamma delta epsilon"),
         (40, "foo bar baz qux"),
-        (1, "delta gamma beta alpha"),     # batch 2: same set as 10 -> new rep
+        (1, "delta gamma beta alpha"),     # batch 2: same set as 10
         (41, "foo bar baz qux quux"),
         (70, "completely different text entirely"),
     ]
@@ -104,14 +105,19 @@ def test_ingest_batch_api_with_compaction(spark, tmp_path):
     ingest_batch(spark, df.filter(F.col("doc_id").isin(10, 11, 40)), state)
     ingest_batch(spark, df.filter(F.col("doc_id").isin(1, 41)), state)
 
+    members = spark.read.parquet(os.path.join(state, "members"))
+    assert [r["gid"] for r in
+            members.filter(F.col("id") == 1).collect()] == [10]
     buckets_dir = os.path.join(state, "buckets")
-    before = spark.read.parquet(buckets_dir)
-    # doc 10's rows are now stale (doc 1 is the group's rep)
-    assert before.filter(F.col("id") == 10).count() > 0
+    before = sorted(map(tuple,
+                        spark.read.parquet(buckets_dir).collect()))
+    # rep stability: doc 10 keeps its band rows, doc 1 never gets any
+    assert any(r[0] == 10 for r in before)
+    assert not any(r[0] == 1 for r in before)
     compact_state(spark, state, target_files=2)
-    after = spark.read.parquet(buckets_dir)
-    assert after.filter(F.col("id") == 10).count() == 0
-    assert after.filter(F.col("id") == 1).count() > 0
+    after = sorted(map(tuple,
+                       spark.read.parquet(buckets_dir).collect()))
+    assert after == before
 
     ingest_batch(spark, df.filter(F.col("doc_id") == 70), state)
     got = {(r["id"], r["component"]) for r in
@@ -148,7 +154,11 @@ def test_ingest_batch_retry_is_idempotent(spark, tmp_path):
                      spark.read.parquet(os.path.join(state, "corpus")).collect())
         bkt = sorted((r["id"], r["band"], r["bucket"]) for r in
                      spark.read.parquet(os.path.join(state, "buckets")).collect())
-        return lab, cor, bkt
+        mem = sorted((r["id"], r["gid"]) for r in
+                     spark.read.parquet(os.path.join(state, "members")).collect())
+        rep = sorted((r["gid"], r["key"]) for r in
+                     spark.read.parquet(os.path.join(state, "reps")).collect())
+        return lab, cor, bkt, mem, rep
 
     ingest_batch(spark, b1, state)
     # crash-retry of the bootstrap: corpus/ (written last) missing,
@@ -167,6 +177,108 @@ def test_ingest_batch_retry_is_idempotent(spark, tmp_path):
     # redelivery of a completed incremental batch
     ingest_batch(spark, b2, state)
     assert snapshot() == s2
+
+
+def test_store_backed_pairs_equal_reference_operator(spark, sf_dir):
+    """incremental_near_dup_pairs_from_store (reads only the derived
+    stores) must emit exactly the pairs of incremental_near_dup_pairs
+    (which re-tokenizes corpus ∪ delta) — same delta-touching contract,
+    same Jaccards — on real documents with exact-dup clusters on both
+    sides of the corpus/delta split."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+    memb = dedup.tokset_groups(corpus)
+    members = memb.select("id", "gid")
+    reps = (memb.filter(F.col("id") == F.col("gid"))
+            .select("gid", "toks",
+                    dedup.tokset_key(F.col("toks")).alias("key")))
+    buckets = dedup.rep_band_buckets(memb)
+
+    got_df, dmemb, new_reps = dedup.incremental_near_dup_pairs_from_store(
+        delta, members, reps, buckets, threshold=0.7)
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in got_df.collect()}
+    want = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            dedup.incremental_near_dup_pairs(
+                corpus, delta, threshold=0.7).collect()}
+    assert len(want) > 0
+    assert got == want
+    # stable gids: delta docs matching a stored set keep the stored gid
+    joined = dmemb.filter(F.col("known")).join(
+        reps.select("gid", F.col("key").alias("k2")), "gid")
+    assert joined.filter(F.col("key") != F.col("k2")).count() == 0
+
+
+def test_incremental_path_reads_no_corpus_text(spark, tmp_path):
+    """THE round-7 contract: after bootstrap, every frame the
+    incremental path builds — delta, membership, pairs, labels, store
+    appends — must not read the corpus text column. Walks each frame's
+    optimized plan: any scan of corpus/ may read doc_id alone; the
+    text column may appear only in scans of the BATCH input and the
+    reps store (rep token arrays are derived store content, not corpus
+    text)."""
+    from cati_database_feeder_spark.streaming.ingest import (
+        _incremental_frames, ingest_batch)
+
+    rows = [(10, "alpha beta gamma delta"), (11, "alpha beta gamma x"),
+            (40, "foo bar baz qux"), (41, "foo bar baz qux quux")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    state = str(tmp_path / "state")
+    ingest_batch(spark, df.filter(F.col("doc_id") < 40), state)
+
+    batch = df.filter(F.col("doc_id") >= 40)
+    fr = _incremental_frames(spark, state, batch, 0.7, 16, 4)
+    corpus_path = os.path.join(state, "corpus")
+    for name, frame in fr.items():
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if "Relation" in line and corpus_path in line:
+                # relation line lists the read columns: doc_id only
+                assert "text" not in line, (
+                    f"frame {name!r} reads corpus text: {line}")
+
+
+def test_swap_crash_recovery(spark, tmp_path):
+    """ADVICE hazard: a crash between _swap_write's two renames leaves
+    the target dir absent (old moved aside, tmp not yet renamed in) —
+    the next ingest_batch must heal it instead of failing at
+    spark.read.parquet. Simulate all three crash windows on labels/."""
+    import shutil as sh
+
+    from cati_database_feeder_spark.streaming.ingest import ingest_batch
+
+    rows = [(10, "alpha beta gamma delta"), (40, "foo bar baz qux"),
+            (70, "completely different text entirely")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    state = str(tmp_path / "state")
+    ingest_batch(spark, df.filter(F.col("doc_id") == 10), state)
+    labels = os.path.join(state, "labels")
+
+    # window (a): tmp written, target untouched
+    sh.copytree(labels, labels + "__tmp")
+    ingest_batch(spark, df.filter(F.col("doc_id") == 40), state)
+    assert not os.path.exists(labels + "__tmp")
+
+    # window (b): target renamed aside, tmp present — worst case
+    sh.copytree(labels, labels + "__tmp")
+    os.rename(labels, labels + "__old")
+    ingest_batch(spark, df.filter(F.col("doc_id") == 70), state)
+    assert os.path.exists(labels)
+    assert not os.path.exists(labels + "__old")
+    assert not os.path.exists(labels + "__tmp")
+    got = {(r["id"], r["component"]) for r in
+           spark.read.parquet(labels).collect()}
+    want = {(r["id"], r["component"]) for r in
+            connected_components(
+                dedup.near_dup_pairs(df, threshold=0.7)
+                .select("id_a", "id_b")).collect()}
+    assert got == want
+
+    # window (c): swap complete, old not yet deleted
+    sh.copytree(labels, labels + "__old")
+    ingest_batch(spark, df.limit(0), state)  # no-op batch still heals
+    assert not os.path.exists(labels + "__old")
 
 
 def test_start_incremental_ingest_multi_batch_equals_full_recompute(
