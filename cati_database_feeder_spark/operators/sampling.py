@@ -178,16 +178,22 @@ def _global_order_buckets(df: DataFrame, key: Column,
         pid = F.expr(
             f"CAST(CAST(conv(substring(__key, 1, {_HEX_PREFIX}), 16, 10) "
             f"AS BIGINT) DIV {step} AS INT)")
-        rows = (keyed.select(pid.alias("__pid"), *vcols)
-                .groupBy("__pid").agg(*aggs).collect())
-        if any(r["__pid"] is None for r in rows):
+        # key validation rides the same counts job: conv() maps invalid
+        # input to 0 (NOT null), so a regex check is the only reliable
+        # detector of non-hex keys; nulls surface the same way
+        bad = F.sum(F.when(F.col("__key").rlike(
+            "^[0-9a-f]{%d}" % _HEX_PREFIX), F.lit(0))
+            .otherwise(F.lit(1)))
+        rows = (keyed.select(pid.alias("__pid"), "__key", *vcols)
+                .groupBy("__pid").agg(*aggs, bad.alias("bad")).collect())
+        if any(r["bad"] or r["__pid"] is None for r in rows):
             raise ValueError(
-                "global-order key contract violated: a NULL or non-hex "
-                "key produced a NULL bucket id (the hex_key contract is "
-                "a non-null lowercase-hex hash string, e.g. md5(...)) — "
-                "rows with such keys would otherwise be silently dropped "
-                "by the __pid join; fix the key expression or filter "
-                "null keys upstream")
+                "global-order key contract violated: NULL or non-hex "
+                "keys observed (the hex_key contract is a non-null "
+                "lowercase-hex hash string of >= %d chars, e.g. "
+                "md5(...)) — such rows would be bucketed arbitrarily or "
+                "silently dropped by the __pid join; fix the key "
+                "expression or filter null keys upstream" % _HEX_PREFIX)
         rows.sort(key=lambda r: r["__pid"])
         buckets = [(r["__pid"], r["cnt"],
                     r["vs"] if value_col else None) for r in rows]
@@ -222,6 +228,37 @@ def _global_order_buckets(df: DataFrame, key: Column,
         buckets = [(i, r["cnt"], r["vs"] if value_col else None)
                    for i, r in enumerate(stats)]
     return keyed, pid, buckets
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          pos_col: str = "pos",
+                          rows_per_shard: int = 100_000,
+                          mode: str = "overwrite") -> None:
+    """Materialize a shuffled corpus as TRAINING SHARDS — the export
+    step after :func:`global_shuffle_ordinals` fixes the order: shard
+    id = ``pos DIV rows_per_shard`` (contiguous ordinal blocks, so
+    epoch slicing maps to whole shards), written as parquet partitioned
+    by ``shard`` with rows SORTED BY ``pos`` inside each file — a
+    loader streams any shard in training order with zero further sort,
+    and resuming at global step S (1-based, as
+    :func:`global_shuffle_ordinals` numbers rows) means opening shard
+    (S-1) DIV rows_per_shard and skipping (S-1) mod rows_per_shard
+    rows.
+
+    Scale shape: one hash shuffle on the shard id (repartition by
+    shard co-locates each shard into one task → exactly one file per
+    shard, no tiny-file spray from partitionBy-under-many-tasks), then
+    a per-partition sort that is bounded by rows_per_shard — never a
+    global sort. Integer DIV keeps shard ids exact past 2^53 rows."""
+    if rows_per_shard < 1:
+        raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
+    out = df.withColumn(
+        "shard",
+        F.expr(f"(CAST({pos_col} AS BIGINT) - 1) DIV {rows_per_shard}")
+         .cast("int"))
+    (out.repartition("shard")
+        .sortWithinPartitions("shard", pos_col)
+        .write.partitionBy("shard").mode(mode).parquet(path))
 
 
 def pack_sequences(df: DataFrame, key: Column, tie_cols: list[str],

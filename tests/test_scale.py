@@ -320,6 +320,69 @@ def test_pack_sequences_matches_single_partition_reference(spark):
     assert "singlepartition" not in plan.lower()
 
 
+def test_write_training_shards_layout(spark, tmp_path):
+    """Shard export contract: parquet partitioned by shard = pos DIV
+    rows_per_shard, one file per shard, rows inside each file sorted by
+    pos — a loader streams any shard in training order with no further
+    sort and resumes at an arbitrary global step by shard + skip."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.operators.sampling import (
+        global_shuffle_ordinals, write_training_shards)
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    ordered = global_shuffle_ordinals(
+        df, F.md5(F.col("doc_id").cast("string")), ["doc_id"], partitions=7)
+    out = str(tmp_path / "shards")
+    write_training_shards(ordered, out, rows_per_shard=100)
+
+    shard_dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert [os.path.basename(d) for d in shard_dirs] == [
+        f"shard={i}" for i in range(5)]
+    seen = set()
+    for d in shard_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1  # repartition("shard") → one file per shard
+        rows = spark.read.parquet(files[0]).select("doc_id", "pos").collect()
+        pos = [r["pos"] for r in rows]
+        assert pos == sorted(pos)  # in-file training order
+        assert len(pos) == 100
+        seen.update(r["doc_id"] for r in rows)
+    assert len(seen) == 500  # every doc in exactly one shard
+
+
+def test_global_order_null_key_guard(spark):
+    """Null/non-hex keys must fail loudly (ValueError naming the
+    contract), not silently drop rows via the NULL bucket id; null
+    token counts are coalesced to 0 instead of poisoning offsets."""
+    import pytest
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.operators.sampling import (
+        global_shuffle_ordinals, pack_sequences)
+
+    df = spark.createDataFrame(
+        [(1, "a1b2"), (2, None), (3, "c3d4")], ["doc_id", "k"])
+    with pytest.raises(ValueError, match="key contract"):
+        global_shuffle_ordinals(df, F.col("k"), ["doc_id"], partitions=3)
+    with pytest.raises(ValueError, match="key contract"):
+        global_shuffle_ordinals(
+            df.withColumn("k", F.lit("not hex!")), F.col("k"),
+            ["doc_id"], partitions=3)
+    with pytest.raises(ValueError, match="key contract"):
+        global_shuffle_ordinals(df, F.col("k"), ["doc_id"],
+                                partitions=3, hex_key=False)
+    toks = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "doc_id long, n_tokens int")
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_seqs"])
+           for r in pack_sequences(
+               toks, F.md5(F.col("doc_id").cast("string")), ["doc_id"],
+               "n_tokens", 4, partitions=2).collect()}
+    assert len(got) == 3  # the null-count row keeps its slot
+    assert sum(1 for v in got.values() if v[2] == 1) >= 1
+
+
 def test_global_shuffle_ordinals_no_single_partition_sort(spark):
     """Plan property: the ordinal assignment must not contain a global
     (single-partition) sort — the window sorts within literal-bounded
