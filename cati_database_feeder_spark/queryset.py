@@ -1058,6 +1058,71 @@ def text_repetition_profile(spark, sf_dir):
         ((dup_raw <= 0.65) & (share_raw <= 0.06)).alias("keep"))
 
 
+@register("text_dup_span_profile", sql=r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+7], ' ')
+                        FOR i IN range(1, len(tk) - 6)]) AS shingles
+  FROM tk WHERE len(tk) >= 8
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dfreq AS (SELECT shingle, COUNT(*) AS nd FROM ex GROUP BY 1),
+per AS (
+  SELECT ex.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN dfreq.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM ex JOIN dfreq USING (shingle)
+  GROUP BY ex.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_dup AS BIGINT) AS n_dup_shingles,
+       round(CAST(n_dup AS DOUBLE) / n_shingles, 6) AS dup_span_frac,
+       (CAST(n_dup AS DOUBLE) / n_shingles >= 0.2) AS flag_dup
+FROM per
+""")
+def text_dup_span_profile(spark, sf_dir):
+    """E35 duplicated-span scrub signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, the fraction of its distinct word-8-gram shingles that
+    occur in at least one OTHER document — the substring-level
+    duplication signal that pair-level near-dup misses (a doc that is
+    30% boilerplate plus 70% novel text never crosses a whole-doc
+    Jaccard threshold, but its duplicated spans still memorize). Flag
+    decided on the raw quotient so rounding can't flip a boundary doc.
+
+    Scale shape: explode distinct shingles (per-doc distinct first, so
+    a within-doc repeated span counts once and the df aggregate counts
+    DOCUMENTS), one groupBy(shingle) for document frequency, one join
+    back + per-doc aggregate — two linear shuffles on derived keys,
+    no pair enumeration anywhere. At 100 TB the shingle df table is
+    the big intermediate; it prunes to (shingle, nd>=2) one bit per
+    group before the join-back."""
+    d = T(spark, sf_dir, "documents")
+    staged = d.select("doc_id", text.tokens(F.col("text")).alias("tk"))
+    sh = (staged.filter(F.size("tk") >= 8)
+          .select("doc_id",
+                  F.array_distinct(
+                      text.shingles_from_tokens(F.col("tk"), 8)).alias("shingles")))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    per = (ex.join(dfreq, "shingle")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup")))
+    frac = F.col("n_dup").cast("double") / F.col("n_shingles")
+    return per.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_dup").cast("bigint").alias("n_dup_shingles"),
+        F.round(frac, 6).alias("dup_span_frac"),
+        (frac >= 0.2).alias("flag_dup"))
+
+
 @register("text_doc_profile", sql=r"""
 WITH toks AS (
   SELECT doc_id, lang, text, n_chars,
@@ -2842,7 +2907,7 @@ _CHECK_ORDER = [
     #    mixing composed end-to-end (E32), and the zero-shuffle
     #    repetition filter (E8) --
     "near_dup_incremental_store", "sample_tempered_mix",
-    "text_repetition_profile",
+    "text_repetition_profile", "text_dup_span_profile",
     # -- code changed this round (similarity query-side broadcasts
     #    dropped and similarity_ivf_topk's rows-only row retired into
     #    ivf_recall_check; membership store behind the incremental
@@ -2875,11 +2940,10 @@ _CHECK_ORDER = [
     "dedup_char_ngram_jaccard_pairs", "dedup_simhash_pairs",
     "dedup_cluster_components", "dedup_cluster_incremental",
     "text_fingerprint_dedup", "flagship_feeder",
-    "q18_large_volume_customers",
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r06
     # at sf0.01, code unchanged since; still oracle-checked in-suite
     # (tests/test_oracle_gate.py) and by tools/check.py every run ----
-    "approx_aggregates",
+    "q18_large_volume_customers", "approx_aggregates",
     "bm25_topk_search", "agg_cube_grouping_sets", "agg_distinct_counts",
     "agg_rollup_region_nation", "array_functions",
     "backfill_coalesce_repair", "bulk_multi_wave", "cross_join_pairs",
