@@ -28,6 +28,15 @@ def audit(df):
     plan = df._jdf.queryExecution().executedPlan().toString()
     scans = re.findall(r"FileScan parquet [^\n]*", plan)
     pushed = [s for s in scans if re.search(r"PushedFilters: \[[^\]]", s)]
+    # FORCED join strategies (hints) live in the analyzed logical plan
+    # as ResolvedHint nodes — the executedPlan's BroadcastHashJoin rows
+    # can't distinguish "Catalyst chose broadcast from sizes" (fine)
+    # from "a hint forces broadcast regardless of size" (the 100 TB
+    # hazard the round-5/6 verdicts flagged). BROADCAST hints on
+    # scaling frames are the ones to hunt; shuffle_hash/merge hints
+    # only pick among shuffle strategies and cannot OOM anything.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = re.findall(r"ResolvedHint \(strategy=(\w+)", analyzed)
     return {
         "scans": len(scans),
         "pushed": len(pushed),
@@ -39,6 +48,8 @@ def audit(df):
         "python": bool(re.search(
             r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"
             r"|BatchEvalPython|AggregateInPandas|ArrowAggregatePython", plan)),
+        "forced_bcast": sum(1 for h in hints if "broadcast" in h.lower()),
+        "forced_other": sum(1 for h in hints if "broadcast" not in h.lower()),
     }
 
 
@@ -47,7 +58,8 @@ def main():
     prefix = sys.argv[2] if len(sys.argv) > 2 else ""
     spark = get_session("audit")
     spark.sparkContext.setLogLevel("ERROR")
-    hdr = f"{'query':34s} {'scans':>5} {'push':>4} {'bcast':>5} {'smj':>3} {'shj':>3} {'exch':>4} {'cg':>3} py"
+    hdr = (f"{'query':34s} {'scans':>5} {'push':>4} {'bcast':>5} {'smj':>3} "
+           f"{'shj':>3} {'exch':>4} {'cg':>3} py {'hintB':>5} {'hintS':>5}")
     print(hdr)
     print("-" * len(hdr))
     for name, fn in queryset.QUERIES.items():
@@ -57,7 +69,8 @@ def main():
             a = audit(fn(spark, sf_dir))
             print(f"{name:34s} {a['scans']:>5} {a['pushed']:>4} {a['bcast']:>5} "
                   f"{a['smj']:>3} {a['shj']:>3} {a['exch']:>4} {a['codegen']:>3} "
-                  f"{'Y' if a['python'] else '-'}")
+                  f"{'Y' if a['python'] else '-'} "
+                  f"{a['forced_bcast'] or '-':>5} {a['forced_other'] or '-':>5}")
         except Exception as exc:  # pragma: no cover
             print(f"{name:34s} ERROR {type(exc).__name__}: {exc}")
 
