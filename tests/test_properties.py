@@ -164,3 +164,40 @@ def test_incremental_near_dup_equals_filtered_full_for_any_corpus(
     want = {(a, b, j) for a, b, j in full
             if a % delta_mod == 0 or b % delta_mod == 0}
     assert got == want
+
+
+@given(docs=st.lists(_doc, min_size=0, max_size=12),
+       delta_mod=st.sampled_from([2, 3, 5]))
+@settings(**_SETTINGS)
+def test_store_backed_incremental_equals_filtered_full(
+        spark, docs, delta_mod):
+    """For ANY corpus and ANY id-based delta slice, the STORE-BACKED
+    incremental path (reads only members/reps/buckets — no corpus
+    text) equals the full near-dup pair set restricted to
+    delta-touching pairs: the same contract as
+    incremental_near_dup_pairs, under stable group ids. Covers
+    all-identical corpora, empty deltas, empty-token docs, and delta
+    docs whose sets match corpus groups with larger AND smaller ids."""
+    from cati_database_feeder_spark.operators.dedup import (
+        incremental_near_dup_pairs_from_store, near_dup_pairs,
+        rep_band_buckets, tokset_groups, tokset_key)
+
+    schema = "doc_id long, text string"
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = (spark.createDataFrame(rows, schema) if rows
+          else spark.createDataFrame([], schema))
+    corpus = df.filter(F.col("doc_id") % delta_mod != 0)
+    delta = df.filter(F.col("doc_id") % delta_mod == 0)
+    memb = tokset_groups(corpus)
+    members = memb.select("id", "gid")
+    reps = (memb.filter(F.col("id") == F.col("gid"))
+            .select("gid", "toks", tokset_key(F.col("toks")).alias("key")))
+    buckets = rep_band_buckets(memb)
+    pairs, _, _ = incremental_near_dup_pairs_from_store(
+        delta, members, reps, buckets, threshold=0.6)
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs.collect()}
+    full = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in near_dup_pairs(df, threshold=0.6).collect()}
+    want = {(a, b, j) for a, b, j in full
+            if a % delta_mod == 0 or b % delta_mod == 0}
+    assert got == want
