@@ -239,6 +239,46 @@ def test_incremental_path_reads_no_corpus_text(spark, tmp_path):
                     f"frame {name!r} reads corpus text: {line}")
 
 
+def test_legacy_state_dir_migration(spark, tmp_path):
+    """A state dir created before the membership store existed
+    (corpus/labels/buckets only — the round-6 layout) must be migrated
+    once by _ensure_membership_stores on the next ingest_batch: the
+    derived members/reps appear, the batch lands incrementally, and
+    the final labeling equals a full recompute."""
+    from cati_database_feeder_spark.streaming.ingest import ingest_batch
+
+    rows = [(10, "alpha beta gamma delta"),
+            (11, "alpha beta gamma delta epsilon"),
+            (40, "foo bar baz qux"),
+            (41, "foo bar baz qux quux"),
+            (70, "delta gamma beta alpha")]   # same set as 10
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = df.filter(F.col("doc_id") < 42)
+    state = str(tmp_path / "state")
+    # hand-build the PRE-membership-store layout
+    memb = dedup.tokset_groups(corpus)
+    labels = connected_components(
+        dedup.near_dup_pairs(corpus, threshold=0.7).select("id_a", "id_b"))
+    labels.write.parquet(os.path.join(state, "labels"))
+    dedup.rep_band_buckets(memb).write.parquet(os.path.join(state, "buckets"))
+    corpus.write.parquet(os.path.join(state, "corpus"))
+
+    ingest_batch(spark, df.filter(F.col("doc_id") == 70), state)
+    for store in ("members", "reps"):
+        assert os.path.exists(os.path.join(state, store))
+    members = spark.read.parquet(os.path.join(state, "members"))
+    assert [r["gid"] for r in
+            members.filter(F.col("id") == 70).collect()] == [10]
+    got = {(r["id"], r["component"]) for r in
+           spark.read.parquet(os.path.join(state, "labels")).collect()}
+    want = {(r["id"], r["component"]) for r in
+            connected_components(
+                dedup.near_dup_pairs(df, threshold=0.7)
+                .select("id_a", "id_b")).collect()}
+    assert len(want) > 0
+    assert got == want
+
+
 def test_swap_crash_recovery(spark, tmp_path):
     """ADVICE hazard: a crash between _swap_write's two renames leaves
     the target dir absent (old moved aside, tmp not yet renamed in) —

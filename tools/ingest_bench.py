@@ -1,0 +1,90 @@
+"""Measure the incremental-ingest economics: per-batch wall time as the
+CORPUS grows 10x while the BATCH stays fixed.
+
+The round-7 membership store exists to make `ingest_batch`'s per-batch
+cost batch-proportional — no corpus tokenize pass. This measures it:
+
+- state A: corpus = sf0.01 documents (minus the batch slice)
+- state B: corpus = sf0.1 documents (minus the batch slice) — 10x A
+- batch:   the SAME fixed slice of sf0.01 documents in both runs
+
+and times (1) the full `ingest_batch` call (store-backed path), and
+(2) the round-6 shape for comparison: `incremental_near_dup_pairs`
+with `groups=tokset_groups(corpus ∪ delta)` — the corpus-tokenizing
+membership rebuild the store retired.
+
+A flat (1) across 10x corpus growth, against a growing (2), is the
+measured form of the claim. Store scans (members/reps/buckets ids and
+rep toks) DO grow with the corpus — linearly, as compact columnar
+reads — so "flat" here means "no corpus-proportional tokenize/window
+term", not literally constant.
+
+Usage: python tools/ingest_bench.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from cati_database_feeder_spark.catalog import load_table
+from cati_database_feeder_spark.operators import dedup
+from cati_database_feeder_spark.session import get_session
+from cati_database_feeder_spark.streaming.ingest import ingest_batch
+
+
+def main() -> None:
+    spark = get_session("ingest-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    batch = (load_table(spark, "/root/testdata/sf0.01", "documents")
+             .filter(F.col("doc_id") % 50 == 0)
+             .select("doc_id", "text"))
+    n_batch = batch.count()
+    out: dict[str, dict[str, float]] = {}
+    for sf in ("0.01", "0.1"):
+        docs = (load_table(spark, f"/root/testdata/sf{sf}", "documents")
+                .select("doc_id", "text"))
+        # sf0.1 doc_ids are a superset range; exclude the batch ids from
+        # BOTH corpora so the delta is identical in the two runs
+        corpus = docs.join(batch.select("doc_id"), "doc_id", "left_anti")
+        work = tempfile.mkdtemp(prefix="ingest_bench_")
+        state = work + "/state"
+        try:
+            t0 = time.time()
+            ingest_batch(spark, corpus, state)           # bootstrap
+            boot = time.time() - t0
+            t0 = time.time()
+            ingest_batch(spark, batch, state)            # THE measurement
+            store_batch = time.time() - t0
+            # round-6 shape: membership rebuilt from corpus ∪ delta text
+            t0 = time.time()
+            memb = dedup.tokset_groups(corpus.unionByName(batch)).persist()
+            pairs = dedup.incremental_near_dup_pairs(
+                corpus, batch, groups=memb,
+                buckets=dedup.rep_band_buckets(dedup.tokset_groups(corpus)))
+            pairs.write.format("noop").mode("overwrite").save()
+            memb.unpersist()
+            rebuild_batch = time.time() - t0
+            out[f"sf{sf}"] = {
+                "corpus_rows": corpus.count(), "batch_rows": n_batch,
+                "bootstrap_s": round(boot, 2),
+                "store_backed_batch_s": round(store_batch, 2),
+                "tokenize_rebuild_batch_s": round(rebuild_batch, 2),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out, indent=1))
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
