@@ -44,7 +44,7 @@ def main() -> None:
     spark = get_session("ingest-bench")
     spark.sparkContext.setLogLevel("ERROR")
     batch = (load_table(spark, "/root/testdata/sf0.01", "documents")
-             .filter(F.col("doc_id") % 50 == 0)
+             .filter(F.col("doc_id") < 50)
              .select("doc_id", "text"))
     n_batch = batch.count()
     out: dict[str, dict[str, float]] = {}
@@ -60,10 +60,18 @@ def main() -> None:
             t0 = time.time()
             ingest_batch(spark, corpus, state)           # bootstrap
             boot = time.time() - t0
+
+            # (1) PAIRS via the store path — frames only, like-for-like
+            # with (2): no closure update, no state writes
+            from cati_database_feeder_spark.streaming.ingest import (
+                _incremental_frames)
             t0 = time.time()
-            ingest_batch(spark, batch, state)            # THE measurement
-            store_batch = time.time() - t0
-            # round-6 shape: membership rebuilt from corpus ∪ delta text
+            fr = _incremental_frames(spark, state, batch, 0.7, 16, 4)
+            fr["new_pairs"].write.format("noop").mode("overwrite").save()
+            pairs_store = time.time() - t0
+
+            # (2) PAIRS via the round-6 shape: membership rebuilt by
+            # tokenizing corpus ∪ delta, banding table re-signed
             t0 = time.time()
             memb = dedup.tokset_groups(corpus.unionByName(batch)).persist()
             pairs = dedup.incremental_near_dup_pairs(
@@ -71,12 +79,19 @@ def main() -> None:
                 buckets=dedup.rep_band_buckets(dedup.tokset_groups(corpus)))
             pairs.write.format("noop").mode("overwrite").save()
             memb.unpersist()
-            rebuild_batch = time.time() - t0
+            pairs_rebuild = time.time() - t0
+
+            # (3) the COMPLETE ingest_batch (pairs + closure + commits),
+            # for context — dominated by the iterative closure constants
+            t0 = time.time()
+            ingest_batch(spark, batch, state)
+            full_batch = time.time() - t0
             out[f"sf{sf}"] = {
                 "corpus_rows": corpus.count(), "batch_rows": n_batch,
                 "bootstrap_s": round(boot, 2),
-                "store_backed_batch_s": round(store_batch, 2),
-                "tokenize_rebuild_batch_s": round(rebuild_batch, 2),
+                "pairs_store_s": round(pairs_store, 2),
+                "pairs_tokenize_rebuild_s": round(pairs_rebuild, 2),
+                "full_ingest_batch_s": round(full_batch, 2),
             }
         finally:
             shutil.rmtree(work, ignore_errors=True)
