@@ -107,6 +107,41 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
             .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine")))
 
 
+def semdedup_pairs(corpus: DataFrame,
+                   centroid_rows: list[tuple[int, list[float]]],
+                   threshold: float = 0.9, by: str = "ip",
+                   c_id: str = "vec_id",
+                   c_vec: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic near-dup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): partition the embedding space into coarse cells
+    (k-means centroids — here injected, so a fixed seed set makes the
+    whole operator deterministic and SQL-oracle-able), then emit pairs
+    with cosine >= threshold WITHIN each cell. Cross-cell near-dups
+    are the accepted recall loss that buys the scale shape — candidate
+    generation is an equi-join on the cell id, never corpus², and with
+    the corpus parquet partitioned by cell (write-time layout, see
+    ``ivf_topk``) each cell's pairs compute cell-locally.
+
+    Same verify arithmetic as :func:`cosine_near_dup_pairs` (norms
+    once per vector, deterministic double cosine); only the bucketing
+    differs — semantic cells instead of sign-LSH planes, which groups
+    paraphrases that flip individual dimension signs."""
+    from cati_database_feeder_spark.operators.dedup import _bucket_pairs
+    assigned = assign_cells(corpus, centroid_rows, c_vec, by)
+    cands = _bucket_pairs(
+        assigned.select(F.col(c_id).alias("id"), "cell"), ["cell"], "id")
+    v_a = corpus.select(F.col(c_id).alias("id_a"), F.col(c_vec).alias("va"),
+                        V.norm(F.col(c_vec)).alias("na"))
+    v_b = corpus.select(F.col(c_id).alias("id_b"), F.col(c_vec).alias("vb"),
+                        V.norm(F.col(c_vec)).alias("nb"))
+    return (cands.join(v_a, "id_a").join(v_b, "id_b")
+            .withColumn("cos_raw", V.cosine_from_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")))
+            .filter(F.col("cos_raw") >= threshold)
+            .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine")))
+
+
 def _centroid_literal(centroid_rows: list[tuple[int, list[float]]]):
     """Driver-side centroid table as TWO flat literal columns (cells:
     ``array<int>``, centroids: ``array<array<double>>``) zipped into

@@ -1666,6 +1666,41 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     return cosine_near_dup_pairs(e, threshold=0.3, n_bits=4)
 
 
+@register("semdedup_pairs", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT e.vec_id, e.v, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY -list_dot_product(e.v, c.centroid) ASC, c.cell ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+         / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0), 6)
+         AS cosine
+FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0) >= 0.3
+""")
+def semdedup_pairs(spark, sf_dir):
+    """E36 SemDeDup (Abbas et al. 2023): semantic near-dup pairs
+    within coarse embedding cells — k-means cells in production, the
+    16 lowest-id vectors as fixed seed centroids here so assignment is
+    deterministic and the WHOLE operator hash-oracles (the same
+    centroid convention as ``ivf_assign_topk``). Candidates are an
+    equi-join on the cell id (never corpus²); at 100 TB the corpus is
+    partitioned by cell at write time and each cell dedups locally
+    (operators/similarity.py:semdedup_pairs)."""
+    from cati_database_feeder_spark.operators.similarity import semdedup_pairs
+    e = T(spark, sf_dir, "embeddings")
+    cents = [(int(r["vec_id"]), list(r["embedding"]))
+             for r in e.filter(F.col("vec_id") < 16)
+                       .select("vec_id", "embedding").collect()]
+    return semdedup_pairs(e, cents, threshold=0.3, by="ip")
+
+
 @register("ivf_recall_check", sql="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
 FROM embeddings WHERE vec_id % 100 = 0
@@ -2952,6 +2987,7 @@ _CHECK_ORDER = [
     #    repetition filter (E8) --
     "near_dup_incremental_store", "sample_tempered_mix",
     "text_repetition_profile", "text_dup_span_profile", "shard_manifest",
+    "semdedup_pairs",
     # -- code changed this round (similarity query-side broadcasts
     #    dropped and similarity_ivf_topk's rows-only row retired into
     #    ivf_recall_check; membership store behind the incremental
@@ -2983,11 +3019,11 @@ _CHECK_ORDER = [
     "dedup_token_jaccard_pairs", "dedup_shingle_jaccard_pairs",
     "dedup_char_ngram_jaccard_pairs", "dedup_simhash_pairs",
     "dedup_cluster_components", "dedup_cluster_incremental",
-    "text_fingerprint_dedup",
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r06
     # at sf0.01, code unchanged since; still oracle-checked in-suite
     # (tests/test_oracle_gate.py) and by tools/check.py every run ----
-    "flagship_feeder", "q18_large_volume_customers", "approx_aggregates",
+    "text_fingerprint_dedup", "flagship_feeder",
+    "q18_large_volume_customers", "approx_aggregates",
     "bm25_topk_search", "agg_cube_grouping_sets", "agg_distinct_counts",
     "agg_rollup_region_nation", "array_functions",
     "backfill_coalesce_repair", "bulk_multi_wave", "cross_join_pairs",

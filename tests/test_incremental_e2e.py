@@ -119,9 +119,15 @@ def test_ingest_batch_api_with_compaction(spark, tmp_path):
                        spark.read.parquet(buckets_dir).collect()))
     assert after == before
 
+    # doc 70 shares nothing with the corpus → a QUIET batch: the
+    # closure is unchanged by construction and ingest_batch skips the
+    # relabel+swap entirely (same files on disk afterwards)
+    labels_dir = os.path.join(state, "labels")
+    before_files = sorted(os.listdir(labels_dir))
     ingest_batch(spark, df.filter(F.col("doc_id") == 70), state)
+    assert sorted(os.listdir(labels_dir)) == before_files
     got = {(r["id"], r["component"]) for r in
-           spark.read.parquet(os.path.join(state, "labels")).collect()}
+           spark.read.parquet(labels_dir).collect()}
     want = {(r["id"], r["component"]) for r in
             connected_components(
                 dedup.near_dup_pairs(df, threshold=0.7)
