@@ -24,7 +24,9 @@ def test_connected_components_long_chain_converges(spark):
     # must still converge within the default max_iter
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], ["id_a", "id_b"])
-    got = connected_components(pairs).collect()
+    # driver_edge_cap=None: this test pins the DISTRIBUTED propagation
+    # loop (the default cap would route a 9-edge graph to the driver)
+    got = connected_components(pairs, driver_edge_cap=None).collect()
     assert all(r["component"] == 0 for r in got)
     assert len(got) == 10
 
@@ -117,7 +119,8 @@ def test_connected_components_star_fallback_on_long_path(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(120)], ["id_a", "id_b"])
     with pytest.warns(RuntimeWarning, match="large-star"):
-        got = connected_components(pairs, max_iter=3).collect()
+        got = connected_components(pairs, max_iter=3,
+                                   driver_edge_cap=None).collect()
     assert len(got) == 121
     assert all(r["component"] == 0 for r in got)
 
@@ -138,7 +141,8 @@ def test_connected_components_star_fallback_matches_propagation(spark):
             for r in connected_components(pairs).collect()}
     with pytest.warns(RuntimeWarning, match="large-star"):
         got = {(r["id"], r["component"])
-               for r in connected_components(pairs, max_iter=1).collect()}
+               for r in connected_components(
+                   pairs, max_iter=1, driver_edge_cap=None).collect()}
     assert got == want and (99, 99) in got
 
 
@@ -161,7 +165,7 @@ def test_connected_components_releases_per_round_storage(spark):
 
     baseline = len(persisted())
     pairs = spark.createDataFrame([(i, i + 1) for i in range(9)], ["id_a", "id_b"])
-    out = connected_components(pairs)
+    out = connected_components(pairs, driver_edge_cap=None)
     assert out.count() == 10
     leaked = len(persisted()) - baseline
     # the returned frame's own checkpoint (and nothing else) may remain

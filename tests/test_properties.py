@@ -81,9 +81,16 @@ def _union_find_components(edges):
 @settings(**_SETTINGS)
 def test_connected_components_equals_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = _union_find_components(edges)
+    # DISTRIBUTED path pinned (the default cap would route these small
+    # graphs to the driver fast path) ...
     got = {r["id"]: r["component"]
-           for r in connected_components(df).collect()}
-    assert got == _union_find_components(edges)
+           for r in connected_components(df, driver_edge_cap=None).collect()}
+    assert got == want
+    # ... and the driver fast path must agree label-for-label
+    got_fast = {r["id"]: r["component"]
+                for r in connected_components(df).collect()}
+    assert got_fast == want
 
 
 @given(docs=st.lists(_doc.filter(lambda t: t.strip()), min_size=2, max_size=10))
