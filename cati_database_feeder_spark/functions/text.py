@@ -323,3 +323,29 @@ def chunk_documents(df, chunk_tokens: int = 64, overlap: int = 16,
          .cast("bigint").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.slice("__tk", F.col("start") + 1, chunk_tokens))
          .alias("chunk_text"))
+
+
+def top_bigram_run(tk: Column) -> Column:
+    """Longest run length in the SORTED bigram multiset of a token
+    array — i.e. the count of the single most frequent bigram,
+    computed per row with one ``aggregate`` fold (run-length struct
+    accumulator) instead of an explode → (doc, gram) groupBy → per-doc
+    max, which costs two corpus-token-sized shuffles. 0 for arrays
+    shorter than 2. Shared by the repetition-filter query and the
+    end-to-end pipeline query (Gopher/MassiveText repetition rules)."""
+    grams = F.when(F.size(tk) >= 2, F.zip_with(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _merge(acc, x):
+        run = (F.when(x == acc["prev"], acc["run"] + 1)
+               .otherwise(F.lit(1).cast("long")))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["mx"], run).alias("mx"))
+
+    acc0 = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("mx"))
+    return F.aggregate(F.array_sort(grams), acc0, _merge, lambda a: a["mx"])

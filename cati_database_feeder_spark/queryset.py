@@ -1033,21 +1033,7 @@ def text_repetition_profile(spark, sf_dir):
     staged = d.select("doc_id", text.tokens(F.col("text")).alias("tk"))
     n = F.size("tk")
     nd = F.size(F.array_distinct("tk"))
-    grams = F.when(n >= 2, F.expr(
-        "transform(sequence(1, size(tk)-1), "
-        "i -> concat(element_at(tk, i), ' ', element_at(tk, i+1)))"
-    )).otherwise(F.array().cast("array<string>"))
-
-    def _merge(acc, x):
-        run = (F.when(x == acc["prev"], acc["run"] + 1)
-               .otherwise(F.lit(1).cast("long")))
-        return F.struct(x.alias("prev"), run.alias("run"),
-                        F.greatest(acc["mx"], run).alias("mx"))
-
-    acc0 = F.struct(F.lit("").alias("prev"),
-                    F.lit(0).cast("long").alias("run"),
-                    F.lit(0).cast("long").alias("mx"))
-    mx = F.aggregate(F.array_sort(grams), acc0, _merge, lambda a: a["mx"])
+    mx = text.top_bigram_run(F.col("tk"))
     dup_raw = F.when(n > 0, F.lit(1.0) - nd.cast("double") / n).otherwise(F.lit(0.0))
     share_raw = F.when(n >= 2, mx.cast("double") / (n - 1)).otherwise(F.lit(0.0))
     return staged.select(
@@ -2527,6 +2513,109 @@ def shard_manifest(spark, sf_dir):
                  F.sum("n_tokens").alias("total_tokens")))
 
 
+@register("training_pipeline_e2e", sql=r"""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+base AS (SELECT doc_id, lang, text, len(tk) AS n, len(list_distinct(tk)) AS nd, tk FROM toks),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+  FROM base WHERE len(tk) >= 2
+),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+gt AS (SELECT doc_id, MAX(c) AS mx FROM gc GROUP BY 1),
+filt AS (
+  SELECT b.doc_id, b.lang, b.text, b.n
+  FROM base b LEFT JOIN gt ON b.doc_id = gt.doc_id
+  WHERE (CASE WHEN b.n > 0 THEN 1.0 - CAST(b.nd AS DOUBLE)/b.n ELSE 0.0 END) <= 0.65
+    AND (CASE WHEN b.n >= 2 THEN CAST(gt.mx AS DOUBLE)/(b.n-1) ELSE 0.0 END) <= 0.06
+),
+ded AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, n,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS mn
+    FROM filt) s
+  WHERE doc_id = mn
+),
+sizes AS (SELECT lang, COUNT(*) AS s FROM ded GROUP BY lang),
+thr AS (
+  SELECT lang,
+         CAST(round(LEAST(1.0, sqrt(CAST((SELECT MIN(s) FROM sizes) AS DOUBLE)
+                                    / CAST(s AS DOUBLE))) * 10000) AS BIGINT) AS t
+  FROM sizes
+),
+samp AS (
+  SELECT d.doc_id, d.lang, CAST(d.n AS BIGINT) AS n_tokens
+  FROM ded d JOIN thr ON d.lang = thr.lang
+  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 10000 < thr.t
+),
+ordered AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM samp
+)
+SELECT doc_id, lang, n_tokens, pos,
+       start // 2048 AS seq_id,
+       start % 2048 AS seq_offset,
+       CASE WHEN n_tokens = 0 THEN 1
+            ELSE (start + n_tokens - 1) // 2048 - start // 2048 + 1
+       END AS n_seqs
+FROM ordered
+""")
+def training_pipeline_e2e(spark, sf_dir):
+    """THE composed LLM-data showcase, one oracled query: repetition
+    filter (E33, Gopher rules on raw quotients) → exact content dedup
+    (E6, keep-min per md5 fingerprint) → temperature-tempered
+    per-language sampling (E32, the bit-reproducible α=0.5 closed
+    form over the SURVIVING sizes) → deterministic corpus shuffle
+    (E29) → fixed-budget sequence packing (E30, budget 2048). Every
+    stage is individually triple-green; this registers their
+    COMPOSITION so stage-boundary drift (a filter reordered past a
+    dedup, a sample taken before a filter) hash-mismatches instead of
+    hiding between queries. Scale shape inherits from the parts:
+    map-only filters and gates, one window per dedup fingerprint,
+    literal-bucket ordinals/offsets — no single-partition sort, no
+    corpus² anywhere; driver state = per-language sizes + bucket
+    offsets."""
+    import math
+
+    from cati_database_feeder_spark.operators.sampling import (
+        global_shuffle_ordinals, pack_sequences, stratified_sample)
+    d = T(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "lang", "text",
+                      text.tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    nd = F.size(F.array_distinct("tk"))
+    mx = text.top_bigram_run(F.col("tk"))
+    dup_raw = (F.when(n > 0, F.lit(1.0) - nd.cast("double") / n)
+               .otherwise(F.lit(0.0)))
+    share_raw = (F.when(n >= 2, mx.cast("double") / (n - 1))
+                 .otherwise(F.lit(0.0)))
+    filt = staged.filter((dup_raw <= 0.65) & (share_raw <= 0.06))
+    ded = (filt.withColumn("fp", F.md5("text"))
+           .withColumn("mn", F.min("doc_id").over(Window.partitionBy("fp")))
+           .filter(F.col("doc_id") == F.col("mn")))
+    sizes = {r["lang"]: r["cnt"] for r in
+             ded.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    smin = min(sizes.values())
+    closed = {k: min(1.0, math.sqrt(smin / s)) for k, s in sizes.items()}
+    samp = (stratified_sample(ded, "lang", "doc_id", closed)
+            .select("doc_id", "lang", F.size("tk").cast("bigint").alias("n_tokens")))
+    key = F.md5(F.col("doc_id").cast("string"))
+    ordered = global_shuffle_ordinals(samp, key, ["doc_id"])
+    packed = pack_sequences(samp, key, ["doc_id"], "n_tokens", 2048)
+    return (ordered.select("doc_id", "lang", "n_tokens",
+                           F.col("pos").cast("bigint").alias("pos"))
+            .join(packed.select("doc_id", "seq_id", "seq_offset", "n_seqs"),
+                  "doc_id"))
+
+
 @register("corpus_shuffle_order", sql=r"""
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
@@ -2987,7 +3076,7 @@ _CHECK_ORDER = [
     #    repetition filter (E8) --
     "near_dup_incremental_store", "sample_tempered_mix",
     "text_repetition_profile", "text_dup_span_profile", "shard_manifest",
-    "semdedup_pairs",
+    "semdedup_pairs", "training_pipeline_e2e",
     # -- code changed this round (similarity query-side broadcasts
     #    dropped and similarity_ivf_topk's rows-only row retired into
     #    ivf_recall_check; membership store behind the incremental
@@ -3016,14 +3105,14 @@ _CHECK_ORDER = [
     #    family (shares dedup.py with the membership-store work) +
     #    flagship --
     "near_dup_pairs", "dedup_minhash_lsh_pairs",
-    "dedup_token_jaccard_pairs", "dedup_shingle_jaccard_pairs",
+    "dedup_shingle_jaccard_pairs",
     "dedup_char_ngram_jaccard_pairs", "dedup_simhash_pairs",
     "dedup_cluster_components", "dedup_cluster_incremental",
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r06
     # at sf0.01, code unchanged since; still oracle-checked in-suite
     # (tests/test_oracle_gate.py) and by tools/check.py every run ----
-    "text_fingerprint_dedup", "flagship_feeder",
-    "q18_large_volume_customers", "approx_aggregates",
+    "dedup_token_jaccard_pairs", "text_fingerprint_dedup",
+    "flagship_feeder", "q18_large_volume_customers", "approx_aggregates",
     "bm25_topk_search", "agg_cube_grouping_sets", "agg_distinct_counts",
     "agg_rollup_region_nation", "array_functions",
     "backfill_coalesce_repair", "bulk_multi_wave", "cross_join_pairs",
