@@ -53,6 +53,9 @@ _BARE_SUM_ALLOWED = {
     # CTE-internal duplicated-shingle counter; every output reference
     # is wrapped (CAST(n_dup AS BIGINT) / CAST(n_dup AS DOUBLE))
     "text_dup_span_profile": 1,
+    # running SUM(BIGINT) wrapped in CAST(COALESCE(...) AS BIGINT) one
+    # level out — the same reviewed pattern as pack_training_sequences
+    "training_pipeline_e2e": 1,
     # CTE-internal window sums feeding only the cumw >= totw/2.0
     # comparison — never reach the output schema (output is MIN of a
     # raw data double)
