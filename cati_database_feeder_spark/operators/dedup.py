@@ -526,12 +526,34 @@ def delta_membership(delta: DataFrame, reps: DataFrame,
                        F.array_distinct(T.tokens(F.col(text_col))).alias("toks"))
           .withColumn("key", tokset_key(F.col("toks"))))
     dt = dt.withColumn("lgid", F.min("id").over(Window.partitionBy("key")))
-    rk = reps.select(F.col("gid").alias("sgid"), "key")
+    rk = reps.select(F.col("gid").alias("sgid"), "key",
+                     F.col("toks").alias("__rtoks"))
+    # known-branch verification: a key match is confirmed by ONE sorted
+    # array-equality check against the stored rep's tokens (tokset_groups
+    # partitions by the array precisely to be collision-free; the md5
+    # store key alone would silently merge two distinct sets on a hash
+    # collision). A mismatch is an invariant violation — md5 collision
+    # or a corrupted reps store — and silently splitting the group would
+    # corrupt the store just as badly (duplicate key rows), so it fails
+    # loud instead. Cost: one array_sort pair per MATCHED delta doc —
+    # batch-bounded, store rows are only ever read, never sorted en masse.
+    collision = (F.col("sgid").isNotNull()
+                 & (F.array_sort("toks") != F.array_sort("__rtoks")))
+    known = (F.when(F.col("sgid").isNull(), F.lit(False))
+             .when(~collision, F.lit(True))
+             .otherwise(F.raise_error(F.concat(
+                 F.lit("delta_membership: tokset_key collision — stored "
+                       "group gid="),
+                 F.col("sgid").cast("string"),
+                 F.lit(" shares its 128-bit set key with delta doc id="),
+                 F.col("id").cast("string"),
+                 F.lit(" whose token SET differs (md5 collision or "
+                       "corrupted reps store)"))).cast("boolean")))
     return (dt.join(rk, "key", "left")
             .select("id",
                     F.coalesce("sgid", "lgid").alias("gid"),
                     "toks", "key",
-                    F.col("sgid").isNotNull().alias("known")))
+                    known.alias("known")))
 
 
 def incremental_near_dup_pairs_from_store(
@@ -617,8 +639,17 @@ def incremental_near_dup_pairs_from_store(
           .select("gid"))
     mn_t = mem_new.join(wg, "gid")
     mo_t = members.join(wg, "gid")
+    # x != y: delta and members are disjoint in a clean run, but an
+    # at-least-once redelivery after a crash between the members/ append
+    # and the corpus/ commit marker replays delta docs that are ALREADY
+    # in members — without the filter the retry would emit self-pairs
+    # (id_a == id_b, jaccard 1.0) whose singleton label rows a no-crash
+    # run would never contain, breaking labels ≡ full-recompute for
+    # that crash window. Duplicate (x,y) pairs from the same replay are
+    # harmless downstream (the closure is set-semantics).
     w_no = (mn_t.select("gid", F.col("id").alias("x"))
             .join(mo_t.select("gid", F.col("id").alias("y")), "gid")
+            .filter(F.col("x") != F.col("y"))
             .select(F.least("x", "y").alias("id_a"),
                     F.greatest("x", "y").alias("id_b")))
     w_nn = (mn_t.select("gid", F.col("id").alias("x"))

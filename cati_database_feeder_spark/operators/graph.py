@@ -211,15 +211,31 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     sc = pairs.sparkSession.sparkContext
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
 
-    if driver_edge_cap is not None:
+    from pyspark.sql.types import (ByteType, IntegerType, LongType, ShortType,
+                                   StructField, StructType)
+    id_type = e.schema[0].dataType
+    # the driver fast path is gated on an integral id dtype:
+    # _driver_union_find's dict arithmetic assumes ints, and string/other
+    # orderable id types must keep working through the distributed path
+    # (they did before the fast path existed) rather than raising
+    probe_cached = False
+    if driver_edge_cap is not None and isinstance(
+            id_type, (ByteType, ShortType, IntegerType, LongType)):
+        # persist around the probe: limit(cap+1) executes (part of) the
+        # upstream pair plan — typically an expensive dedup join — and
+        # without the cache an over-cap graph would pay that plan twice
+        # (once for the probe, once for the distributed path). The cache
+        # is released as soon as either path has materialized its first
+        # checkpoint.
+        e = e.persist()
+        probe_cached = True
         probe = e.limit(driver_edge_cap + 1).toPandas()
         if len(probe) <= driver_edge_cap:
             comp = _driver_union_find(probe["src"].values, probe["dst"].values)
-            id_type = e.schema[0].dataType
-            from pyspark.sql.types import StructField, StructType
             schema = StructType([StructField("id", id_type),
                                  StructField("component", id_type)])
             rows = sorted(comp.items())
+            e.unpersist()
             return pairs.sparkSession.createDataFrame(rows, schema)
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -235,6 +251,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
+    # the eager checkpoint above materialized `edges` into its own cache
+    # (reading the probe cache, not recomputing the pair plan) — the
+    # probe cache is dead from here on
+    if probe_cached:
+        e.unpersist()
     label_rdds = _checkpointed_rdd_ids(labels)
 
     for _ in range(max_iter):

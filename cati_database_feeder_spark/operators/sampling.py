@@ -21,6 +21,8 @@ exactly one wave) to per-stratum fractional scoping.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -45,11 +47,22 @@ def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
     — the property that makes ablation A/B corpora reconstructible."""
     from cati_database_feeder_spark.functions import text as T
     bucket = T.hash64(F.col(key_col).cast("string")) % GRAIN
-    threshold: Column = F.lit(int(round(default_fraction * GRAIN)))
+    threshold: Column = F.lit(grain_threshold(default_fraction))
     for value, frac in sorted(fractions.items()):
         threshold = F.when(F.col(stratum_col) == value,
-                           F.lit(int(round(frac * GRAIN)))).otherwise(threshold)
+                           F.lit(grain_threshold(frac))).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def grain_threshold(frac: float) -> int:
+    """Integer gate threshold for a keep fraction: HALF-UP rounding of
+    ``frac * GRAIN`` — ``math.floor(x + 0.5)``, not Python ``round()``,
+    whose banker's rounding diverges from SQL ``round()``
+    (half-away-from-zero) exactly when the product lands on .5; with
+    non-negative fractions half-up and half-away-from-zero coincide, so
+    both engines gate on the same integer for every representable
+    fraction."""
+    return math.floor(frac * GRAIN + 0.5)
 
 
 def mixture_fractions(sizes: dict[str, float], alpha: float = 0.5,

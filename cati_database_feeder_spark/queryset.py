@@ -2447,7 +2447,7 @@ def sample_tempered_mix(spark, sf_dir):
     import math
 
     from cati_database_feeder_spark.operators.sampling import (
-        GRAIN, mixture_fractions, stratified_sample)
+        grain_threshold, mixture_fractions, stratified_sample)
     d = T(spark, sf_dir, "documents")
     sizes = {r["lang"]: r["n"] for r in
              d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -2460,8 +2460,9 @@ def sample_tempered_mix(spark, sf_dir):
             f"mixture_fractions diverged from its α=0.5 closed form: {drift}")
     thr = F.lit(0)
     for lang, frac in sorted(closed.items()):
+        # half-up, matching SQL round() (sampling.grain_threshold)
         thr = F.when(F.col("lang") == lang,
-                     F.lit(int(round(frac * GRAIN)))).otherwise(thr)
+                     F.lit(grain_threshold(frac))).otherwise(thr)
     return (stratified_sample(d, "lang", "doc_id", closed)
             .withColumn("thr", thr.cast("bigint"))
             .groupBy("lang", "thr")
