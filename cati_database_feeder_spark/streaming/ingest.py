@@ -53,20 +53,31 @@ buckets bucketed by their join keys — doc_id, id, key, (band,bucket)
 and the append/swap writes become MERGE/atomic-commit, with identical
 dataflow.
 
-CONCURRENCY CONTRACT: one writer per ``state_dir``. ``ingest_batch``
-runs are serialized by the streaming engine (foreachBatch invocations
-never overlap for one query), but ``compact_state`` swap-replaces
-directories an in-flight batch's plans may be reading and races its
-rewrite against the batch's appends — run it only with no active
-ingest on the same state dir (stop the stream, compact, restart). The
-lakehouse version of this contract is optimistic table-commit
-conflict detection; plain directories have no such arbiter.
+CONCURRENCY CONTRACT: one writer per ``state_dir``, ENFORCED by a
+fencing file. ``ingest_batch`` runs are serialized by the streaming
+engine (foreachBatch invocations never overlap for one query), but a
+second stream on the same dir, or ``compact_state`` racing a live
+batch, would silently drop/duplicate store rows — wrong answers, not
+a crash. Every state-mutating entry point therefore takes an
+exclusive ``_LOCK`` file (created ``O_EXCL`` — atomic on POSIX and
+object-store-conditional-put equivalents) recording the holder's
+operation, pid and host, and releases it on exit. A conflicting call
+fails with :class:`StateLockError` naming the holder instead of
+corrupting state. A lock left by a CRASHED process on the same host
+(pid no longer alive) is broken automatically, so foreachBatch's
+retry-after-crash path stays self-healing; a lock from another host
+cannot be liveness-checked and must be cleared with
+:func:`break_lock` after confirming the writer is gone. The lakehouse
+version of this contract is optimistic table-commit conflict
+detection; plain directories get this explicit arbiter.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import socket
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,6 +87,95 @@ from cati_database_feeder_spark.operators.graph import (
     connected_components, incremental_components)
 
 _STORES = ("labels", "corpus", "buckets", "members", "reps")
+
+_LOCK_NAME = "_LOCK"
+
+
+class StateLockError(RuntimeError):
+    """Another writer holds the state dir's fencing lock. Raised
+    instead of proceeding — a compact racing a live ingest corrupts
+    the banding store silently (dropped/duplicated band rows), which
+    is strictly worse than failing."""
+
+
+def break_lock(state_dir: str) -> bool:
+    """Forcibly clear a state dir's fencing lock. ONLY for a lock
+    orphaned by a writer on another host (same-host crashes are
+    auto-healed by the liveness check): confirm the writer is gone
+    first. Returns True if a lock file was removed."""
+    path = os.path.join(state_dir, _LOCK_NAME)
+    try:
+        os.unlink(path)
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+@contextlib.contextmanager
+def _state_lock(state_dir: str, op: str):
+    """Exclusive fencing lock on ``state_dir`` for one state-mutating
+    operation. O_CREAT|O_EXCL is the atomicity primitive (one winner
+    under any interleaving on POSIX; the object-store analogue is a
+    conditional PUT). The lock body records ``op host pid`` so the
+    conflict error names the live holder. Self-healing: a lock whose
+    recorded host is THIS host and whose pid is dead was orphaned by a
+    crash — it is broken and the acquisition retried, keeping
+    foreachBatch's retry-after-crash contract lock-free for the user.
+    A foreign-host lock is never broken automatically (no liveness
+    signal); :func:`break_lock` is the documented manual override."""
+    os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, _LOCK_NAME)
+    me = f"{op} host={socket.gethostname()} pid={os.getpid()}"
+    for _ in range(2):  # second pass only after breaking a dead lock
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(path) as fh:
+                    holder = fh.read().strip() or "<empty>"
+            except OSError:
+                holder = "<unreadable>"
+            fields = dict(f.split("=", 1) for f in holder.split()
+                          if "=" in f)
+            same_host = fields.get("host") == socket.gethostname()
+            pid = fields.get("pid", "")
+            if same_host and pid.isdigit() and not _pid_alive(int(pid)):
+                # orphaned by a same-host crash — break and retry once
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(path)
+                continue
+            raise StateLockError(
+                f"state dir {state_dir!r} is locked by [{holder}] — "
+                f"one writer per state dir (module docstring, "
+                f"concurrency contract): stop the other writer and "
+                f"retry; if it crashed on another host, clear the "
+                f"lock with break_lock({state_dir!r}) after "
+                f"confirming it is gone. Refusing to run {op!r} "
+                f"because racing a live writer silently corrupts "
+                f"the stores.")
+    else:
+        raise StateLockError(
+            f"state dir {state_dir!r}: lock contention persisted "
+            f"after breaking a dead holder — another writer grabbed "
+            f"it; retry {op!r} when it finishes")
+    try:
+        os.write(fd, me.encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
 
 
 def _swap_write(df: DataFrame, target: str) -> None:
@@ -149,7 +249,19 @@ def ingest_batch(spark, batch: DataFrame, state_dir: str,
     the derived stores (members/reps/buckets/labels). Every store
     append is guarded by a left_anti on the store's key, so an
     at-least-once redelivery (foreachBatch's contract) appends nothing
-    twice and the whole call is idempotent."""
+    twice and the whole call is idempotent. Holds the state dir's
+    fencing lock for the duration (module docstring, concurrency
+    contract) — a concurrent ``compact_state`` or second ingest on the
+    same dir raises :class:`StateLockError` instead of corrupting
+    state."""
+    with _state_lock(state_dir, "ingest_batch"):
+        _ingest_batch_locked(spark, batch, state_dir, id_col, text_col,
+                             threshold, num_hashes, bands)
+
+
+def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
+                         id_col: str, text_col: str, threshold: float,
+                         num_hashes: int, bands: int) -> None:
     _recover_swaps(state_dir)
     corpus_dir = os.path.join(state_dir, "corpus")
     labels_dir = os.path.join(state_dir, "labels")
@@ -289,9 +401,19 @@ def compact_state(spark, state_dir: str, target_files: int | None = None,
     removes legacy rows from pre-membership-store state dirs, where
     min-id gids could supersede a rep).
 
-    MUST run with no active ingest on the same ``state_dir`` (module
-    docstring, concurrency contract): the directory swaps would race
-    an in-flight batch's reads and appends."""
+    One writer per state dir, ENFORCED: this takes the same fencing
+    lock as ``ingest_batch``, so compacting against a live ingest (the
+    race whose directory swaps would corrupt the in-flight batch's
+    reads and appends) raises :class:`StateLockError` naming the live
+    holder instead of proceeding."""
+    with _state_lock(state_dir, "compact_state"):
+        _compact_state_locked(spark, state_dir, target_files,
+                              prune_buckets)
+
+
+def _compact_state_locked(spark, state_dir: str,
+                          target_files: int | None,
+                          prune_buckets: bool) -> None:
     _recover_swaps(state_dir)
     corpus_dir = os.path.join(state_dir, "corpus")
     buckets_dir = os.path.join(state_dir, "buckets")

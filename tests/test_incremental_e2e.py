@@ -327,6 +327,108 @@ def test_swap_crash_recovery(spark, tmp_path):
     assert not os.path.exists(labels + "__old")
 
 
+def test_state_lock_refuses_compaction_during_live_ingest(spark, tmp_path):
+    """Round-7 verdict item 1: compact_state racing a LIVE ingest_batch
+    must fail descriptively instead of silently corrupting the banding
+    store. A real ingest runs on a worker thread and parks (via a
+    monkeypatched _recover_swaps, the first statement inside the lock)
+    while the main thread invokes compact_state — which must raise
+    StateLockError naming the live holder. After the ingest finishes,
+    compaction succeeds and state equals a full recompute."""
+    import threading
+
+    from cati_database_feeder_spark.streaming import ingest as ing
+
+    rows = [(10, "alpha beta gamma delta"), (11, "alpha beta gamma x"),
+            (40, "foo bar baz qux")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, df.filter(F.col("doc_id") < 40), state)
+
+    inside = threading.Event()
+    release = threading.Event()
+    real_recover = ing._recover_swaps
+
+    def parked_recover(sd):
+        real_recover(sd)
+        inside.set()
+        assert release.wait(60)
+
+    err: list[Exception] = []
+
+    def run_ingest():
+        try:
+            ing.ingest_batch(spark, df.filter(F.col("doc_id") == 40), state)
+        except Exception as exc:  # surface worker failures in the test
+            err.append(exc)
+
+    ing._recover_swaps = parked_recover
+    try:
+        t = threading.Thread(target=run_ingest)
+        t.start()
+        assert inside.wait(60), "ingest thread never reached the lock body"
+        with pytest.raises(ing.StateLockError) as ei:
+            ing.compact_state(spark, state)
+        assert "ingest_batch" in str(ei.value)
+        assert "break_lock" in str(ei.value)
+    finally:
+        release.set()
+        t.join(120)
+        ing._recover_swaps = real_recover
+    assert not err, f"ingest thread failed: {err}"
+    assert not os.path.exists(os.path.join(state, ing._LOCK_NAME))
+    ing.compact_state(spark, state)  # no longer held — succeeds
+    got = {(r["id"], r["component"]) for r in
+           spark.read.parquet(os.path.join(state, "labels")).collect()}
+    want = {(r["id"], r["component"]) for r in
+            connected_components(
+                dedup.near_dup_pairs(df, threshold=0.7)
+                .select("id_a", "id_b")).collect()}
+    assert got == want
+
+
+def test_state_lock_self_heals_dead_same_host_holder(spark, tmp_path):
+    """A lock orphaned by a same-host crash (recorded pid no longer
+    alive) must be broken automatically — foreachBatch's crash-retry
+    path stays lock-free for the user."""
+    import socket
+    import subprocess
+
+    from cati_database_feeder_spark.streaming import ingest as ing
+
+    rows = [(10, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    with open(os.path.join(state, ing._LOCK_NAME), "w") as fh:
+        fh.write(f"ingest_batch host={socket.gethostname()} pid={dead.pid}")
+    ing.ingest_batch(spark, df, state)  # breaks the dead lock, proceeds
+    assert os.path.exists(os.path.join(state, "corpus"))
+    assert not os.path.exists(os.path.join(state, ing._LOCK_NAME))
+
+
+def test_state_lock_foreign_host_needs_manual_break(spark, tmp_path):
+    """A lock from another host has no liveness signal — never broken
+    automatically; break_lock is the documented manual override."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+
+    rows = [(10, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    with open(os.path.join(state, ing._LOCK_NAME), "w") as fh:
+        fh.write("ingest_batch host=some-other-node pid=1")
+    with pytest.raises(ing.StateLockError) as ei:
+        ing.ingest_batch(spark, df, state)
+    assert "some-other-node" in str(ei.value)
+    assert ing.break_lock(state) is True
+    assert ing.break_lock(state) is False
+    ing.ingest_batch(spark, df, state)
+    assert os.path.exists(os.path.join(state, "corpus"))
+
+
 def test_start_incremental_ingest_multi_batch_equals_full_recompute(
         spark, sf_dir, tmp_path):
     """The packaged operator (streaming/ingest.start_incremental_ingest)
