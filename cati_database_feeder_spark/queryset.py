@@ -1687,6 +1687,50 @@ def semdedup_pairs(spark, sf_dir):
     return semdedup_pairs(e, cents, threshold=0.3, by="ip")
 
 
+@register("semdedup_incremental", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT e.vec_id, e.v, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY -list_dot_product(e.v, c.centroid) ASC, c.cell ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+         / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0), 6)
+         AS cosine
+FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0) >= 0.3
+  AND (a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
+""")
+def semdedup_incremental(spark, sf_dir):
+    """E36 incremental (round-7 verdict item 2): a delta batch
+    (vec_id % 10 == 0) SemDeDup'd against the corpus CELL STORE —
+    per-row assignment of the batch, equi-join against stored
+    (vec_id, embedding, cell) rows on the cell id, plus within-delta
+    cell pairs. The oracle is the FULL-recompute SemDeDup restricted
+    to delta-touching pairs, so the hash compare pins the incremental
+    ≡ restricted-full contract itself — cell assignment being a pure
+    per-row function is what makes them provably equal. Per-batch cost
+    is the batch × its matched cells (partition-pruned at 100 TB,
+    where the cell store is parquet partitioned by cell), never
+    corpus² (operators/similarity.py:incremental_semdedup_pairs)."""
+    from cati_database_feeder_spark.operators.similarity import (
+        assign_cells, incremental_semdedup_pairs)
+    e = T(spark, sf_dir, "embeddings")
+    cents = [(int(r["vec_id"]), list(r["embedding"]))
+             for r in e.filter(F.col("vec_id") < 16)
+                       .select("vec_id", "embedding").collect()]
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+    cell_store = assign_cells(corpus, cents, by="ip")
+    return incremental_semdedup_pairs(delta, cell_store, cents,
+                                      threshold=0.3, by="ip")
+
+
 @register("ivf_recall_check", sql="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
 FROM embeddings WHERE vec_id % 100 = 0
@@ -3071,47 +3115,24 @@ def udaf_trimmed_mean(spark, sf_dir):
 # oracle on every pytest run (tests/test_oracle_gate.py) and by
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
-    # -- new this round: the store-backed incremental path (E31
-    #    headline, shares near_dup_incremental's oracle), tempered
-    #    mixing composed end-to-end (E32), and the zero-shuffle
-    #    repetition filter (E8) --
-    "near_dup_incremental_store", "sample_tempered_mix",
-    "text_repetition_profile", "text_dup_span_profile", "shard_manifest",
-    "semdedup_pairs", "training_pipeline_e2e",
-    # -- code changed this round (similarity query-side broadcasts
-    #    dropped and similarity_ivf_topk's rows-only row retired into
-    #    ivf_recall_check; membership store behind the incremental
-    #    ingest path; null-key guards in the global-order machinery) --
-    "ivf_recall_check", "ivf_assign_topk", "embedding_cosine_topk",
-    "embedding_lsh_topk", "dedup_embedding_cosine_pairs",
-    "near_dup_incremental", "pack_training_sequences",
-    "corpus_shuffle_order", "sample_stratified_mix",
-    # -- r5-green tail rotated back through the window (last driver
-    #    green is r5; the ratchet requires recency, not existence) --
-    "events_exact_median", "null_normalization",
-    "funnel_view_to_purchase", "text_chunk_documents",
-    "decontaminate_against_benchmark", "json_extract_props",
-    "events_sliding_window", "backfill_month_repair_per_file",
-    "multimodal_binary_features", "text_token_doc_freq",
-    "window_range_rolling_sum", "agg_filtered_counts",
-    "agg_value_histogram", "string_regex_extract",
-    "text_quality_filter", "split_train_holdout",
-    "q5_local_supplier_volume", "q3_shipping_priority",
-    "q10_returned_items", "skew_salted_agg",
-    "skew_replicate_salt_join", "text_pii_redact",
-    "join_asof_backward", "events_tumbling_window",
-    "events_session_window", "events_daily_gap_fill",
-    "agg_pricing_summary",
-    # -- r6 triple-green, re-confirmed while budget remains: the dedup
-    #    family (shares dedup.py with the membership-store work) +
-    #    flagship --
-    "near_dup_pairs", "dedup_minhash_lsh_pairs",
-    "dedup_shingle_jaccard_pairs",
-    "dedup_char_ngram_jaccard_pairs", "dedup_simhash_pairs",
-    "dedup_cluster_components", "dedup_cluster_incremental",
-    # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r06
-    # at sf0.01, code unchanged since; still oracle-checked in-suite
-    # (tests/test_oracle_gate.py) and by tools/check.py every run ----
+    # -- new this round (round 8): incremental SemDeDup (verdict item
+    #    2) --
+    "semdedup_incremental",
+    # -- code/behavior changed this round: seeded-Gaussian LSH
+    #    hyperplanes (embedding_lsh_topk output CHANGES), half-up
+    #    sampling thresholds, the dedup-store self-pair filter +
+    #    collision guard, the graph driver-probe cache --
+    "embedding_lsh_topk", "sample_tempered_mix", "sample_stratified_mix",
+    "near_dup_incremental_store", "near_dup_incremental",
+    "near_dup_pairs", "dedup_cluster_components",
+    "dedup_cluster_incremental", "semdedup_pairs",
+    "training_pipeline_e2e", "pack_training_sequences",
+    "corpus_shuffle_order", "dedup_minhash_lsh_pairs",
+    "text_dup_span_profile",
+    # -- r6-green tail rotated back through the window: the recency
+    #    ratchet (tests/test_bench_contract.py) requires every
+    #    past-window query to hold a green <= 2 rounds old, and these
+    #    33 last went green in r06 --
     "dedup_token_jaccard_pairs", "text_fingerprint_dedup",
     "flagship_feeder", "q18_large_volume_customers", "approx_aggregates",
     "bm25_topk_search", "agg_cube_grouping_sets", "agg_distinct_counts",
@@ -3125,6 +3146,29 @@ _CHECK_ORDER = [
     "top_k_orders", "udaf_trimmed_mean", "udaf_weighted_median",
     "union_pages", "window_first_occurrence_dedup",
     "window_running_lag", "window_top_orders_per_customer",
+    # -- re-confirmation while window budget remains (shares dedup.py
+    #    with this round's changes) --
+    "dedup_shingle_jaccard_pairs",
+    # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r07
+    # at sf0.01, code unchanged since; still oracle-checked in-suite
+    # (tests/test_oracle_gate.py) and by tools/check.py every run ----
+    "text_repetition_profile", "shard_manifest", "ivf_recall_check",
+    "ivf_assign_topk", "embedding_cosine_topk",
+    "dedup_embedding_cosine_pairs", "events_exact_median",
+    "null_normalization", "funnel_view_to_purchase",
+    "text_chunk_documents", "decontaminate_against_benchmark",
+    "json_extract_props", "events_sliding_window",
+    "backfill_month_repair_per_file", "multimodal_binary_features",
+    "text_token_doc_freq", "window_range_rolling_sum",
+    "agg_filtered_counts", "agg_value_histogram",
+    "string_regex_extract", "text_quality_filter",
+    "split_train_holdout", "q5_local_supplier_volume",
+    "q3_shipping_priority", "q10_returned_items", "skew_salted_agg",
+    "skew_replicate_salt_join", "text_pii_redact",
+    "join_asof_backward", "events_tumbling_window",
+    "events_session_window", "events_daily_gap_fill",
+    "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
+    "dedup_simhash_pairs",
 ]
 
 _missing = [n for n in _CHECK_ORDER if n not in QUERIES]

@@ -208,3 +208,40 @@ def test_store_backed_incremental_equals_filtered_full(
     want = {(a, b, j) for a, b, j in full
             if a % delta_mod == 0 or b % delta_mod == 0}
     assert got == want
+
+
+# small integer coordinates → exact dot products, centroid ties (broken
+# by cell id in both paths), zero-norm vectors (cosine NULL → filtered
+# identically), and dense same-cell clusters
+_vec = st.lists(st.sampled_from([-1.0, 0.0, 1.0, 2.0]),
+                min_size=3, max_size=3)
+
+
+@given(vecs=st.lists(_vec, min_size=1, max_size=12),
+       delta_mod=st.sampled_from([2, 3, 4]))
+@settings(**_SETTINGS)
+def test_incremental_semdedup_equals_filtered_full(spark, vecs, delta_mod):
+    """For ANY embedding corpus and ANY id-based delta slice, the
+    cell-store-backed incremental SemDeDup equals the full-recompute
+    pair set restricted to delta-touching pairs — the per-row cell
+    assignment is what makes the restriction exact (no pair can span
+    an un-probed cell). Covers empty deltas/corpora, zero vectors,
+    and ties in the centroid argmin."""
+    from cati_database_feeder_spark.operators.similarity import (
+        assign_cells, incremental_semdedup_pairs, semdedup_pairs)
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(i, v) for i, v in rows[:4]]
+    corpus = df.filter(F.col("vec_id") % delta_mod != 0)
+    delta = df.filter(F.col("vec_id") % delta_mod == 0)
+    store = assign_cells(corpus, cents, by="ip")
+    got = {(r["id_a"], r["id_b"], r["cosine"])
+           for r in incremental_semdedup_pairs(
+               delta, store, cents, threshold=0.5, by="ip").collect()}
+    full = {(r["id_a"], r["id_b"], r["cosine"])
+            for r in semdedup_pairs(df, cents, threshold=0.5,
+                                    by="ip").collect()}
+    want = {(a, b, c) for a, b, c in full
+            if a % delta_mod == 0 or b % delta_mod == 0}
+    assert got == want
