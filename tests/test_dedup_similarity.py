@@ -95,6 +95,54 @@ def test_brute_force_topk_rank1_is_self(spark, sf_dir):
     assert rank1["vec_id"] == 0 and rank1["cosine"] == pytest.approx(1.0)
 
 
+def test_gaussian_hyperplanes_deterministic_and_balanced(spark, sf_dir):
+    """Fixed seed ⇒ identical plane matrix on every call (the property
+    the shared Spark/oracle literals rely on); Gaussian bucketing must
+    actually split the corpus (no near-degenerate bucket holding most
+    vectors at 8 bits)."""
+    p1 = similarity.gaussian_hyperplanes(64, 8)
+    p2 = similarity.gaussian_hyperplanes(64, 8)
+    assert p1 == p2
+    assert similarity.gaussian_hyperplanes(64, 8, seed=11) != p1
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = [r["n"] for r in
+              similarity.with_lsh_bucket(emb, "embedding", 8, hyperplanes=p1)
+              .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert max(counts) / sum(counts) < 0.2
+
+
+def test_lsh_tables_recall_beats_single_table(spark, sf_dir):
+    """The L-tables amplifier: every query finds itself (self collides
+    in every table), and recall@5 with 16 4-bit tables beats a single
+    8-bit signature on the same corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = similarity.brute_force_topk(q, emb, k=5).collect()
+    planes = similarity.gaussian_hyperplanes(64, 4 * 16)
+    multi = similarity.lsh_topk_tables(q, emb, planes, k=5,
+                                       n_bits=4, n_tables=16).collect()
+    single = similarity.lsh_topk(
+        q, emb, k=5, n_bits=8,
+        hyperplanes=similarity.gaussian_hyperplanes(64, 8)).collect()
+
+    def recall(rows):
+        want, got = {}, {}
+        for r in exact:
+            want.setdefault(r["q_id"], set()).add(r["vec_id"])
+        for r in rows:
+            got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        return sum(len(want[k] & got.get(k, set())) / 5 for k in want) / len(want)
+
+    for r in multi:
+        if r["rank"] == 1 and r["q_id"] == r["vec_id"]:
+            assert r["cosine"] == pytest.approx(1.0)
+    assert {r["q_id"] for r in multi if r["rank"] == 1 and
+            r["q_id"] == r["vec_id"]} == {r["q_id"] for r in exact if r["rank"] == 1}
+    assert recall(multi) >= 0.75
+    assert recall(multi) > recall(single)
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 200 == 0).select(
