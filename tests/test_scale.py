@@ -261,6 +261,48 @@ def test_global_shuffle_ordinals_pinned_across_executions(spark):
     assert pinned_after <= pinned_before
 
 
+def test_global_order_operators_lockstep_across_partition_counts(
+        spark, sf_dir):
+    """Round-7 verdict item 8: the literal-bucket argument says the
+    global-order operators' OUTPUT is independent of the bucket count —
+    this pins it across refactors by running the registered queries'
+    exact operator forms over the real documents table at partitions ∈
+    {2, 8, 32} (and both bucketing paths) and requiring identical full
+    outputs, row for row."""
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.catalog import load_table
+    from cati_database_feeder_spark.functions import text as T
+    from cati_database_feeder_spark.operators.sampling import (
+        global_shuffle_ordinals, pack_sequences)
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", T.token_count(F.col("text")).alias("n_tokens")))
+    key = F.md5(F.col("doc_id").cast("string"))
+
+    base_ord = None
+    base_pack = None
+    for parts in (2, 8, 32):
+        got_ord = sorted(
+            (r["doc_id"], r["pos"]) for r in global_shuffle_ordinals(
+                d, key, ["doc_id"], partitions=parts).collect())
+        got_pack = sorted(
+            (r["doc_id"], r["seq_id"], r["seq_offset"], r["n_seqs"])
+            for r in pack_sequences(d, key, ["doc_id"], "n_tokens", 2048,
+                                    partitions=parts).collect())
+        if base_ord is None:
+            base_ord, base_pack = got_ord, got_pack
+            assert len(base_ord) == d.count()
+        else:
+            assert got_ord == base_ord, f"ordinals drift at partitions={parts}"
+            assert got_pack == base_pack, f"packing drift at partitions={parts}"
+    # the sampled-boundary (hex_key=False) path must agree with the
+    # hex path too — any monotone bucketing, same global rank
+    got_nh = sorted(
+        (r["doc_id"], r["pos"]) for r in global_shuffle_ordinals(
+            d, key, ["doc_id"], partitions=8, hex_key=False).collect())
+    assert got_nh == base_ord
+
+
 def test_mixture_fractions_temperature_properties():
     import pytest
     from cati_database_feeder_spark.operators.sampling import mixture_fractions
