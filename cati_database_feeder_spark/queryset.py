@@ -1094,7 +1094,18 @@ def text_dup_span_profile(spark, sf_dir):
           .select("doc_id",
                   F.array_distinct(
                       text.shingles_from_tokens(F.col("tk"), 8)).alias("shingles")))
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # persist the exploded shingle frame: BOTH plan branches (df agg,
+    # join-back) consume it, and unlike the rejected token-array persist
+    # (dedup.py — array columns (de)serialize worse than they recompute)
+    # this frame is a flat (long, string) projection that caches cheap.
+    # Measured at sf0.1: recompute 6.7-9.8 s, persist 4.1-5.7 s,
+    # localCheckpoint 3.9-4.4 s — persist chosen over checkpoint
+    # because evicted persist blocks recompute while evicted
+    # checkpoint blocks are fatal (lineage truncated); the cache is
+    # released by the ContextCleaner when the returned plan is GC'd
+    # (SCALING.md, round-8 persist-vs-recompute table).
+    ex = (sh.select("doc_id", F.explode("shingles").alias("shingle"))
+          .persist())
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
     per = (ex.join(dfreq, "shingle")
            .groupBy("doc_id")
@@ -1439,7 +1450,13 @@ def near_dup_incremental(spark, sf_dir):
         delta=d.filter(F.col("doc_id") % 50 == 0),
         threshold=0.7,
         groups=_tokset_groups_stage(spark, sf_dir),
-        buckets=_band_buckets_stage(spark, sf_dir))
+        buckets=_band_buckets_stage(spark, sf_dir),
+        # covering invariant holds BY CONSTRUCTION: the injected stage
+        # is built from exactly this documents table in-process, so the
+        # corpus-staleness probe (one extra job, measured ~0.7 s at
+        # sf0.1) is skipped here — the default stays on for library
+        # callers injecting externally materialized snapshots
+        validate_buckets=False)
 
 
 def _corpus_store_stage(spark, sf_dir):
@@ -1479,7 +1496,7 @@ def near_dup_incremental_store(spark, sf_dir):
     maintains (streaming/ingest.py) — built once per corpus snapshot,
     probed by every batch."""
     from cati_database_feeder_spark.operators.dedup import (
-        incremental_near_dup_pairs_from_store, tokset_key)
+        delta_membership, incremental_near_dup_pairs_from_store, tokset_key)
     d = T(spark, sf_dir, "documents")
     delta = d.filter(F.col("doc_id") % 50 == 0)
     memb = _corpus_store_stage(spark, sf_dir)
@@ -1487,8 +1504,13 @@ def near_dup_incremental_store(spark, sf_dir):
     reps = (memb.filter(F.col("id") == F.col("gid"))
             .select("gid", "toks", tokset_key(F.col("toks")).alias("key")))
     buckets = _corpus_store_buckets_stage(spark, sf_dir)
+    # persist the delta membership — the production twin (ingest_batch)
+    # already does; without it every consuming branch (new_reps, probe,
+    # expansion) re-tokenizes the delta. Measured at sf0.1: 6.2-7.6 s
+    # recompute vs 4.7-5.8 s persisted (SCALING.md, round-8 table).
+    dmemb = delta_membership(delta, reps).persist()
     pairs, _, _ = incremental_near_dup_pairs_from_store(
-        delta, members, reps, buckets, threshold=0.7)
+        delta, members, reps, buckets, threshold=0.7, dmemb=dmemb)
     return pairs
 
 
