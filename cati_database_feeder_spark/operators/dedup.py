@@ -690,6 +690,38 @@ def incremental_near_dup_pairs_from_store(
     return within.unionByName(cross), dmemb, new_reps
 
 
+def keep_best_per_cluster(labels: DataFrame, scores: DataFrame,
+                          id_col: str = "doc_id",
+                          score_col: str = "score") -> DataFrame:
+    """The final DELETE-LIST step of a dedup pipeline: given the
+    cluster labeling (``labels``: (id, component) from
+    graph.connected_components) and a per-document quality score,
+    select ONE survivor per cluster — the highest-scoring member, ties
+    to the smallest id (the standard keep-best policy: among near-dup
+    variants keep the most complete one, not an arbitrary minimum id).
+    Emits (doc_id, component, kept_id, keep) for every clustered doc;
+    docs outside any cluster are implicitly kept and not emitted.
+
+    Scale shape: one equi-join of the labeling with the score column,
+    one per-COMPONENT aggregate (max of a (score, -id) struct — the
+    shuffle carries one row per cluster, not per doc), one join back
+    on component. No window over the corpus, no skew trap: even a
+    pathological million-member cluster contributes one aggregate row,
+    and the max is computed with map-side partial aggregation."""
+    sc = scores.select(F.col(id_col).alias("id"),
+                       F.col(score_col).alias("__score"))
+    lab = labels.join(sc, "id")
+    # max(struct(score, -id)): max score, then min id — one aggregate,
+    # order-insensitive, no argmax window
+    best = (lab.groupBy("component")
+            .agg(F.max(F.struct(F.col("__score").alias("s"),
+                                (-F.col("id")).alias("nid"))).alias("b"))
+            .select("component", (-F.col("b.nid")).alias("kept_id")))
+    return (lab.join(best, "component")
+            .select(F.col("id").alias(id_col), "component", "kept_id",
+                    (F.col("id") == F.col("kept_id")).alias("keep")))
+
+
 def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
     """SimHash (Charikar 2002) from a pre-computed token-hash array:
     bit b of the signature is the sign of Σ_tokens (±1 by bit b of the

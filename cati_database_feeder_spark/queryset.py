@@ -3045,6 +3045,218 @@ def dedup_cluster_incremental(spark, sf_dir):
                                   pairs.filter(delta_a | delta_b))
 
 
+@register("dedup_keep_best", sql=r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))
+          / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+lab2 AS (
+  SELECT c.id AS doc_id, c.component, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+),
+ranked AS (
+  SELECT doc_id, component,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM lab2
+)
+SELECT l.doc_id, l.component, b.doc_id AS kept_id,
+       l.doc_id = b.doc_id AS keep
+FROM lab2 l JOIN ranked b ON b.component = l.component AND b.rn = 1
+""")
+def dedup_keep_best(spark, sf_dir):
+    """E38: the DELETE-LIST — clusters from the shared verified-pair
+    closure, one survivor per cluster selected by quality (longest
+    n_chars, ties to min doc_id — keep the most complete near-dup
+    variant, not an arbitrary id). The aggregate carries one row per
+    CLUSTER (max of a (score,-id) struct with map-side partials), so
+    a million-member boilerplate cluster costs one row, never a
+    corpus-wide window; the oracle replays the same selection with a
+    rank-1 window over the recursive-CTE closure
+    (operators/dedup.py:keep_best_per_cluster)."""
+    from cati_database_feeder_spark.operators.dedup import keep_best_per_cluster
+    from cati_database_feeder_spark.operators.graph import connected_components
+    labels = connected_components(_jaccard_pairs_stage(spark, sf_dir))
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return keep_best_per_cluster(labels, d, score_col="n_chars")
+
+
+@register("text_unigram_rarity", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+vrank AS (
+  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS rnk
+  FROM vocab
+),
+per AS (
+  SELECT tk.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(vrank.rnk) AS BIGINT) AS rank_sum
+  FROM tk JOIN vrank USING (tok)
+  GROUP BY tk.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(rank_sum AS DOUBLE) / n_tokens, 6) AS mean_rank,
+       (CAST(rank_sum AS DOUBLE) / n_tokens
+          > (SELECT COUNT(*) FROM vocab) * 0.5) AS flag_rare
+FROM per
+""")
+def text_unigram_rarity(spark, sf_dir):
+    """E39 perplexity-PROXY quality scoring (the CCNet recipe scores
+    docs with a corpus LM and drops the tail; this is its
+    cross-engine-deterministic stand-in): rank the corpus vocabulary
+    by descending unigram frequency (ties by token), score each doc by
+    the MEAN RANK of its token occurrences, flag docs whose mean rank
+    exceeds half the vocabulary — rare-token-heavy gibberish. Mean
+    rank is monotone in the unigram surprisal ordering but stays in
+    INTEGER arithmetic until one final division — a true -log p score
+    would hang the hash compare on libm's ln, which neither engine
+    guarantees correctly rounded. Flag decided on the raw quotient.
+
+    Scale shape: one vocab aggregate (map-side partials), then the
+    vocabulary rank runs through the DISTRIBUTED global-rank machinery
+    (sampling.global_shuffle_ordinals, sampled-boundary path keyed on
+    -count with the token as tie) — NOT a corpus-derived
+    single-partition window: a web-scale vocabulary (typos, hashes,
+    numerals) is far smaller than the corpus but still billions of
+    rows. Then one join-back keyed on token and one per-doc aggregate;
+    occurrence rows carry (token, doc_id) only."""
+    from cati_database_feeder_spark.operators.sampling import (
+        global_shuffle_ordinals)
+    d = T(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    vocab = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vrank = (global_shuffle_ordinals(vocab, (-F.col("c")).cast("long"),
+                                     ["tok"], hex_key=False)
+             .select("tok", F.col("pos").cast("bigint").alias("rnk")))
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v")).select(
+        (F.col("v") * 0.5).alias("half_v"))
+    per = (tk.join(vrank, "tok")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("rnk").alias("rank_sum")))
+    mean_rank = F.col("rank_sum").cast("double") / F.col("n_tokens")
+    return (per.crossJoin(F.broadcast(vsize))
+            .select("doc_id",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.round(mean_rank, 6).alias("mean_rank"),
+                    (mean_rank > F.col("half_v")).alias("flag_rare")))
+
+
+@register("dedup_cross_source_matrix", sql=r"""
+WITH toksets AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toksets
+),
+base AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM toks
+),
+seeds AS (
+  SELECT i,
+         CASE WHEN (1103515245 * (i + 1) + 12345) % 2147483647 = 0 THEN 1
+              ELSE (1103515245 * (i + 1) + 12345) % 2147483647 END AS a,
+         (69069 * (i + 1) + 1) % 2147483647 AS b
+  FROM (SELECT unnest(range(16)) AS i)
+),
+hashes AS (
+  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+  FROM base CROSS JOIN seeds
+  GROUP BY doc_id, i
+),
+buckets AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM hashes
+  GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(ta.toks, tb.toks))
+                 / CAST(len(ta.toks) + len(tb.toks)
+                        - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  JOIN toksets ta ON ta.doc_id = c.id_a
+  JOIN toksets tb ON tb.doc_id = c.id_b
+  WHERE round(len(list_intersect(ta.toks, tb.toks))
+                / CAST(len(ta.toks) + len(tb.toks)
+                       - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE), 6) >= 0.7
+),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b, v.jaccard
+  FROM verified v
+  JOIN documents da ON da.doc_id = v.id_a
+  JOIN documents db ON db.doc_id = v.id_b
+)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(jaccard AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_jaccard
+FROM lab
+GROUP BY source_a, source_b
+""")
+def dedup_cross_source_matrix(spark, sf_dir):
+    """E40 leakage diagnostics: the near-dup pair mass BETWEEN sources
+    — per unordered (source_a, source_b) cell, pair count and mean
+    verified Jaccard. The dataset-engineering dashboard behind "dump
+    X is 40% recycled from dump Y": off-diagonal cells are
+    cross-source contamination, the diagonal within-source
+    duplication. Consumes the SHARED two-phase pipeline (the same
+    membership + rep-candidate stages near_dup_pairs reads — the
+    candidate generation is deliberately unblocked by source, since
+    cross-source pairs are the point), then two id-keyed joins pull
+    each endpoint's source and the matrix aggregate carries one row
+    per source pair. avg_jaccard uses exact decimal accumulation
+    (aggregates.dsum) so the mean is partition-order-independent at
+    any cluster size."""
+    from cati_database_feeder_spark.operators.dedup import near_dup_pairs
+    d = T(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(
+        d, threshold=0.7,
+        groups=_tokset_groups_stage(spark, sf_dir),
+        rep_candidates=_minhash_rep_cands_stage(spark, sf_dir))
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select(F.least("sa", "sb").alias("source_a"),
+                    F.greatest("sa", "sb").alias("source_b"), "jaccard")
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 (dsum(F.col("jaccard")) / F.count(F.lit(1)))
+                 .alias("avg_jaccard")))
+
+
 def _cluster_base_labels_stage(spark, sf_dir):
     """(id, component) over the CORPUS-internal verified pairs (both
     endpoints outside the 1-in-50 ingest slice), persisted once per
@@ -3192,18 +3404,22 @@ def udaf_trimmed_mean(spark, sf_dir):
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
     # -- new this round (round 8): incremental SemDeDup (verdict item
-    #    2) and the multi-table LSH recall gate (verdict item 5) --
-    "semdedup_incremental", "lsh_recall_check",
+    #    2), the multi-table LSH recall gate (verdict item 5), the
+    #    cluster keep-best delete list (E38), the unigram-rarity
+    #    quality score (E39), and the cross-source leakage matrix
+    #    (E40) --
+    "semdedup_incremental", "lsh_recall_check", "dedup_keep_best",
+    "text_unigram_rarity", "dedup_cross_source_matrix",
     # -- code/behavior changed this round: seeded-Gaussian LSH
     #    hyperplanes (embedding_lsh_topk output CHANGES), half-up
     #    sampling thresholds, the dedup-store self-pair filter +
-    #    collision guard, the graph driver-probe cache --
+    #    collision guard, persisted multi-branch frames, the graph
+    #    driver-probe cache --
     "embedding_lsh_topk", "sample_tempered_mix", "sample_stratified_mix",
     "near_dup_incremental_store", "near_dup_incremental",
     "near_dup_pairs", "dedup_cluster_components",
     "dedup_cluster_incremental", "semdedup_pairs",
-    "training_pipeline_e2e", "pack_training_sequences",
-    "corpus_shuffle_order", "dedup_minhash_lsh_pairs",
+    "training_pipeline_e2e", "dedup_minhash_lsh_pairs",
     "text_dup_span_profile",
     # -- r6-green tail rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
@@ -3222,12 +3438,11 @@ _CHECK_ORDER = [
     "top_k_orders", "udaf_trimmed_mean", "udaf_weighted_median",
     "union_pages", "window_first_occurrence_dedup",
     "window_running_lag", "window_top_orders_per_customer",
-    # -- re-confirmation while window budget remains (shares dedup.py
-    #    with this round's changes) --
-    "dedup_shingle_jaccard_pairs",
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r07
-    # at sf0.01, code unchanged since; still oracle-checked in-suite
-    # (tests/test_oracle_gate.py) and by tools/check.py every run ----
+    # at sf0.01 (or earlier with code unchanged); still oracle-checked
+    # in-suite (tests/test_oracle_gate.py) and by tools/check.py ----
+    "dedup_shingle_jaccard_pairs", "pack_training_sequences",
+    "corpus_shuffle_order",
     "text_repetition_profile", "shard_manifest", "ivf_recall_check",
     "ivf_assign_topk", "embedding_cosine_topk",
     "dedup_embedding_cosine_pairs", "events_exact_median",

@@ -311,6 +311,27 @@ def test_incremental_near_dup_stale_buckets_auto_repaired(spark):
     assert {(0, 1, 1.0), (0, 2, 1.0)} <= got_stale
 
 
+def test_keep_best_per_cluster_policy(spark):
+    """One survivor per cluster: highest score wins, score ties go to
+    the smallest id, every clustered doc gets a row, unclustered docs
+    are implicitly kept (absent)."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["id", "component"])
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 5), (99, 100)],
+        ["doc_id", "score"])
+    out = {r["doc_id"]: (r["component"], r["kept_id"], r["keep"])
+           for r in dedup.keep_best_per_cluster(labels, scores).collect()}
+    # cluster 1: scores 10/30/30 — 2 beats 3 on the id tie-break
+    assert out[1] == (1, 2, False)
+    assert out[2] == (1, 2, True)
+    assert out[3] == (1, 2, False)
+    # cluster 7: tie 5/5 — min id 7 survives
+    assert out[7] == (7, 7, True)
+    assert out[8] == (7, 7, False)
+    assert 99 not in out  # unclustered → not emitted
+
+
 def test_incremental_near_dup_corpus_stale_buckets_raises(spark):
     """Round-7 verdict item 6: a banding table stale w.r.t. the CORPUS
     itself (corpus docs added after the snapshot, not in the delta) is
