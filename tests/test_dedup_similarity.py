@@ -200,6 +200,35 @@ def test_ivf_cell_partition_pruning(spark, sf_dir, tmp_path):
         num_files, total_files)
 
 
+def test_incremental_semdedup_prunes_cell_store_partitions(
+        spark, sf_dir, tmp_path):
+    """The 100 TB claim of incremental SemDeDup: with the cell store
+    written partitioned by cell, the delta×corpus probe must reach the
+    store through a runtime partition filter (dynamic partition
+    pruning off the broadcast delta side) — the scan touches the
+    batch's own cells, not the corpus."""
+    import re
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [(int(r["vec_id"]), list(r["embedding"]))
+             for r in emb.filter(F.col("vec_id") < 8)
+                         .select("vec_id", "embedding").collect()]
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    out = str(tmp_path / "cell_store")
+    (similarity.assign_cells(corpus, cents, by="ip")
+     .write.partitionBy("cell").parquet(out))
+    store = spark.read.parquet(out)
+    assert store.select("cell").distinct().count() > 2
+    delta = emb.filter(F.col("vec_id") % 100 == 7).limit(5)
+    pairs = similarity.incremental_semdedup_pairs(
+        delta, store, cents, threshold=0.3, by="ip")
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any(re.search(r"dynamicpruningexpression\(cell#\d+ IN", f)
+               for f in filters), filters
+
+
 def test_lang_id_scripts(spark):
     df = spark.createDataFrame(
         [("the cat sat on the mat",), ("der hund ist ein tier",),
