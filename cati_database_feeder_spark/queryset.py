@@ -3107,7 +3107,7 @@ WITH tk AS (
 ),
 vocab AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
 vrank AS (
-  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS rnk
+  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, md5(tok) ASC) AS BIGINT) AS rnk
   FROM vocab
 ),
 per AS (
@@ -3136,19 +3136,28 @@ def text_unigram_rarity(spark, sf_dir):
 
     Scale shape: one vocab aggregate (map-side partials), then the
     vocabulary rank runs through the DISTRIBUTED global-rank machinery
-    (sampling.global_shuffle_ordinals, sampled-boundary path keyed on
-    -count with the token as tie) — NOT a corpus-derived
-    single-partition window: a web-scale vocabulary (typos, hashes,
-    numerals) is far smaller than the corpus but still billions of
-    rows. Then one join-back keyed on token and one per-doc aggregate;
-    occurrence rows carry (token, doc_id) only."""
+    (sampling.global_shuffle_ordinals, sampled-boundary path) — NOT a
+    corpus-derived single-partition window: a web-scale vocabulary
+    (typos, hashes, numerals) is far smaller than the corpus but
+    still billions of rows. The rank key is UNIQUE per token —
+    fixed-width inverted count ++ md5(token) — because keying on the
+    count alone would range-partition the entire Zipf tail (every
+    count-1 token, most of the vocabulary) into ONE partition; the
+    md5 suffix spreads ties uniformly while preserving the
+    (count desc, md5 asc) total order the oracle replays. Then one
+    join-back keyed on token and one per-doc aggregate; occurrence
+    rows carry (token, doc_id) only."""
     from cati_database_feeder_spark.operators.sampling import (
         global_shuffle_ordinals)
     d = T(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
     vocab = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    vrank = (global_shuffle_ordinals(vocab, (-F.col("c")).cast("long"),
-                                     ["tok"], hex_key=False)
+    # 2^62 > any bigint corpus count; %020d keeps the string order equal
+    # to numeric order, so key order == (c desc, md5(tok) asc), unique
+    rank_key = F.concat(
+        F.format_string("%020d", F.lit(4611686018427387904) - F.col("c")),
+        F.md5(F.col("tok")))
+    vrank = (global_shuffle_ordinals(vocab, rank_key, [], hex_key=False)
              .select("tok", F.col("pos").cast("bigint").alias("rnk")))
     vsize = vocab.agg(F.count(F.lit(1)).alias("v")).select(
         (F.col("v") * 0.5).alias("half_v"))
