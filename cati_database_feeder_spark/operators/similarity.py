@@ -136,15 +136,24 @@ def with_lsh_table_buckets(df: DataFrame, vec_col: str, id_col: str,
     if len(hyperplanes) != n_bits * n_tables:
         raise ValueError(f"need n_bits*n_tables={n_bits * n_tables} "
                          f"hyperplanes, got {len(hyperplanes)}")
-    rows = []
-    for t in range(n_tables):
-        bits = [F.when(V.dot(F.col(vec_col),
-                             F.lit(hyperplanes[t * n_bits + j])) >= 0,
-                       F.lit("1")).otherwise(F.lit("0"))
-                for j in range(n_bits)]
-        rows.append(F.struct(F.lit(t).alias("tbl"),
-                             F.concat(*bits).alias("bucket")))
-    return (df.select(F.col(id_col), F.explode(F.array(*rows)).alias("s"))
+    # ONE transform over a 2-D plane literal instead of n_bits*n_tables
+    # inlined dot-product folds: the inlined form compiles ~L·b separate
+    # zip_with/aggregate chains per row (measured: codegen+eval made the
+    # recall gate the 2nd most expensive bench entry); the HOF loop
+    # compiles once and evaluates the same sequential-fold dots. Staged
+    # as its own projection so the bits compute once per row, then each
+    # table's bucket is a slice+join of the staged array.
+    planes = F.lit([[float(x) for x in p] for p in hyperplanes])
+    bits = F.transform(
+        planes,
+        lambda p: F.when(V.dot(F.col(vec_col), p) >= 0,
+                         F.lit("1")).otherwise(F.lit("0")))
+    staged = df.select(F.col(id_col), bits.alias("__bits"))
+    rows = [F.struct(F.lit(t).alias("tbl"),
+                     F.array_join(F.slice("__bits", t * n_bits + 1, n_bits),
+                                  "").alias("bucket"))
+            for t in range(n_tables)]
+    return (staged.select(id_col, F.explode(F.array(*rows)).alias("s"))
             .select(id_col, "s.tbl", "s.bucket"))
 
 
