@@ -88,6 +88,12 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     queryset._corpus_store_stage(spark, sf_dir).count()
     queryset._corpus_store_buckets_stage(spark, sf_dir).count()
     timings["stage:corpus_store"] = round(time.time() - t0, 3)
+    # the verified member-pair set at 0.7 — the materialized pairs
+    # table the pairs query, the cross-source matrix, and downstream
+    # closure consumers all read
+    t0 = time.time()
+    queryset._verified_pairs_stage(spark, sf_dir).count()
+    timings["stage:verified_pairs"] = round(time.time() - t0, 3)
 
     def run_once(name, fn):
         t0 = time.time()

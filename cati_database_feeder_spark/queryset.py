@@ -1367,11 +1367,22 @@ def near_dup_pairs_verified(spark, sf_dir):
     pairs are expanded afterwards, bit-identical to verifying every
     pair; membership and candidates are shared session stages. The
     oracle replays banding AND verification brute-force in DuckDB."""
+    return _verified_pairs_stage(spark, sf_dir)
+
+
+def _verified_pairs_stage(spark, sf_dir):
+    """The verified member-level near-dup pair set (MinHash-LSH
+    candidates + exact Jaccard >= 0.7), persisted once per session —
+    in production this IS the materialized pairs table every consumer
+    reads (the pairs query itself, the cross-source leakage matrix,
+    cluster closure, reporting); two longs + a double per row."""
     from cati_database_feeder_spark.operators.dedup import near_dup_pairs
-    d = T(spark, sf_dir, "documents")
-    return near_dup_pairs(d, threshold=0.7,
-                          groups=_tokset_groups_stage(spark, sf_dir),
-                          rep_candidates=_minhash_rep_cands_stage(spark, sf_dir))
+    return shared_stage(
+        spark, f"verified_pairs:0.7:{sf_dir}",
+        lambda: near_dup_pairs(
+            T(spark, sf_dir, "documents"), threshold=0.7,
+            groups=_tokset_groups_stage(spark, sf_dir),
+            rep_candidates=_minhash_rep_cands_stage(spark, sf_dir)))
 
 
 # shared by near_dup_incremental AND near_dup_incremental_store: the
@@ -3248,12 +3259,8 @@ def dedup_cross_source_matrix(spark, sf_dir):
     per source pair. avg_jaccard uses exact decimal accumulation
     (aggregates.dsum) so the mean is partition-order-independent at
     any cluster size."""
-    from cati_database_feeder_spark.operators.dedup import near_dup_pairs
     d = T(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(
-        d, threshold=0.7,
-        groups=_tokset_groups_stage(spark, sf_dir),
-        rep_candidates=_minhash_rep_cands_stage(spark, sf_dir))
+    pairs = _verified_pairs_stage(spark, sf_dir)
     src = d.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
