@@ -199,7 +199,7 @@ def _swap_write(df: DataFrame, target: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
-def _recover_swaps(state_dir: str) -> None:
+def _recover_swaps(state_dir: str, stores: tuple[str, ...] = _STORES) -> None:
     """Heal a crash inside :func:`_swap_write` before reading state.
     Crash taxonomy: (a) tmp written, target untouched — drop the tmp;
     (b) target renamed aside, tmp not yet renamed in — rename the old
@@ -208,7 +208,7 @@ def _recover_swaps(state_dir: str) -> None:
     Restoring OLD in case (b) — even though the tmp write completed —
     keeps one invariant: state only ever advances via a completed
     ``ingest_batch``/``compact_state`` call, never half of one."""
-    for name in _STORES:
+    for name in stores:
         target = os.path.join(state_dir, name)
         old, tmp = target + "__old", target + "__tmp"
         if not os.path.exists(target) and os.path.exists(old):

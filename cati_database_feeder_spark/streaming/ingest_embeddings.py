@@ -1,0 +1,157 @@
+"""Streaming incremental SEMANTIC dedup ingest — the embedding-family
+twin of :mod:`cati_database_feeder_spark.streaming.ingest` (round-8
+extension E41's production wiring): a vector stream lands against a
+state directory and the corpus keeps a maintained SemDeDup labeling
+without ever re-pairing corpus×corpus.
+
+Per batch:
+
+1. exact dedup — vec_ids already in the store are dropped (plus
+   within-batch id dedup);
+2. semantic near-dup pairs — the surviving delta probes the CELL
+   STORE (operators/similarity.incremental_semdedup_pairs): per-row
+   centroid assignment of the batch, equi-join on the cell id against
+   the cell-partitioned vector store (dynamic partition pruning keeps
+   the scan to the batch's own cells — pinned in
+   tests/test_dedup_similarity.py), within-delta cell pairs;
+3. closure update — new pairs fold into the stored labeling by graph
+   contraction (operators/graph.incremental_components), equal to a
+   full recompute by construction.
+
+State under ``state_dir`` (same swap/append discipline and the same
+single-writer fencing lock as the text-ingest path — see
+streaming/ingest.py's module docstring for the crash taxonomy and
+concurrency contract):
+
+- ``centroids/`` — (cell, centroid), written ONCE at bootstrap. Cell
+  assignment is only stable under fixed centroids, so later batches
+  READ the stored quantizer instead of trusting the caller to resend
+  the same one; retraining centroids means a new state dir (exactly
+  the production contract for an IVF-style layout).
+- ``vectors/``  — (vec_id, embedding, cell), append-only parquet
+  PARTITIONED BY cell — the write-time layout that makes the
+  per-batch probe partition-prunable at 100 TB.
+- ``labels/``   — (id, component) SemDeDup closure labeling, replaced
+  per batch via the atomic directory swap.
+
+The corpus text-ingest path and this one share no state; run each on
+its own ``state_dir``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cati_database_feeder_spark.operators.graph import (
+    connected_components, incremental_components)
+from cati_database_feeder_spark.operators.similarity import (
+    assign_cells, incremental_semdedup_pairs, semdedup_pairs)
+from cati_database_feeder_spark.streaming.ingest import (
+    _recover_swaps, _state_lock, _swap_write)
+
+_EMB_STORES = ("labels", "vectors", "centroids")
+
+
+def ingest_embeddings_batch(spark, batch: DataFrame, state_dir: str,
+                            centroid_rows=None, threshold: float = 0.9,
+                            by: str = "ip", id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> None:
+    """Process one embedding batch against the state dir (module
+    docstring). ``centroid_rows`` is REQUIRED on the bootstrap call
+    and ignored afterwards (the stored quantizer wins — assignments
+    must stay stable for the append-only vector store to stay
+    correct). Idempotent under at-least-once redelivery: the exact
+    dedup anti-join empties a replayed batch, and the labels swap is
+    a fixed point for an empty pair delta. Holds the state dir's
+    fencing lock for the duration."""
+    with _state_lock(state_dir, "ingest_embeddings_batch"):
+        _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
+                                  threshold, by, id_col, vec_col)
+
+
+def _load_centroids(spark, state_dir: str):
+    rows = (spark.read.parquet(os.path.join(state_dir, "centroids"))
+            .collect())
+    return sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
+
+
+def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
+                              threshold, by, id_col, vec_col) -> None:
+    _recover_swaps(state_dir, _EMB_STORES)
+    vec_dir = os.path.join(state_dir, "vectors")
+    lab_dir = os.path.join(state_dir, "labels")
+    cen_dir = os.path.join(state_dir, "centroids")
+    batch = (batch.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("embedding"))
+             .dropDuplicates(["vec_id"]))
+
+    if not os.path.exists(vec_dir):
+        # bootstrap — the vectors write goes LAST as the commit marker
+        # (same argument as the text path: a retried partial bootstrap
+        # must re-enter this branch, not probe half-built state)
+        if not centroid_rows:
+            raise ValueError(
+                "ingest_embeddings_batch: centroid_rows is required on "
+                "the bootstrap call (cell assignment must be pinned "
+                "before any vector is stored)")
+        cents = [(int(c), [float(x) for x in v]) for c, v in centroid_rows]
+        pairs = semdedup_pairs(batch, cents, threshold=threshold, by=by)
+        labels = connected_components(pairs.select("id_a", "id_b"))
+        _swap_write(labels, lab_dir)
+        spark.createDataFrame(cents, "cell int, centroid array<double>") \
+            .coalesce(1).write.mode("overwrite").parquet(cen_dir)
+        (assign_cells(batch, cents, "embedding", by)
+         .write.partitionBy("cell").mode("overwrite").parquet(vec_dir))
+        return
+
+    cents = _load_centroids(spark, state_dir)
+    store = spark.read.parquet(vec_dir)
+    delta = (batch.join(store.select("vec_id"), "vec_id", "left_anti")
+             .persist())
+    try:
+        if delta.limit(1).count() == 0:
+            return  # pure replay
+        pairs = incremental_semdedup_pairs(
+            delta, store, cents, threshold=threshold, by=by).persist()
+        try:
+            quiet = pairs.limit(1).count() == 0
+            if not quiet:
+                labels = spark.read.parquet(lab_dir)
+                _swap_write(incremental_components(
+                    labels, pairs.select("id_a", "id_b")), lab_dir)
+            # vectors append LAST — the commit marker: a crash before
+            # this line replays the whole batch (delta still absent
+            # from the store), after it the replay dedups to empty
+            (assign_cells(delta, cents, "embedding", by)
+             .write.partitionBy("cell").mode("append").parquet(vec_dir))
+        finally:
+            pairs.unpersist()
+    finally:
+        delta.unpersist()
+
+
+def start_embedding_ingest(stream: DataFrame, state_dir: str,
+                           checkpoint_dir: str, centroid_rows,
+                           threshold: float = 0.9, by: str = "ip",
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           available_now: bool = True):
+    """Attach :func:`ingest_embeddings_batch` to a vector stream via
+    ``foreachBatch`` and start it. Returns the StreamingQuery; state
+    appears under ``state_dir`` (centroids/, vectors/, labels/)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_embeddings_batch(batch_df.sparkSession, batch_df, state_dir,
+                                centroid_rows=centroid_rows,
+                                threshold=threshold, by=by,
+                                id_col=id_col, vec_col=vec_col)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

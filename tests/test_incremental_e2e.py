@@ -429,6 +429,63 @@ def test_state_lock_foreign_host_needs_manual_break(spark, tmp_path):
     assert os.path.exists(os.path.join(state, "corpus"))
 
 
+def test_embedding_ingest_multi_batch_equals_full_recompute(
+        spark, sf_dir, tmp_path):
+    """E41 production wiring: three embedding micro-batches through
+    start_embedding_ingest (bootstrap + two incremental, one carrying
+    replayed ids) must leave a cell-partitioned vector store covering
+    exactly the distinct ids and a SemDeDup labeling equal to the
+    from-scratch closure over the full corpus; a direct batch-level
+    redelivery must be a byte-stable no-op."""
+    from cati_database_feeder_spark.operators import similarity
+    from cati_database_feeder_spark.operators.graph import (
+        connected_components as cc)
+    from cati_database_feeder_spark.streaming.ingest_embeddings import (
+        ingest_embeddings_batch, start_embedding_ingest)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [(int(r["vec_id"]), list(r["embedding"]))
+             for r in emb.filter(F.col("vec_id") < 8)
+                         .select("vec_id", "embedding").collect()]
+    p0 = emb.filter(F.col("vec_id") % 3 == 0)
+    p1 = emb.filter(F.col("vec_id") % 3 == 1)
+    p2 = emb.filter(F.col("vec_id") % 3 == 2)
+    stream_dir = str(tmp_path / "emb_in")
+    p0.coalesce(1).write.mode("append").parquet(stream_dir)
+    p1.unionByName(p0.limit(10)).coalesce(1).write.mode("append").parquet(stream_dir)
+    p2.coalesce(1).write.mode("append").parquet(stream_dir)
+
+    state = str(tmp_path / "emb_state")
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stream_dir))
+    q = start_embedding_ingest(stream, state, str(tmp_path / "emb_ckpt"),
+                               centroid_rows=cents, threshold=0.3)
+    q.awaitTermination(300)
+    q.stop()
+
+    store = spark.read.parquet(os.path.join(state, "vectors"))
+    assert store.count() == emb.count()
+    assert "cell" in store.columns           # cell-partitioned layout
+    got = {(r["id"], r["component"]) for r in
+           spark.read.parquet(os.path.join(state, "labels")).collect()}
+    want = {(r["id"], r["component"]) for r in
+            cc(similarity.semdedup_pairs(emb, cents, threshold=0.3, by="ip")
+               .select("id_a", "id_b")).collect()}
+    assert len(want) > 0
+    assert got == want
+
+    # redelivery of an already-committed batch: byte-stable no-op
+    files_before = sorted(store.inputFiles())
+    labels_before = sorted(os.listdir(os.path.join(state, "labels")))
+    ingest_embeddings_batch(spark, p2, state)
+    assert sorted(spark.read.parquet(
+        os.path.join(state, "vectors")).inputFiles()) == files_before
+    assert sorted(os.listdir(os.path.join(state, "labels"))) == labels_before
+    # centroids are pinned at bootstrap: a later call may omit them
+    # and the stored quantizer wins
+    ingest_embeddings_batch(spark, emb.limit(0), state)
+
+
 def test_start_incremental_ingest_multi_batch_equals_full_recompute(
         spark, sf_dir, tmp_path):
     """The packaged operator (streaming/ingest.start_incremental_ingest)
