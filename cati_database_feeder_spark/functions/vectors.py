@@ -45,6 +45,28 @@ def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def quantize_int8(vec: Column, lo: Column, hi: Column) -> Column:
+    """Scalar int8 quantization against a corpus-global [lo, hi] range:
+    code_i = clamp(floor((x_i - lo) · 255/(hi - lo)), 0, 255). The 4×
+    storage cut every 100 TB embedding store takes; with lo/hi the
+    corpus min/max every in-range element lands within half a bucket of
+    its midpoint reconstruction. All arithmetic is plain double IEEE
+    ops in a fixed expression order, so a SQL oracle computing the same
+    formula gets bit-identical codes."""
+    sc = F.lit(255.0) / (hi - lo)
+    return F.transform(
+        vec, lambda x: F.least(F.lit(255), F.greatest(F.lit(0), F.floor(
+            (x.cast("double") - lo) * sc).cast("int"))))
+
+
+def dequantize_int8(codes: Column, lo: Column, hi: Column) -> Column:
+    """Midpoint reconstruction of :func:`quantize_int8` codes:
+    x̂_i = lo + (code_i + 0.5) · (hi - lo)/255."""
+    s2 = (hi - lo) / F.lit(255.0)
+    return F.transform(codes,
+                       lambda c: lo + (c.cast("double") + F.lit(0.5)) * s2)
+
+
 def simhash_sign(a: Column) -> Column:
     """Sign pattern of a vector as a bit string — the random-hyperplane
     LSH signature used to bucket embeddings before exact rerank."""

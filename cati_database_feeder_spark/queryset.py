@@ -1818,6 +1818,68 @@ def semdedup_incremental(spark, sf_dir):
                                       threshold=0.3, by="ip")
 
 
+@register("embedding_quantize_int8", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+rng AS (
+  SELECT min(x) AS lo, max(x) AS hi
+  FROM (SELECT unnest(v) AS x FROM e)
+),
+coded AS (
+  SELECT e.vec_id, e.v, rng.lo, rng.hi,
+         list_transform(e.v, x -> least(255, greatest(0,
+             CAST(floor((x - rng.lo) * (255.0 / (rng.hi - rng.lo))) AS INTEGER)))) AS codes
+  FROM e CROSS JOIN rng
+),
+scored AS (
+  SELECT vec_id,
+         CAST(list_sum(codes) AS BIGINT) AS code_sum,
+         CAST(list_min(codes) AS INTEGER) AS code_min,
+         CAST(list_max(codes) AS INTEGER) AS code_max,
+         list_max([abs(lo + (codes[i] + 0.5) * ((hi - lo) / 255.0) - v[i])
+                   FOR i IN range(1, len(v) + 1)]) AS err_raw,
+         (hi - lo) / 255.0 AS bucket
+  FROM coded
+)
+SELECT vec_id, code_sum, code_min, code_max,
+       round(err_raw, 6) AS max_abs_err,
+       (err_raw <= bucket * 0.5 + 1e-9) AS within_half_bucket
+FROM scored
+""")
+def embedding_quantize_int8(spark, sf_dir):
+    """E42 embedding compression: corpus-global scalar int8
+    quantization — the 4× storage cut a 100 TB vector store takes
+    before anything else — with its reconstruction-error CONTRACT in
+    the same oracled row: per vector, the exact integer code sum /
+    min / max (hash-pins every code value via the exact sum) plus the
+    midpoint-reconstruction max error and a within-half-a-bucket
+    boolean decided on the raw quotient. All map-only per-row HOFs
+    after one global (lo, hi) aggregate — two doubles of driver
+    state; codes are bit-identical across engines because the
+    quantizer is fixed-order double IEEE arithmetic + floor (never
+    engine-rounded casts) (functions/vectors.py:quantize_int8)."""
+    from cati_database_feeder_spark.functions.vectors import (
+        dequantize_int8, quantize_int8)
+    e = T(spark, sf_dir, "embeddings")
+    rng = (e.select(F.explode("embedding").alias("x"))
+           .agg(F.min(F.col("x").cast("double")).alias("lo"),
+                F.max(F.col("x").cast("double")).alias("hi")))
+    lo, hi = F.col("lo"), F.col("hi")
+    coded = (e.crossJoin(F.broadcast(rng))
+             .withColumn("codes", quantize_int8(F.col("embedding"), lo, hi))
+             .withColumn("deq", dequantize_int8(F.col("codes"), lo, hi)))
+    err_raw = F.array_max(F.zip_with(
+        "deq", "embedding", lambda d, x: F.abs(d - x.cast("double"))))
+    bucket = (hi - lo) / F.lit(255.0)
+    return coded.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("bigint"),
+                    lambda a, c: a + c).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.round(err_raw, 6).alias("max_abs_err"),
+        (err_raw <= bucket * 0.5 + 1e-9).alias("within_half_bucket"))
+
+
 @register("ivf_recall_check", sql="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
 FROM embeddings WHERE vec_id % 100 = 0
@@ -3426,6 +3488,7 @@ _CHECK_ORDER = [
     #    (E40) --
     "semdedup_incremental", "lsh_recall_check", "dedup_keep_best",
     "text_unigram_rarity", "dedup_cross_source_matrix",
+    "embedding_quantize_int8",
     # -- code/behavior changed this round: seeded-Gaussian LSH
     #    hyperplanes (embedding_lsh_topk output CHANGES), half-up
     #    sampling thresholds, the dedup-store self-pair filter +
@@ -3435,8 +3498,7 @@ _CHECK_ORDER = [
     "near_dup_incremental_store", "near_dup_incremental",
     "near_dup_pairs", "dedup_cluster_components",
     "dedup_cluster_incremental", "semdedup_pairs",
-    "training_pipeline_e2e", "dedup_minhash_lsh_pairs",
-    "text_dup_span_profile",
+    "training_pipeline_e2e", "text_dup_span_profile",
     # -- r6-green tail rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
     #    past-window query to hold a green <= 2 rounds old, and these
@@ -3457,8 +3519,8 @@ _CHECK_ORDER = [
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r07
     # at sf0.01 (or earlier with code unchanged); still oracle-checked
     # in-suite (tests/test_oracle_gate.py) and by tools/check.py ----
-    "dedup_shingle_jaccard_pairs", "pack_training_sequences",
-    "corpus_shuffle_order",
+    "dedup_shingle_jaccard_pairs", "dedup_minhash_lsh_pairs",
+    "pack_training_sequences", "corpus_shuffle_order",
     "text_repetition_profile", "shard_manifest", "ivf_recall_check",
     "ivf_assign_topk", "embedding_cosine_topk",
     "dedup_embedding_cosine_pairs", "events_exact_median",
