@@ -229,6 +229,31 @@ def test_incremental_semdedup_prunes_cell_store_partitions(
                for f in filters), filters
 
 
+def test_quantize_int8_roundtrip_bounds(spark):
+    """Codes clamp to [0,255], boundary values land exactly (lo→0,
+    hi→255 after clamp), midpoint reconstruction error is within half
+    a bucket for in-range values, and out-of-range values (a vector
+    quantized against a NARROWER range than its own min/max) clamp
+    instead of overflowing."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.5, 0.25]), (2, [-2.0, 3.0, 0.999, 0.001])],
+        "vec_id long, embedding array<double>")
+    lo, hi = F.lit(0.0), F.lit(1.0)
+    out = df.select(
+        "vec_id",
+        V.quantize_int8(F.col("embedding"), lo, hi).alias("codes"),
+        V.dequantize_int8(
+            V.quantize_int8(F.col("embedding"), lo, hi), lo, hi).alias("deq"),
+        F.col("embedding")).collect()
+    rows = {r["vec_id"]: r for r in out}
+    assert rows[1]["codes"] == [0, 255, 127, 63]
+    assert all(0 <= c <= 255 for c in rows[2]["codes"])
+    assert rows[2]["codes"][0] == 0 and rows[2]["codes"][1] == 255
+    bucket = 1.0 / 255.0
+    for x, d in zip(rows[1]["embedding"], rows[1]["deq"]):
+        assert abs(d - x) <= bucket / 2 + 1e-12
+
+
 def test_lang_id_scripts(spark):
     df = spark.createDataFrame(
         [("the cat sat on the mat",), ("der hund ist ein tier",),
