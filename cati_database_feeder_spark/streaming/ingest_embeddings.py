@@ -133,6 +133,43 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
         delta.unpersist()
 
 
+def compact_embeddings_state(spark, state_dir: str,
+                             target_files_per_cell: int = 1) -> None:
+    """Maintenance for the append-only vector store: every batch adds
+    one file per touched cell partition, and at production cadence the
+    per-cell file count is what degrades the DPP-pruned probe (open
+    cost per file, tiny row groups). Rewrites vectors/ with
+    ``target_files_per_cell`` balanced files per cell via the same
+    write-to-temp + atomic-rename swap as the text path, preserving
+    the cell partitioning. Takes the same fencing lock — compacting
+    against a live ingest raises :class:`StateLockError` instead of
+    corrupting the store."""
+    with _state_lock(state_dir, "compact_embeddings_state"):
+        _recover_swaps(state_dir, _EMB_STORES)
+        vec_dir = os.path.join(state_dir, "vectors")
+        if not os.path.exists(vec_dir):
+            return
+        vectors = spark.read.parquet(vec_dir)
+        if target_files_per_cell <= 1:
+            # hash by cell: every cell lands in exactly one task → one
+            # file per cell partition
+            vectors = vectors.repartition("cell")
+        else:
+            vectors = (vectors
+                       .withColumn("__s", F.pmod(F.hash("vec_id"),
+                                                 F.lit(target_files_per_cell)))
+                       .repartition("cell", "__s").drop("__s"))
+        tmp = vec_dir.rstrip("/") + "__tmp"
+        old = vec_dir.rstrip("/") + "__old"
+        vectors.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        import shutil
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(vec_dir, old)
+        os.rename(tmp, vec_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def start_embedding_ingest(stream: DataFrame, state_dir: str,
                            checkpoint_dir: str, centroid_rows,
                            threshold: float = 0.9, by: str = "ip",

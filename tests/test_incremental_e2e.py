@@ -485,6 +485,22 @@ def test_embedding_ingest_multi_batch_equals_full_recompute(
     # and the stored quantizer wins
     ingest_embeddings_batch(spark, emb.limit(0), state)
 
+    # compaction: one file per cell partition, content unchanged
+    from cati_database_feeder_spark.streaming.ingest_embeddings import (
+        compact_embeddings_state)
+    before = sorted(map(tuple, spark.read.parquet(
+        os.path.join(state, "vectors")).select("vec_id", "cell").collect()))
+    compact_embeddings_state(spark, state)
+    after_df = spark.read.parquet(os.path.join(state, "vectors"))
+    assert sorted(map(tuple,
+                      after_df.select("vec_id", "cell").collect())) == before
+    import collections
+    per_cell = collections.Counter()
+    for f in after_df.inputFiles():
+        cell = [p for p in f.split("/") if p.startswith("cell=")]
+        per_cell[cell[0]] += 1
+    assert per_cell and max(per_cell.values()) == 1
+
 
 def test_start_incremental_ingest_multi_batch_equals_full_recompute(
         spark, sf_dir, tmp_path):
