@@ -703,21 +703,22 @@ def keep_best_per_cluster(labels: DataFrame, scores: DataFrame,
     docs outside any cluster are implicitly kept and not emitted.
 
     Scale shape: one equi-join of the labeling with the score column,
-    one per-COMPONENT aggregate (max of a (score, -id) struct — the
-    shuffle carries one row per cluster, not per doc), one join back
-    on component. No window over the corpus, no skew trap: even a
-    pathological million-member cluster contributes one aggregate row,
-    and the max is computed with map-side partial aggregation."""
+    then two per-COMPONENT aggregates (max score; min id among the
+    max-score members) and a join back on component — every shuffle
+    past the score join carries one row per CLUSTER, not per doc, with
+    map-side partial aggregation. No window over the corpus, no skew
+    trap: a pathological million-member cluster contributes one
+    aggregate row. The two-aggregate form (rather than a packed
+    max-of-(score,-id) struct) keeps the id type fully generic —
+    string/date/any orderable id works, nothing assumes numeric."""
     sc = scores.select(F.col(id_col).alias("id"),
                        F.col(score_col).alias("__score"))
     lab = labels.join(sc, "id")
-    # max(struct(score, -id)): max score, then min id — one aggregate,
-    # order-insensitive, no argmax window
-    best = (lab.groupBy("component")
-            .agg(F.max(F.struct(F.col("__score").alias("s"),
-                                (-F.col("id")).alias("nid"))).alias("b"))
-            .select("component", (-F.col("b.nid")).alias("kept_id")))
-    return (lab.join(best, "component")
+    best_score = lab.groupBy("component").agg(F.max("__score").alias("__ms"))
+    kept = (lab.join(best_score, "component")
+            .filter(F.col("__score") == F.col("__ms"))
+            .groupBy("component").agg(F.min("id").alias("kept_id")))
+    return (lab.join(kept, "component")
             .select(F.col("id").alias(id_col), "component", "kept_id",
                     (F.col("id") == F.col("kept_id")).alias("keep")))
 
