@@ -94,6 +94,47 @@ def mixture_fractions(sizes: dict[str, float], alpha: float = 0.5,
     return out
 
 
+def epoch_repeat(df: DataFrame, stratum_col: str, key_col: str,
+                 weights: dict[str, float],
+                 default_weight: float = 1.0) -> DataFrame:
+    """Up-sampling by FRACTIONAL repeat factors — the other half of
+    mixture weighting that the keep-fraction gate cannot express: a
+    pretraining mix that shows a small high-quality stratum w=2.3
+    times per epoch emits every doc twice and a deterministic 30% of
+    docs a third time. Emits one row per (doc, epoch) with ``epoch``
+    in 1..reps (reps = floor(w), +1 if the doc's hash bucket clears
+    the fractional gate; w=0 strata vanish; the fractional selection
+    reuses the ``stratified_sample`` bucket so the SAME docs that
+    survive a fraction-f down-sample are the ones repeated by a
+    fraction-f up-sample — nested mixes stay consistent).
+
+    Scale shape: map-only — a when-chain repeat count from plan
+    literals, ``sequence`` + ``explode`` for the copies; no shuffle,
+    no join, composes with partition pruning. Row amplification is
+    exactly the expected Σ w_k·n_k a trainer budgets for."""
+    from cati_database_feeder_spark.functions import text as T
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("epoch weights must be non-negative")
+    bucket = T.hash64(F.col(key_col).cast("string")) % GRAIN
+
+    def parts(w: float) -> tuple[int, int]:
+        full = int(math.floor(w))
+        return full, grain_threshold(w - full)
+
+    dfull, dthr = parts(default_weight)
+    full: Column = F.lit(dfull)
+    thr: Column = F.lit(dthr)
+    for value, w in sorted(weights.items()):
+        vfull, vthr = parts(w)
+        full = F.when(F.col(stratum_col) == value, F.lit(vfull)).otherwise(full)
+        thr = F.when(F.col(stratum_col) == value, F.lit(vthr)).otherwise(thr)
+    reps = full + (bucket < thr).cast("int")
+    return (df.withColumn("__reps", reps)
+            .filter(F.col("__reps") > 0)
+            .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__reps"))))
+            .drop("__reps"))
+
+
 def global_shuffle_ordinals(df: DataFrame, key: Column,
                             tie_cols: list[str],
                             partitions: int | None = None,

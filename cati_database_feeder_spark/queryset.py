@@ -2663,6 +2663,53 @@ def sample_tempered_mix(spark, sf_dir):
                  F.sum("n_chars").alias("total_chars")))
 
 
+@register("sample_epoch_mix", sql=r"""
+WITH g AS (
+  SELECT lang, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 AS b
+  FROM documents
+),
+r AS (
+  SELECT lang, n_chars,
+         (CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 WHEN 'zh' THEN 1
+                    WHEN 'es' THEN 0 WHEN 'fr' THEN 0 ELSE 1 END
+          + CASE WHEN b < (CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 5000
+                                     WHEN 'zh' THEN 0 WHEN 'es' THEN 5000
+                                     WHEN 'fr' THEN 0 ELSE 0 END)
+                 THEN 1 ELSE 0 END) AS reps
+  FROM g
+),
+e AS (
+  SELECT lang, n_chars, unnest(range(1, reps + 1)) AS epoch
+  FROM r WHERE reps > 0
+)
+SELECT lang, CAST(epoch AS INT) AS epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM e GROUP BY lang, epoch
+""")
+def sample_epoch_mix(spark, sf_dir):
+    """E43 epoch-repetition mixing: fractional repeat factors per
+    stratum (en×2.3, de×1.5, zh×1.0, es×0.5, fr×0.0) — the
+    UP-sampling half of mixture weighting the keep-fraction gate
+    cannot express (GPT-3/LLaMA-style mixes repeat small high-quality
+    sources multiple epochs). Every copy is deterministic: full
+    epochs from floor(w), the fractional epoch by the same md5 hash
+    gate as down-sampling, so the docs repeated by a fraction-f
+    up-sample are exactly the docs a fraction-f down-sample keeps.
+    Map-only (when-chain + sequence/explode, no shuffle before the
+    reporting aggregate); row amplification = Σ w·n by construction
+    (operators/sampling.py:epoch_repeat)."""
+    from cati_database_feeder_spark.operators.sampling import epoch_repeat
+    d = T(spark, sf_dir, "documents")
+    weights = {"en": 2.3, "de": 1.5, "zh": 1.0, "es": 0.5, "fr": 0.0}
+    return (epoch_repeat(d, "lang", "doc_id", weights)
+            .groupBy("lang", F.col("epoch").cast("int").alias("epoch"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
 @register("shard_manifest", sql=r"""
 WITH ordered AS (
   SELECT doc_id,
@@ -3488,13 +3535,13 @@ _CHECK_ORDER = [
     #    (E40) --
     "semdedup_incremental", "lsh_recall_check", "dedup_keep_best",
     "text_unigram_rarity", "dedup_cross_source_matrix",
-    "embedding_quantize_int8",
+    "embedding_quantize_int8", "sample_epoch_mix",
     # -- code/behavior changed this round: seeded-Gaussian LSH
     #    hyperplanes (embedding_lsh_topk output CHANGES), half-up
     #    sampling thresholds, the dedup-store self-pair filter +
     #    collision guard, persisted multi-branch frames, the graph
     #    driver-probe cache --
-    "embedding_lsh_topk", "sample_tempered_mix", "sample_stratified_mix",
+    "embedding_lsh_topk", "sample_tempered_mix",
     "near_dup_incremental_store", "near_dup_incremental",
     "near_dup_pairs", "dedup_cluster_components",
     "dedup_cluster_incremental", "semdedup_pairs",
@@ -3520,6 +3567,7 @@ _CHECK_ORDER = [
     # at sf0.01 (or earlier with code unchanged); still oracle-checked
     # in-suite (tests/test_oracle_gate.py) and by tools/check.py ----
     "dedup_shingle_jaccard_pairs", "dedup_minhash_lsh_pairs",
+    "sample_stratified_mix",
     "pack_training_sequences", "corpus_shuffle_order",
     "text_repetition_profile", "shard_manifest", "ivf_recall_check",
     "ivf_assign_topk", "embedding_cosine_topk",

@@ -60,6 +60,10 @@ _BARE_SUM_ALLOWED = {
     # comparison — never reach the output schema (output is MIN of a
     # raw data double)
     "udaf_weighted_median": 2,
+    # list_sum( (the regex sees its "sum(") — DuckDB returns HUGEINT
+    # for an INTEGER list, and the output reference IS wrapped:
+    # CAST(list_sum(codes) AS BIGINT)
+    "embedding_quantize_int8": 1,
 }
 
 
