@@ -151,9 +151,21 @@ def _state_lock(state_dir: str, op: str):
             same_host = fields.get("host") == socket.gethostname()
             pid = fields.get("pid", "")
             if same_host and pid.isdigit() and not _pid_alive(int(pid)):
-                # orphaned by a same-host crash — break and retry once
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(path)
+                # Orphaned by a same-host crash — break and retry once.
+                # Break by atomic RENAME, not unlink: with two breakers
+                # racing, unlink-then-create lets the slower breaker
+                # delete the winner's freshly created LIVE lock (both
+                # then believe they hold it); rename succeeds for
+                # exactly one breaker, and the loser falls through to
+                # the O_EXCL attempt against whatever lock now exists.
+                broken = f"{path}.broken.{os.getpid()}"
+                try:
+                    os.rename(path, broken)
+                except FileNotFoundError:
+                    pass  # another breaker won the rename
+                else:
+                    with contextlib.suppress(OSError):
+                        os.unlink(broken)
                 continue
             raise StateLockError(
                 f"state dir {state_dir!r} is locked by [{holder}] — "
