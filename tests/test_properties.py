@@ -210,6 +210,35 @@ def test_store_backed_incremental_equals_filtered_full(
     assert got == want
 
 
+@given(w=st.sampled_from([0.0, 0.4, 1.0, 1.7, 2.0, 3.3]),
+       n=st.integers(5, 40))
+@settings(**_SETTINGS)
+def test_epoch_repeat_consistent_with_stratified_sample(spark, w, n):
+    """The epoch-repetition contract: every doc appears exactly
+    floor(w) or floor(w)+1 times, epochs are dense 1..reps, and the
+    docs receiving the EXTRA fractional copy are exactly the docs a
+    (w - floor(w))-fraction down-sample keeps — the consistency that
+    makes nested mixes composable."""
+    import math
+
+    from cati_database_feeder_spark.operators.sampling import (
+        epoch_repeat, stratified_sample)
+
+    df = spark.createDataFrame([(i, "s") for i in range(n)],
+                               ["doc_id", "lang"])
+    out = epoch_repeat(df, "lang", "doc_id", {"s": w}).collect()
+    full = math.floor(w)
+    per_doc: dict[int, list[int]] = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    kept_frac = {r["doc_id"] for r in stratified_sample(
+        df, "lang", "doc_id", {"s": w - full}).collect()}
+    for i in range(n):
+        eps = sorted(per_doc.get(i, []))
+        want_reps = full + (1 if i in kept_frac else 0)
+        assert eps == list(range(1, want_reps + 1)), (i, eps, want_reps)
+
+
 # small integer coordinates → exact dot products, centroid ties (broken
 # by cell id in both paths), zero-norm vectors (cosine NULL → filtered
 # identically), and dense same-cell clusters
