@@ -3382,6 +3382,108 @@ def dedup_cross_source_matrix(spark, sf_dir):
                  .alias("avg_jaccard")))
 
 
+@register("dedup_multi_signal", sql=r"""
+WITH toksets AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toksets
+),
+base AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM toks
+),
+seeds AS (
+  SELECT i,
+         CASE WHEN (1103515245 * (i + 1) + 12345) % 2147483647 = 0 THEN 1
+              ELSE (1103515245 * (i + 1) + 12345) % 2147483647 END AS a,
+         (69069 * (i + 1) + 1) % 2147483647 AS b
+  FROM (SELECT unnest(range(16)) AS i)
+),
+hashes AS (
+  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+  FROM base CROSS JOIN seeds
+  GROUP BY doc_id, i
+),
+bkt AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM hashes
+  GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bkt a JOIN bkt b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+lex AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(ta.toks, tb.toks))
+                 / CAST(len(ta.toks) + len(tb.toks)
+                        - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  JOIN toksets ta ON ta.doc_id = c.id_a
+  JOIN toksets tb ON tb.doc_id = c.id_b
+  WHERE round(len(list_intersect(ta.toks, tb.toks))
+                / CAST(len(ta.toks) + len(tb.toks)
+                       - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE), 6) >= 0.7
+),
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid FROM ev WHERE vec_id < 16),
+assignv AS (
+  SELECT ev.vec_id, ev.v, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+                            ORDER BY -list_dot_product(ev.v, c.centroid) ASC, c.cell ASC) AS rn
+  FROM ev CROSS JOIN cents c
+),
+corp AS (SELECT vec_id, v, cell FROM assignv WHERE rn = 1),
+sem AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v)
+           / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0), 6)
+           AS cosine
+  FROM corp a JOIN corp b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0) >= 0.3
+)
+SELECT COALESCE(lex.id_a, sem.id_a) AS id_a,
+       COALESCE(lex.id_b, sem.id_b) AS id_b,
+       lex.jaccard, sem.cosine,
+       CASE WHEN lex.id_a IS NOT NULL AND sem.id_a IS NOT NULL THEN 'both'
+            WHEN lex.id_a IS NOT NULL THEN 'lexical_only'
+            ELSE 'semantic_only' END AS signal
+FROM lex FULL OUTER JOIN sem
+  ON lex.id_a = sem.id_a AND lex.id_b = sem.id_b
+""")
+def dedup_multi_signal(spark, sf_dir):
+    """E44 signal fusion: every near-dup pair flagged by the LEXICAL
+    pipeline (MinHash-verified token Jaccard >= 0.7, the shared
+    verified-pairs stage) and/or the SEMANTIC one (SemDeDup cosine >=
+    0.3 within fixed-centroid cells), full-outer-joined on the pair
+    key with an agreement label. The scrub-policy driver: 'both' is a
+    confident duplicate, 'semantic_only' is a paraphrase whole-doc
+    Jaccard misses, 'lexical_only' is template text whose embeddings
+    diverge — each class gets a different deletion policy in a real
+    pipeline. Both inputs are candidate-linear equi-join pipelines;
+    the fusion itself is one join on the (id_a, id_b) pair key."""
+    from cati_database_feeder_spark.operators.similarity import semdedup_pairs
+    e = T(spark, sf_dir, "embeddings")
+    cents = [(int(r["vec_id"]), list(r["embedding"]))
+             for r in e.filter(F.col("vec_id") < 16)
+                       .select("vec_id", "embedding").collect()]
+    lex = _verified_pairs_stage(spark, sf_dir)
+    sem = semdedup_pairs(e, cents, threshold=0.3, by="ip")
+    both = F.col("jaccard").isNotNull() & F.col("cosine").isNotNull()
+    return (lex.join(sem, ["id_a", "id_b"], "full")
+            .select("id_a", "id_b", "jaccard", "cosine",
+                    F.when(both, F.lit("both"))
+                     .when(F.col("jaccard").isNotNull(), F.lit("lexical_only"))
+                     .otherwise(F.lit("semantic_only")).alias("signal")))
+
+
 def _cluster_base_labels_stage(spark, sf_dir):
     """(id, component) over the CORPUS-internal verified pairs (both
     endpoints outside the 1-in-50 ingest slice), persisted once per
@@ -3535,7 +3637,7 @@ _CHECK_ORDER = [
     #    (E40) --
     "semdedup_incremental", "lsh_recall_check", "dedup_keep_best",
     "text_unigram_rarity", "dedup_cross_source_matrix",
-    "embedding_quantize_int8", "sample_epoch_mix",
+    "embedding_quantize_int8", "sample_epoch_mix", "dedup_multi_signal",
     # -- code/behavior changed this round: seeded-Gaussian LSH
     #    hyperplanes (embedding_lsh_topk output CHANGES), half-up
     #    sampling thresholds, the dedup-store self-pair filter +
@@ -3543,8 +3645,7 @@ _CHECK_ORDER = [
     #    driver-probe cache --
     "embedding_lsh_topk", "sample_tempered_mix",
     "near_dup_incremental_store", "near_dup_incremental",
-    "near_dup_pairs", "dedup_cluster_components",
-    "dedup_cluster_incremental", "semdedup_pairs",
+    "near_dup_pairs", "dedup_cluster_components", "semdedup_pairs",
     "training_pipeline_e2e", "text_dup_span_profile",
     # -- r6-green tail rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
@@ -3567,7 +3668,7 @@ _CHECK_ORDER = [
     # at sf0.01 (or earlier with code unchanged); still oracle-checked
     # in-suite (tests/test_oracle_gate.py) and by tools/check.py ----
     "dedup_shingle_jaccard_pairs", "dedup_minhash_lsh_pairs",
-    "sample_stratified_mix",
+    "sample_stratified_mix", "dedup_cluster_incremental",
     "pack_training_sequences", "corpus_shuffle_order",
     "text_repetition_profile", "shard_manifest", "ivf_recall_check",
     "ivf_assign_topk", "embedding_cosine_topk",
