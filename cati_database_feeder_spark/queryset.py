@@ -3454,7 +3454,10 @@ SELECT COALESCE(lex.id_a, sem.id_a) AS id_a,
        lex.jaccard, sem.cosine,
        CASE WHEN lex.id_a IS NOT NULL AND sem.id_a IS NOT NULL THEN 'both'
             WHEN lex.id_a IS NOT NULL THEN 'lexical_only'
-            ELSE 'semantic_only' END AS signal
+            ELSE 'semantic_only' END AS signal,
+       (COALESCE(lex.id_a, sem.id_a) IN (SELECT vec_id FROM ev)
+        AND COALESCE(lex.id_b, sem.id_b) IN (SELECT vec_id FROM ev))
+         AS embeddable
 FROM lex FULL OUTER JOIN sem
   ON lex.id_a = sem.id_a AND lex.id_b = sem.id_b
 """)
@@ -3467,8 +3470,12 @@ def dedup_multi_signal(spark, sf_dir):
     confident duplicate, 'semantic_only' is a paraphrase whole-doc
     Jaccard misses, 'lexical_only' is template text whose embeddings
     diverge — each class gets a different deletion policy in a real
-    pipeline. Both inputs are candidate-linear equi-join pipelines;
-    the fusion itself is one join on the (id_a, id_b) pair key."""
+    pipeline. ``embeddable`` disambiguates the lexical_only class:
+    False means the semantic signal was never AVAILABLE for the pair
+    (an endpoint has no embedding), not that the embeddings diverged.
+    Both inputs are candidate-linear equi-join pipelines; the fusion
+    is one join on the (id_a, id_b) pair key plus two id-keyed probes
+    of the embedding id column."""
     from cati_database_feeder_spark.operators.similarity import semdedup_pairs
     e = T(spark, sf_dir, "embeddings")
     cents = [(int(r["vec_id"]), list(r["embedding"]))
@@ -3477,11 +3484,16 @@ def dedup_multi_signal(spark, sf_dir):
     lex = _verified_pairs_stage(spark, sf_dir)
     sem = semdedup_pairs(e, cents, threshold=0.3, by="ip")
     both = F.col("jaccard").isNotNull() & F.col("cosine").isNotNull()
+    ea = e.select(F.col("vec_id").alias("id_a"), F.lit(True).alias("__ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.lit(True).alias("__eb"))
     return (lex.join(sem, ["id_a", "id_b"], "full")
+            .join(ea, "id_a", "left").join(eb, "id_b", "left")
             .select("id_a", "id_b", "jaccard", "cosine",
                     F.when(both, F.lit("both"))
                      .when(F.col("jaccard").isNotNull(), F.lit("lexical_only"))
-                     .otherwise(F.lit("semantic_only")).alias("signal")))
+                     .otherwise(F.lit("semantic_only")).alias("signal"),
+                    (F.coalesce("__ea", F.lit(False))
+                     & F.coalesce("__eb", F.lit(False))).alias("embeddable")))
 
 
 def _cluster_base_labels_stage(spark, sf_dir):
