@@ -502,6 +502,57 @@ def test_embedding_ingest_multi_batch_equals_full_recompute(
     assert per_cell and max(per_cell.values()) == 1
 
 
+def test_embedding_ingest_swap_crash_recovery(spark, tmp_path):
+    """The embedding state dir heals the same three swap-crash windows
+    as the text path: labels/ absent with labels__old aside (worst
+    case), orphaned __tmp, and an undeleted __old — each healed by the
+    next ingest_embeddings_batch, with the final labeling equal to the
+    full recompute."""
+    import shutil as sh
+
+    from cati_database_feeder_spark.operators import similarity
+    from cati_database_feeder_spark.operators.graph import (
+        connected_components as cc)
+    from cati_database_feeder_spark.streaming.ingest_embeddings import (
+        ingest_embeddings_batch)
+
+    rows = [(i, [float(i % 3), 1.0, float(i % 2)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    state = str(tmp_path / "emb_state")
+    ingest_embeddings_batch(spark, df.filter(F.col("vec_id") < 6), state,
+                            centroid_rows=cents, threshold=0.8)
+    labels = os.path.join(state, "labels")
+
+    # window (a): orphaned tmp
+    sh.copytree(labels, labels + "__tmp")
+    ingest_embeddings_batch(spark, df.filter(F.col("vec_id").between(6, 8)),
+                            state, threshold=0.8)
+    assert not os.path.exists(labels + "__tmp")
+
+    # window (b): target renamed aside — worst case
+    sh.copytree(labels, labels + "__tmp")
+    os.rename(labels, labels + "__old")
+    ingest_embeddings_batch(spark, df.filter(F.col("vec_id") > 8), state,
+                            threshold=0.8)
+    assert os.path.exists(labels)
+    assert not os.path.exists(labels + "__old")
+    assert not os.path.exists(labels + "__tmp")
+
+    # window (c): undeleted old
+    sh.copytree(labels, labels + "__old")
+    ingest_embeddings_batch(spark, df.limit(0), state, threshold=0.8)
+    assert not os.path.exists(labels + "__old")
+
+    got = {(r["id"], r["component"]) for r in
+           spark.read.parquet(labels).collect()}
+    want = {(r["id"], r["component"]) for r in
+            cc(similarity.semdedup_pairs(df, cents, threshold=0.8, by="ip")
+               .select("id_a", "id_b")).collect()}
+    assert len(want) > 0
+    assert got == want
+
+
 def test_start_incremental_ingest_multi_batch_equals_full_recompute(
         spark, sf_dir, tmp_path):
     """The packaged operator (streaming/ingest.start_incremental_ingest)
