@@ -251,7 +251,7 @@ def _ensure_membership_stores(spark, state_dir: str) -> None:
 def ingest_batch(spark, batch: DataFrame, state_dir: str,
                  id_col: str = "doc_id", text_col: str = "text",
                  threshold: float = 0.7, num_hashes: int = 16,
-                 bands: int = 4) -> None:
+                 bands: int = 4, batch_id: int | None = None) -> None:
     """Process one ingest batch against the state dir (see module
     docstring). Usable directly for batch backfills; ``foreachBatch``
     calls it per micro-batch.
@@ -265,15 +265,41 @@ def ingest_batch(spark, batch: DataFrame, state_dir: str,
     fencing lock for the duration (module docstring, concurrency
     contract) — a concurrent ``compact_state`` or second ingest on the
     same dir raises :class:`StateLockError` instead of corrupting
-    state."""
+    state.
+
+    Observability: every SUBSTANTIVE call (bootstrap or a batch with
+    >= 1 exact-dedup survivor; pure replays return before any write)
+    appends one row to ``metrics/`` — (batch_id, rows_in, delta_rows,
+    new_pairs, quiet, bootstrap) — the per-batch ledger a production
+    pipeline alerts on (dedup rate collapsing, pair volume spiking).
+    All counts come from frames the batch already persisted, so the
+    cost is driver-side. Metrics are operational at-least-once data:
+    a crash inside the commit sequence can replay a batch whose
+    stores partially landed, appending a second row with the same
+    batch_id — dashboards aggregate with last-write-wins on batch_id,
+    and the STORE commits themselves stay exactly-once via their
+    anti-join guards."""
     with _state_lock(state_dir, "ingest_batch"):
         _ingest_batch_locked(spark, batch, state_dir, id_col, text_col,
-                             threshold, num_hashes, bands)
+                             threshold, num_hashes, bands, batch_id)
+
+
+def _append_metrics(spark, state_dir: str, batch_id, rows_in: int,
+                    delta_rows: int, new_pairs: int, quiet: bool,
+                    bootstrap: bool) -> None:
+    row = [(None if batch_id is None else int(batch_id), int(rows_in),
+            int(delta_rows), int(new_pairs), bool(quiet), bool(bootstrap))]
+    (spark.createDataFrame(
+        row, "batch_id long, rows_in long, delta_rows long, "
+             "new_pairs long, quiet boolean, bootstrap boolean")
+     .coalesce(1).write.mode("append")
+     .parquet(os.path.join(state_dir, "metrics")))
 
 
 def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
                          id_col: str, text_col: str, threshold: float,
-                         num_hashes: int, bands: int) -> None:
+                         num_hashes: int, bands: int,
+                         batch_id: int | None = None) -> None:
     _recover_swaps(state_dir)
     corpus_dir = os.path.join(state_dir, "corpus")
     labels_dir = os.path.join(state_dir, "labels")
@@ -293,9 +319,10 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # path, see an empty delta, and return with the stores missing
         # forever.
         memb = dedup.tokset_groups(batch)
+        # persisted: consumed by the closure AND the metrics count
         pairs = dedup.near_dup_pairs(batch, threshold=threshold,
                                      num_hashes=num_hashes, bands=bands,
-                                     groups=memb)
+                                     groups=memb).persist()
         labels = connected_components(
             pairs.select("id_a", "id_b"))
         _swap_write(labels, labels_dir)
@@ -306,6 +333,10 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         (dedup.rep_band_buckets(memb, num_hashes, bands)
          .write.mode("overwrite").parquet(buckets_dir))
         batch.write.mode("overwrite").parquet(corpus_dir)
+        n = batch.count()
+        _append_metrics(spark, state_dir, batch_id, n, n,
+                        pairs.count(), False, True)
+        pairs.unpersist()
         return
 
     _ensure_membership_stores(spark, state_dir)
@@ -330,6 +361,14 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # The store/corpus commits below still run: the batch's docs,
         # membership and band rows must land regardless.
         quiet = new_pairs.limit(1).count() == 0
+        # metrics counts BEFORE any store write: the appends below
+        # recache every plan reading the written paths (the same
+        # recacheByPath hazard as the commit order itself) — a
+        # delta.count() after the corpus append would see the batch's
+        # own docs in the corpus and report 0
+        m_rows_in = batch.count()
+        m_delta = delta.count()
+        m_pairs = 0 if quiet else new_pairs.count()
         # commit order: labels swap first (reads old labels — must
         # complete before anything changes), then the append-only
         # stores (each guarded for redelivery), corpus last (marker).
@@ -350,6 +389,8 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         fr["members_append"].write.mode("append").parquet(members_dir)
         fr["reps_append"].write.mode("append").parquet(reps_dir)
         delta.write.mode("append").parquet(corpus_dir)
+        _append_metrics(spark, state_dir, batch_id, m_rows_in, m_delta,
+                        m_pairs, quiet, False)
     finally:
         new_pairs.unpersist()
         dmemb.unpersist()
@@ -464,7 +505,7 @@ def start_incremental_ingest(stream: DataFrame, state_dir: str,
         ingest_batch(batch_df.sparkSession, batch_df, state_dir,
                      id_col=id_col, text_col=text_col,
                      threshold=threshold, num_hashes=num_hashes,
-                     bands=bands)
+                     bands=bands, batch_id=batch_id)
 
     writer = (stream.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_dir)
