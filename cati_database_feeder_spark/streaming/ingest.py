@@ -86,7 +86,7 @@ from cati_database_feeder_spark.operators import dedup
 from cati_database_feeder_spark.operators.graph import (
     connected_components, incremental_components)
 
-_STORES = ("labels", "corpus", "buckets", "members", "reps")
+_STORES = ("labels", "corpus", "buckets", "members", "reps", "metrics")
 
 _LOCK_NAME = "_LOCK"
 
@@ -475,7 +475,9 @@ def _compact_state_locked(spark, state_dir: str,
         _swap_write(spark.read.parquet(corpus_dir).repartition(n),
                     corpus_dir)
         _ensure_membership_stores(spark, state_dir)
-    for name in ("members", "reps"):
+    # metrics/ grows one tiny file per batch like the id stores —
+    # compact it with them (append-only, so the swap discipline holds)
+    for name in ("members", "reps", "metrics"):
         d = os.path.join(state_dir, name)
         if os.path.exists(d):
             _swap_write(spark.read.parquet(d).repartition(n), d)

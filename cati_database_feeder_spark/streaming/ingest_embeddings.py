@@ -50,15 +50,16 @@ from cati_database_feeder_spark.operators.graph import (
 from cati_database_feeder_spark.operators.similarity import (
     assign_cells, incremental_semdedup_pairs, semdedup_pairs)
 from cati_database_feeder_spark.streaming.ingest import (
-    _recover_swaps, _state_lock, _swap_write)
+    _append_metrics, _recover_swaps, _state_lock, _swap_write)
 
-_EMB_STORES = ("labels", "vectors", "centroids")
+_EMB_STORES = ("labels", "vectors", "centroids", "metrics")
 
 
 def ingest_embeddings_batch(spark, batch: DataFrame, state_dir: str,
                             centroid_rows=None, threshold: float = 0.9,
                             by: str = "ip", id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> None:
+                            vec_col: str = "embedding",
+                            batch_id: int | None = None) -> None:
     """Process one embedding batch against the state dir (module
     docstring). ``centroid_rows`` is REQUIRED on the bootstrap call
     and ignored afterwards (the stored quantizer wins — assignments
@@ -66,10 +67,11 @@ def ingest_embeddings_batch(spark, batch: DataFrame, state_dir: str,
     correct). Idempotent under at-least-once redelivery: the exact
     dedup anti-join empties a replayed batch, and the labels swap is
     a fixed point for an empty pair delta. Holds the state dir's
-    fencing lock for the duration."""
+    fencing lock for the duration. Appends the same per-batch metrics
+    ledger as the text path (streaming/ingest.py:ingest_batch)."""
     with _state_lock(state_dir, "ingest_embeddings_batch"):
         _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
-                                  threshold, by, id_col, vec_col)
+                                  threshold, by, id_col, vec_col, batch_id)
 
 
 def _load_centroids(spark, state_dir: str):
@@ -79,7 +81,8 @@ def _load_centroids(spark, state_dir: str):
 
 
 def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
-                              threshold, by, id_col, vec_col) -> None:
+                              threshold, by, id_col, vec_col,
+                              batch_id=None) -> None:
     _recover_swaps(state_dir, _EMB_STORES)
     vec_dir = os.path.join(state_dir, "vectors")
     lab_dir = os.path.join(state_dir, "labels")
@@ -98,13 +101,18 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
                 "the bootstrap call (cell assignment must be pinned "
                 "before any vector is stored)")
         cents = [(int(c), [float(x) for x in v]) for c, v in centroid_rows]
-        pairs = semdedup_pairs(batch, cents, threshold=threshold, by=by)
+        pairs = semdedup_pairs(batch, cents, threshold=threshold,
+                               by=by).persist()
         labels = connected_components(pairs.select("id_a", "id_b"))
         _swap_write(labels, lab_dir)
         spark.createDataFrame(cents, "cell int, centroid array<double>") \
             .coalesce(1).write.mode("overwrite").parquet(cen_dir)
         (assign_cells(batch, cents, "embedding", by)
          .write.partitionBy("cell").mode("overwrite").parquet(vec_dir))
+        n = batch.count()
+        _append_metrics(spark, state_dir, batch_id, n, n,
+                        pairs.count(), False, True)
+        pairs.unpersist()
         return
 
     cents = _load_centroids(spark, state_dir)
@@ -118,6 +126,11 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
             delta, store, cents, threshold=threshold, by=by).persist()
         try:
             quiet = pairs.limit(1).count() == 0
+            # counts BEFORE the vectors append (recacheByPath — see
+            # the text path's comment)
+            m_rows_in = batch.count()
+            m_delta = delta.count()
+            m_pairs = 0 if quiet else pairs.count()
             if not quiet:
                 labels = spark.read.parquet(lab_dir)
                 _swap_write(incremental_components(
@@ -127,6 +140,8 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
             # from the store), after it the replay dedups to empty
             (assign_cells(delta, cents, "embedding", by)
              .write.partitionBy("cell").mode("append").parquet(vec_dir))
+            _append_metrics(spark, state_dir, batch_id, m_rows_in,
+                            m_delta, m_pairs, quiet, False)
         finally:
             pairs.unpersist()
     finally:
@@ -184,7 +199,8 @@ def start_embedding_ingest(stream: DataFrame, state_dir: str,
         ingest_embeddings_batch(batch_df.sparkSession, batch_df, state_dir,
                                 centroid_rows=centroid_rows,
                                 threshold=threshold, by=by,
-                                id_col=id_col, vec_col=vec_col)
+                                id_col=id_col, vec_col=vec_col,
+                                batch_id=batch_id)
 
     writer = (stream.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_dir)

@@ -501,6 +501,12 @@ def test_embedding_ingest_multi_batch_equals_full_recompute(
     assert len(want) > 0
     assert got == want
 
+    # metrics ledger: one row per substantive batch (3 micro-batches)
+    mets = spark.read.parquet(os.path.join(state, "metrics")).collect()
+    assert len(mets) == 3
+    assert sum(1 for r in mets if r["bootstrap"]) == 1
+    assert sum(r["delta_rows"] for r in mets) == emb.count()
+
     # redelivery of an already-committed batch: byte-stable no-op
     files_before = sorted(store.inputFiles())
     labels_before = sorted(os.listdir(os.path.join(state, "labels")))
