@@ -42,6 +42,9 @@ is either APPEND-ONLY or an atomic directory swap:
 - ``labels/``  — (id, component) closure labeling, replaced per batch
   via write-to-temp + atomic rename (never overwritten in place while
   a plan may still read it).
+- ``metrics/`` — one row per substantive batch (batch_id, rows_in,
+  delta_rows, new_pairs, quiet, bootstrap), append-only: the
+  dedup-economics ledger a production pipeline monitors.
 
 ``foreachBatch`` is the right harness because each micro-batch runs
 arbitrary BATCH DataFrame code with exactly-once-per-batch-id
