@@ -479,11 +479,12 @@ def _compact_state_locked(spark, state_dir: str,
                     corpus_dir)
         _ensure_membership_stores(spark, state_dir)
     # metrics/ grows one tiny file per batch like the id stores —
-    # compact it with them (append-only, so the swap discipline holds)
-    for name in ("members", "reps", "metrics"):
+    # compact it with them (append-only, so the swap discipline holds);
+    # one row per batch → one file, not n near-empty ones
+    for name, parts in (("members", n), ("reps", n), ("metrics", 1)):
         d = os.path.join(state_dir, name)
         if os.path.exists(d):
-            _swap_write(spark.read.parquet(d).repartition(n), d)
+            _swap_write(spark.read.parquet(d).repartition(parts), d)
     if os.path.exists(buckets_dir):
         buckets = spark.read.parquet(buckets_dir)
         reps_dir = os.path.join(state_dir, "reps")
