@@ -2506,6 +2506,115 @@ def split_train_holdout(spark, sf_dir):
                  F.sum("n_chars").alias("total_chars")))
 
 
+@register("split_decontaminated", sql=r"""
+WITH toksets AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toksets
+),
+base AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM toks
+),
+seeds AS (
+  SELECT i,
+         CASE WHEN (1103515245 * (i + 1) + 12345) % 2147483647 = 0 THEN 1
+              ELSE (1103515245 * (i + 1) + 12345) % 2147483647 END AS a,
+         (69069 * (i + 1) + 1) % 2147483647 AS b
+  FROM (SELECT unnest(range(16)) AS i)
+),
+hashes AS (
+  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+  FROM base CROSS JOIN seeds
+  GROUP BY doc_id, i
+),
+bkt AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM hashes
+  GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bkt a JOIN bkt b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+lex AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN toksets ta ON ta.doc_id = c.id_a
+  JOIN toksets tb ON tb.doc_id = c.id_b
+  WHERE round(len(list_intersect(ta.toks, tb.toks))
+                / CAST(len(ta.toks) + len(tb.toks)
+                       - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE), 6) >= 0.7
+),
+assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
+              THEN 'train' ELSE 'holdout' END AS split
+  FROM documents
+),
+linked AS (
+  SELECT a.id_a AS doc_id FROM lex a
+  JOIN assigned sa ON sa.doc_id = a.id_a AND sa.split = 'train'
+  JOIN assigned sb ON sb.doc_id = a.id_b AND sb.split = 'holdout'
+  UNION
+  SELECT a.id_b FROM lex a
+  JOIN assigned sa ON sa.doc_id = a.id_b AND sa.split = 'train'
+  JOIN assigned sb ON sb.doc_id = a.id_a AND sb.split = 'holdout'
+)
+SELECT s.split AS base_split,
+       CASE WHEN s.split = 'train' AND l.doc_id IS NOT NULL
+            THEN 'quarantined' ELSE s.split END AS final_split,
+       s.lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned s LEFT JOIN linked l ON l.doc_id = s.doc_id
+GROUP BY 1, 2, 3
+""")
+def split_decontaminated(spark, sf_dir):
+    """E45 leakage-free split: the hash train/holdout split (E16's
+    gate) HARDENED against near-dup leakage — any train doc that is a
+    verified near-dup (>= 0.7, the shared pair stage) of a holdout doc
+    is QUARANTINED out of train, so the eval set cannot be memorized
+    through a surviving twin. This is the split-time decontamination
+    rule every serious eval protocol applies; emitting the per-class
+    manifest (base_split → final_split × lang) makes the quarantine
+    volume itself an oracled quantity. Cost on top of the split gate:
+    two id-keyed joins of the pair set against the split assignment —
+    pair-linear, no new corpus pass (the pair set is the materialized
+    stage every other dedup consumer reads)."""
+    d = T(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang",
+        F.when(text.hash64(F.col("doc_id").cast("string")) % 100 < 90,
+               "train").otherwise("holdout").alias("split"))
+    pairs = _verified_pairs_stage(spark, sf_dir).select("id_a", "id_b")
+    sa = base.select(F.col("doc_id").alias("id_a"),
+                     F.col("split").alias("sa"))
+    sb = base.select(F.col("doc_id").alias("id_b"),
+                     F.col("split").alias("sb"))
+    tagged = pairs.join(sa, "id_a").join(sb, "id_b")
+    linked = (tagged.filter((F.col("sa") == "train") & (F.col("sb") == "holdout"))
+              .select(F.col("id_a").alias("doc_id"))
+              .unionByName(
+                  tagged.filter((F.col("sb") == "train")
+                                & (F.col("sa") == "holdout"))
+                  .select(F.col("id_b").alias("doc_id")))
+              .distinct()
+              .withColumn("__linked", F.lit(True)))
+    final = (base.join(linked, "doc_id", "left")
+             .select("lang", F.col("split").alias("base_split"),
+                     F.when((F.col("split") == "train")
+                            & F.col("__linked").isNotNull(),
+                            "quarantined").otherwise(F.col("split"))
+                     .alias("final_split")))
+    return (final.groupBy("base_split", "final_split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 @register("text_pii_redact", sql=r"""
 SELECT doc_id,
        regexp_replace(
@@ -3650,12 +3759,13 @@ _CHECK_ORDER = [
     "semdedup_incremental", "lsh_recall_check", "dedup_keep_best",
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "embedding_quantize_int8", "sample_epoch_mix", "dedup_multi_signal",
+    "split_decontaminated",
     # -- code/behavior changed this round: seeded-Gaussian LSH
     #    hyperplanes (embedding_lsh_topk output CHANGES), half-up
     #    sampling thresholds, the dedup-store self-pair filter +
     #    collision guard, persisted multi-branch frames, the graph
     #    driver-probe cache --
-    "embedding_lsh_topk", "sample_tempered_mix",
+    "embedding_lsh_topk",
     "near_dup_incremental_store", "near_dup_incremental",
     "near_dup_pairs", "dedup_cluster_components", "semdedup_pairs",
     "training_pipeline_e2e", "text_dup_span_profile",
@@ -3680,7 +3790,8 @@ _CHECK_ORDER = [
     # at sf0.01 (or earlier with code unchanged); still oracle-checked
     # in-suite (tests/test_oracle_gate.py) and by tools/check.py ----
     "dedup_shingle_jaccard_pairs", "dedup_minhash_lsh_pairs",
-    "sample_stratified_mix", "dedup_cluster_incremental",
+    "sample_stratified_mix", "sample_tempered_mix",
+    "dedup_cluster_incremental",
     "pack_training_sequences", "corpus_shuffle_order",
     "text_repetition_profile", "shard_manifest", "ivf_recall_check",
     "ivf_assign_topk", "embedding_cosine_topk",
