@@ -2585,7 +2585,11 @@ def split_decontaminated(spark, sf_dir):
     volume itself an oracled quantity. Cost on top of the split gate:
     two id-keyed joins of the pair set against the split assignment —
     pair-linear, no new corpus pass (the pair set is the materialized
-    stage every other dedup consumer reads)."""
+    stage every other dedup consumer reads). Deliberately a
+    DIRECT-link rule: only docs whose own near-dup sits in holdout
+    are quarantined — the transitive closure (quarantine whole
+    clusters touching holdout) is stricter than leakage requires and
+    available by composing with dedup_cluster_components."""
     d = T(spark, sf_dir, "documents")
     base = d.select(
         "doc_id", "lang",
