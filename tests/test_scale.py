@@ -303,6 +303,49 @@ def test_global_order_operators_lockstep_across_partition_counts(
     assert got_nh == base_ord
 
 
+def test_round8_operator_plan_shapes(spark, sf_dir):
+    """Plan-shape pins for the round-8 operators — the properties the
+    100 TB argument depends on, asserted so refactors can't silently
+    lose them: epoch_repeat is map-only (zero exchanges before any
+    aggregation), incremental SemDeDup has no cartesian product and
+    no corpus-wide window, and the multi-table LSH candidate path is
+    equi-join only."""
+    from cati_database_feeder_spark.catalog import load_table
+    from cati_database_feeder_spark.operators.sampling import epoch_repeat
+    from cati_database_feeder_spark.operators.similarity import (
+        assign_cells, gaussian_hyperplanes, incremental_semdedup_pairs,
+        lsh_topk_tables)
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    rep = epoch_repeat(d, "lang", "doc_id", {"en": 2.3, "de": 0.5})
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "epoch_repeat must be map-only"
+    assert "CartesianProduct" not in plan
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [(int(r["vec_id"]), list(r["embedding"]))
+             for r in e.filter(F.col("vec_id") < 8)
+                       .select("vec_id", "embedding").collect()]
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+    sem = incremental_semdedup_pairs(
+        delta, assign_cells(corpus, cents, by="ip"), cents,
+        threshold=0.3, by="ip")
+    plan = sem._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "assignment must be per-row, not windowed"
+
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    topk = lsh_topk_tables(q, e, gaussian_hyperplanes(64, 4 * 8),
+                           k=5, n_bits=4, n_tables=8)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "candidates must come from the (tbl,bucket) equi-join")
+
+
 def test_mixture_fractions_temperature_properties():
     import pytest
     from cati_database_feeder_spark.operators.sampling import mixture_fractions
