@@ -414,6 +414,43 @@ def test_state_lock_refuses_compaction_during_live_ingest(spark, tmp_path):
     assert got == want
 
 
+def test_state_lock_mutual_exclusion_under_contention(tmp_path):
+    """Hammer the fencing lock from 8 threads: the critical section
+    increments a plain (unsynchronized) counter and records overlap —
+    any two threads inside simultaneously would be detected. Lossy
+    acquisitions (StateLockError) are expected and fine; corruption of
+    mutual exclusion is not. Pure file-level test, no Spark."""
+    import threading
+
+    from cati_database_feeder_spark.streaming import ingest as ing
+
+    state = str(tmp_path / "state")
+    inside = [0]
+    overlaps = []
+    done = [0]
+
+    def worker(tid):
+        for _ in range(25):
+            try:
+                with ing._state_lock(state, f"op{tid}"):
+                    inside[0] += 1
+                    if inside[0] != 1:
+                        overlaps.append(inside[0])
+                    inside[0] -= 1
+                    done[0] += 1
+            except ing.StateLockError:
+                pass  # lost the race — correct behavior
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not overlaps, f"two holders inside the lock: {overlaps}"
+    assert done[0] >= 8  # progress was made
+    assert not os.path.exists(os.path.join(state, ing._LOCK_NAME))
+
+
 def test_state_lock_self_heals_dead_same_host_holder(spark, tmp_path):
     """A lock orphaned by a same-host crash (recorded pid no longer
     alive) must be broken automatically — foreachBatch's crash-retry
