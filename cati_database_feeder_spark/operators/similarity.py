@@ -125,17 +125,37 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
 def with_lsh_table_buckets(df: DataFrame, vec_col: str, id_col: str,
                            hyperplanes: list[list[float]],
-                           n_bits: int, n_tables: int) -> DataFrame:
+                           n_bits: int, n_tables: int,
+                           kernel: str = "hof") -> DataFrame:
     """(id, tbl, bucket) signature rows for multi-TABLE LSH: table t
     buckets by the signs of planes [t·n_bits, (t+1)·n_bits). One
     map-only projection per row exploding to ``n_tables`` rows — the
     standard L-tables recall amplifier (collide in ANY table ⇒
-    candidate): per-table collision p^b becomes 1-(1-p^b)^L. All
-    plane dots are sequential folds over literals — bit-reproducible
-    in a SQL oracle, no shuffle until the candidate join."""
+    candidate): per-table collision p^b becomes 1-(1-p^b)^L.
+
+    Two kernels, same output contract:
+
+    - ``"hof"`` (default): plane dots as sequential JVM folds over
+      literals — bit-reproducible in a SQL oracle. The signature pass
+      is Catalyst-HOF-interpreted, ~3.2 s for 2k×64-plane at sf0.1.
+    - ``"arrow"``: one Arrow-batched numpy matmul per partition
+      (``mapInPandas`` — the documented legitimate Python tier, like
+      the multimodal decoders): measured 0.48 s on the same input,
+      6.7×, zero bucket disagreements on the test corpus. CAVEAT:
+      BLAS reorders the accumulation, so a knife-edge dot (|⟨v,h⟩|
+      within float error of 0) can flip a sign vs the sequential
+      fold — buckets are NOT bit-contractual across kernels. Use hof
+      wherever a SQL oracle replays the signatures value-by-value;
+      arrow for serving paths and recall-gated contracts, where a
+      boundary flip moves one candidate, not a verdict."""
     if len(hyperplanes) != n_bits * n_tables:
         raise ValueError(f"need n_bits*n_tables={n_bits * n_tables} "
                          f"hyperplanes, got {len(hyperplanes)}")
+    if kernel == "arrow":
+        return _table_buckets_arrow(df, vec_col, id_col, hyperplanes,
+                                    n_bits, n_tables)
+    if kernel != "hof":
+        raise ValueError(f"kernel must be 'hof' or 'arrow', got {kernel!r}")
     # ONE transform over a 2-D plane literal instead of n_bits*n_tables
     # inlined dot-product folds: the inlined form compiles ~L·b separate
     # zip_with/aggregate chains per row (measured: codegen+eval made the
@@ -157,12 +177,54 @@ def with_lsh_table_buckets(df: DataFrame, vec_col: str, id_col: str,
             .select(id_col, "s.tbl", "s.bucket"))
 
 
+def _table_buckets_arrow(df: DataFrame, vec_col: str, id_col: str,
+                         hyperplanes: list[list[float]],
+                         n_bits: int, n_tables: int) -> DataFrame:
+    """Arrow kernel for :func:`with_lsh_table_buckets`: per Arrow
+    batch, ONE numpy (rows × dim)·(dim × planes) matmul computes every
+    sign bit, then per-table buckets slice the bit matrix. Plane
+    matrix ships by broadcast (a few KB); output is the same
+    (id, tbl, bucket) contract as the HOF kernel."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType([StructField(id_col, id_type),
+                         StructField("tbl", IntegerType()),
+                         StructField("bucket", StringType())])
+    bplanes = df.sparkSession.sparkContext.broadcast(
+        np.asarray(hyperplanes, dtype=np.float64).T)
+
+    def batches(it):
+        P = bplanes.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].values).astype(np.float64)
+            S = (V @ P) >= 0
+            ids = pdf[id_col].values
+            frames = []
+            for t in range(n_tables):
+                chunk = S[:, t * n_bits:(t + 1) * n_bits]
+                frames.append(pd.DataFrame({
+                    id_col: ids,
+                    "tbl": t,
+                    "bucket": ["".join("1" if b else "0" for b in row)
+                               for row in chunk]}))
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(batches, schema)
+
+
 def lsh_topk_tables(queries: DataFrame, corpus: DataFrame,
                     hyperplanes: list[list[float]], k: int = 10,
                     n_bits: int = 4, n_tables: int = 16,
                     q_id: str = "q_id", q_vec: str = "q_vec",
                     c_id: str = "vec_id",
-                    c_vec: str = "embedding") -> DataFrame:
+                    c_vec: str = "embedding",
+                    kernel: str = "hof") -> DataFrame:
     """Approximate top-k with L-table LSH: candidates collide in at
     least one of ``n_tables`` independent ``n_bits``-bit sign
     signatures, then exact cosine rerank. The production recall knob
@@ -177,9 +239,9 @@ def lsh_topk_tables(queries: DataFrame, corpus: DataFrame,
     no crossJoin anywhere; AQE broadcasts the query side of each join
     when genuinely small."""
     qs = with_lsh_table_buckets(queries, q_vec, q_id,
-                                hyperplanes, n_bits, n_tables)
+                                hyperplanes, n_bits, n_tables, kernel)
     cs = with_lsh_table_buckets(corpus, c_vec, c_id,
-                                hyperplanes, n_bits, n_tables)
+                                hyperplanes, n_bits, n_tables, kernel)
     cands = (qs.join(cs, ["tbl", "bucket"])
              .select(q_id, c_id).distinct())
     qv = queries.withColumn("__qn", V.norm(F.col(q_vec)))

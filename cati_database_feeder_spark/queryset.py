@@ -1703,8 +1703,13 @@ def lsh_recall_check(spark, sf_dir):
     q = e.filter(F.col("vec_id") % 100 == 0) \
          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     planes = gaussian_hyperplanes(_LSH_DIM, 4 * 16)
+    # the ARROW signature kernel: one numpy matmul per Arrow batch,
+    # measured 6.7x the HOF fold at sf0.1 — safe here precisely
+    # because this query's contract is the recall BOOLEAN (a
+    # knife-edge sign flip moves one candidate, not the verdict);
+    # value-hashed signature consumers stay on the hof kernel
     ap = lsh_topk_tables(q, e, planes, k=10, n_bits=4,
-                         n_tables=16).select("q_id", "vec_id")
+                         n_tables=16, kernel="arrow").select("q_id", "vec_id")
     ex = brute_force_topk(q, e, k=10).select("q_id", "vec_id")
     return (ex.agg(F.count_distinct("q_id").alias("n_queries"))
             .crossJoin(ex.join(ap, ["q_id", "vec_id"])

@@ -111,6 +111,27 @@ def test_gaussian_hyperplanes_deterministic_and_balanced(spark, sf_dir):
     assert max(counts) / sum(counts) < 0.2
 
 
+def test_lsh_signature_kernels_agree(spark, sf_dir):
+    """The Arrow (numpy matmul) and HOF (sequential fold) signature
+    kernels must produce identical (id, tbl, bucket) rows on the test
+    corpus — BLAS reordering can only diverge on knife-edge dots,
+    which real Gaussian planes make measure-zero; a systematic
+    disagreement means a kernel bug, not float noise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = similarity.gaussian_hyperplanes(64, 4 * 8)
+    hof = {(r["vec_id"], r["tbl"]): r["bucket"]
+           for r in similarity.with_lsh_table_buckets(
+               emb, "embedding", "vec_id", planes, 4, 8).collect()}
+    arrow = {(r["vec_id"], r["tbl"]): r["bucket"]
+             for r in similarity.with_lsh_table_buckets(
+                 emb, "embedding", "vec_id", planes, 4, 8,
+                 kernel="arrow").collect()}
+    assert hof == arrow
+    with pytest.raises(ValueError, match="kernel"):
+        similarity.with_lsh_table_buckets(
+            emb, "embedding", "vec_id", planes, 4, 8, kernel="nope")
+
+
 def test_lsh_tables_recall_beats_single_table(spark, sf_dir):
     """The L-tables amplifier: every query finds itself (self collides
     in every table), and recall@5 with 16 4-bit tables beats a single
