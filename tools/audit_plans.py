@@ -50,6 +50,9 @@ def audit(df):
             r"|BatchEvalPython|AggregateInPandas|ArrowAggregatePython", plan)),
         "forced_bcast": sum(1 for h in hints if "broadcast" in h.lower()),
         "forced_other": sum(1 for h in hints if "broadcast" not in h.lower()),
+        # O(n*m) shapes: fine for a deliberate bounded baseline
+        # (brute-force cosine), a scale-killer anywhere else
+        "cartesian": len(re.findall(r"CartesianProduct", plan)),
     }
 
 
@@ -59,7 +62,8 @@ def main():
     spark = get_session("audit")
     spark.sparkContext.setLogLevel("ERROR")
     hdr = (f"{'query':34s} {'scans':>5} {'push':>4} {'bcast':>5} {'smj':>3} "
-           f"{'shj':>3} {'exch':>4} {'cg':>3} py {'hintB':>5} {'hintS':>5}")
+           f"{'shj':>3} {'exch':>4} {'cg':>3} py {'hintB':>5} {'hintS':>5} "
+           f"{'cart':>4}")
     print(hdr)
     print("-" * len(hdr))
     for name, fn in queryset.QUERIES.items():
@@ -70,7 +74,8 @@ def main():
             print(f"{name:34s} {a['scans']:>5} {a['pushed']:>4} {a['bcast']:>5} "
                   f"{a['smj']:>3} {a['shj']:>3} {a['exch']:>4} {a['codegen']:>3} "
                   f"{'Y' if a['python'] else '-'} "
-                  f"{a['forced_bcast'] or '-':>5} {a['forced_other'] or '-':>5}")
+                  f"{a['forced_bcast'] or '-':>5} {a['forced_other'] or '-':>5} "
+                  f"{a['cartesian'] or '-':>4}")
         except Exception as exc:  # pragma: no cover
             print(f"{name:34s} ERROR {type(exc).__name__}: {exc}")
 
