@@ -3337,6 +3337,87 @@ def dedup_keep_best(spark, sf_dir):
     return keep_best_per_cluster(labels, d, score_col="n_chars")
 
 
+@register("dedup_impact_report", sql=r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))
+          / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+lab2 AS (
+  SELECT c.id AS doc_id, c.component, d.n_chars, d.source
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+),
+ranked AS (
+  SELECT doc_id, component,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM lab2
+),
+flagged AS (
+  SELECT l.doc_id, l.source, l.n_chars,
+         l.doc_id = b.doc_id AS keep
+  FROM lab2 l JOIN ranked b ON b.component = l.component AND b.rn = 1
+),
+alldocs AS (
+  SELECT d.doc_id, d.source, d.n_chars, COALESCE(f.keep, TRUE) AS keep
+  FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs_before,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_before,
+       CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_after,
+       round(1.0 - SUM(CASE WHEN keep THEN n_chars ELSE 0 END)
+                   / CAST(SUM(n_chars) AS DOUBLE), 6) AS chars_removed_frac
+FROM alldocs
+GROUP BY source
+""")
+def dedup_impact_report(spark, sf_dir):
+    """E46 the dedup impact manifest: per source, document and
+    character counts before/after keep-one dedup (clusters from the
+    shared verified-pair closure, survivor = keep_best's
+    longest-member policy; unclustered docs are implicitly kept) plus
+    the removed-character fraction — the corpus-shrinkage accounting
+    that justifies a dedup run and catches a runaway threshold (a
+    source suddenly losing half its mass). One left join of the
+    delete list against the corpus and a per-source aggregate on top
+    of the materialized closure; fractions decided on exact integer
+    sums, rounded only for display."""
+    from cati_database_feeder_spark.operators.dedup import keep_best_per_cluster
+    from cati_database_feeder_spark.operators.graph import connected_components
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    labels = connected_components(_jaccard_pairs_stage(spark, sf_dir))
+    kb = keep_best_per_cluster(labels, d, score_col="n_chars")
+    out = (d.join(kb.select("doc_id", "keep"), "doc_id", "left")
+           .withColumn("keep", F.coalesce("keep", F.lit(True))))
+    kept_chars = F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs_before"),
+                 F.sum(F.col("keep").cast("long")).alias("docs_after"),
+                 F.sum("n_chars").alias("chars_before"),
+                 kept_chars.alias("chars_after"),
+                 F.round(F.lit(1.0) - kept_chars
+                         / F.sum("n_chars").cast("double"), 6)
+                 .alias("chars_removed_frac")))
+
+
 @register("text_unigram_rarity", sql=r"""
 WITH tk AS (
   SELECT doc_id,
@@ -3768,7 +3849,7 @@ _CHECK_ORDER = [
     "semdedup_incremental", "lsh_recall_check", "dedup_keep_best",
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "embedding_quantize_int8", "sample_epoch_mix", "dedup_multi_signal",
-    "split_decontaminated",
+    "split_decontaminated", "dedup_impact_report",
     # -- code/behavior changed this round: seeded-Gaussian LSH
     #    hyperplanes (embedding_lsh_topk output CHANGES), half-up
     #    sampling thresholds, the dedup-store self-pair filter +
@@ -3776,7 +3857,7 @@ _CHECK_ORDER = [
     #    driver-probe cache --
     "embedding_lsh_topk",
     "near_dup_incremental_store", "near_dup_incremental",
-    "near_dup_pairs", "dedup_cluster_components", "semdedup_pairs",
+    "near_dup_pairs", "dedup_cluster_components",
     "training_pipeline_e2e", "text_dup_span_profile",
     # -- r6-green tail rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
@@ -3800,7 +3881,7 @@ _CHECK_ORDER = [
     # in-suite (tests/test_oracle_gate.py) and by tools/check.py ----
     "dedup_shingle_jaccard_pairs", "dedup_minhash_lsh_pairs",
     "sample_stratified_mix", "sample_tempered_mix",
-    "dedup_cluster_incremental",
+    "dedup_cluster_incremental", "semdedup_pairs",
     "pack_training_sequences", "corpus_shuffle_order",
     "text_repetition_profile", "shard_manifest", "ivf_recall_check",
     "ivf_assign_topk", "embedding_cosine_topk",
