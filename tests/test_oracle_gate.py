@@ -64,6 +64,10 @@ _BARE_SUM_ALLOWED = {
     # for an INTEGER list, and the output reference IS wrapped:
     # CAST(list_sum(codes) AS BIGINT)
     "embedding_quantize_int8": 1,
+    # numerator of chars_removed_frac: SUM(int)/CAST(SUM AS DOUBLE) —
+    # any integer width divided by DOUBLE is DOUBLE in both engines,
+    # and the only output reference is the rounded ratio
+    "dedup_impact_report": 1,
 }
 
 
