@@ -132,6 +132,22 @@ def test_lsh_signature_kernels_agree(spark, sf_dir):
             emb, "embedding", "vec_id", planes, 4, 8, kernel="nope")
 
 
+def test_arrow_lsh_kernel_partition_independent(spark, sf_dir):
+    """The Arrow signature kernel computes per-row matmuls, so Arrow
+    batch boundaries (hence input partitioning) must not change any
+    bucket — pinned at partitions ∈ {1, 7}."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = similarity.gaussian_hyperplanes(64, 4 * 4)
+
+    def run(df):
+        return sorted((r["vec_id"], r["tbl"], r["bucket"])
+                      for r in similarity.with_lsh_table_buckets(
+                          df, "embedding", "vec_id", planes, 4, 4,
+                          kernel="arrow").collect())
+
+    assert run(emb.coalesce(1)) == run(emb.repartition(7))
+
+
 def test_lsh_tables_recall_beats_single_table(spark, sf_dir):
     """The L-tables amplifier: every query finds itself (self collides
     in every table), and recall@5 with 16 4-bit tables beats a single

@@ -210,6 +210,35 @@ def test_store_backed_incremental_equals_filtered_full(
     assert got == want
 
 
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=0, max_size=15),
+    scores=st.lists(st.integers(0, 5), min_size=13, max_size=13))
+@settings(**_SETTINGS)
+def test_keep_best_per_cluster_equals_reference(spark, edges, scores):
+    """For ANY cluster graph and ANY scores: exactly one survivor per
+    cluster, the survivor maximizes (score, -id), every clustered doc
+    is emitted once, unclustered docs never appear."""
+    from cati_database_feeder_spark.operators.dedup import keep_best_per_cluster
+
+    comp = _union_find_components(edges)
+    labels = (spark.createDataFrame(list(comp.items()), "id long, component long")
+              if comp else spark.createDataFrame([], "id long, component long"))
+    sc = spark.createDataFrame(list(enumerate(scores)), "doc_id long, score long")
+    got = {r["doc_id"]: (r["component"], r["kept_id"], r["keep"])
+           for r in keep_best_per_cluster(labels, sc).collect()}
+    # driver reference
+    want_kept = {}
+    for node, c in comp.items():
+        cand = (scores[node], -node)
+        if c not in want_kept or cand > want_kept[c]:
+            want_kept[c] = cand
+    assert set(got) == set(comp)
+    for node, c in comp.items():
+        kept_id = -want_kept[c][1]
+        assert got[node] == (c, kept_id, node == kept_id)
+
+
 @given(w=st.sampled_from([0.0, 0.4, 1.0, 1.7, 2.0, 3.3]),
        n=st.integers(5, 40))
 @settings(**_SETTINGS)
