@@ -52,8 +52,16 @@ def quantize_int8(vec: Column, lo: Column, hi: Column) -> Column:
     corpus min/max every in-range element lands within half a bucket of
     its midpoint reconstruction. All arithmetic is plain double IEEE
     ops in a fixed expression order, so a SQL oracle computing the same
-    formula gets bit-identical codes."""
-    sc = F.lit(255.0) / (hi - lo)
+    formula gets bit-identical codes.
+
+    Degenerate range (hi <= lo — a constant-valued corpus makes
+    hi == lo): every code is 0 BY CONVENTION rather than the silent
+    NaN→null the raw 255/(hi-lo) division would emit. With hi == lo
+    every element equals lo, and :func:`dequantize_int8`'s midpoint
+    lo + 0.5·(hi-lo)/255 collapses to lo — the round trip is EXACT, so
+    the all-zero convention is not just total, it is the correct
+    quantization of a zero-width range."""
+    sc = F.when(hi > lo, F.lit(255.0) / (hi - lo)).otherwise(F.lit(0.0))
     return F.transform(
         vec, lambda x: F.least(F.lit(255), F.greatest(F.lit(0), F.floor(
             (x.cast("double") - lo) * sc).cast("int"))))

@@ -710,10 +710,28 @@ def keep_best_per_cluster(labels: DataFrame, scores: DataFrame,
     trap: a pathological million-member cluster contributes one
     aggregate row. The two-aggregate form (rather than a packed
     max-of-(score,-id) struct) keeps the id type fully generic —
-    string/date/any orderable id works, nothing assumes numeric."""
+    string/date/any orderable id works, nothing assumes numeric.
+
+    PRECONDITION, enforced loud: every labeled id must have a score
+    row. The score join is a LEFT join with a ``raise_error`` on a
+    null score — an inner join would silently drop the unscored doc,
+    and if that doc would have been the survivor a lower-scoring
+    member is kept with nothing distinguishing the omission from
+    'unclustered, implicitly kept' (the same fail-loud discipline as
+    the tokset_key collision guard above)."""
     sc = scores.select(F.col(id_col).alias("id"),
                        F.col(score_col).alias("__score"))
-    lab = labels.join(sc, "id")
+    lab = (labels.join(sc, "id", "left")
+           .withColumn("__score", F.when(
+               F.col("__score").isNull(),
+               F.raise_error(F.concat(
+                   F.lit("keep_best_per_cluster: labeled id "),
+                   F.col("id").cast("string"),
+                   F.lit(" has no score row — every clustered doc "
+                         "must be scored (an unscored doc cannot "
+                         "compete for survivor and silently dropping "
+                         "it would keep the wrong member)")))
+               ).otherwise(F.col("__score"))))
     best_score = lab.groupBy("component").agg(F.max("__score").alias("__ms"))
     kept = (lab.join(best_score, "component")
             .filter(F.col("__score") == F.col("__ms"))

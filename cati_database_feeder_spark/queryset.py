@@ -3841,44 +3841,15 @@ def udaf_trimmed_mean(spark, sf_dir):
 # oracle on every pytest run (tests/test_oracle_gate.py) and by
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
-    # -- new this round (round 8): incremental SemDeDup (verdict item
-    #    2), the multi-table LSH recall gate (verdict item 5), the
-    #    cluster keep-best delete list (E38), the unigram-rarity
-    #    quality score (E39), and the cross-source leakage matrix
-    #    (E40) --
-    "semdedup_incremental", "lsh_recall_check", "dedup_keep_best",
-    "text_unigram_rarity", "dedup_cross_source_matrix",
-    "embedding_quantize_int8", "sample_epoch_mix", "dedup_multi_signal",
-    "split_decontaminated", "dedup_impact_report",
-    # -- code/behavior changed this round: seeded-Gaussian LSH
-    #    hyperplanes (embedding_lsh_topk output CHANGES), half-up
-    #    sampling thresholds, the dedup-store self-pair filter +
-    #    collision guard, persisted multi-branch frames, the graph
-    #    driver-probe cache --
-    "embedding_lsh_topk",
-    "near_dup_incremental_store", "near_dup_incremental",
-    "near_dup_pairs", "dedup_cluster_components",
-    "training_pipeline_e2e", "text_dup_span_profile",
-    # -- r6-green tail rotated back through the window: the recency
+    # -- code changed this round (round 9): keep-best now left-joins
+    #    scores and raises on a labeled id with no score row (ADVICE);
+    #    quantize_int8 gained the documented all-zero-code convention
+    #    for a degenerate (hi == lo) range (ADVICE) --
+    "dedup_keep_best", "embedding_quantize_int8",
+    # -- r7-green block rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
     #    past-window query to hold a green <= 2 rounds old, and these
-    #    33 last went green in r06 --
-    "dedup_token_jaccard_pairs", "text_fingerprint_dedup",
-    "flagship_feeder", "q18_large_volume_customers", "approx_aggregates",
-    "bm25_topk_search", "agg_cube_grouping_sets", "agg_distinct_counts",
-    "agg_rollup_region_nation", "array_functions",
-    "backfill_coalesce_repair", "bulk_multi_wave", "cross_join_pairs",
-    "feeder_skipped_report", "flagship_feeder_w6",
-    "join_inner_left_pack", "join_multiway_star", "join_range_buckets",
-    "limit_first_match", "month_surgery_faithful",
-    "pivot_unpivot_roundtrip", "scalar_functions", "set_ops_pack",
-    "snapshot_diff", "string_functions", "text_doc_profile",
-    "top_k_orders", "udaf_trimmed_mean", "udaf_weighted_median",
-    "union_pages", "window_first_occurrence_dedup",
-    "window_running_lag", "window_top_orders_per_customer",
-    # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r07
-    # at sf0.01 (or earlier with code unchanged); still oracle-checked
-    # in-suite (tests/test_oracle_gate.py) and by tools/check.py ----
+    #    43 last went green in r07 --
     "dedup_shingle_jaccard_pairs", "dedup_minhash_lsh_pairs",
     "sample_stratified_mix", "sample_tempered_mix",
     "dedup_cluster_incremental", "semdedup_pairs",
@@ -3900,6 +3871,30 @@ _CHECK_ORDER = [
     "events_session_window", "events_daily_gap_fill",
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
+    # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r08
+    # at sf0.01; still oracle-checked in-suite
+    # (tests/test_oracle_gate.py) and by tools/check.py ----
+    "semdedup_incremental", "lsh_recall_check",
+    "text_unigram_rarity", "dedup_cross_source_matrix",
+    "sample_epoch_mix", "dedup_multi_signal",
+    "split_decontaminated", "dedup_impact_report",
+    "embedding_lsh_topk",
+    "near_dup_incremental_store", "near_dup_incremental",
+    "near_dup_pairs", "dedup_cluster_components",
+    "training_pipeline_e2e", "text_dup_span_profile",
+    "dedup_token_jaccard_pairs", "text_fingerprint_dedup",
+    "flagship_feeder", "q18_large_volume_customers", "approx_aggregates",
+    "bm25_topk_search", "agg_cube_grouping_sets", "agg_distinct_counts",
+    "agg_rollup_region_nation", "array_functions",
+    "backfill_coalesce_repair", "bulk_multi_wave", "cross_join_pairs",
+    "feeder_skipped_report", "flagship_feeder_w6",
+    "join_inner_left_pack", "join_multiway_star", "join_range_buckets",
+    "limit_first_match", "month_surgery_faithful",
+    "pivot_unpivot_roundtrip", "scalar_functions", "set_ops_pack",
+    "snapshot_diff", "string_functions", "text_doc_profile",
+    "top_k_orders", "udaf_trimmed_mean", "udaf_weighted_median",
+    "union_pages", "window_first_occurrence_dedup",
+    "window_running_lag", "window_top_orders_per_customer",
 ]
 
 _missing = [n for n in _CHECK_ORDER if n not in QUERIES]

@@ -124,6 +124,26 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _proc_start_token(pid: int) -> str:
+    """Kernel start-time of ``pid`` (/proc/<pid>/stat field 22, clock
+    ticks since boot) — the token that distinguishes a process from a
+    later process that RECYCLED its pid. Recorded in the lock body at
+    acquisition and compared at liveness-check time: pid-alive alone
+    mistakes a recycled pid for the original holder and blocks
+    ingestion forever (the one false-positive the same-host self-heal
+    had). Returns "na" where /proc is unavailable (non-Linux) — the
+    check then degrades to pid liveness, exactly the old behavior."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read().decode("ascii", "replace")
+        # comm (field 2) is parenthesized and may contain spaces/parens
+        # — split after the LAST ')' per proc(5)
+        rest = stat.rsplit(")", 1)[1].split()
+        return rest[19]  # field 22, 1-indexed; rest[0] is field 3
+    except (OSError, IndexError):
+        return "na"
+
+
 @contextlib.contextmanager
 def _state_lock(state_dir: str, op: str):
     """Exclusive fencing lock on ``state_dir`` for one state-mutating
@@ -135,10 +155,20 @@ def _state_lock(state_dir: str, op: str):
     crash — it is broken and the acquisition retried, keeping
     foreachBatch's retry-after-crash contract lock-free for the user.
     A foreign-host lock is never broken automatically (no liveness
-    signal); :func:`break_lock` is the documented manual override."""
+    signal); :func:`break_lock` is the documented manual override.
+
+    The lock body records ``ts`` (acquisition epoch seconds — an
+    operator judging a foreign-host lock's staleness reads it straight
+    out of the StateLockError message) and ``start`` (the holder pid's
+    kernel start-time token): a same-host lock whose pid is alive but
+    whose start token no longer matches was orphaned by a crash and
+    the pid RECYCLED — broken like a dead-pid lock, where pid liveness
+    alone would block ingestion permanently."""
+    import time
     os.makedirs(state_dir, exist_ok=True)
     path = os.path.join(state_dir, _LOCK_NAME)
-    me = f"{op} host={socket.gethostname()} pid={os.getpid()}"
+    me = (f"{op} host={socket.gethostname()} pid={os.getpid()} "
+          f"start={_proc_start_token(os.getpid())} ts={int(time.time())}")
     for _ in range(2):  # second pass only after breaking a dead lock
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -153,7 +183,17 @@ def _state_lock(state_dir: str, op: str):
                           if "=" in f)
             same_host = fields.get("host") == socket.gethostname()
             pid = fields.get("pid", "")
-            if same_host and pid.isdigit() and not _pid_alive(int(pid)):
+            rec_start = fields.get("start")
+            dead = pid.isdigit() and (
+                not _pid_alive(int(pid))
+                # pid alive but start token mismatched → recycled pid,
+                # the recorded holder itself is gone. Only decided when
+                # BOTH tokens resolved ("na" on either side degrades to
+                # pid liveness — never break on a missing signal).
+                or (rec_start not in (None, "na")
+                    and _proc_start_token(int(pid)) != "na"
+                    and _proc_start_token(int(pid)) != rec_start))
+            if same_host and dead:
                 # Orphaned by a same-host crash — break and retry once.
                 # Break by atomic RENAME, not unlink: with two breakers
                 # racing, unlink-then-create lets the slower breaker
@@ -335,10 +375,17 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         memb.select("id", "gid").write.mode("overwrite").parquet(members_dir)
         (dedup.rep_band_buckets(memb, num_hashes, bands)
          .write.mode("overwrite").parquet(buckets_dir))
-        batch.write.mode("overwrite").parquet(corpus_dir)
+        # metrics BEFORE the corpus commit marker: a crash between the
+        # two replays the whole bootstrap (corpus absent) and appends a
+        # duplicate row with the same batch_id — at-least-once, which
+        # last-write-wins dashboards absorb; the old order (metrics
+        # after the marker) had a silent LOSS window instead (crash
+        # after the marker → the replay's pure-replay return skips the
+        # metrics write forever)
         n = batch.count()
         _append_metrics(spark, state_dir, batch_id, n, n,
                         pairs.count(), False, True)
+        batch.write.mode("overwrite").parquet(corpus_dir)
         pairs.unpersist()
         return
 
@@ -391,9 +438,16 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         fr["buckets_append"].write.mode("append").parquet(buckets_dir)
         fr["members_append"].write.mode("append").parquet(members_dir)
         fr["reps_append"].write.mode("append").parquet(reps_dir)
-        delta.write.mode("append").parquet(corpus_dir)
+        # metrics BEFORE the corpus commit marker (same argument as the
+        # bootstrap branch): a crash in between replays the batch and
+        # appends a duplicate batch_id row — at-least-once — where the
+        # old after-marker order lost the row forever (the replay takes
+        # the pure-replay early return before any metrics write). The
+        # metrics dir is read by no in-batch frame, so the append is
+        # recacheByPath-safe at this position.
         _append_metrics(spark, state_dir, batch_id, m_rows_in, m_delta,
                         m_pairs, quiet, False)
+        delta.write.mode("append").parquet(corpus_dir)
     finally:
         new_pairs.unpersist()
         dmemb.unpersist()

@@ -107,11 +107,16 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
         _swap_write(labels, lab_dir)
         spark.createDataFrame(cents, "cell int, centroid array<double>") \
             .coalesce(1).write.mode("overwrite").parquet(cen_dir)
-        (assign_cells(batch, cents, "embedding", by)
-         .write.partitionBy("cell").mode("overwrite").parquet(vec_dir))
+        # metrics BEFORE the vectors commit marker (the text path's
+        # argument, streaming/ingest.py): crash in between → the replay
+        # re-enters bootstrap and appends a duplicate batch_id row
+        # (at-least-once) instead of losing the row to the pure-replay
+        # early return forever
         n = batch.count()
         _append_metrics(spark, state_dir, batch_id, n, n,
                         pairs.count(), False, True)
+        (assign_cells(batch, cents, "embedding", by)
+         .write.partitionBy("cell").mode("overwrite").parquet(vec_dir))
         pairs.unpersist()
         return
 
@@ -135,13 +140,17 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
                 labels = spark.read.parquet(lab_dir)
                 _swap_write(incremental_components(
                     labels, pairs.select("id_a", "id_b")), lab_dir)
+            # metrics BEFORE the vectors commit marker: a crash in
+            # between replays the batch and appends a duplicate
+            # batch_id row (at-least-once) instead of losing the row
+            # forever to the pure-replay early return
+            _append_metrics(spark, state_dir, batch_id, m_rows_in,
+                            m_delta, m_pairs, quiet, False)
             # vectors append LAST — the commit marker: a crash before
             # this line replays the whole batch (delta still absent
             # from the store), after it the replay dedups to empty
             (assign_cells(delta, cents, "embedding", by)
              .write.partitionBy("cell").mode("append").parquet(vec_dir))
-            _append_metrics(spark, state_dir, batch_id, m_rows_in,
-                            m_delta, m_pairs, quiet, False)
         finally:
             pairs.unpersist()
     finally:

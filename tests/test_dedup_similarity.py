@@ -291,6 +291,25 @@ def test_quantize_int8_roundtrip_bounds(spark):
         assert abs(d - x) <= bucket / 2 + 1e-12
 
 
+def test_quantize_int8_degenerate_range_all_zero_exact(spark):
+    """hi == lo (constant-valued corpus): the documented all-zero-code
+    convention — codes are 0, not the silent NaN→null the raw
+    255/(hi-lo) division emits, and the midpoint reconstruction
+    lo + 0.5·(hi-lo)/255 collapses to lo, so the round trip is EXACT
+    (ADVICE round 9: degenerate ranges fail loud or round-trip, never
+    propagate nulls)."""
+    df = spark.createDataFrame(
+        [(1, [3.5, 3.5, 3.5])], "vec_id long, embedding array<double>")
+    lo, hi = F.lit(3.5), F.lit(3.5)
+    out = df.select(
+        V.quantize_int8(F.col("embedding"), lo, hi).alias("codes"),
+        V.dequantize_int8(
+            V.quantize_int8(F.col("embedding"), lo, hi), lo, hi).alias("deq"),
+    ).collect()[0]
+    assert out["codes"] == [0, 0, 0]
+    assert out["deq"] == [3.5, 3.5, 3.5]
+
+
 def test_lang_id_scripts(spark):
     df = spark.createDataFrame(
         [("the cat sat on the mat",), ("der hund ist ein tier",),
@@ -421,6 +440,18 @@ def test_keep_best_per_cluster_policy(spark):
     assert out[7] == (7, 7, True)
     assert out[8] == (7, 7, False)
     assert 99 not in out  # unclustered → not emitted
+
+
+def test_keep_best_per_cluster_unscored_labeled_id_raises(spark):
+    """ADVICE round 9: a labeled doc with NO score row must fail loud
+    — the old inner join silently dropped it, and if it would have
+    been the survivor a lower-scoring member was kept with nothing
+    marking the omission."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1)], ["id", "component"])
+    scores = spark.createDataFrame([(1, 10)], ["doc_id", "score"])
+    with pytest.raises(Exception, match="has no score row"):
+        dedup.keep_best_per_cluster(labels, scores).collect()
 
 
 def test_incremental_near_dup_corpus_stale_buckets_raises(spark):

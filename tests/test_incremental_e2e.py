@@ -473,6 +473,90 @@ def test_state_lock_self_heals_dead_same_host_holder(spark, tmp_path):
     assert not os.path.exists(os.path.join(state, ing._LOCK_NAME))
 
 
+def test_state_lock_breaks_recycled_pid_holder(spark, tmp_path):
+    """ADVICE round 9: pid liveness alone mistakes a RECYCLED pid for
+    the original holder and blocks ingestion forever. The lock body
+    now records the holder's kernel start-time token; a same-host lock
+    whose pid is alive but whose token mismatches is a crashed holder
+    wearing a reused pid — broken automatically. A matching token (the
+    holder genuinely lives) still refuses."""
+    import socket
+
+    from cati_database_feeder_spark.streaming import ingest as ing
+
+    rows = [(10, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    me = os.getpid()  # alive by construction
+    my_start = ing._proc_start_token(me)
+    assert my_start != "na"  # Linux container — /proc available
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    lock = os.path.join(state, ing._LOCK_NAME)
+    # live pid, WRONG start token → recycled pid → broken, ingest runs
+    with open(lock, "w") as fh:
+        fh.write(f"ingest_batch host={socket.gethostname()} pid={me} "
+                 f"start=1 ts=0")
+    ing.ingest_batch(spark, df, state)
+    assert os.path.exists(os.path.join(state, "corpus"))
+    # live pid, CORRECT start token → genuinely held → refuse, and the
+    # error surfaces the recorded acquisition timestamp for staleness
+    # triage
+    with open(lock, "w") as fh:
+        fh.write(f"ingest_batch host={socket.gethostname()} pid={me} "
+                 f"start={my_start} ts=1755000000")
+    with pytest.raises(ing.StateLockError) as ei:
+        ing.compact_state(spark, state)
+    assert "ts=1755000000" in str(ei.value)
+    os.unlink(lock)
+
+
+def test_metrics_ledger_at_least_once_across_commit_crash(
+        spark, tmp_path):
+    """ADVICE round 9: metrics now land BEFORE the corpus commit
+    marker, so a crash between the two replays the batch and appends a
+    DUPLICATE batch_id row (at-least-once, last-write-wins absorbs it)
+    — the old after-marker order lost the row to the pure-replay early
+    return forever. Injected crash: _append_metrics appends, then
+    dies."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+
+    state = str(tmp_path / "state")
+    boot = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        ["doc_id", "text"])
+    ing.ingest_batch(spark, boot, state, batch_id=0)
+    batch = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+
+    real_append = ing._append_metrics
+    crashed = []
+
+    def crash_after_append(*a, **kw):
+        real_append(*a, **kw)
+        if not crashed:
+            crashed.append(True)
+            raise RuntimeError("injected crash after metrics append")
+
+    ing._append_metrics = crash_after_append
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ing.ingest_batch(spark, batch, state, batch_id=1)
+        # marker not yet written → the replay reruns the whole batch
+        ing.ingest_batch(spark, batch, state, batch_id=1)
+    finally:
+        ing._append_metrics = real_append
+    metrics = spark.read.parquet(os.path.join(state, "metrics"))
+    rows = metrics.filter(F.col("batch_id") == 1).collect()
+    assert len(rows) == 2  # duplicate, NOT lost — at-least-once
+    assert all(r["delta_rows"] == 1 for r in rows)
+    # stores themselves stayed exactly-once: doc 3 landed once
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert corpus.filter(F.col("doc_id") == 3).count() == 1
+    # a third delivery is a pure replay — no further metrics row
+    ing.ingest_batch(spark, batch, state, batch_id=1)
+    assert metrics.filter(F.col("batch_id") == 1).count() == 2
+
+
 def test_state_lock_foreign_host_needs_manual_break(spark, tmp_path):
     """A lock from another host has no liveness signal — never broken
     automatically; break_lock is the documented manual override."""
