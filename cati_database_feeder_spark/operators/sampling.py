@@ -316,7 +316,7 @@ def write_training_shards(df: DataFrame, path: str,
 
 
 def pack_sequences(df: DataFrame, key: Column, tie_cols: list[str],
-                   n_tokens_col: str, budget: int,
+                   n_tokens_col: str | Column, budget: int,
                    partitions: int | None = None,
                    hex_key: bool = True) -> DataFrame:
     """Concat-and-chunk sequence packing — the step that turns a
@@ -337,9 +337,23 @@ def pack_sequences(df: DataFrame, key: Column, tie_cols: list[str],
     offset = broadcast-joined bucket token offset + a within-bucket
     running sum — one pass of bookkeeping, driver state bounded by the
     bucket count, no global sort anywhere. Token counts cast to long;
-    sums are exact (no float drift between engines)."""
+    sums are exact (no float drift between engines).
+
+    ``n_tokens_col`` is PLUGGABLE: a column NAME (a pre-materialized
+    count) or any Column EXPRESSION — e.g.
+    ``functions.text.bpe_ish_token_count(F.col("text"))`` so loader
+    budgets track a subword-ish count instead of whitespace words
+    (round-8 verdict item 5: whitespace budgets drift from
+    real-tokenizer counts). An expression is staged once as a hidden
+    column (evaluated once per row, not once per reference) and
+    dropped from the output; name-passed columns pass through
+    untouched."""
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
+    drop_tok = ()
+    if isinstance(n_tokens_col, Column):
+        df = df.withColumn("__ntokens", n_tokens_col)
+        n_tokens_col, drop_tok = "__ntokens", ("__ntokens",)
     keyed, pid, buckets = _global_order_buckets(
         df, key, partitions, hex_key, value_col=n_tokens_col)
     offsets, acc = [], 0
@@ -369,4 +383,5 @@ def pack_sequences(df: DataFrame, key: Column, tie_cols: list[str],
                 F.when(F.col("__tok") == 0, F.lit(1).cast("long")).otherwise(
                     F.expr(f"(__start + __tok - 1) DIV {budget}")
                     - F.col("seq_id") + 1))
-            .drop("__key", "__pid", "__toff", "__start", "__tok"))
+            .drop("__key", "__pid", "__toff", "__start", "__tok",
+                  *drop_tok))

@@ -2688,6 +2688,50 @@ def pack_training_sequences(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "seq_id", "seq_offset", "n_seqs")
 
 
+@register("pack_training_sequences_bpe", sql=r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start
+  FROM toks
+)
+SELECT doc_id,
+       start // 4096 AS seq_id,
+       start % 4096 AS seq_offset,
+       CASE WHEN n_tokens = 0 THEN 1
+            ELSE (start + n_tokens - 1) // 4096 - start // 4096 + 1
+       END AS n_seqs
+FROM ordered
+""")
+def pack_training_sequences_bpe(spark, sf_dir):
+    """Sequence packing with a PLUGGABLE token counter (round-8
+    verdict item 5): the budget is driven by
+    ``bpe_ish_token_count`` — regex word-pieces, the subword-ish
+    estimate — passed to ``pack_sequences`` as a column EXPRESSION
+    (operators/sampling.py: the expression is staged once per row and
+    dropped from the output), so loader budgets track how a real
+    tokenizer scales instead of whitespace words. Same literal-bucket
+    machinery as ``pack_training_sequences`` — the oracle's
+    single-partition running total is reproduced with no global sort
+    and driver state bounded by the bucket count; only the counter
+    differs, which is exactly the point: swap the counter column, keep
+    the packing plan."""
+    from cati_database_feeder_spark.operators.sampling import pack_sequences
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pack_sequences(d, F.md5(F.col("doc_id").cast("string")),
+                         ["doc_id"], text.bpe_ish_token_count(F.col("text")),
+                         4096)
+    return out.select("doc_id", "seq_id", "seq_offset", "n_seqs")
+
+
 @register("sample_stratified_mix", sql=r"""
 WITH sampled AS (
   SELECT doc_id, lang, n_chars
@@ -3846,6 +3890,9 @@ _CHECK_ORDER = [
     #    quantize_int8 gained the documented all-zero-code convention
     #    for a degenerate (hi == lo) range (ADVICE) --
     "dedup_keep_best", "embedding_quantize_int8",
+    # -- new this round (round 9): pluggable-counter packing (verdict
+    #    item 5) --
+    "pack_training_sequences_bpe",
     # -- r7-green block rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
     #    past-window query to hold a green <= 2 rounds old, and these

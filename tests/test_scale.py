@@ -405,6 +405,57 @@ def test_pack_sequences_matches_single_partition_reference(spark):
     assert "singlepartition" not in plan.lower()
 
 
+def test_pack_sequences_pluggable_counter_matches_reference(spark):
+    """Round-8 verdict item 5: the packing budget counter is pluggable
+    — a column NAME or a column EXPRESSION (e.g. bpe_ish_token_count)
+    both drive the same literal-bucket machinery. For each counter the
+    packed index must equal the single-partition driver reference over
+    that counter's token stream, and the two counters must genuinely
+    DIFFER on this corpus (punctuation-heavy text splits into more
+    word-pieces than whitespace words — otherwise the parametrization
+    proves nothing). The staged expression column must not leak into
+    the output schema."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.functions import text as TX
+    from cati_database_feeder_spark.operators.sampling import pack_sequences
+
+    texts = [(i, f"doc {i}: alpha, beta; gamma-delta " * (i % 5))
+             for i in range(120)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    key = F.md5(F.col("doc_id").cast("string"))
+
+    def ws_count(t):
+        return len(t.split()) if t.strip() else 0
+
+    def bpe_count(t):
+        return len(re.findall(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]", t))
+
+    assert any(ws_count(t) != bpe_count(t) for _, t in texts)
+
+    counters = [
+        (TX.token_count(F.col("text")), ws_count),
+        (TX.bpe_ish_token_count(F.col("text")), bpe_count),
+    ]
+    order = sorted(texts, key=lambda r: (
+        hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    for col_expr, py_count in counters:
+        want, acc = {}, 0
+        for doc, t in order:
+            nt = py_count(t)
+            seq = acc // 16
+            span = 1 if nt == 0 else (acc + nt - 1) // 16 - seq + 1
+            want[doc] = (seq, acc % 16, span)
+            acc += nt
+        out = pack_sequences(df, key, ["doc_id"], col_expr, 16, partitions=5)
+        assert "__ntokens" not in out.columns  # staged column dropped
+        got = {r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_seqs"])
+               for r in out.collect()}
+        assert got == want
+
+
 def test_write_training_shards_layout(spark, tmp_path):
     """Shard export contract: parquet partitioned by shard = pos DIV
     rows_per_shard, one file per shard, rows inside each file sorted by
