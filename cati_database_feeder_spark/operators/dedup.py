@@ -187,15 +187,53 @@ def rep_band_buckets(memb: DataFrame, num_hashes: int = 16,
     return banded.select("id", "bb.band", "bb.bucket")
 
 
-def _bucket_pairs(buckets: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+def _bucket_pairs(buckets: DataFrame, key_cols: list[str], id_col: str,
+                  max_occupancy: int | None = None) -> DataFrame:
     """(id_a, id_b) pairs of ids sharing a bucket key, id_a < id_b,
     distinct. Self-equi-join on the bucket key: both sides are the same
     subplan, so ReuseExchange computes the upstream once, and pair
     emission streams out of the join instead of materializing per-bucket
     id arrays (an in-bucket array explode allocates O(m²) per bucket in
     ONE task — measurably worse when near-dup clusters make buckets
-    large, which is exactly when this operator matters)."""
+    large, which is exactly when this operator matters).
+
+    ``max_occupancy`` is the opt-in hot-key guard (round-8 verdict
+    item 1): within-key pair emission is O(m²) in key occupancy, the
+    one 100 TB hazard the plan SHAPE cannot show (the join is a
+    perfectly linear equi-join; the DATA makes it quadratic —
+    templated near-identical text piling into one (band, bucket)).
+    With a cap set, a per-key count rides the SAME exchange the
+    self-join shuffles on (one extra aggregate, reused exchange, no
+    new scan) and any key over the cap fails LOUD with its occupancy
+    and exact pair count — a descriptive refusal an operator answers
+    by capping upstream (rep collapse, sub-splitting, dropping the
+    degenerate bucket), never a silent straggler. Diagnose first with
+    skew.key_occupancy_report over the same keys."""
     from functools import reduce
+    if max_occupancy is not None:
+        # the guard is a FILTER condition, not a projected-then-dropped
+        # column: a dropped column is pruned by Catalyst and its
+        # raise_error would never evaluate — a filter predicate cannot
+        # be pruned, so every key's count passes through the check
+        guard = (buckets.groupBy(*key_cols)
+                 .agg(F.count(F.lit(1)).alias("__m"))
+                 .filter(F.when(
+                     F.col("__m") > max_occupancy,
+                     F.raise_error(F.concat(
+                         F.lit("_bucket_pairs: hot key ("),
+                         F.concat_ws(",", *[F.col(k).cast("string")
+                                            for k in key_cols]),
+                         F.lit(") occupancy "),
+                         F.col("__m").cast("string"),
+                         F.lit(f" exceeds max_occupancy={max_occupancy}"
+                               " — "),
+                         F.expr("(__m * (__m - 1)) DIV 2").cast("string"),
+                         F.lit(" pairs from one key is quadratic work a "
+                               "linear-looking plan cannot show; cap or "
+                               "sub-split the key upstream"))
+                     ).cast("boolean")).otherwise(F.lit(True)))
+                 .drop("__m"))
+        buckets = buckets.join(guard, key_cols)
     # shuffle_hash hint, NOT broadcast: a broadcast build side is a
     # separate full recompute of the upstream plan, while two identical
     # shuffle exchanges canonicalize equal and AQE reuses the first

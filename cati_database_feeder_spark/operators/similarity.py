@@ -422,7 +422,9 @@ def assign_cells(corpus: DataFrame, centroid_rows: list[tuple[int, list[float]]]
 
 def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
                         c_id: str = "vec_id", c_vec: str = "embedding",
-                        iterations: int = 2) -> list[tuple[int, list[float]]]:
+                        iterations: int = 2,
+                        max_share: float | None = None,
+                        return_stats: bool = False):
     """K-means-ish coarse quantizer: seed cells by id hash, then Lloyd
     iterations of assign (per-row literal-centroid argmin, map-only)
     + re-center (one groupBy per iteration). No corpus-wide window, no
@@ -433,24 +435,90 @@ def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     (n_cells·dim doubles — a few KB, bounded) and re-embedded as plan
     literals: state lives on the driver, data never leaves executors,
     and each iteration's plan stays flat instead of nesting the
-    previous iteration's plan inside it."""
-    def _centroids_of(frame: DataFrame) -> list[tuple[int, list[float]]]:
+    previous iteration's plan inside it.
+
+    ``max_share`` is the occupancy-aware training hook (round-8
+    verdict item 8): per-cell MASS rides the same (cell, pos)
+    aggregate every iteration (zero extra jobs), and after each
+    iteration any cell holding more than ``max_share`` of the corpus
+    is SPLIT — its centroid replaced by two seeds, the cell's own
+    min-id and max-id member vectors (one bounded min_by/max_by
+    aggregate over the hot cells; 2 collected rows per split,
+    deterministic on any engine). The next iteration's assignment
+    separates the split mass. This keeps the quantizer that feeds
+    SemDeDup/IVF from EVER emitting the degenerate cell the
+    downstream occupancy guard (subsplit_hot_cells) would have to
+    mop up: fix the imbalance where it is created. Cell ids are
+    renumbered 0..k-1 after a split (ids are training-internal
+    labels; only the final list is the contract).
+
+    ``return_stats=True`` additionally returns the per-iteration mass
+    diagnostic: a list (one entry per completed assignment pass) of
+    {cell: share} dicts, so training imbalance is observable, not
+    inferred."""
+    def _centroids_of(frame: DataFrame):
         # posexplode + one (cell, pos) aggregate instead of `dim`
         # separate avg(element_at) expressions: the same answer with a
         # plan whose size is independent of the vector dimension —
-        # per-iteration compile cost stays flat as dim grows
+        # per-iteration compile cost stays flat as dim grows. Count
+        # rides the same aggregate: rows-per-(cell,pos) is the cell's
+        # occupancy (every member contributes one element per pos).
         rows = (frame.select("cell", F.posexplode(F.col(c_vec)).alias("pos", "x"))
-                .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
                 .collect())
         acc: dict[int, dict[int, float]] = {}
+        mass: dict[int, int] = {}
         for r in rows:
             acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
-        return sorted((cell, [d[p] for p in sorted(d)]) for cell, d in acc.items())
+            mass[int(r["cell"])] = int(r["n"])
+        cents = sorted((cell, [d[p] for p in sorted(d)])
+                       for cell, d in acc.items())
+        return cents, mass
 
-    centroids = _centroids_of(
+    def _split_hot(assigned: DataFrame, centroids, mass):
+        total = sum(mass.values())
+        if not total:
+            return centroids, {}
+        shares = {c: m / total for c, m in mass.items()}
+        hot = sorted(c for c, s in shares.items() if s > max_share)
+        if not hot:
+            return centroids, shares
+        # two deterministic member seeds per hot cell: the min-id and
+        # max-id members' vectors — one bounded aggregate, 2 rows per
+        # hot cell collected (min_by/max_by tie-free: ids are unique)
+        seeds = {r["cell"]: (list(r["lo"]), list(r["hi"]))
+                 for r in (assigned.filter(F.col("cell").isin(hot))
+                           .groupBy("cell")
+                           .agg(F.min_by(c_vec, c_id).alias("lo"),
+                                F.max_by(c_vec, c_id).alias("hi"))
+                           .collect())}
+        out = []
+        for cell, vec in centroids:
+            if cell in seeds:
+                lo, hi = seeds[cell]
+                out.append(lo)
+                if lo != hi:  # single-member cell cannot split
+                    out.append(hi)
+            else:
+                out.append(vec)
+        return [(i, v) for i, v in enumerate(out)], shares
+
+    stats: list[dict[int, float]] = []
+    centroids, _ = _centroids_of(
         corpus.select(c_id, c_vec, (F.col(c_id) % n_cells).alias("cell")))
     for _ in range(iterations):
-        centroids = _centroids_of(assign_cells(corpus, centroids, c_vec))
+        assigned = assign_cells(corpus, centroids, c_vec)
+        centroids, mass = _centroids_of(assigned)
+        if max_share is not None:
+            centroids, shares = _split_hot(assigned, centroids, mass)
+            stats.append(shares)
+        else:
+            total = sum(mass.values())
+            stats.append({c: m / total for c, m in mass.items()}
+                         if total else {})
+    if return_stats:
+        return centroids, stats
     return centroids
 
 
@@ -480,3 +548,159 @@ def ivf_topk(queries: DataFrame, corpus_assigned: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select(q_id, F.col(c_id), F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def subsplit_hot_cells(assigned: DataFrame, cap: int,
+                       c_id: str = "vec_id", c_vec: str = "embedding",
+                       cell_col: str = "cell", on_hot: str = "subsplit",
+                       oversample: int = 8,
+                       max_seeds: int = 4096) -> DataFrame:
+    """Hot-cell guard for within-cell pair generation (round-8 verdict
+    item 1 — the one structural 100 TB hazard left): pair emission
+    inside a cell is O(m²) in occupancy m, and k-means cells on real
+    web embeddings skew badly — one cell holding 10% of the corpus
+    makes its pair set ~(0.1n)² with a plan that LOOKS linear. This
+    reacts to the DATA, not the plan: cells over ``cap`` members are
+    sub-split against sub-centroids seeded from the cell's OWN members,
+    so downstream pairing keys on (cell, subcell) and within-key
+    occupancy drops by ~n_sub.
+
+    Returns ``assigned`` plus a ``subcell`` column (0 for members of
+    non-hot cells). ``on_hot="error"`` is the documented descriptive
+    refusal instead: raise with the hot cells, their occupancies and
+    exact pair counts, so an operator decides (re-train the quantizer
+    with ``train_ivf_centroids(max_share=...)``, raise the cap, or
+    accept the sub-split recall tradeoff).
+
+    Determinism + scale shape, step by step:
+
+    1. Per-cell counts: ONE aggregate on the cell key (the same key the
+       pair join shuffles on), collected — bounded by n_cells.
+    2. Per hot cell, ``n_sub = ceil(m / cap)`` sub-centroids are seeded
+       from the cell's members. Selection must be deterministic AND
+       bounded: a plain per-cell ``row_number`` over the hot cell is
+       itself an O(m log m) single-task sort of the hot cell, so seeds
+       come from a HASH-GATED candidate pool first — the portable md5
+       gate (functions/text.py:hash64 — the exact gate the stratified
+       sampler uses, so a SQL oracle replays it verbatim) keeps
+       ~``oversample``·n_sub candidates per cell (map-only filter),
+       then the n_sub smallest ids among candidates (window over the
+       small pool) become sub-centroids, sub index = rank. A cell
+       whose gate catches fewer than n_sub candidates keeps what it
+       caught (P(zero) ≈ e^-oversample·n_sub — it then stays unsplit);
+       the gate threshold is integer arithmetic end-to-end.
+    3. Seeds are collected (Σ n_sub rows ≤ ``max_seeds``, raised
+       loudly otherwise — driver model state stays bounded like the
+       IVF centroid collects) and re-embedded as plan LITERALS; the
+       sub-assignment is a map-only per-row argmin by inner product
+       over the row's own cell's seeds (``F.filter`` on the literal
+       struct array — zero shuffle, zero join), tie-break by sub index
+       ascending. Non-hot rows see an empty filtered array → 0.
+
+    Recall contract: pairs crossing a subcell boundary are LOST — the
+    same accepted, bounded recall loss as SemDeDup's own cell
+    boundaries (cross-cell near-dups), now applied one level down, and
+    the price of turning a quadratic hot key back into bounded work.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from cati_database_feeder_spark.functions import text as TX
+    from cati_database_feeder_spark.operators.sampling import GRAIN
+
+    counts = {r[cell_col]: r["m"]
+              for r in assigned.groupBy(cell_col)
+              .agg(F.count(F.lit(1)).alias("m")).collect()}
+    hot = {c: m for c, m in counts.items() if m > cap}
+    if not hot:
+        return assigned.withColumn("subcell", F.lit(0))
+    if on_hot == "error":
+        detail = ", ".join(
+            f"cell {c}: occupancy {m} -> {m * (m - 1) // 2} pairs"
+            for c, m in sorted(hot.items()))
+        raise ValueError(
+            f"hot-cell occupancy guard: {len(hot)} cell(s) exceed "
+            f"cap={cap} and within-cell pairing is quadratic in "
+            f"occupancy ({detail}); sub-split them "
+            f"(on_hot='subsplit'), raise the cap, or retrain the "
+            f"quantizer with train_ivf_centroids(max_share=...)")
+    if on_hot != "subsplit":
+        raise ValueError(f"on_hot must be 'subsplit' or 'error', "
+                         f"got {on_hot!r}")
+
+    n_sub = {c: (m + cap - 1) // cap for c, m in hot.items()}
+    total_seeds = sum(n_sub.values())
+    if total_seeds > max_seeds:
+        raise ValueError(
+            f"subsplit_hot_cells: {total_seeds} sub-centroids exceed "
+            f"max_seeds={max_seeds} (driver model state is bounded by "
+            f"design) — raise the cap, retrain the quantizer, or raise "
+            f"max_seeds deliberately")
+    # integer gate threshold: ceil(GRAIN * oversample * n_sub / m),
+    # capped at GRAIN (gate everything when the cell is barely hot)
+    thr = {c: min(GRAIN, (GRAIN * oversample * n_sub[c] + hot[c] - 1)
+                  // hot[c]) for c in hot}
+    thr_col = F.lit(-1)
+    nsub_col = F.lit(0)
+    for c in sorted(hot):
+        thr_col = F.when(F.col(cell_col) == c, F.lit(thr[c])).otherwise(thr_col)
+        nsub_col = F.when(F.col(cell_col) == c, F.lit(n_sub[c])).otherwise(nsub_col)
+    bucket = TX.hash64(F.col(c_id).cast("string")) % GRAIN
+    w = Window.partitionBy(cell_col).orderBy(c_id)
+    seed_rows = (assigned
+                 .filter(bucket < thr_col)
+                 .select(cell_col, c_id, c_vec, nsub_col.alias("__ns"))
+                 .withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= F.col("__ns"))
+                 .select(cell_col, "__rn", c_vec)
+                 .collect())
+    if not seed_rows:
+        return assigned.withColumn("subcell", F.lit(0))
+    cells_l = F.lit([int(r[cell_col]) for r in seed_rows])
+    subs_l = F.lit([int(r["__rn"]) for r in seed_rows])
+    vecs_l = F.lit([[float(x) for x in r[c_vec]] for r in seed_rows])
+    keyed = F.zip_with(cells_l, subs_l,
+                       lambda c, s: F.struct(c.alias("cell"), s.alias("sub")))
+    seed_arr = F.zip_with(
+        keyed, vecs_l,
+        lambda t, v: F.struct(t["cell"].alias("cell"), t["sub"].alias("sub"),
+                              v.alias("seed")))
+    cands = F.filter(seed_arr, lambda s: s["cell"] == F.col(cell_col))
+    ranked = F.transform(
+        cands, lambda s: F.struct((-V.dot(F.col(c_vec), s["seed"])).alias("d"),
+                                  s["sub"].alias("sub")))
+    subcell = F.when(F.size(cands) > 0,
+                     F.element_at(F.array_sort(ranked), 1)["sub"]) \
+               .otherwise(F.lit(0))
+    return assigned.withColumn("subcell", subcell)
+
+
+def semdedup_pairs_guarded(corpus: DataFrame,
+                           centroid_rows: list[tuple[int, list[float]]],
+                           threshold: float = 0.9, cap: int = 1000,
+                           by: str = "ip", c_id: str = "vec_id",
+                           c_vec: str = "embedding",
+                           on_hot: str = "subsplit",
+                           oversample: int = 8) -> DataFrame:
+    """:func:`semdedup_pairs` behind the hot-cell occupancy guard:
+    cells over ``cap`` members are sub-split (:func:`subsplit_hot_cells`
+    — deterministic member-seeded sub-centroids) and pairing keys on
+    (cell, subcell), so no key's pair emission exceeds ~cap²-ish work
+    regardless of how badly the quantizer's cells skew on real data.
+    ``on_hot="error"`` turns the guard into the documented descriptive
+    refusal. Same verify arithmetic as :func:`semdedup_pairs`."""
+    from cati_database_feeder_spark.operators.dedup import _bucket_pairs
+    assigned = assign_cells(corpus, centroid_rows, c_vec, by)
+    split = subsplit_hot_cells(assigned, cap, c_id, c_vec,
+                               on_hot=on_hot, oversample=oversample)
+    cands = _bucket_pairs(
+        split.select(F.col(c_id).alias("id"), "cell", "subcell"),
+        ["cell", "subcell"], "id")
+    v_a = corpus.select(F.col(c_id).alias("id_a"), F.col(c_vec).alias("va"),
+                        V.norm(F.col(c_vec)).alias("na"))
+    v_b = corpus.select(F.col(c_id).alias("id_b"), F.col(c_vec).alias("vb"),
+                        V.norm(F.col(c_vec)).alias("nb"))
+    return (cands.join(v_a, "id_a").join(v_b, "id_b")
+            .withColumn("cos_raw", V.cosine_from_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")))
+            .filter(F.col("cos_raw") >= threshold)
+            .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine")))

@@ -61,3 +61,32 @@ def replicate_salt_join(fact: DataFrame, dim: DataFrame, on: str,
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = salted_fact.join(replicated_dim, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def key_occupancy_report(keyed: DataFrame, key_cols: list[str],
+                         cap: int) -> DataFrame:
+    """Per-key occupancy diagnostic for within-key pair generation
+    (round-8 verdict item 1): every bucket-pair operator —
+    SemDeDup cells (operators/similarity.py:semdedup_pairs), MinHash
+    band buckets (operators/dedup.py:_bucket_pairs consumers) — emits
+    O(m²) pairs for a key of occupancy m. The plan SHAPE is linear
+    (equi-join on the key), so no plan pin can see the hazard: a
+    k-means cell holding 10% of a 100 TB corpus makes that cell's pair
+    set ~(0.1n)², a job-killer with a perfectly healthy plan. This
+    report is the occupancy lens: per key, the occupancy, the EXACT
+    pair count m·(m-1)/2 that key will emit (integer arithmetic —
+    exact past 2^53 pairs would overflow doubles long before the job
+    finished anyway), and whether it exceeds ``cap`` (``hot``).
+
+    One aggregate over the same key the pair join shuffles on — run it
+    BEFORE the pair job at 100 TB (it is ~free next to the pair join
+    and reuses the exchange if run in the same plan) and react to hot
+    keys: sub-split them (similarity.subsplit_hot_cells), cap them
+    (``_bucket_pairs(max_occupancy=...)``), or retrain the quantizer
+    (train_ivf_centroids(max_share=...)).
+    """
+    return (keyed.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("occupancy"))
+            .withColumn("est_pairs",
+                        F.expr("(occupancy * (occupancy - 1)) DIV 2"))
+            .withColumn("hot", F.col("occupancy") > cap))

@@ -1823,6 +1823,114 @@ def semdedup_incremental(spark, sf_dir):
                                       threshold=0.3, by="ip")
 
 
+@register("semdedup_cell_occupancy", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT e.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY -list_dot_product(e.v, c.centroid) ASC, c.cell ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id, cell FROM assign WHERE rn = 1)
+SELECT cell, COUNT(*) AS occupancy,
+       (COUNT(*) * (COUNT(*) - 1)) // 2 AS est_pairs,
+       COUNT(*) > 25 AS hot
+FROM corpus GROUP BY cell
+""")
+def semdedup_cell_occupancy(spark, sf_dir):
+    """Hot-key occupancy diagnostic (round-8 verdict item 1): per
+    SemDeDup cell, the occupancy, the EXACT pair count m·(m-1)/2 that
+    cell will emit in within-cell pairing, and whether it exceeds the
+    cap — the lens that makes the one data-dependent 100 TB hazard
+    visible BEFORE the pair job runs. One aggregate on the same cell
+    key the pair join shuffles on (operators/skew.py:
+    key_occupancy_report); react to hot rows with
+    subsplit_hot_cells / _bucket_pairs(max_occupancy=...) /
+    train_ivf_centroids(max_share=...)."""
+    from cati_database_feeder_spark.operators.similarity import assign_cells
+    from cati_database_feeder_spark.operators.skew import key_occupancy_report
+    e = T(spark, sf_dir, "embeddings")
+    cents = [(int(r["vec_id"]), list(r["embedding"]))
+             for r in e.filter(F.col("vec_id") < 16)
+                       .select("vec_id", "embedding").collect()]
+    assigned = assign_cells(e, cents, by="ip")
+    return key_occupancy_report(
+        assigned.select("vec_id", "cell"), ["cell"], cap=25)
+
+
+@register("semdedup_guarded_pairs", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT e.vec_id, e.v, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY -list_dot_product(e.v, c.centroid) ASC, c.cell ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+counts AS (SELECT cell, COUNT(*) AS m FROM corpus GROUP BY cell),
+hot AS (
+  SELECT cell, m, (m + 24) // 25 AS n_sub,
+         LEAST(10000, (10000 * 8 * ((m + 24) // 25) + m - 1) // m) AS thr
+  FROM counts WHERE m > 25
+),
+cand AS (
+  SELECT c.cell, c.vec_id, c.v, h.n_sub
+  FROM corpus c JOIN hot h USING (cell)
+  WHERE CAST(concat('0x', substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 10000 < h.thr
+),
+seeds AS (
+  SELECT cell, v,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS sub
+  FROM cand
+  QUALIFY sub <= n_sub
+),
+scored AS (
+  SELECT c.vec_id, s.sub,
+         ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                            ORDER BY -list_dot_product(c.v, s.v) ASC, s.sub ASC) AS rn
+  FROM corpus c JOIN seeds s USING (cell)
+),
+pick AS (SELECT vec_id, sub FROM scored WHERE rn = 1),
+sub_assigned AS (
+  SELECT c.vec_id, c.v, c.cell, COALESCE(p.sub, 0) AS subcell
+  FROM corpus c LEFT JOIN pick p USING (vec_id)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+         / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0), 6)
+         AS cosine
+FROM sub_assigned a
+JOIN sub_assigned b
+  ON a.cell = b.cell AND a.subcell = b.subcell AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0) >= 0.3
+""")
+def semdedup_guarded_pairs(spark, sf_dir):
+    """SemDeDup behind the hot-cell occupancy guard (round-8 verdict
+    item 1 — the one structural 100 TB hazard left): cells over the
+    cap are sub-split against sub-centroids seeded deterministically
+    from the cell's OWN members (md5-gated candidate pool → n_sub
+    smallest ids — the oracle replays the gate, the selection and the
+    per-row argmin verbatim, so the whole guard is hash-checked), and
+    pairing keys on (cell, subcell). Within-key pair emission drops
+    from O(m²) to ~O(cap·m) no matter how badly the quantizer's cells
+    skew on real data; pairs crossing a subcell boundary are the same
+    accepted recall loss as SemDeDup's own cell boundaries, one level
+    down (operators/similarity.py:subsplit_hot_cells). The cap (25)
+    is deliberately below this corpus's mean occupancy so the
+    sub-split path is EXERCISED here, not just compiled."""
+    from cati_database_feeder_spark.operators.similarity import (
+        semdedup_pairs_guarded)
+    e = T(spark, sf_dir, "embeddings")
+    cents = [(int(r["vec_id"]), list(r["embedding"]))
+             for r in e.filter(F.col("vec_id") < 16)
+                       .select("vec_id", "embedding").collect()]
+    return semdedup_pairs_guarded(e, cents, threshold=0.3, cap=25, by="ip")
+
+
 @register("embedding_quantize_int8", sql="""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 rng AS (
@@ -3890,8 +3998,9 @@ _CHECK_ORDER = [
     #    quantize_int8 gained the documented all-zero-code convention
     #    for a degenerate (hi == lo) range (ADVICE) --
     "dedup_keep_best", "embedding_quantize_int8",
-    # -- new this round (round 9): pluggable-counter packing (verdict
-    #    item 5) --
+    # -- new this round (round 9): hot-cell occupancy guard (verdict
+    #    item 1) and pluggable-counter packing (verdict item 5) --
+    "semdedup_cell_occupancy", "semdedup_guarded_pairs",
     "pack_training_sequences_bpe",
     # -- r7-green block rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
