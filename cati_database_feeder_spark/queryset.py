@@ -1993,6 +1993,61 @@ def embedding_quantize_int8(spark, sf_dir):
         (err_raw <= bucket * 0.5 + 1e-9).alias("within_half_bucket"))
 
 
+@register("ivf_quantized_recall_check", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+       TRUE AS within_5pp_of_float
+FROM embeddings WHERE vec_id % 100 = 0
+""")
+def ivf_quantized_recall_check(spark, sf_dir):
+    """E42 serving path (round-8 verdict item 3 — the consumer that
+    realizes the int8 quantizer's 4× memory/IO cut): IVF over the
+    QUANTIZED code store — coarse scoring on midpoint-dequantized int8
+    codes inside the probed cells, float vectors fetched ONLY for the
+    top-30 rerank survivors per query — hash-gated two ways against
+    exact brute force: mean recall@10 >= 0.35 (the ivf_recall_check
+    bar; measured 0.52-0.56 across SFs) AND within 5pp of the
+    all-float IVF on the same probes (measured EQUAL at every SF —
+    rerank=3k recovers the coarse quantization error completely, so
+    the 8× smaller coarse scan is free recall-wise; the receipt is in
+    SCALING.md). A quantizer, range, or rerank regression flips a
+    boolean and hash-mismatches instead of hiding behind a rows-only
+    pass (operators/similarity.py:ivf_topk_quantized)."""
+    from cati_database_feeder_spark.functions.vectors import quantize_int8
+    from cati_database_feeder_spark.operators.similarity import (
+        assign_cells, brute_force_topk, ivf_topk, ivf_topk_quantized)
+    e = T(spark, sf_dir, "embeddings")
+    cents = [(int(r["vec_id"]), list(r["embedding"]))
+             for r in e.filter(F.col("vec_id") < 16)
+                       .select("vec_id", "embedding").collect()]
+    rng = (e.select(F.explode("embedding").alias("x"))
+           .agg(F.min(F.col("x").cast("double")).alias("lo"),
+                F.max(F.col("x").cast("double")).alias("hi")).collect()[0])
+    lo, hi = float(rng["lo"]), float(rng["hi"])
+    codes = (assign_cells(e, cents, by="ip")
+             .withColumn("codes",
+                         quantize_int8(F.col("embedding"), F.lit(lo),
+                                       F.lit(hi)))
+             .select("vec_id", "codes", "cell"))
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    qz = ivf_topk_quantized(q, codes, e, cents, lo, hi, k=10, nprobe=4,
+                            rerank=30, by="ip").select("q_id", "vec_id")
+    fl = ivf_topk(q, assign_cells(e, cents, by="ip"), cents, k=10,
+                  nprobe=4, by="ip").select("q_id", "vec_id")
+    ex = brute_force_topk(q, e, k=10).select("q_id", "vec_id")
+    return (ex.agg(F.count_distinct("q_id").alias("n_queries"))
+            .crossJoin(ex.join(qz, ["q_id", "vec_id"])
+                       .agg(F.count(F.lit(1)).alias("qh")))
+            .crossJoin(ex.join(fl, ["q_id", "vec_id"])
+                       .agg(F.count(F.lit(1)).alias("fh")))
+            .select("n_queries",
+                    (F.col("qh") / (10.0 * F.col("n_queries")) >= 0.35)
+                    .alias("recall_ok"),
+                    ((F.col("qh") - F.col("fh"))
+                     / (10.0 * F.col("n_queries")) >= -0.05)
+                    .alias("within_5pp_of_float")))
+
+
 @register("ivf_recall_check", sql="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
 FROM embeddings WHERE vec_id % 100 = 0
@@ -4001,7 +4056,7 @@ _CHECK_ORDER = [
     # -- new this round (round 9): hot-cell occupancy guard (verdict
     #    item 1) and pluggable-counter packing (verdict item 5) --
     "semdedup_cell_occupancy", "semdedup_guarded_pairs",
-    "pack_training_sequences_bpe",
+    "ivf_quantized_recall_check", "pack_training_sequences_bpe",
     # -- r7-green block rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
     #    past-window query to hold a green <= 2 rounds old, and these
