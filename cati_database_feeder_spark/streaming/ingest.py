@@ -20,7 +20,7 @@ continuously-deduped corpus with a maintained near-dup labeling:
    contraction (operators/graph.incremental_components), equal to a
    full recompute by construction.
 
-State lives in five parquet directories under ``state_dir`` — the
+State lives in parquet directories under ``state_dir`` — the
 local stand-in for lakehouse tables, chosen so every maintenance write
 is either APPEND-ONLY or an atomic directory swap:
 
@@ -45,6 +45,16 @@ is either APPEND-ONLY or an atomic directory swap:
 - ``metrics/`` — one row per substantive batch (batch_id, rows_in,
   delta_rows, new_pairs, quiet, bootstrap), append-only: the
   dedup-economics ledger a production pipeline monitors.
+- ``pairs/``   — (id_a, id_b) verified near-dup EDGE set, append-only.
+  Labels alone cannot be repaired after a node deletion; the stored
+  edges are what lets :func:`delete_docs` recompute only the touched
+  components. Maintained per batch; legacy dirs get a one-time
+  migration (:func:`_ensure_pairs_store`).
+- ``deleted/`` — (doc_id) TOMBSTONE ledger, append-only: takedown
+  requests (:func:`delete_docs`). A redelivered deleted doc is dropped
+  by the delta filter forever — the tombstone wins over the corpus
+  anti-join, which would otherwise re-admit it once its corpus row is
+  gone.
 
 ``foreachBatch`` is the right harness because each micro-batch runs
 arbitrary BATCH DataFrame code with exactly-once-per-batch-id
@@ -89,9 +99,11 @@ from cati_database_feeder_spark.operators import dedup
 from cati_database_feeder_spark.operators.graph import (
     connected_components, incremental_components)
 
-_STORES = ("labels", "corpus", "buckets", "members", "reps", "metrics")
+_STORES = ("labels", "corpus", "buckets", "members", "reps", "metrics",
+           "pairs", "deleted")
 
 _LOCK_NAME = "_LOCK"
+_DELETE_PENDING = "_DELETE_PENDING"
 
 
 class StateLockError(RuntimeError):
@@ -291,6 +303,46 @@ def _ensure_membership_stores(spark, state_dir: str) -> None:
     memb.select("id", "gid").write.mode("overwrite").parquet(members_dir)
 
 
+def _ensure_pairs_store(spark, state_dir: str, threshold: float,
+                        num_hashes: int, bands: int) -> None:
+    """One-time migration for state dirs created before the pairs
+    store existed: materialize the verified near-dup EDGE set of the
+    current corpus as ``pairs/`` ((id_a, id_b), append-only). The
+    edge store is what makes takedown (:func:`delete_docs`) able to
+    recompute only the components a deletion touches — labels alone
+    cannot be repaired after removing a node without the edges. Costs
+    one corpus tokenize pass, once per legacy dir (the same policy as
+    :func:`_ensure_membership_stores`); on maintained dirs every
+    batch appends its own new pairs and this is a no-op."""
+    pairs_dir = os.path.join(state_dir, "pairs")
+    if os.path.exists(pairs_dir):
+        return
+    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
+    (dedup.near_dup_pairs(corpus, threshold=threshold,
+                          num_hashes=num_hashes, bands=bands)
+     .select("id_a", "id_b")
+     .write.mode("overwrite").parquet(pairs_dir))
+
+
+def _check_no_pending_delete(state_dir: str, op: str) -> None:
+    """A crash inside :func:`delete_docs` leaves the stores mutually
+    inconsistent (some rewritten against the tombstones, some not) —
+    readable individually, but WRONG to ingest against. The
+    ``_DELETE_PENDING`` marker written at deletion start and cleared
+    at the end turns that window into a descriptive refusal: any
+    state-mutating op finding the marker tells the operator to re-run
+    ``delete_docs`` (idempotent — it re-applies the FULL tombstone set
+    to every store, so a retry with any id set, even empty, completes
+    the interrupted deletion)."""
+    if os.path.exists(os.path.join(state_dir, _DELETE_PENDING)):
+        raise StateLockError(
+            f"state dir {state_dir!r} has an interrupted deletion "
+            f"(marker {_DELETE_PENDING}): the stores may be mutually "
+            f"inconsistent. Re-run delete_docs(spark, state_dir, []) "
+            f"to complete it before {op!r} — deletion re-applies the "
+            f"full tombstone set and is idempotent.")
+
+
 def ingest_batch(spark, batch: DataFrame, state_dir: str,
                  id_col: str = "doc_id", text_col: str = "text",
                  threshold: float = 0.7, num_hashes: int = 16,
@@ -344,11 +396,13 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
                          num_hashes: int, bands: int,
                          batch_id: int | None = None) -> None:
     _recover_swaps(state_dir)
+    _check_no_pending_delete(state_dir, "ingest_batch")
     corpus_dir = os.path.join(state_dir, "corpus")
     labels_dir = os.path.join(state_dir, "labels")
     buckets_dir = os.path.join(state_dir, "buckets")
     members_dir = os.path.join(state_dir, "members")
     reps_dir = os.path.join(state_dir, "reps")
+    pairs_dir = os.path.join(state_dir, "pairs")
     batch = (batch.select(F.col(id_col).alias("doc_id"),
                           F.col(text_col).alias("text"))
              .dropDuplicates(["doc_id"]))
@@ -375,6 +429,9 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         memb.select("id", "gid").write.mode("overwrite").parquet(members_dir)
         (dedup.rep_band_buckets(memb, num_hashes, bands)
          .write.mode("overwrite").parquet(buckets_dir))
+        # the edge store takedown repairs labels from (delete_docs)
+        pairs.select("id_a", "id_b").write.mode("overwrite") \
+            .parquet(pairs_dir)
         # metrics BEFORE the corpus commit marker: a crash between the
         # two replays the whole bootstrap (corpus absent) and appends a
         # duplicate row with the same batch_id — at-least-once, which
@@ -390,6 +447,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         return
 
     _ensure_membership_stores(spark, state_dir)
+    _ensure_pairs_store(spark, state_dir, threshold, num_hashes, bands)
     fr = _incremental_frames(spark, state_dir, batch, threshold,
                              num_hashes, bands)
     # persist the per-batch frames every downstream branch consumes;
@@ -435,6 +493,13 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # group lost its band rows (caught by the multi-batch e2e).
         if not quiet:
             _swap_write(fr["new_labels"], labels_dir)
+        # pairs append BEFORE the buckets/members/reps appends: its
+        # source frame (new_pairs) READS those stores, and a store
+        # write recaches every plan on the written path — appending
+        # them first would rebuild new_pairs over the already-appended
+        # state. Nothing else reads pairs/, so this slot is safe.
+        if not quiet:
+            fr["pairs_append"].write.mode("append").parquet(pairs_dir)
         fr["buckets_append"].write.mode("append").parquet(buckets_dir)
         fr["members_append"].write.mode("append").parquet(members_dir)
         fr["reps_append"].write.mode("append").parquet(reps_dir)
@@ -472,7 +537,16 @@ def _incremental_frames(spark, state_dir: str, batch: DataFrame,
     reps = spark.read.parquet(os.path.join(state_dir, "reps"))
     buckets = spark.read.parquet(os.path.join(state_dir, "buckets"))
     labels = spark.read.parquet(os.path.join(state_dir, "labels"))
+    pairs_store = spark.read.parquet(os.path.join(state_dir, "pairs"))
     delta = batch.join(corpus_ids, "doc_id", "left_anti")
+    deleted_dir = os.path.join(state_dir, "deleted")
+    if os.path.exists(deleted_dir):
+        # tombstones win: a redelivered DELETED doc must not re-enter
+        # the corpus (takedown contract, delete_docs) — the corpus
+        # anti-join alone would re-admit it, since deletion removed
+        # its corpus row
+        delta = delta.join(spark.read.parquet(deleted_dir)
+                           .select("doc_id"), "doc_id", "left_anti")
     dmemb = dedup.delta_membership(delta, reps)
     new_pairs, dmemb, new_reps = dedup.incremental_near_dup_pairs_from_store(
         delta, members, reps, buckets, threshold=threshold,
@@ -484,6 +558,9 @@ def _incremental_frames(spark, state_dir: str, batch: DataFrame,
         "dmemb": dmemb,
         "new_pairs": new_pairs,
         "new_labels": new_labels,
+        "pairs_append": (new_pairs.select("id_a", "id_b")
+                         .join(pairs_store, ["id_a", "id_b"],
+                               "left_anti")),
         "reps_append": new_reps.join(reps.select("gid"), "gid", "left_anti"),
         "members_append": (dmemb.select("id", "gid")
                            .join(members.select("id"), "id", "left_anti")),
@@ -525,6 +602,7 @@ def _compact_state_locked(spark, state_dir: str,
                           target_files: int | None,
                           prune_buckets: bool) -> None:
     _recover_swaps(state_dir)
+    _check_no_pending_delete(state_dir, "compact_state")
     corpus_dir = os.path.join(state_dir, "corpus")
     buckets_dir = os.path.join(state_dir, "buckets")
     n = target_files or spark.sparkContext.defaultParallelism
@@ -535,7 +613,8 @@ def _compact_state_locked(spark, state_dir: str,
     # metrics/ grows one tiny file per batch like the id stores —
     # compact it with them (append-only, so the swap discipline holds);
     # one row per batch → one file, not n near-empty ones
-    for name, parts in (("members", n), ("reps", n), ("metrics", 1)):
+    for name, parts in (("members", n), ("reps", n), ("metrics", 1),
+                        ("pairs", n), ("deleted", 1)):
         d = os.path.join(state_dir, name)
         if os.path.exists(d):
             _swap_write(spark.read.parquet(d).repartition(parts), d)
@@ -547,6 +626,185 @@ def _compact_state_locked(spark, state_dir: str,
                    .select(F.col("gid").alias("id")))
             buckets = buckets.join(cur, "id", "left_semi")
         _swap_write(buckets.repartition(n), buckets_dir)
+
+
+def delete_docs(spark, state_dir: str, doc_ids,
+                threshold: float = 0.7, num_hashes: int = 16,
+                bands: int = 4) -> None:
+    """Takedown/retraction for the ingest stores (round-8 verdict
+    item 2): remove a doc_id set from EVERY store — the path a
+    production corpus needs for copyright/PII deletion requests, which
+    an append-only design otherwise only answers with a full rebuild.
+
+    Semantics, store by store (under the fencing lock):
+
+    - ``deleted/`` — the TOMBSTONE ledger, append-only: redelivery of
+      a deleted doc is dropped by the ingest delta filter forever
+      (tombstone wins over the corpus anti-join, which would otherwise
+      re-admit the doc once its corpus row is gone).
+    - ``corpus/`` — deleted rows removed (swap-rewrite).
+    - ``members/`` — deleted member rows removed; when a group's REP
+      itself is deleted, the group's gid is PROMOTED to the smallest
+      surviving member id (members' token sets are identical to their
+      rep's — tokset_groups' expansion argument — so the reps row's
+      toks/key stay valid verbatim under the new gid); groups with no
+      survivor vanish.
+    - ``reps/`` / ``buckets/`` — rows of empty groups dropped; rows of
+      rep-deleted groups relabeled to the promoted gid (band hashes
+      depend only on toks — unchanged).
+    - ``pairs/`` — edges touching a deleted id removed.
+    - ``labels/`` — ONLY the components containing a deleted id are
+      recomputed, from the surviving stored edges of those components
+      (pair membership is a property of the two documents alone, so
+      the restriction of the stored edge set to survivors equals the
+      from-scratch edge set of the surviving corpus — which makes the
+      repaired labeling EQUAL to a full rebuild, proven in
+      tests/test_incremental_e2e.py). Untouched components keep their
+      rows; per-deletion cost scales with the touched components, not
+      the corpus.
+
+    Crash safety: the ``_DELETE_PENDING`` marker is written first and
+    cleared last; every mutating op refuses while it exists
+    (:func:`_check_no_pending_delete`). The deletion is IDEMPOTENT —
+    it always re-applies the FULL tombstone set (existing ∪ new) to
+    every store — so re-running ``delete_docs(spark, state_dir, [])``
+    after a crash completes the interrupted deletion; per-store swap
+    crashes heal through the usual :func:`_recover_swaps`.
+
+    ``doc_ids``: an iterable of ids or a single-column DataFrame."""
+    with _state_lock(state_dir, "delete_docs"):
+        _delete_docs_locked(spark, state_dir, doc_ids, threshold,
+                            num_hashes, bands)
+
+
+def _delete_docs_locked(spark, state_dir: str, doc_ids,
+                        threshold: float, num_hashes: int,
+                        bands: int) -> None:
+    _recover_swaps(state_dir)
+    corpus_dir = os.path.join(state_dir, "corpus")
+    if not os.path.exists(corpus_dir):
+        raise ValueError(
+            f"delete_docs: {state_dir!r} has no corpus store — nothing "
+            f"to delete from (bootstrap a corpus with ingest_batch "
+            f"first)")
+    _ensure_membership_stores(spark, state_dir)
+    _ensure_pairs_store(spark, state_dir, threshold, num_hashes, bands)
+    deleted_dir = os.path.join(state_dir, "deleted")
+    marker = os.path.join(state_dir, _DELETE_PENDING)
+    with open(marker, "w") as fh:
+        fh.write("delete_docs in progress")
+    try:
+        corpus = spark.read.parquet(corpus_dir)
+        if isinstance(doc_ids, DataFrame):
+            dd = doc_ids.select(
+                F.col(doc_ids.columns[0]).alias("doc_id")).distinct()
+        else:
+            ids = list(doc_ids)
+            dd = (spark.createDataFrame(
+                [(i,) for i in ids], corpus.select("doc_id").schema)
+                if ids else
+                spark.createDataFrame([], corpus.select("doc_id").schema))
+        # tombstones first (append, redelivery-guarded); then every
+        # store is rewritten against the FULL tombstone set, which is
+        # what makes a retry after any crash complete the job
+        if os.path.exists(deleted_dir):
+            (dd.join(spark.read.parquet(deleted_dir), "doc_id",
+                     "left_anti")
+             .write.mode("append").parquet(deleted_dir))
+        else:
+            dd.write.mode("overwrite").parquet(deleted_dir)
+        tomb = spark.read.parquet(deleted_dir).select("doc_id")
+
+        members_dir = os.path.join(state_dir, "members")
+        reps_dir = os.path.join(state_dir, "reps")
+        buckets_dir = os.path.join(state_dir, "buckets")
+        pairs_dir = os.path.join(state_dir, "pairs")
+        labels_dir = os.path.join(state_dir, "labels")
+
+        members = spark.read.parquet(members_dir)
+        tomb_id = tomb.withColumnRenamed("doc_id", "id")
+        surv_members = members.join(tomb_id, "id", "left_anti")
+        # groups whose REP is tombstoned promote the min surviving id
+        dead_rep_gids = (members.select("gid").distinct()
+                         .join(tomb.withColumnRenamed("doc_id", "gid"),
+                               "gid", "left_semi"))
+        promo = (surv_members.join(dead_rep_gids, "gid", "left_semi")
+                 .groupBy("gid").agg(F.min("id").alias("__new_gid")))
+        new_members = (surv_members.join(promo, "gid", "left")
+                       .select("id", F.coalesce("__new_gid", "gid")
+                               .alias("gid")))
+        # alive set in BOTH gid spaces: the swap order fixes members
+        # LAST, so a crash can leave reps/buckets already rewritten to
+        # PROMOTED gids while members still carries the old ones — on
+        # the retry, old-space alive gids (from the old members store)
+        # would not match the promoted rows and a bare semi-join would
+        # drop whole groups. A row is kept iff its gid is alive in the
+        # old space OR is the promotion of one; relabeling via promo is
+        # a no-op for already-promoted rows (promo keys are old gids).
+        # The two spaces cannot collide: a promoted gid is a surviving
+        # member id, never a tombstoned old gid, and an untouched
+        # group's gid maps to itself in both.
+        alive_old = surv_members.select("gid").distinct()
+        alive = (alive_old.join(promo, "gid", "left")
+                 .select(F.coalesce("__new_gid", "gid").alias("gid"))
+                 .unionByName(alive_old).distinct())
+        reps = spark.read.parquet(reps_dir)
+        new_reps = (reps.join(alive, "gid", "left_semi")
+                    .join(promo, "gid", "left")
+                    .select(F.coalesce("__new_gid", "gid").alias("gid"),
+                            "toks", "key"))
+        buckets = spark.read.parquet(buckets_dir)
+        new_buckets = (buckets
+                       .join(alive.withColumnRenamed("gid", "id"),
+                             "id", "left_semi")
+                       .join(promo.withColumnRenamed("gid", "id"),
+                             "id", "left")
+                       .select(F.coalesce("__new_gid", "id").alias("id"),
+                               "band", "bucket"))
+
+        pairs = spark.read.parquet(pairs_dir)
+        surv_pairs = (pairs
+                      .join(tomb.withColumnRenamed("doc_id", "id_a"),
+                            "id_a", "left_anti")
+                      .join(tomb.withColumnRenamed("doc_id", "id_b"),
+                            "id_b", "left_anti"))
+
+        labels = spark.read.parquet(labels_dir)
+        aff_c = (labels.join(tomb_id, "id", "left_semi")
+                 .select("component").distinct())
+        # components partition nodes, so an edge of an affected
+        # component has BOTH endpoints in it — a semi-join on id_a's
+        # membership selects exactly the affected components' edges
+        aff_nodes = (labels.join(aff_c, "component", "left_semi")
+                     .select("id"))
+        aff_edges = surv_pairs.join(
+            aff_nodes.withColumnRenamed("id", "id_a"), "id_a",
+            "left_semi")
+        repaired = connected_components(
+            aff_edges.select("id_a", "id_b"))
+        new_labels = (labels.join(aff_c, "component", "left_anti")
+                      .unionByName(repaired))
+
+        # swap-writes. Crash-RECOVERY order is immaterial (a retried
+        # delete re-derives everything from the tombstones), but the
+        # EXECUTION order is load-bearing: each _swap_write runs its
+        # frame's plan at call time, and replacing a store recaches
+        # every later plan reading that path (the same recacheByPath
+        # rule as the ingest commit sequence). A store may be swapped
+        # only after every frame that READS it has executed: labels
+        # reads labels+pairs; reps/buckets read members (via the
+        # promotion frames); members goes after both; pairs after
+        # labels; corpus reads only corpus+deleted.
+        _swap_write(new_labels, labels_dir)
+        _swap_write(new_reps, reps_dir)
+        _swap_write(new_buckets, buckets_dir)
+        _swap_write(surv_pairs, pairs_dir)
+        _swap_write(new_members, members_dir)
+        _swap_write(corpus.join(tomb, "doc_id", "left_anti"), corpus_dir)
+    except BaseException:
+        raise  # marker stays: the refusal gate routes to a retry
+    else:
+        os.unlink(marker)
 
 
 def start_incremental_ingest(stream: DataFrame, state_dir: str,

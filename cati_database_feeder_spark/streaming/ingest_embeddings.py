@@ -50,9 +50,10 @@ from cati_database_feeder_spark.operators.graph import (
 from cati_database_feeder_spark.operators.similarity import (
     assign_cells, incremental_semdedup_pairs, semdedup_pairs)
 from cati_database_feeder_spark.streaming.ingest import (
-    _append_metrics, _recover_swaps, _state_lock, _swap_write)
+    _DELETE_PENDING, _append_metrics, _check_no_pending_delete,
+    _recover_swaps, _state_lock, _swap_write)
 
-_EMB_STORES = ("labels", "vectors", "centroids", "metrics")
+_EMB_STORES = ("labels", "vectors", "centroids", "metrics", "deleted")
 
 
 def ingest_embeddings_batch(spark, batch: DataFrame, state_dir: str,
@@ -84,6 +85,7 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
                               threshold, by, id_col, vec_col,
                               batch_id=None) -> None:
     _recover_swaps(state_dir, _EMB_STORES)
+    _check_no_pending_delete(state_dir, "ingest_embeddings_batch")
     vec_dir = os.path.join(state_dir, "vectors")
     lab_dir = os.path.join(state_dir, "labels")
     cen_dir = os.path.join(state_dir, "centroids")
@@ -122,8 +124,15 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
 
     cents = _load_centroids(spark, state_dir)
     store = spark.read.parquet(vec_dir)
-    delta = (batch.join(store.select("vec_id"), "vec_id", "left_anti")
-             .persist())
+    delta = batch.join(store.select("vec_id"), "vec_id", "left_anti")
+    deleted_dir = os.path.join(state_dir, "deleted")
+    if os.path.exists(deleted_dir):
+        # tombstones win: a redelivered DELETED vector must not
+        # re-enter the store (delete_embeddings) — the store anti-join
+        # alone would re-admit it once its row is gone
+        delta = delta.join(spark.read.parquet(deleted_dir)
+                           .select("vec_id"), "vec_id", "left_anti")
+    delta = delta.persist()
     try:
         if delta.limit(1).count() == 0:
             return  # pure replay
@@ -170,6 +179,7 @@ def compact_embeddings_state(spark, state_dir: str,
     corrupting the store."""
     with _state_lock(state_dir, "compact_embeddings_state"):
         _recover_swaps(state_dir, _EMB_STORES)
+        _check_no_pending_delete(state_dir, "compact_embeddings_state")
         vec_dir = os.path.join(state_dir, "vectors")
         if not os.path.exists(vec_dir):
             return
@@ -192,6 +202,106 @@ def compact_embeddings_state(spark, state_dir: str,
         os.rename(vec_dir, old)
         os.rename(tmp, vec_dir)
         shutil.rmtree(old, ignore_errors=True)
+
+
+def delete_embeddings(spark, state_dir: str, vec_ids,
+                      threshold: float = 0.9, by: str = "ip") -> None:
+    """Takedown/retraction for the embedding stores — the semantic
+    twin of :func:`streaming.ingest.delete_docs` (round-8 verdict
+    item 2), structurally SIMPLER because SemDeDup edges live within
+    one cell and cell assignment is a pure per-row function of the
+    stored vector: the surviving edges of any component are exactly
+    ``semdedup_pairs`` over the component's surviving member vectors,
+    so no edge store is needed — labels repair re-pairs ONLY the
+    touched components' survivors (bounded by component size, never
+    the corpus).
+
+    Under the fencing lock: append the vec_ids to the ``deleted/``
+    tombstone ledger (redelivered deleted vectors are dropped by the
+    ingest delta filter forever); recompute the labels of components
+    containing a tombstoned id from their surviving vectors; rewrite
+    ``vectors/`` without the tombstoned rows (cell partitioning
+    preserved). Centroids are untouched — the quantizer stays pinned.
+
+    Crash safety mirrors delete_docs: ``_DELETE_PENDING`` written
+    first and cleared last, every mutating op refuses while it exists,
+    and the deletion re-applies the FULL tombstone set so
+    ``delete_embeddings(spark, state_dir, [])`` completes an
+    interrupted run."""
+    with _state_lock(state_dir, "delete_embeddings"):
+        _delete_embeddings_locked(spark, state_dir, vec_ids, threshold,
+                                  by)
+
+
+def _delete_embeddings_locked(spark, state_dir: str, vec_ids,
+                              threshold: float, by: str) -> None:
+    _recover_swaps(state_dir, _EMB_STORES)
+    vec_dir = os.path.join(state_dir, "vectors")
+    if not os.path.exists(vec_dir):
+        raise ValueError(
+            f"delete_embeddings: {state_dir!r} has no vector store — "
+            f"bootstrap with ingest_embeddings_batch first")
+    deleted_dir = os.path.join(state_dir, "deleted")
+    lab_dir = os.path.join(state_dir, "labels")
+    marker = os.path.join(state_dir, _DELETE_PENDING)
+    with open(marker, "w") as fh:
+        fh.write("delete_embeddings in progress")
+    try:
+        store = spark.read.parquet(vec_dir)
+        if isinstance(vec_ids, DataFrame):
+            dd = vec_ids.select(
+                F.col(vec_ids.columns[0]).alias("vec_id")).distinct()
+        else:
+            ids = list(vec_ids)
+            schema = store.select("vec_id").schema
+            dd = (spark.createDataFrame([(i,) for i in ids], schema)
+                  if ids else spark.createDataFrame([], schema))
+        if os.path.exists(deleted_dir):
+            (dd.join(spark.read.parquet(deleted_dir), "vec_id",
+                     "left_anti")
+             .write.mode("append").parquet(deleted_dir))
+        else:
+            dd.write.mode("overwrite").parquet(deleted_dir)
+        tomb = spark.read.parquet(deleted_dir).select("vec_id")
+
+        cents = _load_centroids(spark, state_dir)
+        labels = spark.read.parquet(lab_dir)
+        aff_c = (labels.join(tomb.withColumnRenamed("vec_id", "id"),
+                             "id", "left_semi")
+                 .select("component").distinct())
+        aff_surv = (labels.join(aff_c, "component", "left_semi")
+                    .select("id")
+                    .join(tomb.withColumnRenamed("vec_id", "id"),
+                          "id", "left_anti")
+                    .withColumnRenamed("id", "vec_id")
+                    .join(store, "vec_id", "left_semi"))
+        aff_vectors = store.join(aff_surv, "vec_id", "left_semi") \
+            .select("vec_id", "embedding")
+        repaired = connected_components(
+            semdedup_pairs(aff_vectors, cents, threshold=threshold,
+                           by=by).select("id_a", "id_b"))
+        new_labels = (labels.join(aff_c, "component", "left_anti")
+                      .unionByName(repaired))
+        # labels first (reads the OLD vector store for the repair —
+        # the tombstone anti-join keeps deleted vectors out of the
+        # re-pairing even though their rows are still present), then
+        # the vector rewrite, preserving the cell partitioning
+        _swap_write(new_labels, lab_dir)
+        surv = store.join(tomb, "vec_id", "left_anti") \
+            .repartition("cell")
+        tmp = vec_dir.rstrip("/") + "__tmp"
+        old = vec_dir.rstrip("/") + "__old"
+        surv.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        import shutil
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(vec_dir, old)
+        os.rename(tmp, vec_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    except BaseException:
+        raise  # marker stays: mutating ops refuse until the retry
+    else:
+        os.unlink(marker)
 
 
 def start_embedding_ingest(stream: DataFrame, state_dir: str,

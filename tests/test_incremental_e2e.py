@@ -751,3 +751,346 @@ def test_start_incremental_ingest_multi_batch_equals_full_recompute(
                 .select("id_a", "id_b")).collect()}
     assert len(want) > 0
     assert got == want
+
+
+def _takedown_fixture(spark, tmp_path):
+    """Two ingest batches building: group A = exact dups {1,2,3} +
+    near-dup 4 (one component), group B = exact dups {10,11}
+    (second component), singleton 20."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    rows = [(1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "alpha beta gamma delta"),
+            (4, "alpha beta gamma delta epsilon"),
+            (10, "omega psi chi phi"),
+            (11, "omega psi chi phi"),
+            (20, "one two three four five six")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ing.ingest_batch(spark, df.filter(F.col("doc_id").isin(1, 2, 10, 20)),
+                     state, batch_id=0)
+    ing.ingest_batch(spark, df.filter(F.col("doc_id").isin(3, 4, 11)),
+                     state, batch_id=1)
+    return ing, state, df
+
+
+def _assert_stores_equal_scratch(spark, state, surviving_df):
+    """Stores+labels must equal a from-scratch build on the surviving
+    corpus: corpus rows exactly; labels exactly (component = min member
+    id is canonical on both sides); membership as a PARTITION (gids are
+    stability-dependent on history, the grouping is not); reps/buckets
+    internally consistent with the promoted gids; pairs = the
+    from-scratch verified edge set."""
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert (sorted((r["doc_id"], r["text"]) for r in corpus.collect())
+            == sorted((r["doc_id"], r["text"])
+                      for r in surviving_df.collect()))
+    scratch_pairs = dedup.near_dup_pairs(surviving_df, threshold=0.7)
+    want_labels = {(r["id"], r["component"]) for r in
+                   connected_components(
+                       scratch_pairs.select("id_a", "id_b")).collect()}
+    got_labels = {(r["id"], r["component"]) for r in
+                  spark.read.parquet(os.path.join(state, "labels")).collect()}
+    assert got_labels == want_labels
+    got_pairs = {(r["id_a"], r["id_b"]) for r in
+                 spark.read.parquet(os.path.join(state, "pairs")).collect()}
+    want_pairs = {(r["id_a"], r["id_b"])
+                  for r in scratch_pairs.select("id_a", "id_b").collect()}
+    assert got_pairs == want_pairs
+    members = spark.read.parquet(os.path.join(state, "members")).collect()
+    got_part = {}
+    for r in members:
+        got_part.setdefault(r["gid"], set()).add(r["id"])
+    want_part = {}
+    for r in dedup.tokset_groups(surviving_df).collect():
+        want_part.setdefault(r["gid"], set()).add(r["id"])
+    assert set(map(frozenset, got_part.values())) \
+        == set(map(frozenset, want_part.values()))
+    # every gid is a member of its own group (rep promotion landed)
+    assert all(g in ms for g, ms in got_part.items())
+    reps = spark.read.parquet(os.path.join(state, "reps")).collect()
+    assert sorted(r["gid"] for r in reps) == sorted(got_part)
+    # rep keys still match their token sets, and the banding store is
+    # exactly the banding of the current reps
+    for r in reps:
+        assert r["key"] == surviving_df.sparkSession.range(1).select(
+            dedup.tokset_key(F.lit(sorted(set(r["toks"])))).alias("k")
+        ).collect()[0]["k"]
+    got_buckets = {(r["id"], r["band"], r["bucket"]) for r in
+                   spark.read.parquet(os.path.join(state, "buckets")).collect()}
+    memb_now = spark.createDataFrame(
+        [(r["gid"], r["gid"], r["toks"]) for r in reps],
+        ["id", "gid", "toks"])
+    want_buckets = {(r["id"], r["band"], r["bucket"]) for r in
+                    dedup.rep_band_buckets(memb_now).collect()}
+    assert got_buckets == want_buckets
+
+
+def test_delete_docs_equals_from_scratch_build(spark, tmp_path):
+    """Round-8 verdict item 2 'Done =': delete docs mid-stream —
+    including a group REP (forcing promotion), a whole component
+    member set, and a singleton — and every store plus the labeling
+    equals a from-scratch build on the surviving corpus. Then a
+    redelivery of a deleted doc stays deleted (tombstone wins), and a
+    LATER batch joining a rep-promoted group keeps the incremental
+    path equal to scratch."""
+    ing, state, df = _takedown_fixture(spark, tmp_path)
+
+    # delete: 1 (rep of group {1,2,3} -> promotes gid 2), 10 (rep of
+    # {10,11} -> promotes 11, kills the {10,11} component), 20 (whole
+    # singleton group vanishes)
+    ing.delete_docs(spark, state, [1, 10, 20])
+    surviving = df.filter(F.col("doc_id").isin(2, 3, 4, 11))
+    _assert_stores_equal_scratch(spark, state, surviving)
+
+    # redelivery of deleted docs: dropped by the tombstone filter —
+    # corpus unchanged, no members row, pure-replay (no metrics row)
+    n_metrics = spark.read.parquet(
+        os.path.join(state, "metrics")).count()
+    ing.ingest_batch(spark, df.filter(F.col("doc_id").isin(1, 20)),
+                     state, batch_id=2)
+    assert spark.read.parquet(os.path.join(state, "corpus")).count() == 4
+    assert spark.read.parquet(os.path.join(state, "members")) \
+        .filter(F.col("id").isin(1, 20)).count() == 0
+    assert spark.read.parquet(
+        os.path.join(state, "metrics")).count() == n_metrics
+
+    # a later batch: doc 5 has group {2,3}'s exact token set (must
+    # join the PROMOTED group via the reps key probe), doc 30 is new
+    extra = spark.createDataFrame(
+        [(5, "alpha beta gamma delta"), (30, "unrelated text entirely")],
+        ["doc_id", "text"])
+    ing.ingest_batch(spark, extra, state, batch_id=3)
+    surviving2 = surviving.unionByName(extra)
+    _assert_stores_equal_scratch(spark, state, surviving2)
+
+
+def test_delete_docs_idempotent_and_empty(spark, tmp_path):
+    """Deleting the same ids twice — or nothing — is a no-op the
+    second time: the rewrite always applies the full tombstone set."""
+    ing, state, df = _takedown_fixture(spark, tmp_path)
+    ing.delete_docs(spark, state, [1, 20])
+    snap = {(r["id"], r["component"]) for r in
+            spark.read.parquet(os.path.join(state, "labels")).collect()}
+    ing.delete_docs(spark, state, [1, 20])
+    ing.delete_docs(spark, state, [])
+    assert {(r["id"], r["component"]) for r in
+            spark.read.parquet(os.path.join(state, "labels")).collect()} \
+        == snap
+    _assert_stores_equal_scratch(
+        spark, state, df.filter(~F.col("doc_id").isin(1, 20)))
+
+
+def test_delete_docs_crash_midway_fences_and_retry_completes(
+        spark, tmp_path, monkeypatch):
+    """A crash mid-deletion leaves the stores mutually inconsistent;
+    the _DELETE_PENDING marker turns that window into a descriptive
+    refusal for every mutating op, and re-running delete_docs with an
+    EMPTY id set (tombstones already landed) completes the job."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    _, state, df = _takedown_fixture(spark, tmp_path)
+
+    real_swap = ing._swap_write
+    calls = []
+
+    def crashing_swap(frame, target):
+        calls.append(target)
+        if len(calls) == 3:
+            raise RuntimeError("injected crash mid-delete")
+        real_swap(frame, target)
+
+    monkeypatch.setattr(ing, "_swap_write", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ing.delete_docs(spark, state, [1, 10, 20])
+    monkeypatch.setattr(ing, "_swap_write", real_swap)
+
+    # mutating ops refuse while the deletion is pending
+    with pytest.raises(ing.StateLockError, match="_DELETE_PENDING"):
+        ing.ingest_batch(spark, df.limit(1), state, batch_id=9)
+    with pytest.raises(ing.StateLockError, match="_DELETE_PENDING"):
+        ing.compact_state(spark, state)
+
+    # the documented repair: re-run with no new ids
+    ing.delete_docs(spark, state, [])
+    assert not os.path.exists(os.path.join(state, ing._DELETE_PENDING))
+    _assert_stores_equal_scratch(
+        spark, state, df.filter(F.col("doc_id").isin(2, 3, 4, 11)))
+
+
+def _emb_takedown_fixture(spark, tmp_path):
+    """Two embedding batches: i%6 equivalence classes give identical
+    vectors {i, i+6} plus cross-class near-dups at threshold 0.8, so
+    the closure has multi-member components to damage."""
+    from cati_database_feeder_spark.streaming import (
+        ingest_embeddings as ie)
+    rows = [(i, [float(i % 3), 1.0, float(i % 2)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    state = str(tmp_path / "emb_state")
+    ie.ingest_embeddings_batch(spark, df.filter(F.col("vec_id") < 6),
+                               state, centroid_rows=cents, threshold=0.8,
+                               batch_id=0)
+    ie.ingest_embeddings_batch(spark, df.filter(F.col("vec_id") >= 6),
+                               state, threshold=0.8, batch_id=1)
+    return ie, state, df, cents
+
+
+def _assert_emb_state_equals_scratch(spark, state, surviving_df, cents):
+    """Vector store rows (with their pinned cell assignment) and the
+    SemDeDup labeling must equal a from-scratch build on the surviving
+    vectors under the SAME stored quantizer."""
+    from cati_database_feeder_spark.operators import similarity
+    store = spark.read.parquet(os.path.join(state, "vectors"))
+    want_cells = similarity.assign_cells(surviving_df, cents,
+                                         "embedding", "ip")
+    assert (sorted((r["vec_id"], r["cell"]) for r in
+                   store.select("vec_id", "cell").collect())
+            == sorted((r["vec_id"], r["cell"])
+                      for r in want_cells.collect()))
+    got = {(r["id"], r["component"]) for r in
+           spark.read.parquet(os.path.join(state, "labels")).collect()}
+    want = {(r["id"], r["component"]) for r in
+            connected_components(
+                similarity.semdedup_pairs(surviving_df, cents,
+                                          threshold=0.8, by="ip")
+                .select("id_a", "id_b")).collect()}
+    assert got == want
+
+
+def test_delete_embeddings_equals_from_scratch_build(spark, tmp_path):
+    """Round-8 verdict item 2, embedding twin: delete vectors
+    mid-stream — one member of a multi-member component plus a whole
+    identical pair — and the store + labeling equal a from-scratch
+    build on the survivors under the pinned quantizer; a redelivered
+    deleted vector stays deleted (tombstone wins, pure replay); a
+    LATER batch keeps the incremental path equal to scratch."""
+    ie, state, df, cents = _emb_takedown_fixture(spark, tmp_path)
+
+    ie.delete_embeddings(spark, state, [0, 1, 7], threshold=0.8)
+    surviving = df.filter(~F.col("vec_id").isin(0, 1, 7))
+    _assert_emb_state_equals_scratch(spark, state, surviving, cents)
+
+    # redelivery of deleted ids: dropped by the tombstone filter —
+    # store unchanged, pure replay appends no metrics row
+    n_metrics = spark.read.parquet(
+        os.path.join(state, "metrics")).count()
+    ie.ingest_embeddings_batch(
+        spark, df.filter(F.col("vec_id").isin(0, 7)), state,
+        threshold=0.8, batch_id=2)
+    assert spark.read.parquet(
+        os.path.join(state, "vectors")).count() == 9
+    assert spark.read.parquet(
+        os.path.join(state, "metrics")).count() == n_metrics
+
+    # a later live batch: new ids land and the closure stays ≡ scratch
+    extra = spark.createDataFrame(
+        [(100, [0.0, 1.0, 0.0]), (101, [9.0, 9.0, 9.0])],
+        "vec_id long, embedding array<double>")
+    ie.ingest_embeddings_batch(spark, extra, state, threshold=0.8,
+                               batch_id=3)
+    _assert_emb_state_equals_scratch(
+        spark, state, surviving.unionByName(extra), cents)
+
+    # idempotence: re-deleting the same ids (or nothing) is a no-op
+    snap = {(r["id"], r["component"]) for r in
+            spark.read.parquet(os.path.join(state, "labels")).collect()}
+    ie.delete_embeddings(spark, state, [0, 1, 7], threshold=0.8)
+    ie.delete_embeddings(spark, state, [], threshold=0.8)
+    assert {(r["id"], r["component"]) for r in
+            spark.read.parquet(os.path.join(state, "labels")).collect()} \
+        == snap
+
+
+def test_delete_embeddings_crash_fences_and_retry_completes(
+        spark, tmp_path, monkeypatch):
+    """A crash between the labels swap and the vectors rewrite leaves
+    the two stores mutually inconsistent; the _DELETE_PENDING marker
+    fences every mutating op, and re-running delete_embeddings with an
+    empty id set completes the job from the landed tombstones."""
+    ie, state, df, cents = _emb_takedown_fixture(spark, tmp_path)
+
+    real_swap = ie._swap_write
+
+    def swap_then_crash(frame, target):
+        real_swap(frame, target)  # labels land, vectors rewrite never runs
+        raise RuntimeError("injected crash mid-delete")
+
+    monkeypatch.setattr(ie, "_swap_write", swap_then_crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ie.delete_embeddings(spark, state, [0, 1, 7], threshold=0.8)
+    monkeypatch.setattr(ie, "_swap_write", real_swap)
+
+    from cati_database_feeder_spark.streaming.ingest import StateLockError
+    with pytest.raises(StateLockError, match="_DELETE_PENDING"):
+        ie.ingest_embeddings_batch(spark, df.limit(1), state,
+                                   threshold=0.8, batch_id=9)
+    with pytest.raises(StateLockError, match="_DELETE_PENDING"):
+        ie.compact_embeddings_state(spark, state)
+
+    ie.delete_embeddings(spark, state, [], threshold=0.8)
+    assert not os.path.exists(os.path.join(state, "_DELETE_PENDING"))
+    _assert_emb_state_equals_scratch(
+        spark, state, df.filter(~F.col("vec_id").isin(0, 1, 7)), cents)
+
+
+def test_embeddings_compaction_refuses_during_live_ingest(
+        spark, tmp_path):
+    """Round-8 verdict item 7: compact_embeddings_state racing a LIVE
+    ingest_embeddings_batch must fail descriptively (the adversarial
+    contention test the text path already has). The ingest parks on a
+    worker thread inside the lock while the main thread invokes
+    compaction — which must raise StateLockError naming the live
+    holder; after the ingest finishes, compaction succeeds and the
+    post-state equals the full recompute with one file per cell."""
+    import threading
+
+    from cati_database_feeder_spark.streaming import (
+        ingest_embeddings as ie)
+    from cati_database_feeder_spark.streaming.ingest import StateLockError
+
+    ie_, state, df, cents = _emb_takedown_fixture(spark, tmp_path)
+
+    inside = threading.Event()
+    release = threading.Event()
+    real_recover = ie._recover_swaps
+
+    def parked_recover(sd, stores):
+        real_recover(sd, stores)
+        inside.set()
+        assert release.wait(60)
+
+    extra = spark.createDataFrame(
+        [(200, [5.0, 5.0, 5.0])], "vec_id long, embedding array<double>")
+    err: list[Exception] = []
+
+    def run_ingest():
+        try:
+            ie.ingest_embeddings_batch(spark, extra, state,
+                                       threshold=0.8, batch_id=7)
+        except Exception as exc:  # surface worker failures in the test
+            err.append(exc)
+
+    ie._recover_swaps = parked_recover
+    try:
+        t = threading.Thread(target=run_ingest)
+        t.start()
+        assert inside.wait(60), "ingest thread never reached the lock body"
+        with pytest.raises(StateLockError) as ei:
+            ie.compact_embeddings_state(spark, state)
+        assert "ingest_embeddings_batch" in str(ei.value)
+        assert "break_lock" in str(ei.value)
+    finally:
+        release.set()
+        t.join(120)
+        ie._recover_swaps = real_recover
+    assert not err, f"ingest thread failed: {err}"
+
+    before = sorted(map(tuple, spark.read.parquet(
+        os.path.join(state, "vectors"))
+        .select("vec_id", "cell").collect()))
+    ie.compact_embeddings_state(spark, state)  # lock free — succeeds
+    after_df = spark.read.parquet(os.path.join(state, "vectors"))
+    assert sorted(map(tuple,
+                      after_df.select("vec_id", "cell").collect())) == before
+    _assert_emb_state_equals_scratch(
+        spark, state, df.unionByName(extra), cents)
