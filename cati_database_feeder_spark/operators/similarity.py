@@ -666,23 +666,51 @@ def subsplit_hot_cells(assigned: DataFrame, cap: int,
                  .collect())
     if not seed_rows:
         return assigned.withColumn("subcell", F.lit(0))
-    cells_l = F.lit([int(r[cell_col]) for r in seed_rows])
-    subs_l = F.lit([int(r["__rn"]) for r in seed_rows])
-    vecs_l = F.lit([[float(x) for x in r[c_vec]] for r in seed_rows])
-    keyed = F.zip_with(cells_l, subs_l,
-                       lambda c, s: F.struct(c.alias("cell"), s.alias("sub")))
-    seed_arr = F.zip_with(
-        keyed, vecs_l,
-        lambda t, v: F.struct(t["cell"].alias("cell"), t["sub"].alias("sub"),
-                              v.alias("seed")))
-    cands = F.filter(seed_arr, lambda s: s["cell"] == F.col(cell_col))
-    ranked = F.transform(
-        cands, lambda s: F.struct((-V.dot(F.col(c_vec), s["seed"])).alias("d"),
-                                  s["sub"].alias("sub")))
-    subcell = F.when(F.size(cands) > 0,
-                     F.element_at(F.array_sort(ranked), 1)["sub"]) \
-               .otherwise(F.lit(0))
-    return assigned.withColumn("subcell", subcell)
+    # Seeds indexed BY CELL through one element_at on per-cell 2-D/3-D
+    # literals — NOT a filter over an all-seeds struct array keyed by
+    # ``s["cell"] == col(cell)``. The filter form references the cell
+    # column INSIDE a lambda: syntactically once (so CollapseProject
+    # happily inlines the full argmin-over-centroids expression that
+    # computes ``cell``), but evaluated once PER SEED ELEMENT at
+    # runtime — the assignment argmin re-ran ~|seeds| times per row,
+    # and the join-key ``isnotnull(subcell)`` pushdown duplicated the
+    # whole tree into the scan filter on top of that (measured: 30.7 s
+    # for 2000 rows at sf0.1; this form: 0.9 s, identical output).
+    # Here ``cell`` is referenced only by the __subidx when-chain —
+    # more than once and outside any lambda, which both blocks the
+    # project collapse (argmin evaluates once per row) and bounds the
+    # per-row HOF work to the row's OWN cell's seeds.
+    from collections import defaultdict
+    by_cell: dict = defaultdict(list)
+    for r in seed_rows:
+        by_cell[r[cell_col]].append(
+            (int(r["__rn"]), [float(x) for x in r[c_vec]]))
+    hot_sorted = sorted(by_cell)
+    # trailing EMPTY entry = the non-hot sentinel: rows of cells with no
+    # seeds index it, ride zip_with([],[]) → [] → F.get(...) null →
+    # coalesce 0. Arrays are never NULL anywhere in the chain (a null
+    # array into zip_with/array_sort NPEs in generated code), and the
+    # sentinel keeps element_at in bounds under ANSI semantics.
+    subs_2d = F.lit([[s for s, _ in sorted(by_cell[c])]
+                     for c in hot_sorted] + [[]])
+    vecs_3d = F.lit([[v for _, v in sorted(by_cell[c])]
+                     for c in hot_sorted] + [[]])
+    idx = F.lit(len(hot_sorted) + 1)
+    for i, c in enumerate(hot_sorted):
+        idx = F.when(F.col(cell_col) == c, F.lit(i + 1)).otherwise(idx)
+    staged = assigned.withColumn("__subidx", idx)
+    ranked = F.zip_with(
+        F.element_at(vecs_3d, F.col("__subidx")),
+        F.element_at(subs_2d, F.col("__subidx")),
+        lambda v, s: F.struct((-V.dot(F.col(c_vec), v)).alias("d"),
+                              s.alias("sub")))
+    # coalesce(..., 0) is non-nullable → no isnotnull(subcell) join-key
+    # filter gets pushed below this projection (the pushed copy would
+    # re-evaluate the whole tree per row); F.get is 0-based and
+    # null-safe on the empty sentinel array
+    subcell = F.coalesce(F.get(F.array_sort(ranked), F.lit(0))["sub"],
+                         F.lit(0))
+    return staged.withColumn("subcell", subcell).drop("__subidx")
 
 
 def semdedup_pairs_guarded(corpus: DataFrame,
