@@ -76,3 +76,64 @@ def bm25_topk(documents: DataFrame, terms: list[str], k: int = 20,
     return (scored
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
+
+
+def hybrid_rrf_topk(documents: DataFrame, embeddings: DataFrame,
+                    terms: list[str], query_vec_id: int, k: int = 20,
+                    k_each: int = 50, rrf_k: int = 60,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Hybrid retrieval (extension E51): fuse a LEXICAL ranking (BM25
+    over ``documents``) with a SEMANTIC ranking (exact cosine over
+    ``embeddings`` against the stored vector of ``query_vec_id``) by
+    reciprocal-rank fusion::
+
+        rrf(d) = sum over rankers r of 1 / (rrf_k + rank_r(d))
+
+    — the standard Cormack/Clarke/Buettcher fusion that needs no score
+    normalization because it consumes only the ranks, which is exactly
+    what makes it oracle-able bit-for-bit: both rank lists are
+    deterministic integers (BM25 ranks on the 4-decimal-rounded score
+    with a doc_id tie-break; cosine ranks on raw bit-identical doubles
+    with a vec_id tie-break), so the fused score is a sum of TWO exact
+    dyadic-free divisions evaluated in a fixed order — no float-sum
+    ordering hazard.
+
+    Scale shape: each ranker is the already-audited corpus-linear plan
+    (bm25_topk: bounded explode + tiny broadcast stats + heap top-k;
+    brute_force_topk: one pass, per-vector norms). The fusion itself
+    touches only 2·k_each rows — the windows below rank frames ALREADY
+    limited to k_each, so the single-partition window is bounded by
+    construction, never corpus-sized. A missing ranker contributes 0
+    (full outer join), the classic RRF convention.
+
+    Requires the corpus convention doc_id == vec_id (the driver's
+    documents/embeddings tables are aligned 1:1)."""
+    from pyspark.sql import Window
+
+    lex = (bm25_topk(documents, terms, k=k_each, id_col=id_col,
+                     text_col=text_col)
+           .withColumn("lex_rank", F.row_number().over(
+               Window.orderBy(F.desc("score"), F.asc(id_col))))
+           .select(F.col(id_col).alias("id"), "lex_rank"))
+
+    from cati_database_feeder_spark.operators.similarity import brute_force_topk
+    q = (embeddings.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    sem = (brute_force_topk(q, embeddings, k=k_each,
+                            broadcast_queries=True)
+           .select(F.col("vec_id").alias("id"),
+                   F.col("rank").alias("sem_rank")))
+
+    fused = (lex.join(sem, "id", "full_outer")
+             .select("id", "lex_rank", "sem_rank",
+                     (F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")),
+                                 F.lit(0.0))
+                      + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("sem_rank")),
+                                   F.lit(0.0))).alias("rrf_raw")))
+    return (fused
+            .orderBy(F.desc("rrf_raw"), F.asc("id"))
+            .limit(k)
+            .select(F.col("id").alias(id_col), "lex_rank", "sem_rank",
+                    F.round("rrf_raw", 6).alias("rrf")))

@@ -3951,6 +3951,118 @@ def bm25_topk_search(spark, sf_dir):
     return bm25_topk(d, terms=["spark", "query", "vector"], k=20)
 
 
+@register("hybrid_rrf_search", sql=r"""
+WITH lens AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+dls AS (SELECT doc_id, tk, len(tk) AS dl FROM lens),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avg_dl FROM lens),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl,
+               unnest(list_filter(tk, x -> x IN ('spark', 'query', 'vector'))) AS term
+        FROM dls)
+  GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         round(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avg_dl))), 4) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, tf.doc_id ASC
+  LIMIT 50
+),
+lex AS (SELECT doc_id AS id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+        FROM bm),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(e.v, q.qv)
+           / nullif(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0.0)
+           AS cos_raw
+  FROM e CROSS JOIN q
+),
+sem AS (
+  SELECT vec_id AS id,
+         ROW_NUMBER() OVER (ORDER BY cos_raw DESC, vec_id ASC) AS sem_rank
+  FROM scored
+  QUALIFY sem_rank <= 50
+),
+fused AS (
+  SELECT COALESCE(l.id, s.id) AS doc_id, l.lex_rank, s.sem_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0.0)
+           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + s.sem_rank), 0.0) AS rrf_raw
+  FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+)
+SELECT doc_id, lex_rank, sem_rank, round(rrf_raw, 6) AS rrf
+FROM fused
+ORDER BY rrf_raw DESC, doc_id ASC
+LIMIT 20
+""")
+def hybrid_rrf_search(spark, sf_dir):
+    """E51 hybrid retrieval: BM25 lexical top-50 fused with exact-cosine
+    semantic top-50 (query = the stored vector of vec_id 0, corpus
+    convention doc_id == vec_id) by reciprocal-rank fusion, final top-20
+    (operators/search.py:hybrid_rrf_topk). RRF consumes only integer
+    ranks — both rank lists are deterministic (BM25 ranks the 4-decimal
+    score with a doc_id tie-break, cosine ranks raw bit-identical
+    doubles with a vec_id tie-break), so the fused score is two exact
+    IEEE divisions summed in a fixed order: no float-sum ordering
+    hazard, no score normalization. The fusion plan touches 2*50 rows;
+    each ranker is the corpus-linear plan already audited
+    (`bm25_topk_search`, `embedding_cosine_topk`)."""
+    from cati_database_feeder_spark.operators.search import hybrid_rrf_topk
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(d, e, terms=["spark", "query", "vector"],
+                           query_vec_id=0, k=20, k_each=50, rrf_k=60)
+
+
+@register("text_bigram_familiarity", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest([{'w1': tk[i], 'w2': tk[i+1]} FOR i IN range(1, len(tk))]) AS b
+  FROM tk WHERE len(tk) >= 2
+),
+pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+cnt AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2)
+SELECT p.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(c) AS BIGINT) AS fam_sum,
+       round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS familiarity,
+       round(CAST(SUM(CASE WHEN c <= 25 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS rare_frac
+FROM pairs p JOIN cnt USING (w1, w2)
+GROUP BY p.doc_id
+""")
+def text_bigram_familiarity(spark, sf_dir):
+    """E52 bigram-LM familiarity (CCNet-style quality signal with the
+    logs dropped for integer exactness): per doc, the exact BIGINT sum
+    of corpus-wide bigram counts over the doc's transitions, mean
+    corpus frequency (one final division), and the fraction of
+    transitions whose corpus count is <= 25 (rare/garbage signal; 25
+    sits between this corpus's p10~22 and median~29 bigram counts so
+    both branches carry rows at every test SF — at web scale the
+    hapax convention rare_max=2 is the production setting). Model
+    training is ONE groupBy(w1, w2).count() with map-side partials;
+    scoring re-joins on the same key (operators/quality.py:
+    bigram_familiarity)."""
+    from cati_database_feeder_spark.operators.quality import bigram_familiarity
+    return bigram_familiarity(T(spark, sf_dir, "documents"), rare_max=25)
+
+
 @register("udaf_weighted_median", sql="""
 WITH ranked AS (
   SELECT l_orderkey, l_extendedprice AS v,
@@ -4049,14 +4161,14 @@ def udaf_trimmed_mean(spark, sf_dir):
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
     # -- code changed this round (round 9): keep-best now left-joins
-    #    scores and raises on a labeled id with no score row (ADVICE);
-    #    quantize_int8 gained the documented all-zero-code convention
-    #    for a degenerate (hi == lo) range (ADVICE) --
-    "dedup_keep_best", "embedding_quantize_int8",
+    #    scores and raises on a labeled id with no score row (ADVICE) --
+    "dedup_keep_best",
     # -- new this round (round 9): hot-cell occupancy guard (verdict
-    #    item 1) and pluggable-counter packing (verdict item 5) --
+    #    item 1), pluggable-counter packing (verdict item 5), hybrid
+    #    RRF retrieval (E51) and bigram-LM familiarity (E52) --
     "semdedup_cell_occupancy", "semdedup_guarded_pairs",
     "ivf_quantized_recall_check", "pack_training_sequences_bpe",
+    "hybrid_rrf_search", "text_bigram_familiarity",
     # -- r7-green block rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
     #    past-window query to hold a green <= 2 rounds old, and these
@@ -4084,7 +4196,12 @@ _CHECK_ORDER = [
     "dedup_simhash_pairs",
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r08
     # at sf0.01; still oracle-checked in-suite
-    # (tests/test_oracle_gate.py) and by tools/check.py ----
+    # (tests/test_oracle_gate.py) and by tools/check.py.
+    # embedding_quantize_int8 changed this round but only in the
+    # degenerate hi==lo convention its registered corpus never hits
+    # (ADVICE fix) — its r8 green plus the in-suite oracle gate covers
+    # it, and the slot was needed for the two brand-new queries ----
+    "embedding_quantize_int8",
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",

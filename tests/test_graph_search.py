@@ -215,3 +215,53 @@ def test_incremental_components_empty_base_is_full_cc(spark):
     want = {(r["id"], r["component"])
             for r in connected_components(pairs).collect()}
     assert got == want == {(5, 5), (6, 5), (7, 5)}
+
+
+def test_hybrid_rrf_fusion_hand_computed(spark):
+    """RRF fusion (operators/search.py:hybrid_rrf_topk) against a
+    hand-computed fixture: 4 docs where lexical and semantic rankers
+    disagree. doc_id == vec_id convention; query vector = vec 0."""
+    from cati_database_feeder_spark.operators.search import hybrid_rrf_topk
+    docs = spark.createDataFrame(
+        [(0, "filler filler filler"),
+         (1, "spark spark spark"),          # lex rank 1
+         (2, "spark filler filler"),        # lex rank 2
+         (3, "filler pad pad")],
+        ["doc_id", "text"])
+    # embeddings chosen so cosine vs v0 ranks: 0 (self), 3, 2 — doc 1
+    # is orthogonal and still ranks 4th (brute force keeps everything
+    # up to k_each)
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+         (2, [0.6, 0.8]), (3, [0.9, 0.1])],
+        ["vec_id", "embedding"])
+    got = {r["doc_id"]: (r["lex_rank"], r["sem_rank"], r["rrf"])
+           for r in hybrid_rrf_topk(docs, embs, terms=["spark"],
+                                    query_vec_id=0, k=10, k_each=3,
+                                    rrf_k=60).collect()}
+    # lex list (k_each=3, only matching docs): [1, 2]; sem list: [0, 3, 2]
+    assert got[1][0] == 1 and got[1][1] is None
+    assert got[2] == (2, 3, round(1 / 62 + 1 / 63, 6))
+    assert got[0][1] == 1 and got[0][0] is None
+    assert got[3][1] == 2 and got[3][0] is None
+    # doc 2 (in both lists) must outrank every single-list doc here
+    assert got[2][2] == max(v[2] for v in got.values())
+
+
+def test_hybrid_rrf_equal_scores_tiebreak_by_id(spark):
+    """Two docs appearing in exactly one list at the same rank position
+    tie on rrf; the output order (and any downstream LIMIT) must break
+    the tie on doc_id, not partition luck."""
+    from cati_database_feeder_spark.operators.search import hybrid_rrf_topk
+    docs = spark.createDataFrame(
+        [(0, "filler"), (5, "spark"), (7, "filler pad")],
+        ["doc_id", "text"])
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (5, [0.0, 1.0]), (7, [0.8, 0.6])],
+        ["vec_id", "embedding"])
+    rows = hybrid_rrf_topk(docs, embs, terms=["spark"], query_vec_id=0,
+                           k=10, k_each=1, rrf_k=60).collect()
+    # lex list: [5] at rank 1; sem list: [0] at rank 1 → equal rrf,
+    # doc 0 must sort before doc 5
+    tied = [r["doc_id"] for r in rows if r["rrf"] == round(1 / 61, 6)]
+    assert tied == [0, 5]

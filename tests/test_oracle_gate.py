@@ -47,6 +47,9 @@ _BARE_SUM_ALLOWED = {
     "events_session_window": 1,
     # SUM over DOUBLE ln() terms — double in both engines
     "bm25_topk_search": 1,
+    # the same BM25 CTE reused for the lexical ranker: SUM over DOUBLE
+    # ln() terms, consumed by ROW_NUMBER before the output schema
+    "hybrid_rrf_search": 1,
     # running SUM(BIGINT) wrapped in CAST(COALESCE(...) AS BIGINT) one
     # level out — the output type is pinned, just not adjacent to SUM(
     "pack_training_sequences": 1,
@@ -56,6 +59,8 @@ _BARE_SUM_ALLOWED = {
     # running SUM(BIGINT) wrapped in CAST(COALESCE(...) AS BIGINT) one
     # level out — the same reviewed pattern as pack_training_sequences
     "training_pipeline_e2e": 1,
+    # same reviewed running-SUM pattern, BPE-counted packing variant
+    "pack_training_sequences_bpe": 1,
     # CTE-internal window sums feeding only the cumw >= totw/2.0
     # comparison — never reach the output schema (output is MIN of a
     # raw data double)

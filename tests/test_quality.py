@@ -1,0 +1,53 @@
+"""Bigram-LM familiarity (operators/quality.py, extension E52)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from cati_database_feeder_spark.operators.quality import bigram_familiarity
+
+
+def test_bigram_familiarity_hand_computed(spark):
+    # corpus bigrams: (a,b) x2 [docs 1,2], (b,c) x1, (b,a) x1
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "A b"), (3, "b a"), (4, "solo")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_familiarity(docs, rare_max=1)
+           .collect()}
+    # doc 4 has one token → no transitions → absent
+    assert set(got) == {1, 2, 3}
+    # doc 1: bigrams (a,b) c=2, (b,c) c=1 → fam_sum 3, rare_occ 1
+    assert got[1]["n_bigrams"] == 2 and got[1]["fam_sum"] == 3
+    assert got[1]["familiarity"] == 1.5 and got[1]["rare_frac"] == 0.5
+    # doc 2: lowercased (a,b) c=2 → familiar, nothing rare
+    assert got[2]["fam_sum"] == 2 and got[2]["rare_frac"] == 0.0
+    # doc 3: (b,a) c=1 → all rare
+    assert got[3]["familiarity"] == 1.0 and got[3]["rare_frac"] == 1.0
+
+
+def test_bigram_familiarity_mass_conservation(spark, sf_dir):
+    """Σ n_bigrams over docs == Σ corpus bigram counts == Σ fam-weighted
+    occurrences' own count — the exact-integer bookkeeping the oracle
+    relies on, checked on real testdata."""
+    from cati_database_feeder_spark.catalog import load_table
+    from cati_database_feeder_spark.functions import text as textfn
+    d = load_table(spark, sf_dir, "documents")
+    out = bigram_familiarity(d)
+    total_bigrams = out.agg(F.sum("n_bigrams")).collect()[0][0]
+    expect = (d.select(textfn.token_count(F.col("text")).alias("n"))
+              .filter(F.col("n") >= 2)
+              .agg(F.sum(F.col("n") - 1)).collect()[0][0])
+    assert total_bigrams == expect
+
+
+def test_bigram_familiarity_plan_has_no_window_or_cartesian(spark, sf_dir):
+    """The 100 TB shape: model build + scoring is groupBy/join on the
+    bigram key only — no corpus-wide window, no cartesian product."""
+    from cati_database_feeder_spark.catalog import load_table
+    d = load_table(spark, sf_dir, "documents")
+    plan = (bigram_familiarity(d)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
