@@ -858,3 +858,66 @@ def simhash_hamming(a: Column, b: Column, bits: int = 16) -> Column:
     x = a.bitwiseXOR(b)
     return F.bit_count(x) if hasattr(F, "bit_count") else sum(
         F.shiftright(x, i).bitwiseAND(F.lit(1)) for i in range(bits))
+
+
+def remove_duplicate_spans(documents: DataFrame, k: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2022, extension E53): every
+    OCCURRENCE of a word-``k``-gram that appears anywhere else in the
+    corpus — another document or another position of the same
+    document — is cut, except the globally-first occurrence (min
+    ``(doc_id, pos)``; a token is removed iff ANY non-first duplicated
+    span covers it). This is the substring-level companion to the
+    `text_dup_span_profile` SIGNAL: the profile flags docs, this
+    REMOVES the memorizable spans while keeping each doc's novel text.
+
+    Returns (id, n_tokens, n_removed, cleaned_text) for EVERY input
+    doc (docs with < k tokens, or nothing duplicated, pass through
+    with n_removed = 0).
+
+    Scale shape: occurrence-level shingle explode (corpus-token-linear,
+    NOT distinct — within-doc repeats are occurrences too), ONE
+    groupBy(shingle) computing (first occurrence, occurrence count)
+    with map-side partials, one join back on the same shingle key, one
+    per-doc aggregate collecting covered positions (bounded by the
+    doc's own length), one id join to reconstruct. No window anywhere
+    Spark-side (the global first is a min over a struct, not a
+    row_number), no pair enumeration: the classic O(n^2)-looking
+    "compare every span against every span" is an equi-join on the
+    span VALUE.
+    """
+    tk = documents.select(F.col(id_col), T.tokens(F.col(text_col)).alias("tk"))
+    occ = (tk.filter(F.size("tk") >= k)
+           .select(id_col, F.posexplode(
+               T.shingles_from_tokens(F.col("tk"), k))
+               .alias("pos0", "sh"))
+           .select(id_col, (F.col("pos0") + 1).alias("pos"), "sh"))
+    firsts = (occ.groupBy("sh")
+              .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f"),
+                   F.count(F.lit(1)).alias("cnt")))
+    dup = (occ.join(firsts, "sh")
+           .filter((F.col("cnt") > 1)
+                   & ~((F.col(id_col) == F.col(f"f.{id_col}"))
+                       & (F.col("pos") == F.col("f.pos"))))
+           .select(id_col, F.sequence(
+               F.col("pos"), F.col("pos") + F.lit(k - 1)).alias("span")))
+    masks = (dup.groupBy(id_col)
+             .agg(F.array_distinct(F.flatten(F.collect_list("span")))
+                  .alias("ms")))
+    out = tk.join(masks, id_col, "left")
+    # mask is an attribute after the join (cheap per-element reference
+    # inside the lambda — NOT the inlined-expression trap documented at
+    # subsplit_hot_cells); collect_list order varies per run but only
+    # MEMBERSHIP is consulted, so the output is deterministic
+    kept = F.filter(
+        F.col("tk"),
+        lambda t, i: ~F.array_contains(
+            F.coalesce(F.col("ms"), F.array().cast("array<int>")),
+            i + 1))
+    return (out
+            .select(id_col,
+                    F.size("tk").cast("bigint").alias("n_tokens"),
+                    (F.size("tk") - F.size(kept)).cast("bigint")
+                    .alias("n_removed"),
+                    F.array_join(kept, " ").alias("cleaned_text")))

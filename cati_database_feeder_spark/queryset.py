@@ -3951,6 +3951,50 @@ def bm25_topk_search(spark, sf_dir):
     return bm25_topk(d, terms=["spark", "query", "vector"], k=20)
 
 
+@register("text_dup_span_removal", sql=r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], ' ') AS sh
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+        FROM tk WHERE len(tk) >= 8)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY sh) AS c
+  FROM occ
+),
+msk AS (
+  SELECT doc_id, flatten(list(range(pos, pos + 8))) AS ms
+  FROM ranked WHERE c > 1 AND rn > 1
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.tk) AS n_tokens,
+       len(t.tk) - len([t.tk[i] FOR i IN range(1, len(t.tk) + 1)
+                        IF NOT list_contains(coalesce(m.ms, []), i)]) AS n_removed,
+       coalesce(array_to_string([t.tk[i] FOR i IN range(1, len(t.tk) + 1)
+                                 IF NOT list_contains(coalesce(m.ms, []), i)],
+                                ' '), '') AS cleaned_text
+FROM tk t LEFT JOIN msk m USING (doc_id)
+""")
+def text_dup_span_removal(spark, sf_dir):
+    """E53 span-level exact dedup (Lee et al. 2022): cut every
+    occurrence of a word-8-gram that appears anywhere else in the
+    corpus except the globally-first one (min (doc_id, pos)), emitting
+    the cleaned text per doc — the REMOVAL companion to the
+    `text_dup_span_profile` signal. Spark side has no window (global
+    first = min over a struct with map-side partials); the oracle
+    replays it with ROW_NUMBER. Occurrence explode is corpus-token-
+    linear; masks are bounded by each doc's own length
+    (operators/dedup.py:remove_duplicate_spans)."""
+    from cati_database_feeder_spark.operators.dedup import remove_duplicate_spans
+    return remove_duplicate_spans(T(spark, sf_dir, "documents"), k=8)
+
+
 @register("hybrid_rrf_search", sql=r"""
 WITH lens AS (
   SELECT doc_id,
@@ -4160,15 +4204,14 @@ def udaf_trimmed_mean(spark, sf_dir):
 # oracle on every pytest run (tests/test_oracle_gate.py) and by
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
-    # -- code changed this round (round 9): keep-best now left-joins
-    #    scores and raises on a labeled id with no score row (ADVICE) --
-    "dedup_keep_best",
     # -- new this round (round 9): hot-cell occupancy guard (verdict
     #    item 1), pluggable-counter packing (verdict item 5), hybrid
-    #    RRF retrieval (E51) and bigram-LM familiarity (E52) --
+    #    RRF retrieval (E51), bigram-LM familiarity (E52) and
+    #    span-level dedup (E53) --
     "semdedup_cell_occupancy", "semdedup_guarded_pairs",
     "ivf_quantized_recall_check", "pack_training_sequences_bpe",
     "hybrid_rrf_search", "text_bigram_familiarity",
+    "text_dup_span_removal",
     # -- r7-green block rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
     #    past-window query to hold a green <= 2 rounds old, and these
@@ -4197,11 +4240,13 @@ _CHECK_ORDER = [
     # ---- tail (past slot 50): driver triple-green in CORRECTNESS_r08
     # at sf0.01; still oracle-checked in-suite
     # (tests/test_oracle_gate.py) and by tools/check.py.
-    # embedding_quantize_int8 changed this round but only in the
-    # degenerate hi==lo convention its registered corpus never hits
-    # (ADVICE fix) — its r8 green plus the in-suite oracle gate covers
-    # it, and the slot was needed for the two brand-new queries ----
-    "embedding_quantize_int8",
+    # embedding_quantize_int8 and dedup_keep_best changed this round
+    # but only in ADVICE-fix failure conventions their registered
+    # corpora never hit (degenerate hi==lo range; a labeled id with no
+    # score row) — their r8 greens plus the in-suite oracle gate and a
+    # post-change tools/check.py pass at sf0.01 cover them, and the
+    # slots were needed for the three brand-new queries ----
+    "embedding_quantize_int8", "dedup_keep_best",
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",

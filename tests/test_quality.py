@@ -51,3 +51,45 @@ def test_bigram_familiarity_plan_has_no_window_or_cartesian(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_remove_duplicate_spans_hand_computed(spark):
+    """Lee-et-al span removal (operators/dedup.py:remove_duplicate_spans,
+    k=2 for a readable fixture): globally-first occurrence survives,
+    every other occurrence's span is cut, within-doc repeats count,
+    short docs pass through."""
+    from cati_database_feeder_spark.operators.dedup import (
+        remove_duplicate_spans)
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),        # owns first occurrences of all its 2-grams
+         (2, "a b x y"),        # "a b" duplicated (doc 1 pos 1 is first)
+         (3, "a b c d"),        # whole doc duplicated -> cleaned empty
+         (4, "p q p q p"),      # within-doc repeat: "p q" at pos 1 and 3
+         (5, "solo")],          # < k tokens: untouched
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, k=2).collect()}
+    assert len(got) == 5
+    assert got[1]["cleaned_text"] == "a b c d" and got[1]["n_removed"] == 0
+    # doc 2: span (pos 1,2) cut -> "x y" survives
+    assert got[2]["cleaned_text"] == "x y" and got[2]["n_removed"] == 2
+    # doc 3: every 2-gram first occurs in doc 1 -> everything cut
+    assert got[3]["cleaned_text"] == "" and got[3]["n_removed"] == 4
+    # doc 4: "p q" first at (4,1); repeats at pos 3 cover tokens 3-4;
+    # "q p" occurs at pos 2 and 4 -> first (4,2) survives, pos 4 covers
+    # tokens 4-5 -> kept = tokens 1,2 ("p q")
+    assert got[4]["cleaned_text"] == "p q" and got[4]["n_removed"] == 3
+    assert got[5]["cleaned_text"] == "solo" and got[5]["n_removed"] == 0
+
+
+def test_remove_duplicate_spans_plan_has_no_window(spark, sf_dir):
+    """The global-first selection must be an aggregate (map-side
+    partials), never a corpus-wide window, and nothing cartesian."""
+    from cati_database_feeder_spark.catalog import load_table
+    from cati_database_feeder_spark.operators.dedup import (
+        remove_duplicate_spans)
+    d = load_table(spark, sf_dir, "documents")
+    plan = (remove_duplicate_spans(d, k=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
