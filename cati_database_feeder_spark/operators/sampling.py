@@ -385,3 +385,56 @@ def pack_sequences(df: DataFrame, key: Column, tie_cols: list[str],
                     - F.col("seq_id") + 1))
             .drop("__key", "__pid", "__toff", "__start", "__tok",
                   *drop_tok))
+
+
+def token_budget_prefix(df: DataFrame, key: Column, tie_cols: list[str],
+                        n_tokens_col: str | Column, budget: int,
+                        partitions: int | None = None,
+                        hex_key: bool = False) -> DataFrame:
+    """Token-budget curation (extension E54): keep the PREFIX of the
+    corpus, in ascending ``key`` order (pass ``-quality`` for
+    best-first), whose cumulative token count stays within ``budget``
+    — "train on the best N tokens", the selection step between quality
+    scoring and packing. Emits the kept rows plus ``cum_tokens`` (the
+    running total INCLUDING the row; a row enters iff its cum_tokens
+    <= budget). Strict prefix semantics — the first overflowing doc
+    and everything ranked after it are dropped, no bin-packing
+    back-fill — because a prefix is the only selection every engine
+    replays identically from (key, tie) alone.
+
+    Scale shape: the naive form is SUM() OVER (ORDER BY key) — a
+    single-partition window. This reuses the literal-bucket machinery
+    (:func:`_global_order_buckets`, same contract as pack_sequences):
+    per-bucket token sums collected alongside the counts (driver state
+    bounded by the bucket count), each row's running total = broadcast
+    bucket offset + within-bucket running sum. On top of that, buckets
+    whose START offset already exceeds the budget are pruned on the
+    DRIVER — the window work scales with the kept prefix, not the
+    corpus. Token counts cast to long; sums exact (no float drift
+    between engines)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    drop_tok = ()
+    if isinstance(n_tokens_col, Column):
+        df = df.withColumn("__ntokens", n_tokens_col)
+        n_tokens_col, drop_tok = "__ntokens", ("__ntokens",)
+    keyed, pid, buckets = _global_order_buckets(
+        df, key, partitions, hex_key, value_col=n_tokens_col)
+    offsets, acc = [], 0
+    for bpid, _, vs in buckets:
+        if acc < budget:  # driver prune: bucket starts past the budget
+            offsets.append((bpid, acc))
+        acc += vs
+    if not offsets:
+        offsets = [(0, 0)]
+    off = df.sparkSession.createDataFrame(offsets, "__pid int, __toff long")
+    w = (Window.partitionBy("__pid").orderBy("__key", *tie_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tok = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    return (keyed.withColumn("__pid", pid)
+            # inner join IS the bucket prune: rows of pruned buckets
+            # have no offset row and drop before the window runs
+            .join(F.broadcast(off), "__pid")
+            .withColumn("cum_tokens", F.sum(tok).over(w) + F.col("__toff"))
+            .filter(F.col("cum_tokens") <= budget)
+            .drop("__key", "__pid", "__toff", *drop_tok))

@@ -3951,6 +3951,65 @@ def bm25_topk_search(spark, sf_dir):
     return bm25_topk(d, terms=["spark", "query", "vector"], k=20)
 
 
+@register("sample_token_budget", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest([{'w1': tk[i], 'w2': tk[i+1]} FOR i IN range(1, len(tk))]) AS b
+  FROM tk WHERE len(tk) >= 2
+),
+pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+cnt AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2),
+fam AS (
+  SELECT p.doc_id,
+         round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS familiarity
+  FROM pairs p JOIN cnt USING (w1, w2)
+  GROUP BY p.doc_id
+),
+j AS (
+  SELECT f.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens, f.familiarity
+  FROM fam f JOIN tk t USING (doc_id)
+),
+running AS (
+  SELECT doc_id, n_tokens, familiarity,
+         CAST(SUM(n_tokens) OVER (ORDER BY familiarity DESC, doc_id ASC)
+              AS BIGINT) AS cum_tokens
+  FROM j
+)
+SELECT doc_id, n_tokens, familiarity, cum_tokens
+FROM running WHERE cum_tokens <= 8000
+""")
+def sample_token_budget(spark, sf_dir):
+    """E54 token-budget curation: keep the highest-quality docs (by
+    E52 bigram familiarity, doc_id tie-break) until a global budget of
+    8000 tokens — "train on the best N tokens", the selection step
+    between quality scoring and packing. Strict prefix semantics (the
+    first overflowing doc and everything after it drop; no bin-packing
+    back-fill) because a prefix is the only selection both engines
+    replay identically from (key, tie) alone. Spark side has NO
+    corpus-wide window: the running total rides the literal-bucket
+    machinery (bucket token sums collected with the counts, broadcast
+    offsets + within-bucket running sum), and buckets starting past
+    the budget are pruned on the driver, so the window work scales
+    with the KEPT PREFIX, not the corpus
+    (operators/sampling.py:token_budget_prefix)."""
+    from cati_database_feeder_spark.operators.quality import bigram_familiarity
+    from cati_database_feeder_spark.operators.sampling import token_budget_prefix
+    d = T(spark, sf_dir, "documents")
+    fam = bigram_familiarity(d).select("doc_id", "familiarity")
+    j = fam.join(d.select("doc_id",
+                          text.token_count(F.col("text")).alias("n_tokens")),
+                 "doc_id")
+    return (token_budget_prefix(j, key=(-F.col("familiarity")),
+                                tie_cols=["doc_id"],
+                                n_tokens_col="n_tokens", budget=8000)
+            .select("doc_id", "n_tokens", "familiarity", "cum_tokens"))
+
+
 @register("text_dup_span_removal", sql=r"""
 WITH tk AS (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
@@ -4211,7 +4270,7 @@ _CHECK_ORDER = [
     "semdedup_cell_occupancy", "semdedup_guarded_pairs",
     "ivf_quantized_recall_check", "pack_training_sequences_bpe",
     "hybrid_rrf_search", "text_bigram_familiarity",
-    "text_dup_span_removal",
+    "text_dup_span_removal", "sample_token_budget",
     # -- r7-green block rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
     #    past-window query to hold a green <= 2 rounds old, and these
@@ -4223,7 +4282,7 @@ _CHECK_ORDER = [
     "text_repetition_profile", "shard_manifest", "ivf_recall_check",
     "ivf_assign_topk", "embedding_cosine_topk",
     "dedup_embedding_cosine_pairs", "events_exact_median",
-    "null_normalization", "funnel_view_to_purchase",
+    "funnel_view_to_purchase",
     "text_chunk_documents", "decontaminate_against_benchmark",
     "json_extract_props", "events_sliding_window",
     "backfill_month_repair_per_file", "multimodal_binary_features",
@@ -4245,8 +4304,13 @@ _CHECK_ORDER = [
     # corpora never hit (degenerate hi==lo range; a labeled id with no
     # score row) — their r8 greens plus the in-suite oracle gate and a
     # post-change tools/check.py pass at sf0.01 cover them, and the
-    # slots were needed for the three brand-new queries ----
-    "embedding_quantize_int8", "dedup_keep_best",
+    # slots were needed for the three brand-new queries.
+    # null_normalization is the one r7-green deliberately left at
+    # 2-rounds-old (the policy bound): a trivially stable map-only
+    # scalar query, unchanged since r1, value-checked at sf0.001 on
+    # every pytest run — evicted so E54 could enter the window; it
+    # MUST rotate back in next round ----
+    "embedding_quantize_int8", "dedup_keep_best", "null_normalization",
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",

@@ -93,3 +93,34 @@ def test_remove_duplicate_spans_plan_has_no_window(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_prefix_equals_driver_reference(spark):
+    """token_budget_prefix (operators/sampling.py) ≡ a driver-computed
+    strict prefix under (key, id) order, for any partition count —
+    including budget boundaries (a doc exactly filling the budget is
+    kept; the first overflowing doc and everything after drop)."""
+    import random
+    from cati_database_feeder_spark.operators.sampling import (
+        token_budget_prefix)
+    rng = random.Random(9)
+    rows = [(i, rng.uniform(0.0, 5.0), rng.randint(1, 40))
+            for i in range(300)]
+    from pyspark.sql import functions as F
+    expect_order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    for budget in (1, 173, 2000, 10 ** 9):
+        acc, expect = 0, {}
+        for i, q, n in expect_order:
+            if acc + n > budget:
+                break
+            acc += n
+            expect[i] = acc
+        for parts in (2, 8):
+            df = spark.createDataFrame(rows, ["id", "q", "n"]) \
+                      .repartition(parts)
+            got = {r["id"]: r["cum_tokens"]
+                   for r in token_budget_prefix(
+                       df, key=-F.col("q"), tie_cols=["id"],
+                       n_tokens_col="n", budget=budget,
+                       partitions=parts).collect()}
+            assert got == expect, f"budget={budget} parts={parts}"
