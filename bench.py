@@ -94,6 +94,11 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     queryset._verified_pairs_stage(spark, sf_dir).count()
     timings["stage:verified_pairs"] = round(time.time() - t0, 3)
+    # exact brute-force top-10 — the embedding ground-truth table: the
+    # cosine query's output AND the bar of all three recall contracts
+    t0 = time.time()
+    queryset._brute_topk10_stage(spark, sf_dir).count()
+    timings["stage:brute_topk10"] = round(time.time() - t0, 3)
 
     def run_once(name, fn):
         t0 = time.time()

@@ -1616,11 +1616,29 @@ def embedding_cosine_topk(spark, sf_dir):
     """E7 exact baseline: brute-force cosine top-k, query side broadcast.
     Raw doubles are bit-identical across engines (sequential fold in
     both); ranking uses the raw value, display rounds to 6."""
+    return _brute_topk10_stage(spark, sf_dir)
+
+
+def _brute_topk10_stage(spark, sf_dir):
+    """Exact brute-force cosine top-10 for the fixed 1-in-100 query
+    set, persisted once per session: it is simultaneously the
+    `embedding_cosine_topk` OUTPUT and the ground-truth bar of every
+    recall contract (`lsh_recall_check`, `ivf_recall_check`,
+    `ivf_quantized_recall_check`) — four consumers, and each recall
+    check additionally traverses it 2-3 times (query count + hit
+    joins). At 100 TB this is the materialized ground-truth-neighbors
+    table a deployment maintains next to the index to regression-gate
+    it; within a session the same economics favor one persisted
+    compute (the same argument as the verified-pairs stage)."""
     from cati_database_feeder_spark.operators.similarity import brute_force_topk
-    e = T(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0) \
-         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return brute_force_topk(q, e, k=10)
+
+    def build():
+        e = T(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") % 100 == 0) \
+             .select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("q_vec"))
+        return brute_force_topk(q, e, k=10)
+    return shared_stage(spark, f"brute_topk10:{sf_dir}", build)
 
 
 def _plane_sign_case(planes):
@@ -1710,7 +1728,7 @@ def lsh_recall_check(spark, sf_dir):
     # value-hashed signature consumers stay on the hof kernel
     ap = lsh_topk_tables(q, e, planes, k=10, n_bits=4,
                          n_tables=16, kernel="arrow").select("q_id", "vec_id")
-    ex = brute_force_topk(q, e, k=10).select("q_id", "vec_id")
+    ex = _brute_topk10_stage(spark, sf_dir).select("q_id", "vec_id")
     return (ex.agg(F.count_distinct("q_id").alias("n_queries"))
             .crossJoin(ex.join(ap, ["q_id", "vec_id"])
                        .agg(F.count(F.lit(1)).alias("h")))
@@ -2034,7 +2052,7 @@ def ivf_quantized_recall_check(spark, sf_dir):
                             rerank=30, by="ip").select("q_id", "vec_id")
     fl = ivf_topk(q, assign_cells(e, cents, by="ip"), cents, k=10,
                   nprobe=4, by="ip").select("q_id", "vec_id")
-    ex = brute_force_topk(q, e, k=10).select("q_id", "vec_id")
+    ex = _brute_topk10_stage(spark, sf_dir).select("q_id", "vec_id")
     return (ex.agg(F.count_distinct("q_id").alias("n_queries"))
             .crossJoin(ex.join(qz, ["q_id", "vec_id"])
                        .agg(F.count(F.lit(1)).alias("qh")))
@@ -2078,7 +2096,7 @@ def ivf_recall_check(spark, sf_dir):
     cents = train_ivf_centroids(e, n_cells=16)
     assigned = assign_cells(e, cents)
     ap = ivf_topk(q, assigned, cents, k=10, nprobe=4).select("q_id", "vec_id")
-    ex = brute_force_topk(q, e, k=10).select("q_id", "vec_id")
+    ex = _brute_topk10_stage(spark, sf_dir).select("q_id", "vec_id")
     return (ex.agg(F.count_distinct("q_id").alias("n_queries"))
             .crossJoin(ex.join(ap, ["q_id", "vec_id"])
                        .agg(F.count(F.lit(1)).alias("h")))
