@@ -99,6 +99,12 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     queryset._brute_topk10_stage(spark, sf_dir).count()
     timings["stage:brute_topk10"] = round(time.time() - t0, 3)
+    # full-corpus cell assignment against the fixed 16-seed centroids —
+    # the write-time partition-by-cell layout every SemDeDup/IVF
+    # consumer reads
+    t0 = time.time()
+    queryset._cell_assign_stage(spark, sf_dir).count()
+    timings["stage:cell_assign"] = round(time.time() - t0, 3)
 
     def run_once(name, fn):
         t0 = time.time()

@@ -297,7 +297,8 @@ def semdedup_pairs(corpus: DataFrame,
                    centroid_rows: list[tuple[int, list[float]]],
                    threshold: float = 0.9, by: str = "ip",
                    c_id: str = "vec_id",
-                   c_vec: str = "embedding") -> DataFrame:
+                   c_vec: str = "embedding",
+                   assigned: DataFrame | None = None) -> DataFrame:
     """SemDeDup-style semantic near-dup (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
     deduplication"): partition the embedding space into coarse cells
@@ -312,9 +313,16 @@ def semdedup_pairs(corpus: DataFrame,
     Same verify arithmetic as :func:`cosine_near_dup_pairs` (norms
     once per vector, deterministic double cosine); only the bucketing
     differs — semantic cells instead of sign-LSH planes, which groups
-    paraphrases that flip individual dimension signs."""
+    paraphrases that flip individual dimension signs.
+
+    ``assigned``: optionally pass a pre-computed (persisted/
+    materialized) cell assignment of ``corpus`` — the write-time
+    layout at 100 TB is exactly that (the vector table is stored
+    partitioned by cell), so consumers sharing one assignment is the
+    production shape, not a cache trick."""
     from cati_database_feeder_spark.operators.dedup import _bucket_pairs
-    assigned = assign_cells(corpus, centroid_rows, c_vec, by)
+    if assigned is None:
+        assigned = assign_cells(corpus, centroid_rows, c_vec, by)
     cands = _bucket_pairs(
         assigned.select(F.col(c_id).alias("id"), "cell"), ["cell"], "id")
     v_a = corpus.select(F.col(c_id).alias("id_a"), F.col(c_vec).alias("va"),
@@ -719,7 +727,8 @@ def semdedup_pairs_guarded(corpus: DataFrame,
                            by: str = "ip", c_id: str = "vec_id",
                            c_vec: str = "embedding",
                            on_hot: str = "subsplit",
-                           oversample: int = 8) -> DataFrame:
+                           oversample: int = 8,
+                           assigned: DataFrame | None = None) -> DataFrame:
     """:func:`semdedup_pairs` behind the hot-cell occupancy guard:
     cells over ``cap`` members are sub-split (:func:`subsplit_hot_cells`
     — deterministic member-seeded sub-centroids) and pairing keys on
@@ -728,15 +737,18 @@ def semdedup_pairs_guarded(corpus: DataFrame,
     ``on_hot="error"`` turns the guard into the documented descriptive
     refusal. Same verify arithmetic as :func:`semdedup_pairs`."""
     from cati_database_feeder_spark.operators.dedup import _bucket_pairs
-    # persist the assignment: FOUR passes consume it (the guard's
-    # occupancy-count job, the seed-selection job, and both sides of
-    # the candidate self-join) and each would re-run the per-row
-    # centroid argmin; rows are (id, vec, cell) — the same cheap-cache
-    # flat shape as the jaccard shingle frame (measured: 7.1 → 5.9 s
-    # warm at sf0.1). Eviction recomputes (persist, not checkpoint);
-    # the block is released by the ContextCleaner when the plan is
-    # GC'd, the same lifecycle as queryset's shared stages.
-    assigned = assign_cells(corpus, centroid_rows, c_vec, by).persist()
+    # persist the assignment unless the caller supplies one (a staged/
+    # materialized assignment — the 100 TB write-time layout): FOUR
+    # passes consume it (the guard's occupancy-count job, the
+    # seed-selection job, and both sides of the candidate self-join)
+    # and each would re-run the per-row centroid argmin; rows are
+    # (id, vec, cell) — the same cheap-cache flat shape as the jaccard
+    # shingle frame (measured: 7.1 → 5.9 s warm at sf0.1). Eviction
+    # recomputes (persist, not checkpoint); the block is released by
+    # the ContextCleaner when the plan is GC'd, the same lifecycle as
+    # queryset's shared stages.
+    if assigned is None:
+        assigned = assign_cells(corpus, centroid_rows, c_vec, by).persist()
     split = subsplit_hot_cells(assigned, cap, c_id, c_vec,
                                on_hot=on_hot, oversample=oversample)
     cands = _bucket_pairs(

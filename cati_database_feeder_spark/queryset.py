@@ -68,6 +68,43 @@ def shared_stage(spark: SparkSession, key: str, build) -> DataFrame:
     return _STAGE_CACHE[cache_key]
 
 
+# The fixed 16-seed centroid set (first 16 vectors) used by every
+# deterministic SemDeDup/IVF query: one bounded collect per (session,
+# sf_dir) instead of one per query — same eviction discipline as the
+# stage cache. NOT used by ivf_recall_check, which trains its own.
+_CENTS_CACHE: dict = {}
+
+
+def _cents16(spark: SparkSession, sf_dir: str):
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _CENTS_CACHE if k[0] != app_id]:
+        del _CENTS_CACHE[stale]
+    key = (app_id, sf_dir)
+    if key not in _CENTS_CACHE:
+        e = T(spark, sf_dir, "embeddings")
+        _CENTS_CACHE[key] = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in e.filter(F.col("vec_id") < 16)
+                      .select("vec_id", "embedding").collect()]
+    return _CENTS_CACHE[key]
+
+
+def _cell_assign_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell assignment of the FULL embedding corpus against the fixed
+    16-seed centroids (inner-product argmin), persisted once per
+    session: seven queries consume it (the SemDeDup family, the
+    occupancy diagnostic, the quantized/fixed IVF paths). At 100 TB
+    this is not a cache trick but the write-time layout — the vector
+    table is STORED partitioned by cell (ivf_topk docstring), so every
+    consumer reading one materialized assignment is the production
+    shape."""
+    from cati_database_feeder_spark.operators.similarity import assign_cells
+    return shared_stage(
+        spark, f"cell_assign16:{sf_dir}",
+        lambda: assign_cells(T(spark, sf_dir, "embeddings"),
+                             _cents16(spark, sf_dir), by="ip"))
+
+
 def clear_stage_cache() -> None:
     """Unpersist and drop every cached stage frame. Frames belonging to
     the live session release their storage; entries from stopped
@@ -1791,10 +1828,9 @@ def semdedup_pairs(spark, sf_dir):
     (operators/similarity.py:semdedup_pairs)."""
     from cati_database_feeder_spark.operators.similarity import semdedup_pairs
     e = T(spark, sf_dir, "embeddings")
-    cents = [(int(r["vec_id"]), list(r["embedding"]))
-             for r in e.filter(F.col("vec_id") < 16)
-                       .select("vec_id", "embedding").collect()]
-    return semdedup_pairs(e, cents, threshold=0.3, by="ip")
+    cents = _cents16(spark, sf_dir)
+    return semdedup_pairs(e, cents, threshold=0.3, by="ip",
+                          assigned=_cell_assign_stage(spark, sf_dir))
 
 
 @register("semdedup_incremental", sql="""
@@ -1829,14 +1865,14 @@ def semdedup_incremental(spark, sf_dir):
     where the cell store is parquet partitioned by cell), never
     corpus² (operators/similarity.py:incremental_semdedup_pairs)."""
     from cati_database_feeder_spark.operators.similarity import (
-        assign_cells, incremental_semdedup_pairs)
+        incremental_semdedup_pairs)
     e = T(spark, sf_dir, "embeddings")
-    cents = [(int(r["vec_id"]), list(r["embedding"]))
-             for r in e.filter(F.col("vec_id") < 16)
-                       .select("vec_id", "embedding").collect()]
-    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    cents = _cents16(spark, sf_dir)
     delta = e.filter(F.col("vec_id") % 10 == 0)
-    cell_store = assign_cells(corpus, cents, by="ip")
+    # cell assignment is a pure per-row function, so the corpus store
+    # is the staged full assignment filtered (assign∘filter ≡ filter∘assign)
+    cell_store = _cell_assign_stage(spark, sf_dir) \
+        .filter(F.col("vec_id") % 10 != 0)
     return incremental_semdedup_pairs(delta, cell_store, cents,
                                       threshold=0.3, by="ip")
 
@@ -1866,15 +1902,12 @@ def semdedup_cell_occupancy(spark, sf_dir):
     key_occupancy_report); react to hot rows with
     subsplit_hot_cells / _bucket_pairs(max_occupancy=...) /
     train_ivf_centroids(max_share=...)."""
-    from cati_database_feeder_spark.operators.similarity import assign_cells
     from cati_database_feeder_spark.operators.skew import key_occupancy_report
     e = T(spark, sf_dir, "embeddings")
-    cents = [(int(r["vec_id"]), list(r["embedding"]))
-             for r in e.filter(F.col("vec_id") < 16)
-                       .select("vec_id", "embedding").collect()]
-    assigned = assign_cells(e, cents, by="ip")
+    cents = _cents16(spark, sf_dir)
     return key_occupancy_report(
-        assigned.select("vec_id", "cell"), ["cell"], cap=25)
+        _cell_assign_stage(spark, sf_dir).select("vec_id", "cell"),
+        ["cell"], cap=25)
 
 
 @register("semdedup_guarded_pairs", sql="""
@@ -1943,10 +1976,10 @@ def semdedup_guarded_pairs(spark, sf_dir):
     from cati_database_feeder_spark.operators.similarity import (
         semdedup_pairs_guarded)
     e = T(spark, sf_dir, "embeddings")
-    cents = [(int(r["vec_id"]), list(r["embedding"]))
-             for r in e.filter(F.col("vec_id") < 16)
-                       .select("vec_id", "embedding").collect()]
-    return semdedup_pairs_guarded(e, cents, threshold=0.3, cap=25, by="ip")
+    cents = _cents16(spark, sf_dir)
+    return semdedup_pairs_guarded(
+        e, cents, threshold=0.3, cap=25, by="ip",
+        assigned=_cell_assign_stage(spark, sf_dir))
 
 
 @register("embedding_quantize_int8", sql="""
@@ -2032,16 +2065,14 @@ def ivf_quantized_recall_check(spark, sf_dir):
     pass (operators/similarity.py:ivf_topk_quantized)."""
     from cati_database_feeder_spark.functions.vectors import quantize_int8
     from cati_database_feeder_spark.operators.similarity import (
-        assign_cells, brute_force_topk, ivf_topk, ivf_topk_quantized)
+        brute_force_topk, ivf_topk, ivf_topk_quantized)
     e = T(spark, sf_dir, "embeddings")
-    cents = [(int(r["vec_id"]), list(r["embedding"]))
-             for r in e.filter(F.col("vec_id") < 16)
-                       .select("vec_id", "embedding").collect()]
+    cents = _cents16(spark, sf_dir)
     rng = (e.select(F.explode("embedding").alias("x"))
            .agg(F.min(F.col("x").cast("double")).alias("lo"),
                 F.max(F.col("x").cast("double")).alias("hi")).collect()[0])
     lo, hi = float(rng["lo"]), float(rng["hi"])
-    codes = (assign_cells(e, cents, by="ip")
+    codes = (_cell_assign_stage(spark, sf_dir)
              .withColumn("codes",
                          quantize_int8(F.col("embedding"), F.lit(lo),
                                        F.lit(hi)))
@@ -2050,7 +2081,7 @@ def ivf_quantized_recall_check(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     qz = ivf_topk_quantized(q, codes, e, cents, lo, hi, k=10, nprobe=4,
                             rerank=30, by="ip").select("q_id", "vec_id")
-    fl = ivf_topk(q, assign_cells(e, cents, by="ip"), cents, k=10,
+    fl = ivf_topk(q, _cell_assign_stage(spark, sf_dir), cents, k=10,
                   nprobe=4, by="ip").select("q_id", "vec_id")
     ex = _brute_topk10_stage(spark, sf_dir).select("q_id", "vec_id")
     return (ex.agg(F.count_distinct("q_id").alias("n_queries"))
@@ -2148,15 +2179,13 @@ def ivf_assign_topk(spark, sf_dir):
     per-row argmins over the literal centroid array — no crossJoin, no
     corpus-wide window, no shuffle until the k-sized rerank."""
     from cati_database_feeder_spark.operators.similarity import (
-        assign_cells, ivf_topk)
+        ivf_topk)
     e = T(spark, sf_dir, "embeddings")
-    cents = [(int(r["vec_id"]), list(r["embedding"]))
-             for r in e.filter(F.col("vec_id") < 16)
-                       .select("vec_id", "embedding").collect()]
+    cents = _cents16(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0) \
          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    assigned = assign_cells(e, cents, by="ip")
-    return ivf_topk(q, assigned, cents, k=10, nprobe=4, by="ip")
+    return ivf_topk(q, _cell_assign_stage(spark, sf_dir), cents,
+                    k=10, nprobe=4, by="ip")
 
 
 # =====================================================================
@@ -3902,11 +3931,10 @@ def dedup_multi_signal(spark, sf_dir):
     of the embedding id column."""
     from cati_database_feeder_spark.operators.similarity import semdedup_pairs
     e = T(spark, sf_dir, "embeddings")
-    cents = [(int(r["vec_id"]), list(r["embedding"]))
-             for r in e.filter(F.col("vec_id") < 16)
-                       .select("vec_id", "embedding").collect()]
+    cents = _cents16(spark, sf_dir)
     lex = _verified_pairs_stage(spark, sf_dir)
-    sem = semdedup_pairs(e, cents, threshold=0.3, by="ip")
+    sem = semdedup_pairs(e, cents, threshold=0.3, by="ip",
+                         assigned=_cell_assign_stage(spark, sf_dir))
     both = F.col("jaccard").isNotNull() & F.col("cosine").isNotNull()
     ea = e.select(F.col("vec_id").alias("id_a"), F.lit(True).alias("__ea"))
     eb = e.select(F.col("vec_id").alias("id_b"), F.lit(True).alias("__eb"))
