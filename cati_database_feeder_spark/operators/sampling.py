@@ -438,3 +438,47 @@ def token_budget_prefix(df: DataFrame, key: Column, tie_cols: list[str],
             .withColumn("cum_tokens", F.sum(tok).over(w) + F.col("__toff"))
             .filter(F.col("cum_tokens") <= budget)
             .drop("__key", "__pid", "__toff", *drop_tok))
+
+
+def per_group_rank_buckets(df: DataFrame, group_col: str,
+                           within_key: Column, n_buckets: int = 3,
+                           partitions: int | None = None) -> DataFrame:
+    """Per-group rank-quantile bucketing WITHOUT a per-group window
+    (extension E55 — the CCNet head/middle/tail assignment when the
+    group is a source and the key is a quality score): every row gets
+    its group, its 1-based ``grp_rank`` under ``within_key`` ascending
+    within its group, the group size ``grp_n``, and
+    ``bucket = (n_buckets * (grp_rank - 1)) DIV grp_n`` — exact
+    integer arithmetic, bucket populations equal to the rank-quantile
+    partition (first ceil-third = 0, etc.).
+
+    The naive form is ``row_number() OVER (PARTITION BY group ORDER BY
+    key)`` — at 100 TB a handful of sources means a handful of
+    giant single tasks. Here rows ride the literal-bucket global-rank
+    machinery (:func:`global_shuffle_ordinals`, sampled-boundary path)
+    over the composite key ``md5(group) || within_key`` — groups are
+    contiguous in the global order but every partition holds a bounded
+    SLICE of each giant group — and the per-group rank is the global
+    ordinal minus the group's broadcast start offset. Driver/broadcast
+    state is one (min_pos, count) row per GROUP (sources: dozens), the
+    same bounded-model-state class as the IVF centroids.
+
+    ``within_key`` contract (same as text_unigram_rarity's rank key):
+    a fixed-width orderable STRING, UNIQUE within its group — encode
+    numeric components zero-padded (``%020d``) and add a unique
+    tie-break suffix. Uniqueness makes the rank reproducible on any
+    engine from the key alone."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    key = F.concat(F.md5(F.col(group_col).cast("string")), within_key)
+    ordd = global_shuffle_ordinals(df, key, [], partitions=partitions,
+                                   hex_key=False)
+    offs = (ordd.groupBy(group_col)
+            .agg(F.min("pos").alias("__gmin"),
+                 F.count(F.lit(1)).alias("grp_n")))
+    return (ordd.join(F.broadcast(offs), group_col)
+            .withColumn("grp_rank", (F.col("pos") - F.col("__gmin")
+                                     + F.lit(1)).cast("bigint"))
+            .withColumn("bucket", F.expr(
+                f"CAST(({n_buckets} * (grp_rank - 1)) DIV grp_n AS INT)"))
+            .drop("pos", "__gmin"))

@@ -3997,6 +3997,79 @@ def bm25_topk_search(spark, sf_dir):
     return bm25_topk(d, terms=["spark", "query", "vector"], k=20)
 
 
+@register("text_ccnet_buckets", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest([{'w1': tk[i], 'w2': tk[i+1]} FOR i IN range(1, len(tk))]) AS b
+  FROM tk WHERE len(tk) >= 2
+),
+pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+cnt AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2),
+fam AS (
+  SELECT p.doc_id,
+         round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS familiarity
+  FROM pairs p JOIN cnt USING (w1, w2)
+  GROUP BY p.doc_id
+),
+j AS (
+  SELECT f.doc_id, d.source, f.familiarity
+  FROM fam f JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, source, familiarity,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY familiarity DESC, doc_id ASC) AS grp_rank,
+         COUNT(*) OVER (PARTITION BY source) AS grp_n
+  FROM j
+)
+SELECT doc_id, source, familiarity,
+       CAST(grp_rank AS BIGINT) AS grp_rank,
+       CASE (3 * (grp_rank - 1)) // grp_n
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+""")
+def text_ccnet_buckets(spark, sf_dir):
+    """E55 CCNet head/middle/tail bucketing: per SOURCE, rank docs by
+    the E52 quality score (familiarity desc, doc_id tie-break) and
+    split each source into rank-terciles — the canonical CCNet
+    arrangement where each bucket gets its own retention policy (keep
+    head, sample middle, drop tail). The oracle's ROW_NUMBER() OVER
+    (PARTITION BY source) is exactly the shape that cannot scale — a
+    handful of sources means a handful of giant single tasks — so the
+    Spark side rides the literal-bucket global-rank machinery over the
+    composite key md5(source) || inverted-µfamiliarity || doc_id
+    (groups contiguous, every partition holds a bounded slice of each
+    group, per-group rank = global ordinal - broadcast group offset;
+    operators/sampling.py:per_group_rank_buckets). Bucket index is
+    exact integer arithmetic ((3*(rank-1)) DIV n)."""
+    from cati_database_feeder_spark.operators.quality import bigram_familiarity
+    from cati_database_feeder_spark.operators.sampling import (
+        per_group_rank_buckets)
+    d = T(spark, sf_dir, "documents")
+    j = (bigram_familiarity(d).select("doc_id", "familiarity")
+         .join(d.select("doc_id", "source"), "doc_id"))
+    # fixed-width key: inverted micro-familiarity (familiarity is
+    # rounded to 6 decimals, so *1e6 + round is injective and exact)
+    # ++ doc_id — (familiarity desc, doc_id asc), unique per source
+    wk = F.concat(
+        F.format_string(
+            "%020d",
+            F.lit(4611686018427387904)
+            - F.round(F.col("familiarity") * 1e6).cast("long")),
+        F.format_string("%020d", F.col("doc_id")))
+    out = per_group_rank_buckets(j, "source", wk, n_buckets=3)
+    return out.select(
+        "doc_id", "source", "familiarity", "grp_rank",
+        F.when(F.col("bucket") == 0, F.lit("head"))
+         .when(F.col("bucket") == 1, F.lit("middle"))
+         .otherwise(F.lit("tail")).alias("bucket"))
+
+
 @register("sample_token_budget", sql=r"""
 WITH tk AS (
   SELECT doc_id,
@@ -4317,6 +4390,7 @@ _CHECK_ORDER = [
     "ivf_quantized_recall_check", "pack_training_sequences_bpe",
     "hybrid_rrf_search", "text_bigram_familiarity",
     "text_dup_span_removal", "sample_token_budget",
+    "text_ccnet_buckets",
     # -- r7-green block rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
     #    past-window query to hold a green <= 2 rounds old, and these
@@ -4334,7 +4408,7 @@ _CHECK_ORDER = [
     "backfill_month_repair_per_file", "multimodal_binary_features",
     "text_token_doc_freq", "window_range_rolling_sum",
     "agg_filtered_counts", "agg_value_histogram",
-    "string_regex_extract", "text_quality_filter",
+    "text_quality_filter",
     "split_train_holdout", "q5_local_supplier_volume",
     "q3_shipping_priority", "q10_returned_items", "skew_salted_agg",
     "skew_replicate_salt_join", "text_pii_redact",
@@ -4355,8 +4429,14 @@ _CHECK_ORDER = [
     # 2-rounds-old (the policy bound): a trivially stable map-only
     # scalar query, unchanged since r1, value-checked at sf0.001 on
     # every pytest run — evicted so E54 could enter the window; it
-    # MUST rotate back in next round ----
+    # MUST rotate back in next round. semdedup_incremental,
+    # lsh_recall_check, dedup_multi_signal, near_dup queries reading
+    # shared stages: round-9 plan-only rewiring (the staged cell
+    # assignment / brute-force baseline), values re-verified identical
+    # by tools/check.py at sf0.01 post-change this session and by the
+    # in-suite gate at sf0.001 on every pytest run ----
     "embedding_quantize_int8", "dedup_keep_best", "null_normalization",
+    "string_regex_extract",
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",

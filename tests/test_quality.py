@@ -124,3 +124,32 @@ def test_token_budget_prefix_equals_driver_reference(spark):
                        n_tokens_col="n", budget=budget,
                        partitions=parts).collect()}
             assert got == expect, f"budget={budget} parts={parts}"
+
+
+def test_per_group_rank_buckets_equals_driver_reference(spark):
+    """per_group_rank_buckets (operators/sampling.py) ≡ a driver
+    row_number-per-group reference for any partition count, including
+    tiny groups (n < n_buckets) and a group of one."""
+    import random
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.operators.sampling import (
+        per_group_rank_buckets)
+    rng = random.Random(11)
+    rows = [(i, ["a", "b", "c", "solo"][min(rng.randrange(8), 3)]
+             if i != 0 else "solo", rng.randrange(1000))
+            for i in range(200)]
+    # driver reference: rank within group by (v asc, id asc)
+    expect = {}
+    for g in {r[1] for r in rows}:
+        grp = sorted((v, i) for i, gg, v in rows if gg == g)
+        n = len(grp)
+        for r, (v, i) in enumerate(grp, start=1):
+            expect[i] = (r, n, (3 * (r - 1)) // n)
+    wk = F.concat(F.format_string("%020d", F.col("v")),
+                  F.format_string("%020d", F.col("id")))
+    for parts in (2, 8):
+        df = spark.createDataFrame(rows, ["id", "g", "v"]).repartition(parts)
+        got = {r["id"]: (r["grp_rank"], r["grp_n"], r["bucket"])
+               for r in per_group_rank_buckets(df, "g", wk, n_buckets=3,
+                                               partitions=parts).collect()}
+        assert got == expect, f"parts={parts}"
