@@ -828,3 +828,69 @@ def ivf_topk_quantized(queries: DataFrame, corpus_codes: DataFrame,
             .filter(F.col("rank") <= k)
             .select(q_id, F.col(c_id),
                     F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def lsh_topk_multiprobe(queries: DataFrame, corpus: DataFrame,
+                        hyperplanes: list[list[float]], k: int = 10,
+                        n_flip: int = 2, q_id: str = "q_id",
+                        q_vec: str = "q_vec", c_id: str = "vec_id",
+                        c_vec: str = "embedding") -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007, extension E56): each
+    query probes its own bucket PLUS the ``n_flip`` buckets reached by
+    flipping the sign bits with the smallest margin |⟨v, h_i⟩| (ties
+    by bit index) — the perturbations most likely to hide true
+    neighbors. The standard way to buy recall WITHOUT more tables:
+    L-tables amplification multiplies the corpus-side signature rows
+    by L (storage/shuffle), multi-probe multiplies only the QUERY side
+    by 1 + n_flip — at 100 TB the corpus keeps one signature row per
+    vector and the probe explode is bounded by the query set.
+
+    Candidate generation stays an equi-join on the bucket key (probe
+    buckets are distinct single-bit flips, and a corpus vector lives
+    in exactly one bucket, so candidates need no dedup); exact cosine
+    rerank with the deterministic (cosine desc, id asc) tie-break.
+    Everything is sequential-fold dot arithmetic over literal planes —
+    bit-reproducible against a SQL oracle, same as lsh_topk.
+
+    HOF-lambda note (the subsplit_hot_cells lesson): the flip lambda
+    references the base-bucket EXPRESSION per probe element, which
+    re-evaluates its n_bits sign dots n_flip more times — bounded and
+    query-side only (total ≤ (2 + n_flip)·n_bits dots per query row),
+    unlike the corpus-side per-seed argmin that motivated the staged
+    form there."""
+    n_bits = len(hyperplanes)
+    if not 0 <= n_flip <= n_bits:
+        raise ValueError(f"n_flip must be in [0, {n_bits}], got {n_flip}")
+    planes = F.lit([[float(x) for x in p] for p in hyperplanes])
+
+    def bucket_of(vec_col_name: str):
+        return F.array_join(F.transform(
+            planes, lambda p: F.when(V.dot(F.col(vec_col_name), p) >= 0,
+                                     F.lit("1")).otherwise(F.lit("0"))), "")
+
+    # (|margin|, bit index) per plane, smallest margins first
+    margins = F.array_sort(F.transform(
+        planes, lambda p, i: F.struct(
+            F.abs(V.dot(F.col(q_vec), p)).alias("a"),
+            (i + 1).alias("i"))))
+    flips = F.slice(margins, 1, n_flip)
+    base = bucket_of(q_vec)
+    probes = F.concat(
+        F.array(base),
+        F.transform(flips, lambda s: F.concat(
+            F.substring(base, F.lit(1), s["i"] - 1),
+            F.when(F.substring(base, s["i"], F.lit(1)) == "1",
+                   F.lit("0")).otherwise(F.lit("1")),
+            F.substring(base, s["i"] + 1, F.lit(n_bits)))))
+    qb = (queries.withColumn("bucket", F.explode(probes))
+          .withColumn("__qn", V.norm(F.col(q_vec))))
+    cb = (corpus.withColumn("bucket", bucket_of(c_vec))
+          .withColumn("__cn", V.norm(F.col(c_vec))))
+    scored = (cb.join(qb, on="bucket")
+              .withColumn("cosine", V.cosine_from_norms(
+                  F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn"))))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, F.col(c_id),
+                    F.round("cosine", 6).alias("cosine"), "rank"))

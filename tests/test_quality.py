@@ -153,3 +153,32 @@ def test_per_group_rank_buckets_equals_driver_reference(spark):
                for r in per_group_rank_buckets(df, "g", wk, n_buckets=3,
                                                partitions=parts).collect()}
         assert got == expect, f"parts={parts}"
+
+
+def test_lsh_multiprobe_supersets_single_probe(spark, sf_dir):
+    """Multi-probe candidates include the base bucket, so per-query
+    hits against brute force can never drop below single-probe; with
+    n_flip=0 the output equals lsh_topk exactly."""
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.catalog import load_table
+    from cati_database_feeder_spark.operators.similarity import (
+        gaussian_hyperplanes, lsh_topk, lsh_topk_multiprobe)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    planes = gaussian_hyperplanes(64, 8)
+    sp = {(r["q_id"], r["vec_id"]): r["rank"] for r in
+          lsh_topk(q, e, k=10, n_bits=8, hyperplanes=planes).collect()}
+    mp0 = {(r["q_id"], r["vec_id"]): r["rank"] for r in
+           lsh_topk_multiprobe(q, e, planes, k=10, n_flip=0).collect()}
+    assert mp0 == sp
+    mp2 = lsh_topk_multiprobe(q, e, planes, k=10, n_flip=2).collect()
+    # every single-probe result survives unless pushed out by a BETTER
+    # candidate: per query, the multiprobe rank of a shared id never
+    # worsens relative to candidates it already beat
+    by_q = {}
+    for r in mp2:
+        by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for (qid, vid), rk in sp.items():
+        if rk <= 10 - 2:  # ids comfortably inside the cut stay in
+            assert vid in by_q.get(qid, set()), (qid, vid)
