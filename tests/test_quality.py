@@ -182,3 +182,20 @@ def test_lsh_multiprobe_supersets_single_probe(spark, sf_dir):
     for (qid, vid), rk in sp.items():
         if rk <= 10 - 2:  # ids comfortably inside the cut stay in
             assert vid in by_q.get(qid, set()), (qid, vid)
+
+
+def test_lsh_multiprobe_candidates_are_equi_join(spark, sf_dir):
+    """Probe candidates must come from the bucket equi-join — no
+    cartesian, no nested-loop fallback."""
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.catalog import load_table
+    from cati_database_feeder_spark.operators.similarity import (
+        gaussian_hyperplanes, lsh_topk_multiprobe)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    plan = (lsh_topk_multiprobe(q, e, gaussian_hyperplanes(64, 8),
+                                k=10, n_flip=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
