@@ -422,7 +422,13 @@ def token_budget_prefix(df: DataFrame, key: Column, tie_cols: list[str],
         df, key, partitions, hex_key, value_col=n_tokens_col)
     offsets, acc = [], 0
     for bpid, _, vs in buckets:
-        if acc < budget:  # driver prune: bucket starts past the budget
+        # driver prune: a bucket starting strictly past the budget can
+        # hold no kept row. <= (not <) because a ZERO-token row in a
+        # bucket starting exactly AT the budget has cum_tokens == budget
+        # and is kept by the filter — pruning that bucket would make
+        # the output depend on where partition boundaries fall,
+        # violating the replay-identically contract (review finding)
+        if acc <= budget:
             offsets.append((bpid, acc))
         acc += vs
     if not offsets:

@@ -464,12 +464,14 @@ def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     min-id and max-id member vectors (one bounded min_by/max_by
     aggregate over the hot cells; 2 collected rows per split,
     deterministic on any engine). The next iteration's assignment
-    separates the split mass. This keeps the quantizer that feeds
-    SemDeDup/IVF from EVER emitting the degenerate cell the
-    downstream occupancy guard (subsplit_hot_cells) would have to
-    mop up: fix the imbalance where it is created. Cell ids are
-    renumbered 0..k-1 after a split (ids are training-internal
-    labels; only the final list is the contract).
+    separates the split mass; if the FINAL scheduled iteration split,
+    refinement passes continue until one completes with no split (cap
+    8 extra passes — the stats tail records the observed shares of
+    the RETURNED centroids either way, so a cap hit is visible, never
+    silent). Fix the imbalance where it is created, so the downstream
+    occupancy guard (subsplit_hot_cells) has nothing to mop up. Cell
+    ids are renumbered 0..k-1 after a split (ids are
+    training-internal labels; only the final list is the contract).
 
     ``return_stats=True`` additionally returns the per-iteration mass
     diagnostic: a list (one entry per completed assignment pass) of
@@ -526,16 +528,36 @@ def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     stats: list[dict[int, float]] = []
     centroids, _ = _centroids_of(
         corpus.select(c_id, c_vec, (F.col(c_id) % n_cells).alias("cell")))
+    did_split = False
     for _ in range(iterations):
         assigned = assign_cells(corpus, centroids, c_vec)
         centroids, mass = _centroids_of(assigned)
         if max_share is not None:
-            centroids, shares = _split_hot(assigned, centroids, mass)
+            new_c, shares = _split_hot(assigned, centroids, mass)
+            did_split = new_c != centroids
+            centroids = new_c
             stats.append(shares)
         else:
             total = sum(mass.values())
             stats.append({c: m / total for c, m in mass.items()}
                          if total else {})
+    # A split in the FINAL iteration leaves raw member seeds in the
+    # returned list with no assignment pass run against them — the
+    # docstring's bound would be asserted, not enforced (review
+    # finding). Refine until a pass completes with no split (bounded:
+    # each extra pass only runs because the previous one split, and
+    # splits strictly increase the cell count, itself bounded by the
+    # refusal in _split_hot's caller contract); the final stats entry
+    # is then an OBSERVED share table for the returned centroids.
+    extra = 0
+    while max_share is not None and did_split and extra < 8:
+        extra += 1
+        assigned = assign_cells(corpus, centroids, c_vec)
+        centroids, mass = _centroids_of(assigned)
+        new_c, shares = _split_hot(assigned, centroids, mass)
+        did_split = new_c != centroids
+        centroids = new_c
+        stats.append(shares)
     if return_stats:
         return centroids, stats
     return centroids
@@ -623,6 +645,12 @@ def subsplit_hot_cells(assigned: DataFrame, cap: int,
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
+    # validate BEFORE the no-hot-cells early return: a typo'd on_hot
+    # must fail on every run, not only on the production run where a
+    # hot cell finally appears (review finding)
+    if on_hot not in ("subsplit", "error"):
+        raise ValueError(f"on_hot must be 'subsplit' or 'error', "
+                         f"got {on_hot!r}")
     from cati_database_feeder_spark.functions import text as TX
     from cati_database_feeder_spark.operators.sampling import GRAIN
 
@@ -642,9 +670,6 @@ def subsplit_hot_cells(assigned: DataFrame, cap: int,
             f"occupancy ({detail}); sub-split them "
             f"(on_hot='subsplit'), raise the cap, or retrain the "
             f"quantizer with train_ivf_centroids(max_share=...)")
-    if on_hot != "subsplit":
-        raise ValueError(f"on_hot must be 'subsplit' or 'error', "
-                         f"got {on_hot!r}")
 
     n_sub = {c: (m + cap - 1) // cap for c, m in hot.items()}
     total_seeds = sum(n_sub.values())
@@ -747,10 +772,20 @@ def semdedup_pairs_guarded(corpus: DataFrame,
     # recomputes (persist, not checkpoint); the block is released by
     # the ContextCleaner when the plan is GC'd, the same lifecycle as
     # queryset's shared stages.
-    if assigned is None:
+    own_persist = assigned is None
+    if own_persist:
         assigned = assign_cells(corpus, centroid_rows, c_vec, by).persist()
-    split = subsplit_hot_cells(assigned, cap, c_id, c_vec,
-                               on_hot=on_hot, oversample=oversample)
+    try:
+        split = subsplit_hot_cells(assigned, cap, c_id, c_vec,
+                                   on_hot=on_hot, oversample=oversample)
+    except BaseException:
+        # the on_hot='error' refusal (or any guard failure) must not
+        # leave our own corpus-sized persisted block pinned with no
+        # result to justify it (review finding); a caller-supplied
+        # `assigned` is the caller's to manage
+        if own_persist:
+            assigned.unpersist()
+        raise
     cands = _bucket_pairs(
         split.select(F.col(c_id).alias("id"), "cell", "subcell"),
         ["cell", "subcell"], "id")

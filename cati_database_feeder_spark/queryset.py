@@ -89,6 +89,30 @@ def _cents16(spark: SparkSession, sf_dir: str):
     return _CENTS_CACHE[key]
 
 
+def _quant_range(spark: SparkSession, sf_dir: str) -> tuple[float, float]:
+    """Corpus-global int8 quantization range (min/max embedding
+    element): two doubles per (session, sf_dir), cached like the
+    centroid collect — without the cache every recall-gate evaluation
+    paid a full corpus element explode to re-derive two constants
+    (review finding). In production lo/hi are table metadata pinned at
+    quantization time, not re-scanned."""
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _QUANT_RANGE_CACHE if k[0] != app_id]:
+        del _QUANT_RANGE_CACHE[stale]
+    key = (app_id, sf_dir)
+    if key not in _QUANT_RANGE_CACHE:
+        e = T(spark, sf_dir, "embeddings")
+        rng = (e.select(F.explode("embedding").alias("x"))
+               .agg(F.min(F.col("x").cast("double")).alias("lo"),
+                    F.max(F.col("x").cast("double")).alias("hi"))
+               .collect()[0])
+        _QUANT_RANGE_CACHE[key] = (float(rng["lo"]), float(rng["hi"]))
+    return _QUANT_RANGE_CACHE[key]
+
+
+_QUANT_RANGE_CACHE: dict = {}
+
+
 def _cell_assign_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell assignment of the FULL embedding corpus against the fixed
     16-seed centroids (inner-product argmin), persisted once per
@@ -1963,8 +1987,6 @@ def semdedup_cell_occupancy(spark, sf_dir):
     subsplit_hot_cells / _bucket_pairs(max_occupancy=...) /
     train_ivf_centroids(max_share=...)."""
     from cati_database_feeder_spark.operators.skew import key_occupancy_report
-    e = T(spark, sf_dir, "embeddings")
-    cents = _cents16(spark, sf_dir)
     return key_occupancy_report(
         _cell_assign_stage(spark, sf_dir).select("vec_id", "cell"),
         ["cell"], cap=25)
@@ -2128,10 +2150,7 @@ def ivf_quantized_recall_check(spark, sf_dir):
         brute_force_topk, ivf_topk, ivf_topk_quantized)
     e = T(spark, sf_dir, "embeddings")
     cents = _cents16(spark, sf_dir)
-    rng = (e.select(F.explode("embedding").alias("x"))
-           .agg(F.min(F.col("x").cast("double")).alias("lo"),
-                F.max(F.col("x").cast("double")).alias("hi")).collect()[0])
-    lo, hi = float(rng["lo"]), float(rng["hi"])
+    lo, hi = _quant_range(spark, sf_dir)
     codes = (_cell_assign_stage(spark, sf_dir)
              .withColumn("codes",
                          quantize_int8(F.col("embedding"), F.lit(lo),

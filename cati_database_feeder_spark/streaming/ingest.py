@@ -699,7 +699,10 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
             dd = doc_ids.select(
                 F.col(doc_ids.columns[0]).alias("doc_id")).distinct()
         else:
-            ids = list(doc_ids)
+            # set() first: [7, 7, 7] must not append duplicate
+            # tombstone rows to the append-only ledger (the anti-join
+            # below filters only PREVIOUSLY-stored ids) — review finding
+            ids = sorted(set(doc_ids))
             dd = (spark.createDataFrame(
                 [(i,) for i in ids], corpus.select("doc_id").schema)
                 if ids else

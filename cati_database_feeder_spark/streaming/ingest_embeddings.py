@@ -56,6 +56,26 @@ from cati_database_feeder_spark.streaming.ingest import (
 _EMB_STORES = ("labels", "vectors", "centroids", "metrics", "deleted")
 
 
+def _swap_write_by_cell(frame, vec_dir: str) -> None:
+    """Atomic cell-partitioned replacement of the vector store: write
+    __tmp, rename the live dir to __old, rename __tmp in, drop __old.
+    ONE copy of the crash-sensitive rename sequence (compaction and
+    deletion both rewrite the store; two hand-rolled copies would have
+    to stay byte-consistent with _recover_swaps' __tmp/__old naming
+    contract — review finding). Crash windows heal exactly like
+    _swap_write's: __tmp alone is garbage to remove, missing live dir
+    with __old present is rolled forward/back by _recover_swaps."""
+    import shutil
+    tmp = vec_dir.rstrip("/") + "__tmp"
+    old = vec_dir.rstrip("/") + "__old"
+    frame.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(vec_dir, old)
+    os.rename(tmp, vec_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def ingest_embeddings_batch(spark, batch: DataFrame, state_dir: str,
                             centroid_rows=None, threshold: float = 0.9,
                             by: str = "ip", id_col: str = "vec_id",
@@ -193,15 +213,7 @@ def compact_embeddings_state(spark, state_dir: str,
                        .withColumn("__s", F.pmod(F.hash("vec_id"),
                                                  F.lit(target_files_per_cell)))
                        .repartition("cell", "__s").drop("__s"))
-        tmp = vec_dir.rstrip("/") + "__tmp"
-        old = vec_dir.rstrip("/") + "__old"
-        vectors.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-        import shutil
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(vec_dir, old)
-        os.rename(tmp, vec_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_write_by_cell(vectors, vec_dir)
 
 
 def delete_embeddings(spark, state_dir: str, vec_ids,
@@ -252,7 +264,9 @@ def _delete_embeddings_locked(spark, state_dir: str, vec_ids,
             dd = vec_ids.select(
                 F.col(vec_ids.columns[0]).alias("vec_id")).distinct()
         else:
-            ids = list(vec_ids)
+            # set() first: duplicate ids in one call must not append
+            # duplicate tombstone rows (same rule as delete_docs)
+            ids = sorted(set(vec_ids))
             schema = store.select("vec_id").schema
             dd = (spark.createDataFrame([(i,) for i in ids], schema)
                   if ids else spark.createDataFrame([], schema))
@@ -287,17 +301,9 @@ def _delete_embeddings_locked(spark, state_dir: str, vec_ids,
         # re-pairing even though their rows are still present), then
         # the vector rewrite, preserving the cell partitioning
         _swap_write(new_labels, lab_dir)
-        surv = store.join(tomb, "vec_id", "left_anti") \
-            .repartition("cell")
-        tmp = vec_dir.rstrip("/") + "__tmp"
-        old = vec_dir.rstrip("/") + "__old"
-        surv.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-        import shutil
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(vec_dir, old)
-        os.rename(tmp, vec_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_write_by_cell(
+            store.join(tomb, "vec_id", "left_anti").repartition("cell"),
+            vec_dir)
     except BaseException:
         raise  # marker stays: mutating ops refuse until the retry
     else:

@@ -104,8 +104,12 @@ def test_token_budget_prefix_equals_driver_reference(spark):
     from cati_database_feeder_spark.operators.sampling import (
         token_budget_prefix)
     rng = random.Random(9)
+    # include ZERO-token rows: a zero-token row whose cum_tokens lands
+    # exactly ON the budget must be kept even when a bucket boundary
+    # falls right before it (the driver-prune <= fix; review finding)
     rows = [(i, rng.uniform(0.0, 5.0), rng.randint(1, 40))
-            for i in range(300)]
+            for i in range(300)] + [(300 + j, rng.uniform(0.0, 5.0), 0)
+                                    for j in range(20)]
     from pyspark.sql import functions as F
     expect_order = sorted(rows, key=lambda r: (-r[1], r[0]))
     for budget in (1, 173, 2000, 10 ** 9):
@@ -115,6 +119,7 @@ def test_token_budget_prefix_equals_driver_reference(spark):
                 break
             acc += n
             expect[i] = acc
+        assert any(n == 0 for _, _, n in expect_order)
         for parts in (2, 8):
             df = spark.createDataFrame(rows, ["id", "q", "n"]) \
                       .repartition(parts)
@@ -199,3 +204,21 @@ def test_lsh_multiprobe_candidates_are_equi_join(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_budget_prefix_zero_token_row_at_exact_boundary(spark):
+    """A zero-token row whose cum_tokens equals the budget exactly must
+    be kept regardless of bucket boundaries — the driver prune uses
+    <= so the bucket STARTING at the budget is not dropped."""
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.operators.sampling import (
+        token_budget_prefix)
+    rows = [(1, 10, 100), (2, 5, 0), (3, 1, 50)]
+    for parts in (1, 2, 3):
+        got = {r["id"]: r["cum_tokens"] for r in token_budget_prefix(
+            spark.createDataFrame(rows, ["id", "q", "n"]),
+            key=-F.col("q"), tie_cols=["id"], n_tokens_col="n",
+            budget=100, partitions=parts).collect()}
+        # order: id1 (q=10, fills budget), id2 (q=5, zero tokens, cum
+        # stays 100 -> kept), id3 (q=1, 50 tokens -> overflow, dropped)
+        assert got == {1: 100, 2: 100}, f"parts={parts}: {got}"
