@@ -28,9 +28,19 @@ concurrency contract):
   READ the stored quantizer instead of trusting the caller to resend
   the same one; retraining centroids means a new state dir (exactly
   the production contract for an IVF-style layout).
-- ``vectors/``  — (vec_id, embedding, cell), append-only parquet
-  PARTITIONED BY cell — the write-time layout that makes the
-  per-batch probe partition-prunable at 100 TB.
+- ``vectors/``  — (vec_id, embedding, codes, cell), append-only
+  parquet PARTITIONED BY cell — the write-time layout that makes the
+  per-batch probe partition-prunable at 100 TB. ``codes`` is the int8
+  quantization of the vector under the PINNED corpus range (below),
+  maintained per batch so the quantized IVF serving path
+  (operators/similarity.ivf_topk_quantized) reads its coarse tier
+  straight off the store at an eighth of the float bytes.
+- ``quant/``    — one (lo, hi) row, written ONCE at bootstrap (same
+  pinned-at-bootstrap contract as the centroids): every batch
+  quantizes against the stored range, out-of-range elements clamp
+  (quantize_int8's contract), so the code store is one consistent
+  quantization. Legacy dirs migrate on first post-upgrade ingest
+  (:func:`_ensure_quant_store`).
 - ``labels/``   — (id, component) SemDeDup closure labeling, replaced
   per batch via the atomic directory swap.
 
@@ -47,13 +57,15 @@ from pyspark.sql import functions as F
 
 from cati_database_feeder_spark.operators.graph import (
     connected_components, incremental_components)
+from cati_database_feeder_spark.functions import vectors as V
 from cati_database_feeder_spark.operators.similarity import (
     assign_cells, incremental_semdedup_pairs, semdedup_pairs)
 from cati_database_feeder_spark.streaming.ingest import (
     _DELETE_PENDING, _append_metrics, _check_no_pending_delete,
     _recover_swaps, _state_lock, _swap_write)
 
-_EMB_STORES = ("labels", "vectors", "centroids", "metrics", "deleted")
+_EMB_STORES = ("labels", "vectors", "centroids", "metrics", "deleted",
+               "quant")
 
 
 def _swap_write_by_cell(frame, vec_dir: str) -> None:
@@ -101,6 +113,56 @@ def _load_centroids(spark, state_dir: str):
     return sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
 
 
+def _corpus_range(frame, vec_col: str = "embedding") -> tuple[float, float]:
+    """min/max embedding element of ``frame`` — the scalar-quantizer
+    range. Empty frame (or all-null) → (0.0, 0.0): quantize_int8's
+    documented degenerate-range convention (all-zero codes, exact
+    round trip)."""
+    r = (frame.select(F.explode(F.col(vec_col)).alias("x"))
+         .agg(F.min(F.col("x").cast("double")).alias("lo"),
+              F.max(F.col("x").cast("double")).alias("hi")).collect()[0])
+    if r["lo"] is None:
+        return 0.0, 0.0
+    return float(r["lo"]), float(r["hi"])
+
+
+def _load_quant(spark, state_dir: str) -> tuple[float, float]:
+    r = spark.read.parquet(os.path.join(state_dir, "quant")).collect()[0]
+    return float(r["lo"]), float(r["hi"])
+
+
+def _with_codes(frame, lo: float, hi: float):
+    return frame.withColumn("codes", V.quantize_int8(
+        F.col("embedding"), F.lit(float(lo)), F.lit(float(hi))))
+
+
+def _ensure_quant_store(spark, state_dir: str) -> None:
+    """One-time migration for state dirs created before the codes
+    column existed: pin the quantizer range from the CURRENT store
+    (production pins it at quantization time — the same
+    bootstrap-pinned contract as the centroids) and rewrite vectors/
+    with the int8 ``codes`` column. Idempotent and crash-safe in
+    either order: the rewrite is keyed on the column's absence, so a
+    crash between the quant write and the vector rewrite re-enters
+    the rewrite on retry instead of appending mixed schemas."""
+    vec_dir = os.path.join(state_dir, "vectors")
+    quant_dir = os.path.join(state_dir, "quant")
+    store = spark.read.parquet(vec_dir)
+    have_quant = os.path.exists(quant_dir)
+    if have_quant and "codes" in store.columns:
+        return
+    if not have_quant:
+        lo, hi = _corpus_range(store)
+        spark.createDataFrame([(lo, hi)], "lo double, hi double") \
+            .coalesce(1).write.mode("overwrite").parquet(quant_dir)
+    else:
+        lo, hi = _load_quant(spark, state_dir)
+    if "codes" not in store.columns:
+        _swap_write_by_cell(_with_codes(store, lo, hi).repartition("cell"),
+                            vec_dir)
+
+
+
 def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
                               threshold, by, id_col, vec_col,
                               batch_id=None) -> None:
@@ -134,15 +196,27 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
         # re-enters bootstrap and appends a duplicate batch_id row
         # (at-least-once) instead of losing the row to the pure-replay
         # early return forever
+        # the quantizer RANGE is pinned at bootstrap exactly like the
+        # centroids: later batches quantize against the stored [lo,hi]
+        # (out-of-range elements clamp — quantize_int8's contract), so
+        # the code store stays one consistent quantization. Written
+        # before the vectors commit marker: a crash in between
+        # re-enters bootstrap and overwrites it with the same values.
+        lo, hi = _corpus_range(batch)
+        spark.createDataFrame([(lo, hi)], "lo double, hi double") \
+            .coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(state_dir, "quant"))
         n = batch.count()
         _append_metrics(spark, state_dir, batch_id, n, n,
                         pairs.count(), False, True)
-        (assign_cells(batch, cents, "embedding", by)
+        (_with_codes(assign_cells(batch, cents, "embedding", by), lo, hi)
          .write.partitionBy("cell").mode("overwrite").parquet(vec_dir))
         pairs.unpersist()
         return
 
     cents = _load_centroids(spark, state_dir)
+    _ensure_quant_store(spark, state_dir)
+    lo, hi = _load_quant(spark, state_dir)
     store = spark.read.parquet(vec_dir)
     delta = batch.join(store.select("vec_id"), "vec_id", "left_anti")
     deleted_dir = os.path.join(state_dir, "deleted")
@@ -178,7 +252,8 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
             # vectors append LAST — the commit marker: a crash before
             # this line replays the whole batch (delta still absent
             # from the store), after it the replay dedups to empty
-            (assign_cells(delta, cents, "embedding", by)
+            (_with_codes(assign_cells(delta, cents, "embedding", by),
+                         lo, hi)
              .write.partitionBy("cell").mode("append").parquet(vec_dir))
         finally:
             pairs.unpersist()
@@ -308,6 +383,28 @@ def _delete_embeddings_locked(spark, state_dir: str, vec_ids,
         raise  # marker stays: mutating ops refuse until the retry
     else:
         os.unlink(marker)
+
+
+def quantized_serving_frames(spark, state_dir: str):
+    """The :func:`operators.similarity.ivf_topk_quantized` inputs
+    straight off the maintained store:
+    ``(codes_frame, float_frame, centroid_rows, lo, hi)`` — the coarse
+    tier scans only (vec_id, codes, cell), floats are fetched by id
+    for the rerank survivors. Read-only: no lock taken, no migration
+    performed — a pre-codes store raises with the recipe (any ingest
+    batch migrates it) instead of silently serving floats."""
+    vec_dir = os.path.join(state_dir, "vectors")
+    store = spark.read.parquet(vec_dir)
+    if "codes" not in store.columns or not os.path.exists(
+            os.path.join(state_dir, "quant")):
+        raise ValueError(
+            f"quantized_serving_frames: {state_dir!r} predates the "
+            f"codes store — run one ingest_embeddings_batch (the "
+            f"_ensure_quant_store migration) before serving quantized")
+    lo, hi = _load_quant(spark, state_dir)
+    return (store.select("vec_id", "codes", "cell"),
+            store.select("vec_id", "embedding"),
+            _load_centroids(spark, state_dir), lo, hi)
 
 
 def start_embedding_ingest(stream: DataFrame, state_dir: str,

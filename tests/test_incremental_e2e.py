@@ -1094,3 +1094,87 @@ def test_embeddings_compaction_refuses_during_live_ingest(
                       after_df.select("vec_id", "cell").collect())) == before
     _assert_emb_state_equals_scratch(
         spark, state, df.unionByName(extra), cents)
+
+
+def test_embedding_ingest_maintains_quantized_codes(spark, tmp_path):
+    """The vector store carries int8 codes quantized against the
+    BOOTSTRAP-pinned [lo, hi] (round-9: the streaming consumer of the
+    E42 quantizer): later batches quantize against the stored range
+    with out-of-range elements clamped, every stored code equals a
+    fresh quantize_int8 of the stored vector under the pinned range,
+    and the serving accessor feeds ivf_topk_quantized directly."""
+    from cati_database_feeder_spark.functions import vectors as V
+    from cati_database_feeder_spark.operators.similarity import (
+        ivf_topk_quantized)
+    from cati_database_feeder_spark.streaming import (
+        ingest_embeddings as ie)
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    b1 = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 2)]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    # batch 2 exceeds the bootstrap range (element 9.0 > pinned hi) —
+    # its codes must CLAMP, not re-pin the range
+    b2 = spark.createDataFrame(
+        [(10, [9.0, -4.0, 1.0]), (11, [0.5, 0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    state = str(tmp_path / "emb_q")
+    ie.ingest_embeddings_batch(spark, b1, state, centroid_rows=cents,
+                               threshold=0.8, batch_id=0)
+    lo, hi = ie._load_quant(spark, state)
+    ie.ingest_embeddings_batch(spark, b2, state, threshold=0.8, batch_id=1)
+    assert ie._load_quant(spark, state) == (lo, hi)  # pinned, not re-pinned
+    store = spark.read.parquet(os.path.join(state, "vectors"))
+    fresh = store.select(
+        "vec_id", "codes",
+        V.quantize_int8(F.col("embedding"), F.lit(lo), F.lit(hi))
+        .alias("want"))
+    assert fresh.filter(F.col("codes") != F.col("want")).count() == 0
+    assert store.count() == 8
+    clamped = {r["vec_id"]: r["codes"] for r in store.collect()}
+    assert max(clamped[10]) == 255 and min(clamped[10]) == 0  # clamped ends
+    codes_f, float_f, got_cents, glo, ghi = ie.quantized_serving_frames(
+        spark, state)
+    assert (glo, ghi) == (lo, hi) and got_cents == cents
+    q = b1.limit(1).select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec"))
+    hits = ivf_topk_quantized(q, codes_f, float_f, got_cents, glo, ghi,
+                              k=3, nprobe=2, rerank=5, by="ip").collect()
+    assert len(hits) == 3
+
+
+def test_embedding_ingest_migrates_legacy_store_to_codes(spark, tmp_path):
+    """A state dir from before the codes column (simulated by
+    stripping codes/ and quant/) migrates on the next ingest: range
+    pinned from the CURRENT store, every row rewritten with codes,
+    serving accessor usable afterwards; a pre-migration serving call
+    refuses with the recipe."""
+    import pytest as _pytest
+    import shutil
+    from cati_database_feeder_spark.functions import vectors as V
+    from cati_database_feeder_spark.streaming import (
+        ingest_embeddings as ie)
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    rows = [(i, [float(i % 3), 1.0, float(i % 2)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    state = str(tmp_path / "emb_legacy")
+    ie.ingest_embeddings_batch(spark, df.filter(F.col("vec_id") < 6),
+                               state, centroid_rows=cents, threshold=0.8,
+                               batch_id=0)
+    # simulate the legacy layout
+    vec_dir = os.path.join(state, "vectors")
+    legacy = spark.read.parquet(vec_dir).drop("codes").persist()
+    legacy.count()
+    ie._swap_write_by_cell(legacy.repartition("cell"), vec_dir)
+    shutil.rmtree(os.path.join(state, "quant"))
+    with _pytest.raises(ValueError, match="predates the codes store"):
+        ie.quantized_serving_frames(spark, state)
+    ie.ingest_embeddings_batch(spark, df.filter(F.col("vec_id") >= 6),
+                               state, threshold=0.8, batch_id=1)
+    legacy.unpersist()
+    lo, hi = ie._load_quant(spark, state)
+    store = spark.read.parquet(vec_dir)
+    assert "codes" in store.columns and store.count() == 8
+    fresh = store.select(
+        "codes", V.quantize_int8(F.col("embedding"), F.lit(lo), F.lit(hi))
+        .alias("want"))
+    assert fresh.filter(F.col("codes") != F.col("want")).count() == 0
