@@ -4503,11 +4503,13 @@ _CHECK_ORDER = [
     # score row) — their r8 greens plus the in-suite oracle gate and a
     # post-change tools/check.py pass at sf0.01 cover them, and the
     # slots were needed for the three brand-new queries.
-    # null_normalization is the one r7-green deliberately left at
-    # 2-rounds-old (the policy bound): a trivially stable map-only
-    # scalar query, unchanged since r1, value-checked at sf0.001 on
-    # every pytest run — evicted so E54 could enter the window; it
-    # MUST rotate back in next round. semdedup_incremental,
+    # null_normalization, string_regex_extract and text_quality_filter
+    # are the three r7-greens deliberately left at 2-rounds-old (the
+    # policy bound): trivially stable map-only queries, unchanged for
+    # many rounds, value-checked at sf0.001 on every pytest run —
+    # evicted so E54/E55/E56 could enter the window; ALL THREE must
+    # rotate back next round (the recency-ratchet test will fail the
+    # round-10 build otherwise — that is by design). semdedup_incremental,
     # lsh_recall_check, dedup_multi_signal, near_dup queries reading
     # shared stages: round-9 plan-only rewiring (the staged cell
     # assignment / brute-force baseline), values re-verified identical
