@@ -81,3 +81,62 @@ def bigram_familiarity(documents: DataFrame, rare_max: int = 2,
                     F.round(F.col("rare_occ")
                             / F.col("n_bigrams").cast("double"), 6)
                     .alias("rare_frac")))
+
+
+def dsir_importance(documents: DataFrame, target_pred,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """DSIR-style importance score (extension E58; Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"),
+    with the log-ratio dropped for integer exactness — the same
+    discipline as :func:`bigram_familiarity`: every per-doc statistic
+    is an exact BIGINT sum with ONE final division.
+
+    DSIR weights each raw document by how target-like its n-gram
+    distribution is: w(x) ∝ p_target(x) / p_raw(x) over hashed n-gram
+    features. Here the feature is the lowercased whitespace unigram
+    and the per-doc score is the occupancy-weighted target share
+
+        importance = Σ_w c_target(w) / Σ_w c_all(w)
+
+    summed over the doc's token OCCURRENCES, where ``c_target`` /
+    ``c_all`` are corpus-wide occurrence counts of the word inside the
+    target slice (rows matching ``target_pred``) and the full corpus.
+    This is the ratio-of-means form of the DSIR weight: monotone in
+    p_target/p_raw up to the global constant N_target/N_all, exact in
+    BIGINT until the one division, so a SQL oracle replays it
+    bit-for-bit. Docs with zero tokens have no occurrences and are
+    absent from the output (the length gates in ``quality_profile``
+    own that class).
+
+    Plan shape, built for 100 TB:
+    - ONE token explode (map-only, corpus-token-linear rows) carrying
+      the precomputed target flag;
+    - the vocab model is ONE ``groupBy(word)`` with two counting
+      aggregates — map-side partials, hot stop-words ship one partial
+      row per map task;
+    - scoring re-joins occurrences to the model on the SAME word key
+      that shuffle just produced, then one per-doc aggregate.
+    DSIR's feature hashing exists to keep a *broadcastable* model;
+    this plan joins the model instead of broadcasting it, so the
+    un-hashed word key is already shuffle-scalable — hashing becomes
+    an optimization knob (smaller model table), not a correctness
+    requirement.
+    """
+    tk = (documents
+          .select(F.col(id_col), target_pred.alias("__tgt"),
+                  F.explode(F.transform(textfn.tokens(F.col(text_col)),
+                                        F.lower)).alias("w")))
+    vocab = (tk.groupBy("w")
+             .agg(F.count(F.lit(1)).alias("c_all"),
+                  F.sum(F.when(F.col("__tgt"), F.lit(1))
+                        .otherwise(F.lit(0))).alias("c_tgt")))
+    return (tk.join(vocab, "w")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("c_tgt").alias("tgt_sum"),
+                 F.sum("c_all").alias("all_sum"))
+            .select(id_col, "n_tokens", "tgt_sum", "all_sum",
+                    F.round(F.col("tgt_sum")
+                            / F.col("all_sum").cast("double"), 6)
+                    .alias("importance")))

@@ -488,3 +488,28 @@ def per_group_rank_buckets(df: DataFrame, group_col: str,
             .withColumn("bucket", F.expr(
                 f"CAST(({n_buckets} * (grp_rank - 1)) DIV grp_n AS INT)"))
             .drop("pos", "__gmin"))
+
+
+def cap_per_group(df: DataFrame, group_col: str, within_key: Column,
+                  cap: int, partitions: int | None = None) -> DataFrame:
+    """Per-group document cap (extension E57 — the RefinedWeb-style
+    per-domain cap): keep at most ``cap`` rows per ``group_col``
+    value, chosen deterministically as the first ``cap`` under
+    ``within_key`` ascending. With an md5-of-id key the pick is an
+    unbiased fixed sample of each group — the standard guard against
+    any single domain/source dominating a training mix.
+
+    Rides :func:`per_group_rank_buckets` (the E55 machinery), so the
+    rank is computed WITHOUT a per-group window: at 100 TB a handful
+    of giant sources would otherwise serialize into a handful of
+    giant ``row_number() OVER (PARTITION BY source)`` tasks. Output
+    keeps ``grp_rank`` (1-based position inside the group's key
+    order) and ``grp_n`` (group size before the cap) so the drop
+    volume is auditable; ``within_key`` has the same
+    fixed-width-unique contract as per_group_rank_buckets."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    ranked = per_group_rank_buckets(df, group_col, within_key,
+                                    n_buckets=1, partitions=partitions)
+    return (ranked.filter(F.col("grp_rank") <= cap)
+            .drop("bucket"))

@@ -625,3 +625,46 @@ def test_train_ivf_centroids_max_share_splits_degenerate_cell(spark):
     occ = {r["cell"]: r["n"] for r in
            assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sorted(occ.values()) == [20, 20]
+
+
+def test_jl_topk_identity_planes_equals_brute_force(spark):
+    """jl_topk (operators/similarity.py, E59) with coordinate-basis
+    planes and full coarse width degenerates to exact search: the
+    projection is the identity, so coarse order == exact order and
+    the rerank returns brute_force_topk bit-for-bit — pins both the
+    projection arithmetic and the two-stage candidate plumbing."""
+    import random
+    rng = random.Random(31)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(4)])
+            for i in range(24)]
+    corpus = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = (corpus.filter(F.col("vec_id") % 6 == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    identity = [[1.0 if j == i else 0.0 for j in range(4)]
+                for i in range(4)]
+    got = sorted(similarity.jl_topk(q, corpus, identity, k=5,
+                                    coarse_k=len(vecs)).collect())
+    want = sorted(similarity.brute_force_topk(q, corpus, k=5).collect())
+    assert got == want
+
+
+def test_jl_topk_coarse_restricts_candidates(spark):
+    """With coarse_k=1 every query returns exactly one row — its
+    reduced-space argmax reranked — pinning that the rerank never
+    sees rows outside the coarse candidate set."""
+    import random
+    rng = random.Random(37)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(6)])
+            for i in range(20)]
+    corpus = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = (corpus.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    planes = similarity.gaussian_hyperplanes(6, 3, seed=5)
+    out = similarity.jl_topk(q, corpus, planes, k=5, coarse_k=1).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    assert all(len(v) == 1 and v[0]["rank"] == 1 for v in per_q.values())

@@ -222,3 +222,64 @@ def test_token_budget_prefix_zero_token_row_at_exact_boundary(spark):
         # order: id1 (q=10, fills budget), id2 (q=5, zero tokens, cum
         # stays 100 -> kept), id3 (q=1, 50 tokens -> overflow, dropped)
         assert got == {1: 100, 2: 100}, f"parts={parts}: {got}"
+
+
+def test_dsir_importance_hand_computed(spark):
+    """dsir_importance (operators/quality.py, E58): exact BIGINT
+    bookkeeping on a corpus small enough to hand-compute; empty doc
+    absent; lowercasing folds tokens."""
+    from cati_database_feeder_spark.operators.quality import dsir_importance
+    docs = spark.createDataFrame(
+        [(1, "a B", "en"), (2, "A c", "de"), (3, "b b", "en"),
+         (4, "   ", "de")],
+        ["doc_id", "text", "lang"])
+    got = {r["doc_id"]: r
+           for r in dsir_importance(
+               docs, target_pred=F.col("lang") == "en").collect()}
+    # vocab: a → all 2 / tgt 1; b → all 3 / tgt 3; c → all 1 / tgt 0
+    assert set(got) == {1, 2, 3}        # doc 4 has no tokens
+    assert (got[1]["n_tokens"], got[1]["tgt_sum"], got[1]["all_sum"],
+            got[1]["importance"]) == (2, 4, 5, 0.8)
+    assert (got[2]["tgt_sum"], got[2]["all_sum"]) == (1, 3)
+    assert got[2]["importance"] == 0.333333
+    assert got[3]["importance"] == 1.0
+
+
+def test_dsir_importance_plan_has_no_window_or_cartesian(spark, sf_dir):
+    """Same 100 TB shape contract as bigram_familiarity: one vocab
+    groupBy + one re-join on the word key + one per-doc aggregate —
+    no corpus window, no cartesian."""
+    from cati_database_feeder_spark.catalog import load_table
+    from cati_database_feeder_spark.operators.quality import dsir_importance
+    d = load_table(spark, sf_dir, "documents")
+    plan = (dsir_importance(d, target_pred=F.col("lang") == "en")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_cap_per_group_equals_driver_reference(spark):
+    """cap_per_group (operators/sampling.py, E57) ≡ a driver
+    row_number-then-filter reference across partition counts,
+    including groups below the cap and a group of one."""
+    import random
+    from cati_database_feeder_spark.operators.sampling import cap_per_group
+    rng = random.Random(23)
+    rows = [(i, ["a", "b", "c", "solo"][min(rng.randrange(8), 3)]
+             if i != 0 else "solo", rng.randrange(1000))
+            for i in range(200)]
+    cap = 5
+    expect = {}
+    for g in {r[1] for r in rows}:
+        grp = sorted((v, i) for i, gg, v in rows if gg == g)
+        for r, (v, i) in enumerate(grp, start=1):
+            if r <= cap:
+                expect[i] = (r, len(grp))
+    wk = F.concat(F.format_string("%020d", F.col("v")),
+                  F.format_string("%020d", F.col("id")))
+    for parts in (2, 8):
+        df = spark.createDataFrame(rows, ["id", "g", "v"]).repartition(parts)
+        got = {r["id"]: (r["grp_rank"], r["grp_n"])
+               for r in cap_per_group(df, "g", wk, cap=cap,
+                                      partitions=parts).collect()}
+        assert got == expect, f"parts={parts}"
