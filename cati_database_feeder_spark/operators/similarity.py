@@ -1004,3 +1004,53 @@ def jl_topk(queries: DataFrame, corpus: DataFrame,
             .filter(F.col("rank") <= k)
             .select(q_id, F.col(c_id),
                     F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def semantic_decontaminate(corpus: DataFrame, bench: DataFrame,
+                           threshold: float,
+                           c_id: str = "vec_id", c_vec: str = "embedding",
+                           b_id: str = "vec_id",
+                           b_vec: str = "embedding") -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination (extension
+    E63): for every corpus vector, its max cosine against the benchmark
+    embedding set, the arg-max benchmark id, and a contamination flag
+    at ``threshold`` — the semantic sibling of the n-gram
+    decontamination scrub (paraphrased eval leakage that shares no
+    shingle). Zero-norm vectors are excluded on BOTH sides (cosine
+    undefined).
+
+    Scale shape: the benchmark side is BOUNDED (eval suites are MBs,
+    not TBs) and broadcast; the corpus side is scanned ONCE with the
+    per-benchmark-row expansion collapsed immediately by a partial-max
+    aggregate (max of struct(cos, -bench_id) — map-side combine, one
+    row per corpus vector into the shuffle; the struct tie-breaks
+    equal cosines to the smallest bench id). NO per-corpus window
+    anywhere. For benchmark sets too large for the row expansion,
+    compose the JL/IVF coarse tier (:func:`jl_topk`, :func:`ivf_topk`)
+    to prune candidates first — same contract, sublinear probe.
+
+    Determinism: raw sequential-fold doubles order the arg-max in both
+    engines; rounding to 6 happens only on output, and the flag is
+    computed on the ROUNDED value so both engines compare the
+    identical literal."""
+    c = (corpus.select(F.col(c_id).alias("vec_id"),
+                       F.col(c_vec).alias("__cv"))
+         .withColumn("__cn", V.norm(F.col("__cv")))
+         .filter(F.col("__cn") > 0))
+    b = (bench.select(F.col(b_id).alias("__bid"),
+                      F.col(b_vec).alias("__bv"))
+         .withColumn("__bn", V.norm(F.col("__bv")))
+         .filter(F.col("__bn") > 0))
+    scored = (c.join(F.broadcast(b))
+              .withColumn("__cos", V.cosine_from_norms(
+                  F.col("__cv"), F.col("__bv"),
+                  F.col("__cn"), F.col("__bn"))))
+    best = (scored.groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("__cos").alias("c"),
+                                (-F.col("__bid")).alias("nb"))).alias("__m")))
+    return best.select(
+        "vec_id",
+        (-F.col("__m.nb")).alias("best_bench_id"),
+        F.round(F.col("__m.c"), 6).alias("max_cos"),
+        (F.round(F.col("__m.c"), 6) >= F.lit(float(threshold)))
+        .alias("contaminated"))

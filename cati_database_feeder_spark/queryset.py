@@ -4493,7 +4493,7 @@ WITH tk AS (
 ),
 vocab AS (
   SELECT w, COUNT(*) AS c_all,
-         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
   FROM tk GROUP BY w
 )
 SELECT t.doc_id,
@@ -4616,6 +4616,357 @@ def jl_recall_check(spark, sf_dir):
                     .alias("recall_ok")))
 
 
+# ---------------------------------------------------------------------
+# Round-9 additions, sketch tier: Bloom-gated decontamination (E60),
+# count-min heavy-hitter estimation (E61), MinHash calibration (E62)
+# ---------------------------------------------------------------------
+
+@register("decontaminate_bloom_gate", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+4], ' ')
+                        FOR i IN range(1, len(tk) - 3)]) AS shingles
+  FROM tk WHERE len(tk) >= 5
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 40 = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 40 <> 0
+)
+SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS n_shared_shingles
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+""")
+def decontaminate_bloom_gate(spark, sf_dir):
+    """E60 Bloom-gated benchmark decontamination: same contract as E25
+    (flag training docs sharing a 5-token shingle with the benchmark
+    slice, here every 40th doc) but the corpus side is prefiltered by a
+    FIXED-SIZE Bloom bitmap over the benchmark shingles before the
+    exact join ever sees it. This is the structure that survives a
+    benchmark suite too large to broadcast exactly: the bitmap is
+    m_bits = 2^16 regardless of benchmark size (~10 bits per shingle
+    here → ~3% false positives at sf0.1), the corpus-side test is a
+    zero-shuffle codegen projection (2 element_at + bit_get per
+    shingle), and because a Bloom filter has NO false negatives the
+    exact verify join on the tiny surviving fraction restores
+    exactness — which is why the oracle is the plain exact SQL: the
+    gate is provably result-transparent, and a hash/bit regression
+    that ever dropped a true positive would hash-mismatch here
+    (functions/sketches.py:bloom_build, bloom_might_contain)."""
+    from cati_database_feeder_spark.functions import sketches
+    m_bits = 65536
+    d = T(spark, sf_dir, "documents")
+    staged = (d.select("doc_id", text.tokens(F.col("text")).alias("__tk"))
+              .filter(F.size("__tk") >= 5)
+              .select("doc_id",
+                      F.array_distinct(
+                          text.shingles_from_tokens(F.col("__tk"), 5)).alias("sh")))
+    bench = (staged.filter(F.col("doc_id") % 40 == 0)
+             .select(F.explode("sh").alias("shingle")).distinct())
+    words = sketches.bloom_build(bench, "shingle", m_bits=m_bits, k=2)
+    corpus = (staged.filter(F.col("doc_id") % 40 != 0)
+              .select("doc_id", F.explode("sh").alias("shingle")))
+    gated = corpus.filter(
+        sketches.bloom_might_contain(F.col("shingle"), words, m_bits, k=2))
+    return (gated.join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("shingle").alias("n_shared_shingles")))
+
+
+# shared by text_token_cms AND text_token_cms_store: the monolithic
+# and the shard-merged sketch must emit IDENTICAL estimates (count-min
+# is a linear sketch), so they share one oracle — the same shared-SQL
+# discipline as _NEAR_DUP_INCR_SQL
+_TOKEN_CMS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+base AS (
+  SELECT tok,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM toks
+),
+seeds AS (
+  SELECT r,
+         CASE WHEN (1103515245 * (r + 201) + 12345) % 2147483647 = 0 THEN 1
+              ELSE (1103515245 * (r + 201) + 12345) % 2147483647 END AS a,
+         (69069 * (r + 201) + 1) % 2147483647 AS b
+  FROM (SELECT unnest(range(4)) AS r)
+),
+cells AS (
+  SELECT r, ((a * h + b) % 2147483647) % 2048 AS bucket, COUNT(*) AS cnt
+  FROM base CROSS JOIN seeds
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok
+  ORDER BY true_cnt DESC, tok ASC LIMIT 20
+),
+cand AS (
+  SELECT t.tok, t.true_cnt, s.r,
+         ((s.a * (CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT)
+                  % 2147483647) + s.b) % 2147483647) % 2048 AS bucket
+  FROM top t CROSS JOIN seeds s
+)
+SELECT c.tok AS token, CAST(c.true_cnt AS BIGINT) AS true_cnt,
+       CAST(min(l.cnt) AS BIGINT) AS cms_est,
+       CAST(min(l.cnt) AS BIGINT) >= c.true_cnt AS overest_ok
+FROM cand c JOIN cells l ON l.r = c.r AND l.bucket = c.bucket
+GROUP BY c.tok, c.true_cnt
+"""
+
+
+@register("text_token_cms", sql=_TOKEN_CMS_SQL)
+def text_token_cms(spark, sf_dir):
+    """E61 count-min heavy hitters: estimated occurrence counts for the
+    exact top-20 tokens, from a 4×2048 count-min table built by ONE
+    aggregate with map-side partials — the bounded-memory replacement
+    for a corpus-sized groupBy(token) result when the vocabulary
+    doesn't fit (and the mergeable form a streaming/multi-shard count
+    needs: tables add cell-wise). The md5→universal-hash bucket ids
+    (coefficient indices 200.., disjoint from MinHash) are replayed
+    bit-for-bit by the oracle, so true_cnt, cms_est AND the
+    overestimate guarantee est ≥ true are all value-hashed — an
+    estimate that ever under-counted would flip overest_ok and
+    hash-mismatch (functions/sketches.py:cms_table, cms_estimate).
+    Candidates here are the exact top-20 (tie-broken by token) so the
+    oracle replays the set; at 100 TB candidates come from the same
+    table via per-partition local heavy-hitter passes."""
+    from cati_database_feeder_spark.functions import sketches
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    table = sketches.cms_table(toks, "tok", depth=4, width=2048)
+    top = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+           .orderBy(F.desc("true_cnt"), F.asc("tok")).limit(20))
+    est = sketches.cms_estimate(top, "tok", table, depth=4, width=2048)
+    return est.select(F.col("tok").alias("token"), "true_cnt", "cms_est",
+                      (F.col("cms_est") >= F.col("true_cnt"))
+                      .alias("overest_ok"))
+
+
+@register("text_token_cms_store", sql=_TOKEN_CMS_SQL)
+def text_token_cms_store(spark, sf_dir):
+    """E61 shard-merged twin: the SAME estimates as ``text_token_cms``
+    but the count-min table is the cell-wise SUM of two shard tables
+    (docs split by doc_id parity) — the linear-sketch merge that makes
+    the sketch the multi-shard/streaming answer, here driver-hash-gated
+    against the monolithic oracle (shared SQL, the
+    _NEAR_DUP_INCR_SQL discipline). This is the query-side twin of the
+    ingest-maintained ``cms/`` store (streaming/ingest.py), whose
+    per-batch merge, crash-replay fingerprint guard, takedown rebuild
+    and dim pinning are pytest-verified in test_incremental_e2e.py."""
+    from cati_database_feeder_spark.functions import sketches
+    d = T(spark, sf_dir, "documents")
+    toks_of = lambda df: df.select(  # noqa: E731 - local plumbing
+        F.explode(text.tokens(F.col("text"))).alias("tok"))
+    shard_a = sketches.cms_table(
+        toks_of(d.filter(F.col("doc_id") % 2 == 0)), "tok",
+        depth=4, width=2048)
+    shard_b = sketches.cms_table(
+        toks_of(d.filter(F.col("doc_id") % 2 != 0)), "tok",
+        depth=4, width=2048)
+    merged = (shard_a.unionByName(shard_b)
+              .groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt")))
+    toks = toks_of(d)
+    top = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+           .orderBy(F.desc("true_cnt"), F.asc("tok")).limit(20))
+    est = sketches.cms_estimate(top, "tok", merged, depth=4, width=2048)
+    return est.select(F.col("tok").alias("token"), "true_cnt", "cms_est",
+                      (F.col("cms_est") >= F.col("true_cnt"))
+                      .alias("overest_ok"))
+
+
+@register("minhash_calibration_check", sql=r"""
+WITH toksets AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(toks) AS tok FROM toksets),
+base AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM toks
+),
+seeds AS (
+  SELECT i,
+         CASE WHEN (1103515245 * (i + 1) + 12345) % 2147483647 = 0 THEN 1
+              ELSE (1103515245 * (i + 1) + 12345) % 2147483647 END AS a,
+         (69069 * (i + 1) + 1) % 2147483647 AS b
+  FROM (SELECT unnest(range(16)) AS i)
+),
+hashes AS (
+  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+  FROM base CROSS JOIN seeds GROUP BY doc_id, i
+),
+buckets AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM hashes GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(ta.toks, tb.toks))
+               / CAST(len(ta.toks) + len(tb.toks)
+                      - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  JOIN toksets ta ON ta.doc_id = c.id_a
+  JOIN toksets tb ON tb.doc_id = c.id_b
+  WHERE round(len(list_intersect(ta.toks, tb.toks))
+              / CAST(len(ta.toks) + len(tb.toks)
+                     - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE), 6) >= 0.7
+),
+lowpairs AS (
+  SELECT ta.doc_id AS id_a, tb.doc_id AS id_b,
+         round(len(list_intersect(ta.toks, tb.toks))
+               / CAST(len(ta.toks) + len(tb.toks)
+                      - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE), 6) AS jaccard
+  FROM toksets ta JOIN toksets tb ON tb.doc_id = ta.doc_id + 1
+  WHERE ta.doc_id % 10 = 0 AND len(ta.toks) > 0 AND len(tb.toks) > 0
+),
+allpairs AS (
+  SELECT * FROM verified UNION SELECT * FROM lowpairs
+),
+agree AS (
+  SELECT p.id_a, p.id_b, p.jaccard,
+         CAST(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree16
+  FROM allpairs p
+  JOIN hashes ha ON ha.doc_id = p.id_a
+  JOIN hashes hb ON hb.doc_id = p.id_b AND hb.i = ha.i
+  GROUP BY p.id_a, p.id_b, p.jaccard
+),
+binned AS (
+  SELECT (CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT) * 5) // 1000000 AS bin,
+         CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT) AS j6, agree16
+  FROM agree
+),
+sums AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(j6) AS BIGINT) AS sj,
+         CAST(SUM(agree16) AS BIGINT) AS sa
+  FROM binned GROUP BY bin
+)
+SELECT bin, n_pairs,
+       round(sj / (1000000.0 * n_pairs), 6) AS mean_j,
+       round(sa / (16.0 * n_pairs), 6) AS mean_agree,
+       abs(round(sa / (16.0 * n_pairs), 6)
+           - round(sj / (1000000.0 * n_pairs), 6)) <= 0.1 AS calib_ok
+FROM sums
+""")
+def minhash_calibration_check(spark, sf_dir):
+    """E62 MinHash calibration contract: P[sig_i(A)=sig_i(B)] =
+    Jaccard(A,B) (Broder 1997) is the theorem the ENTIRE near-dup
+    tier leans on — banding recall, threshold choice, incremental
+    probes. This query measures it: over the verified near-dup pairs
+    (J ≥ 0.7, the materialized stage every consumer reads) plus a
+    deterministic low-J anchor sample (doc pairs (i, i+1), i % 10 = 0),
+    bin pairs by Jaccard quintile and gate |mean signature agreement −
+    mean Jaccard| ≤ 0.1 per bin. Measured deviations: ≤ 0.036 at
+    sf0.001/0.01, ≤ 0.053 at sf0.1 (the n=5 bin-0 anchor) — a seed/
+    hash-family regression that decorrelates signatures from Jaccard
+    blows past 0.1 and flips calib_ok. Everything is integer-exact
+    until the final divisions (j6 = floor(J·1e6+0.5), agree16 =
+    matching-signature count), so both engines replay the identical
+    booleans; the exact-dup bin (J=1.0, bin 5) pins agreement ≡ 1.
+    Pair volume is the verified-pair stage + a corpus-linear sample;
+    the agreement join is pair-linear on bounded 16-element arrays."""
+    from cati_database_feeder_spark.operators import dedup as DD
+    pairs = _verified_pairs_stage(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    d = T(spark, sf_dir, "documents")
+    toksets = d.select("doc_id",
+                       F.array_distinct(text.tokens(F.col("text"))).alias("toks"))
+    a = toksets.alias("a")
+    b = toksets.alias("b")
+    low = (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+           .filter((F.col("a.doc_id") % 10 == 0)
+                   & (F.size("a.toks") > 0) & (F.size("b.toks") > 0))
+           .select(F.col("a.doc_id").alias("id_a"),
+                   F.col("b.doc_id").alias("id_b"),
+                   F.round(DD.token_jaccard(F.col("a.toks"), F.col("b.toks")),
+                           6).alias("jaccard")))
+    allp = pairs.unionByName(low).distinct()
+    sigs = (d.select("doc_id", DD.token_hashes(F.col("text")).alias("__h"))
+            .filter(F.size("__h") > 0)
+            .select("doc_id",
+                    DD.minhash_signature(F.col("__h"), 16).alias("sig")))
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    ag = (allp.join(sa, "id_a").join(sb, "id_b")
+          .withColumn("agree16", F.size(F.filter(
+              F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v))))
+    binned = (ag.withColumn(
+        "j6", F.floor(F.col("jaccard") * 1000000 + F.lit(0.5)).cast("bigint"))
+        .selectExpr("(j6 * 5) DIV 1000000 AS bin", "j6", "agree16"))
+    out = (binned.groupBy("bin")
+           .agg(F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("j6").alias("_sj"),
+                F.sum("agree16").alias("_sa"))
+           .select("bin", "n_pairs",
+                   F.round(F.col("_sj") / (1000000.0 * F.col("n_pairs")),
+                           6).alias("mean_j"),
+                   F.round(F.col("_sa") / (16.0 * F.col("n_pairs")),
+                           6).alias("mean_agree")))
+    return out.withColumn(
+        "calib_ok", F.abs(F.col("mean_agree") - F.col("mean_j")) <= 0.1)
+
+
+@register("decontaminate_semantic", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+b AS (SELECT vec_id AS bid, v AS bv, nm AS bn FROM n
+      WHERE vec_id % 100 = 0 AND nm > 0),
+c AS (SELECT vec_id, v AS cv, nm AS cn FROM n
+      WHERE vec_id % 100 <> 0 AND nm > 0),
+s AS (
+  SELECT c.vec_id, b.bid,
+         list_dot_product(c.cv, b.bv) / nullif(c.cn * b.bn, 0.0) AS cos_raw,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY list_dot_product(c.cv, b.bv)
+                      / nullif(c.cn * b.bn, 0.0) DESC,
+                    b.bid ASC) AS rk
+  FROM c CROSS JOIN b
+)
+SELECT vec_id, bid AS best_bench_id, round(cos_raw, 6) AS max_cos,
+       round(cos_raw, 6) >= 0.35 AS contaminated
+FROM s WHERE rk = 1
+""")
+def decontaminate_semantic(spark, sf_dir):
+    """E63 semantic decontamination: the embedding-space sibling of the
+    n-gram scrub — paraphrased eval leakage shares no shingle but sits
+    close in embedding space. Benchmark slice = vec_id % 100 = 0
+    (bounded: eval suites are MBs); output = EVERY corpus vector's max
+    cosine vs the benchmark, the arg-max benchmark id (tie-broken to
+    the smallest), and the flag at 0.35 (the synthetic near-isotropic
+    embeddings top out ~0.45, so the flag carries both values at every
+    SF). The oracle's per-corpus-row window is the shape that canNOT
+    scale — the Spark side broadcasts the bounded benchmark and
+    collapses the expansion with a partial-max struct aggregate
+    (map-side combine, one row per corpus vector into the shuffle, no
+    window); for benchmark sets too large to row-expand, compose the
+    JL/IVF coarse tier first
+    (operators/similarity.py:semantic_decontaminate)."""
+    from cati_database_feeder_spark.operators.similarity import (
+        semantic_decontaminate)
+    e = T(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 100 == 0)
+    corpus = e.filter(F.col("vec_id") % 100 != 0)
+    return semantic_decontaminate(corpus, bench, threshold=0.35)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4641,6 +4992,9 @@ _CHECK_ORDER = [
     "text_ccnet_buckets", "embedding_lsh_multiprobe_topk",
     "sample_source_cap", "text_dsir_importance",
     "embedding_jl_topk", "jl_recall_check",
+    "decontaminate_bloom_gate", "text_token_cms",
+    "minhash_calibration_check", "decontaminate_semantic",
+    "text_token_cms_store",
     # -- r7-green block rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
     #    past-window query to hold a green <= 2 rounds old, and these
@@ -4653,11 +5007,10 @@ _CHECK_ORDER = [
     "ivf_assign_topk", "embedding_cosine_topk",
     "dedup_embedding_cosine_pairs", "events_exact_median",
     "funnel_view_to_purchase",
-    "text_chunk_documents", "decontaminate_against_benchmark",
-    "json_extract_props", "events_sliding_window",
+    "decontaminate_against_benchmark",
+    "events_sliding_window",
     "backfill_month_repair_per_file", "multimodal_binary_features",
-    "text_token_doc_freq", "window_range_rolling_sum",
-    "split_train_holdout", "q5_local_supplier_volume",
+    "q5_local_supplier_volume",
     "skew_salted_agg",
     "skew_replicate_salt_join", "text_pii_redact",
     "join_asof_backward", "events_tumbling_window",
@@ -4674,15 +5027,17 @@ _CHECK_ORDER = [
     # post-change tools/check.py pass at sf0.01 cover them, and the
     # slots were needed for the three brand-new queries.
     # null_normalization, string_regex_extract, text_quality_filter,
-    # agg_filtered_counts, agg_value_histogram, q3_shipping_priority
-    # and q10_returned_items are the seven r7-greens deliberately left
-    # at 2-rounds-old (the policy bound): trivially stable queries,
-    # unchanged for many rounds, value-checked at sf0.001 on every
-    # pytest run — evicted so E54-E59 could enter the window; ALL
-    # SEVEN must rotate back next round (the recency-ratchet test
-    # will fail the round-10 build otherwise — that is by design,
-    # and 7 mandatory slots of 50 is well within the sustainable
-    # period-3 rotation budget). semdedup_incremental,
+    # agg_filtered_counts, agg_value_histogram, q3_shipping_priority,
+    # q10_returned_items, text_chunk_documents, json_extract_props,
+    # split_train_holdout, text_token_doc_freq and
+    # window_range_rolling_sum are the twelve r7-greens deliberately
+    # left at 2-rounds-old (the policy bound): trivially stable
+    # queries, unchanged for many rounds, value-checked at sf0.001 on
+    # every pytest run — evicted so E54-E63 could enter the window;
+    # ALL TWELVE must rotate back next round (the recency-ratchet test
+    # will fail the round-10 build otherwise — that is by design, and
+    # 12 mandatory slots of 50 is within the sustainable period-3
+    # rotation budget). semdedup_incremental,
     # lsh_recall_check, dedup_multi_signal, near_dup queries reading
     # shared stages: round-9 plan-only rewiring (the staged cell
     # assignment / brute-force baseline), values re-verified identical
@@ -4692,6 +5047,8 @@ _CHECK_ORDER = [
     "string_regex_extract", "text_quality_filter",
     "agg_filtered_counts", "agg_value_histogram",
     "q3_shipping_priority", "q10_returned_items",
+    "text_chunk_documents", "json_extract_props", "split_train_holdout",
+    "text_token_doc_freq", "window_range_rolling_sum",
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",

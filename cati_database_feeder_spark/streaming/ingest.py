@@ -55,6 +55,22 @@ is either APPEND-ONLY or an atomic directory swap:
   by the delta filter forever — the tombstone wins over the corpus
   anti-join, which would otherwise re-admit it once its corpus row is
   gone.
+- ``cms/``     — the corpus-wide count-min token-frequency sketch
+  (functions/sketches.py), maintained per batch by CELL-WISE ADD (a
+  count-min table is a LINEAR sketch — merging shards is addition),
+  swap-replaced like labels. Two sentinel rows ride the same parquet
+  so the swap stays atomic for data + bookkeeping: r=-2 pins the
+  (depth, width) dims at bootstrap (merging mismatched dims silently
+  corrupts every cell → descriptive refusal), r=-1 carries the LAST
+  MERGED DELTA's fingerprint — foreachBatch is at-least-once and the
+  merge is NOT idempotent, so a crash between the cms swap and the
+  corpus commit marker would double-count the redelivered delta; the
+  retry sees its delta's fingerprint already stored and skips the
+  merge. Takedown rebuilds the sketch from the surviving corpus (the
+  idempotent form the re-apply-full-tombstone-set contract needs; at
+  100 TB a SMALL delete would instead SUBTRACT the deleted docs'
+  sketch — linearity gives deletion for free — but subtraction
+  re-applied on a crash retry would double-subtract).
 
 ``foreachBatch`` is the right harness because each micro-batch runs
 arbitrary BATCH DataFrame code with exactly-once-per-batch-id
@@ -95,12 +111,14 @@ import socket
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cati_database_feeder_spark.functions import sketches
+from cati_database_feeder_spark.functions import text as text_fns
 from cati_database_feeder_spark.operators import dedup
 from cati_database_feeder_spark.operators.graph import (
     connected_components, incremental_components)
 
 _STORES = ("labels", "corpus", "buckets", "members", "reps", "metrics",
-           "pairs", "deleted")
+           "pairs", "deleted", "cms")
 
 _LOCK_NAME = "_LOCK"
 _DELETE_PENDING = "_DELETE_PENDING"
@@ -324,6 +342,112 @@ def _ensure_pairs_store(spark, state_dir: str, threshold: float,
      .write.mode("overwrite").parquet(pairs_dir))
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+_CMS_FP_ROW = -1    # sentinel: bucket = delta id-hash sum, cnt = delta rows
+_CMS_DIMS_ROW = -2  # sentinel: bucket = depth, cnt = width
+_CMS_NO_FP = (-1, -1)  # "no last-merged delta" (bootstrap/migration/delete)
+
+
+def _cms_of(docs: DataFrame, depth: int, width: int) -> DataFrame:
+    """(r, bucket, cnt) count-min table over the docs' token
+    occurrences (functions/sketches.py:cms_table)."""
+    toks = docs.select(F.explode(
+        text_fns.tokens(F.col("text"))).alias("tok"))
+    return sketches.cms_table(toks, "tok", depth=depth, width=width)
+
+
+def _cms_fp(delta: DataFrame) -> tuple[int, int]:
+    """Replay fingerprint of a delta: (row count, sum of 60-bit doc-id
+    hashes mod P) — deterministic and order-free, so the at-least-once
+    redelivery of the SAME delta reproduces it exactly; a different
+    delta matching both values is a ~2^-31 accident."""
+    row = (delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(text_fns.hash64(F.col("doc_id").cast("string"))
+                         % F.lit(dedup.MINHASH_P)), F.lit(0)).alias("h"))
+        .collect())[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _cms_store_frame(spark, table: DataFrame, fp: tuple[int, int],
+                     depth: int, width: int) -> DataFrame:
+    """Data rows + the two sentinel rows, one frame so one swap commits
+    both (fp and dims must never drift from the cells they describe)."""
+    sent = spark.createDataFrame(
+        [(_CMS_FP_ROW, fp[1], fp[0]), (_CMS_DIMS_ROW, depth, width)],
+        "r INT, bucket BIGINT, cnt BIGINT")
+    return (table.select(F.col("r").cast("int"),
+                         F.col("bucket").cast("bigint"),
+                         F.col("cnt").cast("bigint"))
+            .unionByName(sent))
+
+
+def read_cms(spark, state_dir: str) -> DataFrame:
+    """The maintained count-min table (r, bucket, cnt) of the live
+    corpus, sentinel bookkeeping rows stripped — feed it to
+    :func:`functions.sketches.cms_estimate` for point-frequency
+    estimates without any corpus scan."""
+    return (spark.read.parquet(os.path.join(state_dir, "cms"))
+            .filter(F.col("r") >= 0))
+
+
+def _ensure_cms_store(spark, state_dir: str,
+                      depth: int = CMS_DEPTH,
+                      width: int = CMS_WIDTH) -> None:
+    """One-time migration for pre-cms state dirs (one corpus tokenize
+    pass, the same policy as the other ensure fns); on maintained dirs
+    this only verifies the BOOTSTRAP-PINNED dims — merging a table
+    built with different (depth, width) would silently corrupt every
+    cell, so a mismatch is a descriptive refusal, not a rebuild."""
+    cms_dir = os.path.join(state_dir, "cms")
+    if os.path.exists(cms_dir):
+        dims = (spark.read.parquet(cms_dir)
+                .filter(F.col("r") == _CMS_DIMS_ROW).collect())
+        if dims and (int(dims[0]["bucket"]), int(dims[0]["cnt"])) \
+                != (depth, width):
+            raise StateLockError(
+                f"cms store at {cms_dir!r} was bootstrapped with "
+                f"(depth, width) = ({int(dims[0]['bucket'])}, "
+                f"{int(dims[0]['cnt'])}) but this ingest is configured "
+                f"for ({depth}, {width}) — dims are pinned at bootstrap "
+                f"(merging mismatched tables corrupts every cell); use "
+                f"the stored dims or rebuild the store.")
+        return
+    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
+    (_cms_store_frame(spark, _cms_of(corpus, depth, width),
+                      _CMS_NO_FP, depth, width)
+     .write.mode("overwrite").parquet(cms_dir))
+
+
+def _cms_merge_delta(spark, state_dir: str, delta: DataFrame,
+                     depth: int = CMS_DEPTH,
+                     width: int = CMS_WIDTH) -> None:
+    """Fold one delta into the cms store: cell-wise ADD (the linear-
+    sketch merge), swap-replaced. Replay-guarded: foreachBatch is
+    at-least-once, the merge is not idempotent, and a crash AFTER this
+    swap but BEFORE the corpus commit marker redelivers the identical
+    delta — whose fingerprint then matches the stored sentinel and the
+    merge is skipped. Plans here read only cms/ (self-read is what
+    _swap_write exists for) and the delta (batch text + corpus
+    anti-join), so the call is recacheByPath-safe anywhere before the
+    corpus append."""
+    cms_dir = os.path.join(state_dir, "cms")
+    stored = spark.read.parquet(cms_dir)
+    fp = _cms_fp(delta)
+    prev = stored.filter(F.col("r") == _CMS_FP_ROW).collect()
+    if prev and (int(prev[0]["cnt"]), int(prev[0]["bucket"])) == fp:
+        return  # crash-window replay: this delta is already merged
+    merged = (stored.filter(F.col("r") >= 0)
+              .unionByName(_cms_of(delta, depth, width)
+                           .select(F.col("r").cast("int"),
+                                   F.col("bucket").cast("bigint"),
+                                   F.col("cnt").cast("bigint")))
+              .groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt")))
+    _swap_write(_cms_store_frame(spark, merged, fp, depth, width),
+                cms_dir)
+
+
 def _check_no_pending_delete(state_dir: str, op: str) -> None:
     """A crash inside :func:`delete_docs` leaves the stores mutually
     inconsistent (some rewritten against the tombstones, some not) —
@@ -432,6 +556,13 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # the edge store takedown repairs labels from (delete_docs)
         pairs.select("id_a", "id_b").write.mode("overwrite") \
             .parquet(pairs_dir)
+        # cms sketch of the bootstrap corpus; a bootstrap retry redoes
+        # this overwrite with identical content (idempotent), and the
+        # fp sentinel records the batch so a partial-crash redelivery
+        # that somehow reaches the incremental path still skips
+        (_cms_store_frame(spark, _cms_of(batch, CMS_DEPTH, CMS_WIDTH),
+                          _cms_fp(batch), CMS_DEPTH, CMS_WIDTH)
+         .write.mode("overwrite").parquet(os.path.join(state_dir, "cms")))
         # metrics BEFORE the corpus commit marker: a crash between the
         # two replays the whole bootstrap (corpus absent) and appends a
         # duplicate row with the same batch_id — at-least-once, which
@@ -448,6 +579,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
 
     _ensure_membership_stores(spark, state_dir)
     _ensure_pairs_store(spark, state_dir, threshold, num_hashes, bands)
+    _ensure_cms_store(spark, state_dir)
     fr = _incremental_frames(spark, state_dir, batch, threshold,
                              num_hashes, bands)
     # persist the per-batch frames every downstream branch consumes;
@@ -503,6 +635,11 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         fr["buckets_append"].write.mode("append").parquet(buckets_dir)
         fr["members_append"].write.mode("append").parquet(members_dir)
         fr["reps_append"].write.mode("append").parquet(reps_dir)
+        # cms merge BEFORE the corpus commit marker (its replay guard
+        # assumes a crash here redelivers the identical delta, which
+        # holds only while the marker is unwritten); reads cms/ + the
+        # delta only, so it is recacheByPath-safe at this slot
+        _cms_merge_delta(spark, state_dir, delta)
         # metrics BEFORE the corpus commit marker (same argument as the
         # bootstrap branch): a crash in between replays the batch and
         # appends a duplicate batch_id row — at-least-once — where the
@@ -614,7 +751,7 @@ def _compact_state_locked(spark, state_dir: str,
     # compact it with them (append-only, so the swap discipline holds);
     # one row per batch → one file, not n near-empty ones
     for name, parts in (("members", n), ("reps", n), ("metrics", 1),
-                        ("pairs", n), ("deleted", 1)):
+                        ("pairs", n), ("deleted", 1), ("cms", 1)):
         d = os.path.join(state_dir, name)
         if os.path.exists(d):
             _swap_write(spark.read.parquet(d).repartition(parts), d)
@@ -803,6 +940,23 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
         _swap_write(new_buckets, buckets_dir)
         _swap_write(surv_pairs, pairs_dir)
         _swap_write(new_members, members_dir)
+        # cms rebuilt from the SURVIVING corpus (reads the old corpus/
+        # + deleted/, so it must run before the corpus swap). Rebuild,
+        # not subtract: the re-apply-full-tombstone-set retry contract
+        # makes subtraction double-apply on a crash; fp resets to the
+        # no-delta sentinel so any in-flight batch redelivered after
+        # the delete merges normally. Dims come from the stored
+        # sentinel (bootstrap-pinned).
+        cms_dir = os.path.join(state_dir, "cms")
+        if os.path.exists(cms_dir):
+            dims = (spark.read.parquet(cms_dir)
+                    .filter(F.col("r") == _CMS_DIMS_ROW).collect())
+            cd, cw = ((int(dims[0]["bucket"]), int(dims[0]["cnt"]))
+                      if dims else (CMS_DEPTH, CMS_WIDTH))
+            _swap_write(_cms_store_frame(
+                spark, _cms_of(corpus.join(tomb, "doc_id", "left_anti"),
+                               cd, cw),
+                _CMS_NO_FP, cd, cw), cms_dir)
         _swap_write(corpus.join(tomb, "doc_id", "left_anti"), corpus_dir)
     except BaseException:
         raise  # marker stays: the refusal gate routes to a retry

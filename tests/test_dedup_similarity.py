@@ -668,3 +668,58 @@ def test_jl_topk_coarse_restricts_candidates(spark):
         per_q.setdefault(r["q_id"], []).append(r)
     assert set(per_q) == {0, 1, 2}
     assert all(len(v) == 1 and v[0]["rank"] == 1 for v in per_q.values())
+
+
+def test_semantic_decontaminate_tiebreak_and_reference(spark):
+    """semantic_decontaminate (operators/similarity.py, E63) against a
+    driver brute-force reference, including the tie-break: two
+    IDENTICAL benchmark vectors must arg-max to the SMALLER bench id,
+    and zero-norm vectors drop from both sides."""
+    import math
+    import random
+    rng = random.Random(41)
+    corpus = [(i, [rng.uniform(-1, 1) for _ in range(4)])
+              for i in range(1, 30)] + [(99, [0.0, 0.0, 0.0, 0.0])]
+    shared = [0.5, -0.25, 0.125, 1.0]
+    bench = [(100, shared), (101, shared),
+             (102, [rng.uniform(-1, 1) for _ in range(4)]),
+             (103, [0.0, 0.0, 0.0, 0.0])]
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    bdf = spark.createDataFrame(bench, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r for r in similarity.semantic_decontaminate(
+        cdf, bdf, threshold=0.5).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    assert 99 not in got                       # zero-norm corpus row
+    for vid, v in corpus:
+        if vid == 99:
+            continue
+        best = max(((cos(v, bv), -bid) for bid, bv in bench if any(bv)))
+        assert got[vid]["best_bench_id"] == -best[1]
+        assert got[vid]["max_cos"] == round(best[0], 6)
+        assert got[vid]["contaminated"] == (round(best[0], 6) >= 0.5)
+        # ties on the duplicated benchmark vector resolve to id 100
+        if -best[1] in (100, 101):
+            assert got[vid]["best_bench_id"] == 100
+
+
+def test_semantic_decontaminate_plan_broadcasts_and_aggregates(spark):
+    """The 100 TB shape contract: benchmark side broadcast (no
+    shuffle-side cross product), arg-max via partial aggregate — the
+    plan holds a broadcast nested-loop join and a HashAggregate, and
+    NO Window/CartesianProduct/SortMergeJoin."""
+    cdf = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 50)],
+        ["vec_id", "embedding"])
+    bdf = spark.createDataFrame(
+        [(100, [1.0, 2.0]), (101, [2.0, 1.0])], ["vec_id", "embedding"])
+    plan = (similarity.semantic_decontaminate(cdf, bdf, threshold=0.3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan
+    for bad in ("Window", "CartesianProduct", "SortMergeJoin"):
+        assert bad not in plan, f"{bad} in plan:\n{plan}"

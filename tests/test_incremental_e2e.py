@@ -1178,3 +1178,124 @@ def test_embedding_ingest_migrates_legacy_store_to_codes(spark, tmp_path):
         "codes", V.quantize_int8(F.col("embedding"), F.lit(lo), F.lit(hi))
         .alias("want"))
     assert fresh.filter(F.col("codes") != F.col("want")).count() == 0
+
+
+# ---------------------------------------------------------------------
+# cms/ store: the maintained count-min sketch (round 9)
+# ---------------------------------------------------------------------
+
+def _cms_cells(spark, state):
+    from cati_database_feeder_spark.streaming import ingest as ing
+    return sorted(map(tuple, ing.read_cms(spark, state).collect()))
+
+
+def _cms_recompute(spark, docs, depth=None, width=None):
+    from cati_database_feeder_spark.streaming import ingest as ing
+    t = ing._cms_of(docs, depth or ing.CMS_DEPTH, width or ing.CMS_WIDTH)
+    return sorted(map(tuple,
+                      t.select(F.col("r").cast("int"),
+                               F.col("bucket").cast("bigint"),
+                               F.col("cnt").cast("bigint")).collect()))
+
+
+def test_cms_store_multi_batch_equals_full_recompute(spark, tmp_path):
+    """The linear-sketch merge across bootstrap + two batches (with
+    replayed ids that die at exact dedup) lands on the IDENTICAL cell
+    set as one count-min pass over the final corpus store."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta beta")], ["doc_id", "text"])
+    b1 = spark.createDataFrame(
+        [(2, "REPLAYED ignored"), (3, "alpha alpha epsilon")],
+        ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(4, "zeta beta gamma gamma"), (1, "REPLAYED too")],
+        ["doc_id", "text"])
+    for i, b in enumerate((b0, b1, b2)):
+        ing.ingest_batch(spark, b, state, batch_id=i)
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert _cms_cells(spark, state) == _cms_recompute(spark, corpus)
+
+
+def test_cms_store_replay_after_commit_crash_does_not_double_count(
+        spark, tmp_path):
+    """foreachBatch is at-least-once and the cms merge is NOT
+    idempotent: a crash AFTER the cms swap but BEFORE the corpus
+    commit marker (injected at the metrics append, which sits between
+    them) redelivers the identical delta — the fingerprint sentinel
+    must skip the second merge or every cell the delta touched
+    double-counts."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]),
+        state, batch_id=0)
+    batch = spark.createDataFrame(
+        [(3, "alpha epsilon epsilon")], ["doc_id", "text"])
+    real_append = ing._append_metrics
+    crashed = []
+
+    def crash_at_metrics(*a, **kw):
+        if not crashed:
+            crashed.append(True)
+            raise RuntimeError("injected crash before commit marker")
+        real_append(*a, **kw)
+
+    ing._append_metrics = crash_at_metrics
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ing.ingest_batch(spark, batch, state, batch_id=1)
+        # retry: delta recomputes identically (marker unwritten), the
+        # stored fp matches, the merge is skipped
+        ing.ingest_batch(spark, batch, state, batch_id=1)
+    finally:
+        ing._append_metrics = real_append
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert corpus.filter(F.col("doc_id") == 3).count() == 1
+    assert _cms_cells(spark, state) == _cms_recompute(spark, corpus)
+
+
+def test_cms_store_delete_docs_rebuilds_on_survivors(spark, tmp_path):
+    """Takedown: the sketch equals a fresh count-min pass over the
+    surviving corpus (never retains deleted docs' counts), and the
+    idempotent empty-set retry changes nothing."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha"),
+         (3, "delta epsilon")], ["doc_id", "text"]), state, batch_id=0)
+    ing.delete_docs(spark, state, [2])
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert corpus.filter(F.col("doc_id") == 2).count() == 0
+    cells = _cms_cells(spark, state)
+    assert cells == _cms_recompute(spark, corpus)
+    ing.delete_docs(spark, state, [])
+    assert _cms_cells(spark, state) == cells
+
+
+def test_cms_store_dims_pinned_at_bootstrap(spark, tmp_path):
+    """Merging tables of different (depth, width) silently corrupts
+    every cell — a mismatched configuration must refuse loudly."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        [(1, "alpha")], ["doc_id", "text"]), state, batch_id=0)
+    with pytest.raises(ing.StateLockError, match="pinned at bootstrap"):
+        ing._ensure_cms_store(spark, state, depth=2, width=64)
+
+
+def test_cms_store_legacy_dir_migrates_once(spark, tmp_path):
+    """A pre-cms state dir gets the sketch derived from its corpus on
+    the next ingest (one corpus tokenize pass, once), then maintains
+    it incrementally."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], ["doc_id", "text"]),
+        state, batch_id=0)
+    shutil.rmtree(os.path.join(state, "cms"))      # simulate legacy dir
+    ing.ingest_batch(spark, spark.createDataFrame(
+        [(3, "delta alpha")], ["doc_id", "text"]), state, batch_id=1)
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert _cms_cells(spark, state) == _cms_recompute(spark, corpus)
