@@ -4667,8 +4667,12 @@ def decontaminate_bloom_gate(spark, sf_dir):
               .select("doc_id",
                       F.array_distinct(
                           text.shingles_from_tokens(F.col("__tk"), 5)).alias("sh")))
+    # persisted: the tiny distinct benchmark set is scanned twice (the
+    # bloom_build collect and the exact verify join) — without persist
+    # each scan re-runs the benchmark-side shingle pass
     bench = (staged.filter(F.col("doc_id") % 40 == 0)
-             .select(F.explode("sh").alias("shingle")).distinct())
+             .select(F.explode("sh").alias("shingle")).distinct()
+             .persist())
     words = sketches.bloom_build(bench, "shingle", m_bits=m_bits, k=2)
     corpus = (staged.filter(F.col("doc_id") % 40 != 0)
               .select("doc_id", F.explode("sh").alias("shingle")))
@@ -4897,7 +4901,16 @@ def minhash_calibration_check(spark, sf_dir):
                    F.col("b.doc_id").alias("id_b"),
                    F.round(DD.token_jaccard(F.col("a.toks"), F.col("b.toks")),
                            6).alias("jaccard")))
-    allp = pairs.unionByName(low).distinct()
+    # set-union via anti-join on the SMALL side, not a distinct over
+    # the whole pair table: verified pairs are already distinct (the
+    # stage), anchor pairs are distinct by construction, so the only
+    # possible duplicates are anchor pairs that also verified — the
+    # anti-join removes those for the cost of the anchor count instead
+    # of a corpus-pair-sized shuffle (the oracle's UNION dedups
+    # identically: overlapping rows carry the same rounded jaccard)
+    allp = pairs.unionByName(
+        low.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"],
+                 "left_anti"))
     sigs = (d.select("doc_id", DD.token_hashes(F.col("text")).alias("__h"))
             .filter(F.size("__h") > 0)
             .select("doc_id",
