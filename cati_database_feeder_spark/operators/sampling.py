@@ -513,3 +513,66 @@ def cap_per_group(df: DataFrame, group_col: str, within_key: Column,
                                     n_buckets=1, partitions=partitions)
     return (ranked.filter(F.col("grp_rank") <= cap)
             .drop("bucket"))
+
+
+def pps_systematic_sample(df: DataFrame, key: Column, tie_cols: list[str],
+                          weight_col: str, k: int,
+                          partitions: int | None = None,
+                          hex_key: bool = False) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling (extension
+    E64): walk the corpus in ascending ``key`` order (an md5 key makes
+    the walk a deterministic random permutation), accumulate integer
+    weights, and select the row that crosses each of the ``k`` evenly
+    spaced tickets j·T/k (T = total weight) — every row's selection
+    probability is proportional to its weight, with NO transcendental
+    arithmetic anywhere (the Efraimidis–Spirakis u^(1/w) key needs
+    ln/pow, whose last-ulp behavior differs between engines; ticket
+    crossing is pure BIGINT, so a SQL oracle replays the exact sample).
+
+    Selection rule: keep row i iff (k·W_i) DIV T > (k·(W_i−w_i)) DIV T
+    with W_i the inclusive running weight. Properties: at most k rows
+    (fewer when one heavy row crosses several tickets — it is selected
+    once, with certainty); zero-weight rows are never selected;
+    negative weights fail loudly (filter-borne raise_error column
+    pruning cannot elide).
+
+    Scale shape: the naive form is SUM() OVER (ORDER BY key) — a
+    single-partition window. This rides the literal-bucket machinery
+    (:func:`_global_order_buckets`, the pack_sequences contract): per-
+    bucket weight sums collect to the driver (state bounded by bucket
+    count), each row's running weight = broadcast bucket offset +
+    within-bucket running sum. Requires k·T < 2^62 (checked)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keyed, pid, buckets = _global_order_buckets(
+        df, key, partitions, hex_key, value_col=weight_col)
+    offsets, acc = [], 0
+    for bpid, _, vs in buckets:
+        offsets.append((bpid, acc))
+        acc += vs
+    total = acc
+    if total <= 0:
+        raise ValueError(
+            f"pps_systematic_sample: total weight must be positive, "
+            f"got {total}")
+    if k * total >= (1 << 62):
+        raise ValueError(
+            f"pps_systematic_sample: k*total = {k * total} risks BIGINT "
+            f"overflow in the ticket arithmetic; reduce k or rescale "
+            f"the weights")
+    off = df.sparkSession.createDataFrame(offsets, "__pid int, __woff long")
+    w = (Window.partitionBy("__pid").orderBy("__key", *tie_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wv = F.when(
+        F.col(weight_col) < 0,
+        F.raise_error(F.concat(
+            F.lit("pps_systematic_sample: negative weight for row "),
+            F.col(tie_cols[0]).cast("string"))).cast("long")
+    ).otherwise(F.coalesce(F.col(weight_col).cast("long"), F.lit(0)))
+    return (keyed.withColumn("__pid", pid)
+            .join(F.broadcast(off), "__pid")
+            .withColumn("__w", wv)
+            .withColumn("cum_weight", F.sum("__w").over(w) + F.col("__woff"))
+            .filter(F.expr(f"({k} * cum_weight) DIV {total} "
+                           f"> ({k} * (cum_weight - __w)) DIV {total}"))
+            .drop("__key", "__pid", "__woff", "__w"))

@@ -4980,6 +4980,44 @@ def decontaminate_semantic(spark, sf_dir):
     return semantic_decontaminate(corpus, bench, threshold=0.35)
 
 
+@register("sample_pps_systematic", sql="""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         CAST(SUM(n_chars) OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cumw,
+         CAST(SUM(n_chars) OVER () AS BIGINT) AS tot
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+       cumw AS cum_weight
+FROM w
+WHERE (20 * cumw) // tot > (20 * (cumw - n_chars)) // tot
+""")
+def sample_pps_systematic(spark, sf_dir):
+    """E64 probability-proportional-to-size systematic sample: k=20
+    tickets over the md5(doc_id)-permuted corpus, weight = n_chars —
+    the standard 'sample documents proportional to length' draw (size-
+    biased inspection, length-weighted eval slices) in pure BIGINT
+    ticket arithmetic: no ln/pow (whose last-ulp behavior differs
+    between engines), so the oracle replays the EXACT sample. The
+    oracle's SUM() OVER (ORDER BY ...) is the single-partition window
+    that canNOT scale — the Spark side rides the literal-bucket
+    running-offset machinery (bounded driver state, bucket-local
+    windows; operators/sampling.py:pps_systematic_sample). cum_weight
+    rides along so the crossing is auditable."""
+    from cati_database_feeder_spark.operators.sampling import (
+        pps_systematic_sample)
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = pps_systematic_sample(
+        d, F.md5(F.col("doc_id").cast("string")), ["doc_id"],
+        "n_chars", k=20, hex_key=True)
+    return out.select("doc_id", "source",
+                      F.col("n_chars").cast("bigint").alias("weight"),
+                      "cum_weight")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -5007,7 +5045,7 @@ _CHECK_ORDER = [
     "embedding_jl_topk", "jl_recall_check",
     "decontaminate_bloom_gate", "text_token_cms",
     "minhash_calibration_check", "decontaminate_semantic",
-    "text_token_cms_store",
+    "text_token_cms_store", "sample_pps_systematic",
     # -- r7-green block rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
     #    past-window query to hold a green <= 2 rounds old, and these
@@ -5019,7 +5057,6 @@ _CHECK_ORDER = [
     "text_repetition_profile", "shard_manifest", "ivf_recall_check",
     "ivf_assign_topk", "embedding_cosine_topk",
     "dedup_embedding_cosine_pairs", "events_exact_median",
-    "funnel_view_to_purchase",
     "decontaminate_against_benchmark",
     "events_sliding_window",
     "backfill_month_repair_per_file", "multimodal_binary_features",
@@ -5042,15 +5079,16 @@ _CHECK_ORDER = [
     # null_normalization, string_regex_extract, text_quality_filter,
     # agg_filtered_counts, agg_value_histogram, q3_shipping_priority,
     # q10_returned_items, text_chunk_documents, json_extract_props,
-    # split_train_holdout, text_token_doc_freq and
-    # window_range_rolling_sum are the twelve r7-greens deliberately
-    # left at 2-rounds-old (the policy bound): trivially stable
-    # queries, unchanged for many rounds, value-checked at sf0.001 on
-    # every pytest run — evicted so E54-E63 could enter the window;
-    # ALL TWELVE must rotate back next round (the recency-ratchet test
-    # will fail the round-10 build otherwise — that is by design, and
-    # 12 mandatory slots of 50 is within the sustainable period-3
-    # rotation budget). semdedup_incremental,
+    # split_train_holdout, text_token_doc_freq,
+    # window_range_rolling_sum and funnel_view_to_purchase are the
+    # thirteen r7-greens deliberately left at 2-rounds-old (the policy
+    # bound): trivially stable queries, unchanged for many rounds,
+    # value-checked at sf0.001 on every pytest run — evicted so
+    # E54-E64 could enter the window; ALL THIRTEEN must rotate back
+    # next round (the recency-ratchet test will fail the round-10
+    # build otherwise — that is by design; 13 mandatory slots of 50 is
+    # within the sustainable period-3 rotation budget even with a
+    # typical ~8-query round-10 surface). semdedup_incremental,
     # lsh_recall_check, dedup_multi_signal, near_dup queries reading
     # shared stages: round-9 plan-only rewiring (the staged cell
     # assignment / brute-force baseline), values re-verified identical
@@ -5062,6 +5100,7 @@ _CHECK_ORDER = [
     "q3_shipping_priority", "q10_returned_items",
     "text_chunk_documents", "json_extract_props", "split_train_holdout",
     "text_token_doc_freq", "window_range_rolling_sum",
+    "funnel_view_to_purchase",
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",

@@ -283,3 +283,51 @@ def test_cap_per_group_equals_driver_reference(spark):
                for r in cap_per_group(df, "g", wk, cap=cap,
                                       partitions=parts).collect()}
         assert got == expect, f"parts={parts}"
+
+
+def test_pps_systematic_equals_driver_reference(spark):
+    """pps_systematic_sample (operators/sampling.py, E64) ≡ a driver
+    running-sum ticket walk, across partition counts; ≤ k rows; a row
+    heavier than T/k is always selected; zero-weight rows never are."""
+    import hashlib
+    from cati_database_feeder_spark.operators.sampling import (
+        pps_systematic_sample)
+    import random
+    rng = random.Random(61)
+    rows = [(i, rng.randrange(0, 40)) for i in range(200)]
+    rows.append((900, 10_000))                       # heavy row
+    rows.append((901, 0))                            # zero weight
+    k = 12
+    order = sorted(rows, key=lambda r: (
+        hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    total = sum(w for _, w in rows)
+    expect, cum = {}, 0
+    for i, w in order:
+        prev = cum
+        cum += w
+        if (k * cum) // total > (k * prev) // total:
+            expect[i] = cum
+    assert 900 in expect            # heavy row crosses with certainty
+    assert 901 not in expect        # zero weight never crosses
+    assert len(expect) <= k
+    for parts in (2, 8):
+        df = spark.createDataFrame(rows, ["id", "w"]).repartition(parts)
+        got = {r["id"]: r["cum_weight"]
+               for r in pps_systematic_sample(
+                   df, F.md5(F.col("id").cast("string")), ["id"], "w",
+                   k=k, partitions=parts, hex_key=True).collect()}
+        assert got == expect, f"parts={parts}"
+
+
+def test_pps_systematic_negative_weight_fails_loud(spark):
+    from cati_database_feeder_spark.operators.sampling import (
+        pps_systematic_sample)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    df = spark.createDataFrame([(1, 5), (2, -3), (3, 7)], ["id", "w"])
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="negative weight"):
+        pps_systematic_sample(
+            df, F.md5(F.col("id").cast("string")), ["id"], "w",
+            k=2, hex_key=True).collect()
