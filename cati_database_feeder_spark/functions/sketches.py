@@ -58,7 +58,7 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int,
     The driver collect is the DISTINCT SET BIT POSITIONS — bounded by
     ``m_bits`` regardless of key count, the same bounded-model-state
     class as the IVF centroid collect. Sizing: ~10 bits per expected
-    distinct key at k=2 gives ~5% false positives; the false-positive
+    distinct key at k=2 gives ~3% false positives; the false-positive
     rate affects only how much the downstream exact verify join has to
     re-check, never the result."""
     if m_bits % 64 != 0 or m_bits <= 0:
@@ -83,6 +83,17 @@ def bloom_might_contain(key: Column, words: list[int], m_bits: int,
     2^20 bits = 16 Ki longs, the same order as the hyperplane
     literals); the test is k element_at + bit_get calls inside
     whole-stage codegen — zero shuffle, zero Python."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if len(words) != m_bits // 64:
+        # a mismatch silently yields FALSE NEGATIVES (out-of-range
+        # element_at returns NULL, NULL & ... drops the row) — the one
+        # failure mode this design promises is impossible
+        raise ValueError(
+            f"bloom_might_contain: bitmap has {len(words)} words but "
+            f"m_bits={m_bits} implies {m_bits // 64} — the test would "
+            f"produce silent false negatives; pass the same m_bits the "
+            f"bitmap was built with")
     wl = F.lit(words)
     h = T.hash64(key)
     test = F.lit(True)

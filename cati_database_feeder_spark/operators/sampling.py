@@ -544,6 +544,11 @@ def pps_systematic_sample(df: DataFrame, key: Column, tie_cols: list[str],
     within-bucket running sum. Requires k·T < 2^62 (checked)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if not tie_cols:
+        raise ValueError(
+            "pps_systematic_sample: tie_cols must name at least one "
+            "unique column — duplicate keys would otherwise make the "
+            "selected sample partition-order-dependent")
     keyed, pid, buckets = _global_order_buckets(
         df, key, partitions, hex_key, value_col=weight_col)
     offsets, acc = [], 0

@@ -1045,12 +1045,17 @@ def semantic_decontaminate(corpus: DataFrame, bench: DataFrame,
               .withColumn("__cos", V.cosine_from_norms(
                   F.col("__cv"), F.col("__bv"),
                   F.col("__cn"), F.col("__bn"))))
+    # arg-max as MIN of struct(-cos, bench_id): negating the DOUBLE is
+    # type-safe for any orderable id type (negating the id is not — a
+    # string id would implicitly cast to NULL under non-ANSI and emit
+    # best_bench_id NULL for every row; review finding), and min picks
+    # the smallest id among equal cosines
     best = (scored.groupBy("vec_id")
-            .agg(F.max(F.struct(F.col("__cos").alias("c"),
-                                (-F.col("__bid")).alias("nb"))).alias("__m")))
+            .agg(F.min(F.struct((-F.col("__cos")).alias("nc"),
+                                F.col("__bid").alias("b"))).alias("__m")))
     return best.select(
         "vec_id",
-        (-F.col("__m.nb")).alias("best_bench_id"),
-        F.round(F.col("__m.c"), 6).alias("max_cos"),
-        (F.round(F.col("__m.c"), 6) >= F.lit(float(threshold)))
+        F.col("__m.b").alias("best_bench_id"),
+        F.round(-F.col("__m.nc"), 6).alias("max_cos"),
+        (F.round(-F.col("__m.nc"), 6) >= F.lit(float(threshold)))
         .alias("contaminated"))

@@ -413,11 +413,23 @@ def _ensure_cms_store(spark, state_dir: str,
                 f"for ({depth}, {width}) — dims are pinned at bootstrap "
                 f"(merging mismatched tables corrupts every cell); use "
                 f"the stored dims or rebuild the store.")
-        return
+        if dims:
+            return
+        # a cms dir WITHOUT the dims sentinel is a partially written
+        # store (every complete writer — bootstrap, merge, delete,
+        # this migration — commits data + sentinels in one frame):
+        # treating it as valid would serve a permanently under-counted
+        # sketch. Rebuild from the corpus (review finding); safe
+        # w.r.t. a crashed in-flight batch because the corpus marker
+        # for that batch is unwritten, so its redelivered delta merges
+        # against this rebuild normally.
+        shutil.rmtree(cms_dir)
     corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
-    (_cms_store_frame(spark, _cms_of(corpus, depth, width),
-                      _CMS_NO_FP, depth, width)
-     .write.mode("overwrite").parquet(cms_dir))
+    # _swap_write (not a plain overwrite): a crash mid-migration must
+    # leave either no cms dir (retry re-enters here) or a complete one
+    # — never a sentinel-less partial (review finding)
+    _swap_write(_cms_store_frame(spark, _cms_of(corpus, depth, width),
+                                 _CMS_NO_FP, depth, width), cms_dir)
 
 
 def _cms_merge_delta(spark, state_dir: str, delta: DataFrame,

@@ -1299,3 +1299,26 @@ def test_cms_store_legacy_dir_migrates_once(spark, tmp_path):
         [(3, "delta alpha")], ["doc_id", "text"]), state, batch_id=1)
     corpus = spark.read.parquet(os.path.join(state, "corpus"))
     assert _cms_cells(spark, state) == _cms_recompute(spark, corpus)
+
+
+def test_cms_store_sentinelless_dir_rebuilt_not_trusted(spark, tmp_path):
+    """A cms/ dir WITHOUT the dims sentinel is a partially written
+    store (every complete writer commits data + sentinels in one
+    frame): the ensure path must rebuild it from the corpus, never
+    merge into it — merging would serve a permanently under-counted
+    sketch (review finding)."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma alpha")], ["doc_id", "text"]),
+        state, batch_id=0)
+    cms_dir = os.path.join(state, "cms")
+    # simulate the partial write: data rows present, sentinels lost
+    partial = ing.read_cms(spark, state).limit(1).collect()
+    stripped = spark.createDataFrame(partial, "r INT, bucket BIGINT, cnt BIGINT")
+    shutil.rmtree(cms_dir)
+    stripped.write.mode("overwrite").parquet(cms_dir)
+    ing.ingest_batch(spark, spark.createDataFrame(
+        [(3, "delta beta")], ["doc_id", "text"]), state, batch_id=1)
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert _cms_cells(spark, state) == _cms_recompute(spark, corpus)

@@ -326,7 +326,7 @@ def test_pps_systematic_negative_weight_fails_loud(spark):
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import SparkRuntimeException
     df = spark.createDataFrame([(1, 5), (2, -3), (3, 7)], ["id", "w"])
-    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+    with pytest.raises((Py4JJavaError, SparkRuntimeException),
                        match="negative weight"):
         pps_systematic_sample(
             df, F.md5(F.col("id").cast("string")), ["id"], "w",

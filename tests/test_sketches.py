@@ -125,3 +125,12 @@ def test_bloom_gate_plan_is_map_only_before_verify(spark):
             ._jdf.queryExecution().executedPlan().toString())
     for bad in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, f"{bad} in bloom-gate plan:\n{plan}"
+
+
+def test_bloom_might_contain_rejects_mismatched_bitmap(spark):
+    """A words/m_bits mismatch would produce silent FALSE NEGATIVES
+    (out-of-range element_at → NULL → row dropped) — must refuse."""
+    words = sketches.bloom_build(_keys_df(spark, ["a", "b"]), "k",
+                                 m_bits=4096, k=2)
+    with pytest.raises(ValueError, match="false negatives"):
+        sketches.bloom_might_contain(F.col("k"), words, 2 ** 20, k=2)
