@@ -140,3 +140,44 @@ def dsir_importance(documents: DataFrame, target_pred,
                     F.round(F.col("tgt_sum")
                             / F.col("all_sum").cast("double"), 6)
                     .alias("importance")))
+
+
+def vocab_oov_rate(documents: DataFrame, vocab_size: int,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Vocabulary coverage score (extension E65, the tokenizer-prep
+    measurement): build the top-``vocab_size`` token vocabulary by
+    corpus occurrence count (ties broken by token ascending — the only
+    deterministic LIMIT) and report, per document, its token count,
+    out-of-vocabulary occurrence count and OOV rate. This is the
+    coverage curve a tokenizer/vocab decision reads: how much of each
+    document (and via aggregation, the corpus) a V-entry vocabulary
+    explains.
+
+    Plan shape, built for 100 TB: one token explode; ONE
+    groupBy(token) count with map-side partials; the top-V selection
+    is a bounded TakeOrdered (V rows survive); the vocabulary is then
+    BROADCAST (bounded by construction — that is the point of a
+    vocabulary) and each occurrence left-joins it map-side; one
+    per-doc aggregate. Docs with zero tokens have no occurrences and
+    are absent (the length gates in quality_profile own that class).
+    At extreme scale the exact count feeding top-V is the expensive
+    stage; the count-min path (functions/sketches.py) bounds it when
+    approximate vocabulary selection is acceptable."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    tk = documents.select(F.col(id_col),
+                          F.explode(textfn.tokens(F.col(text_col)))
+                          .alias("w"))
+    vocab = (tk.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), F.asc("w")).limit(vocab_size)
+             .select("w", F.lit(True).alias("__in")))
+    return (tk.join(F.broadcast(vocab), "w", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("__in").isNull(), F.lit(1))
+                       .otherwise(F.lit(0))).alias("n_oov"))
+            .select(id_col, "n_tokens", "n_oov",
+                    F.round(F.col("n_oov")
+                            / F.col("n_tokens").cast("double"), 6)
+                    .alias("oov_rate")))

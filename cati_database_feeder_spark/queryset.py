@@ -5018,6 +5018,40 @@ def sample_pps_systematic(spark, sf_dir):
                       "cum_weight")
 
 
+@register("text_vocab_oov", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS c FROM tk GROUP BY w
+                 ORDER BY c DESC, w ASC LIMIT 16)
+)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS oov_rate
+FROM tk t LEFT JOIN vocab v USING (w)
+GROUP BY t.doc_id
+""")
+def text_vocab_oov(spark, sf_dir):
+    """E65 vocabulary coverage: top-16 token vocabulary by corpus
+    occurrence count (token-ascending tie-break — the deterministic
+    LIMIT), then per-doc OOV occurrence count and rate — the coverage
+    curve a tokenizer/vocab-size decision reads (V=16 of this
+    fixture's 31 distinct tokens, so both classes carry real mass at
+    every SF; production V is 32k-256k — still broadcast-bounded,
+    which is the point of a vocabulary). One token explode, one
+    counted groupBy with map-side partials, bounded top-V, broadcast
+    left join, one per-doc aggregate
+    (operators/quality.py:vocab_oov_rate)."""
+    from cati_database_feeder_spark.operators.quality import vocab_oov_rate
+    return vocab_oov_rate(T(spark, sf_dir, "documents"), vocab_size=16)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -5046,6 +5080,7 @@ _CHECK_ORDER = [
     "decontaminate_bloom_gate", "text_token_cms",
     "minhash_calibration_check", "decontaminate_semantic",
     "text_token_cms_store", "sample_pps_systematic",
+    "text_vocab_oov",
     # -- r7-green block rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
     #    past-window query to hold a green <= 2 rounds old, and these
@@ -5058,7 +5093,6 @@ _CHECK_ORDER = [
     "ivf_assign_topk", "embedding_cosine_topk",
     "dedup_embedding_cosine_pairs", "events_exact_median",
     "decontaminate_against_benchmark",
-    "events_sliding_window",
     "backfill_month_repair_per_file", "multimodal_binary_features",
     "q5_local_supplier_volume",
     "skew_salted_agg",
@@ -5080,15 +5114,16 @@ _CHECK_ORDER = [
     # agg_filtered_counts, agg_value_histogram, q3_shipping_priority,
     # q10_returned_items, text_chunk_documents, json_extract_props,
     # split_train_holdout, text_token_doc_freq,
-    # window_range_rolling_sum and funnel_view_to_purchase are the
-    # thirteen r7-greens deliberately left at 2-rounds-old (the policy
-    # bound): trivially stable queries, unchanged for many rounds,
-    # value-checked at sf0.001 on every pytest run — evicted so
-    # E54-E64 could enter the window; ALL THIRTEEN must rotate back
-    # next round (the recency-ratchet test will fail the round-10
-    # build otherwise — that is by design; 13 mandatory slots of 50 is
-    # within the sustainable period-3 rotation budget even with a
-    # typical ~8-query round-10 surface). semdedup_incremental,
+    # window_range_rolling_sum, funnel_view_to_purchase and
+    # events_sliding_window are the fourteen r7-greens deliberately
+    # left at 2-rounds-old (the policy bound): trivially stable
+    # queries, unchanged for many rounds, value-checked at sf0.001 on
+    # every pytest run — evicted so E54-E65 could enter the window;
+    # ALL FOURTEEN must rotate back next round (the recency-ratchet
+    # test will fail the round-10 build otherwise — that is by design;
+    # 14 mandatory slots of 50 is within the sustainable period-3
+    # rotation budget even with a typical ~8-query round-10 surface).
+    # semdedup_incremental,
     # lsh_recall_check, dedup_multi_signal, near_dup queries reading
     # shared stages: round-9 plan-only rewiring (the staged cell
     # assignment / brute-force baseline), values re-verified identical
@@ -5100,7 +5135,7 @@ _CHECK_ORDER = [
     "q3_shipping_priority", "q10_returned_items",
     "text_chunk_documents", "json_extract_props", "split_train_holdout",
     "text_token_doc_freq", "window_range_rolling_sum",
-    "funnel_view_to_purchase",
+    "funnel_view_to_purchase", "events_sliding_window",
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",

@@ -331,3 +331,23 @@ def test_pps_systematic_negative_weight_fails_loud(spark):
         pps_systematic_sample(
             df, F.md5(F.col("id").cast("string")), ["id"], "w",
             k=2, hex_key=True).collect()
+
+
+def test_vocab_oov_rate_hand_computed(spark):
+    """vocab_oov_rate (operators/quality.py, E65): top-V selection with
+    the token-ascending tie-break, OOV bookkeeping, empty doc absent."""
+    from cati_database_feeder_spark.operators.quality import vocab_oov_rate
+    docs = spark.createDataFrame(
+        [(1, "a a b z"), (2, "b b c"), (3, "   ")], ["doc_id", "text"])
+    # counts: a=2? no: doc1 has a a b z; doc2 b b c -> a:2, b:3, c:1, z:1
+    # V=2 -> vocab {b (3), a (2)}; ties none at the boundary here
+    got = {r["doc_id"]: r for r in
+           vocab_oov_rate(docs, vocab_size=2).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (4, 1)   # z OOV
+    assert got[1]["oov_rate"] == 0.25
+    assert (got[2]["n_tokens"], got[2]["n_oov"]) == (3, 1)   # c OOV
+    # boundary tie: V=3 over {c:1, z:1} picks 'c' (token asc)
+    got3 = {r["doc_id"]: r for r in
+            vocab_oov_rate(docs, vocab_size=3).collect()}
+    assert (got3[1]["n_oov"], got3[2]["n_oov"]) == (1, 0)    # z still OOV
