@@ -952,7 +952,8 @@ def jl_project(df: DataFrame, vec_col: str,
 def jl_topk(queries: DataFrame, corpus: DataFrame,
             planes: list[list[float]], k: int = 10, coarse_k: int = 100,
             q_id: str = "q_id", q_vec: str = "q_vec",
-            c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
+            c_id: str = "vec_id", c_vec: str = "embedding",
+            corpus_proj: DataFrame | None = None) -> DataFrame:
     """Approximate top-k through a Johnson–Lindenstrauss coarse tier:
     scan PROJECTED vectors (len(planes) dims instead of the full
     width) for each query's ``coarse_k`` nearest by projected cosine,
@@ -979,9 +980,19 @@ def jl_topk(queries: DataFrame, corpus: DataFrame,
     oracle replays the exact candidate set and the exact top-k."""
     qp = (jl_project(queries, q_vec, planes, "__qp")
           .withColumn("__qpn", V.norm(F.col("__qp"))))
-    cp = (jl_project(corpus.select(c_id, c_vec), c_vec, planes, "__cp")
-          .select(c_id, "__cp")
-          .withColumn("__cpn", V.norm(F.col("__cp"))))
+    if corpus_proj is not None:
+        # pre-projected corpus (e.g. the ingest-maintained proj store,
+        # streaming/ingest_embeddings.projected_serving_frames): the
+        # coarse tier reads the stored narrow column instead of
+        # projecting the full vectors at serve time. Stored values are
+        # jl_project outputs under the SAME plane literals, so the
+        # result is bit-identical to the in-plan form (pinned by test).
+        cp = (corpus_proj.select(c_id, F.col("proj").alias("__cp"))
+              .withColumn("__cpn", V.norm(F.col("__cp"))))
+    else:
+        cp = (jl_project(corpus.select(c_id, c_vec), c_vec, planes, "__cp")
+              .select(c_id, "__cp")
+              .withColumn("__cpn", V.norm(F.col("__cp"))))
     coarse = (cp.crossJoin(qp.select(q_id, "__qp", "__qpn"))
               .withColumn("__ccos", V.cosine_from_norms(
                   F.col("__cp"), F.col("__qp"),

@@ -65,7 +65,14 @@ from cati_database_feeder_spark.streaming.ingest import (
     _recover_swaps, _state_lock, _swap_write)
 
 _EMB_STORES = ("labels", "vectors", "centroids", "metrics", "deleted",
-               "quant")
+               "quant", "planes")
+
+# defaults for the JL projected-vector store (E59's serving tier off
+# maintained state): projection width and the seed of the Gaussian
+# plane matrix. Pinned at bootstrap like the centroids/quant range —
+# a store mixing projections from two matrices is meaningless.
+JL_PROJ_DIM = 32
+JL_PROJ_SEED = 11
 
 
 def _swap_write_by_cell(frame, vec_dir: str) -> None:
@@ -134,6 +141,51 @@ def _load_quant(spark, state_dir: str) -> tuple[float, float]:
 def _with_codes(frame, lo: float, hi: float):
     return frame.withColumn("codes", V.quantize_int8(
         F.col("embedding"), F.lit(float(lo)), F.lit(float(hi))))
+
+
+def _load_planes(spark, state_dir: str) -> list[list[float]]:
+    rows = (spark.read.parquet(os.path.join(state_dir, "planes"))
+            .collect())
+    return [list(r["plane"]) for r in
+            sorted(rows, key=lambda r: int(r["idx"]))]
+
+
+def _with_proj(frame, planes: list[list[float]]):
+    from cati_database_feeder_spark.operators.similarity import jl_project
+    return jl_project(frame, "embedding", planes, out_col="proj")
+
+
+def _default_planes(dim: int) -> list[list[float]]:
+    from cati_database_feeder_spark.operators.similarity import (
+        gaussian_hyperplanes)
+    return gaussian_hyperplanes(dim, min(JL_PROJ_DIM, dim), seed=JL_PROJ_SEED)
+
+
+def _ensure_planes_store(spark, state_dir: str, dim: int) -> None:
+    """One-time migration for state dirs created before the projected
+    column existed: pin the Gaussian plane matrix (seeded, derived from
+    the vector dim — the same bootstrap-pinned contract as centroids
+    and quant) and rewrite vectors/ with the ``proj`` column. Crash
+    order mirrors _ensure_quant_store: the rewrite is keyed on the
+    column's absence, so a crash between the planes write and the
+    vector rewrite re-enters cleanly."""
+    vec_dir = os.path.join(state_dir, "vectors")
+    planes_dir = os.path.join(state_dir, "planes")
+    store = spark.read.parquet(vec_dir)
+    have_planes = os.path.exists(planes_dir)
+    if have_planes and "proj" in store.columns:
+        return
+    if not have_planes:
+        planes = _default_planes(dim)
+        spark.createDataFrame(
+            [(i, p) for i, p in enumerate(planes)],
+            "idx int, plane array<double>") \
+            .coalesce(1).write.mode("overwrite").parquet(planes_dir)
+    else:
+        planes = _load_planes(spark, state_dir)
+    if "proj" not in store.columns:
+        _swap_write_by_cell(_with_proj(store, planes).repartition("cell"),
+                            vec_dir)
 
 
 def _ensure_quant_store(spark, state_dir: str) -> None:
@@ -206,17 +258,31 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
         spark.createDataFrame([(lo, hi)], "lo double, hi double") \
             .coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(state_dir, "quant"))
+        # the JL plane matrix is pinned at bootstrap like the quant
+        # range (dim comes from the centroids — required at bootstrap
+        # and dimension-equal to the vectors by assignment); a crash
+        # before the vectors marker re-enters and overwrites with the
+        # identical seeded matrix
+        planes = _default_planes(len(cents[0][1]))
+        spark.createDataFrame(
+            [(i, p) for i, p in enumerate(planes)],
+            "idx int, plane array<double>") \
+            .coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(state_dir, "planes"))
         n = batch.count()
         _append_metrics(spark, state_dir, batch_id, n, n,
                         pairs.count(), False, True)
-        (_with_codes(assign_cells(batch, cents, "embedding", by), lo, hi)
+        (_with_proj(_with_codes(
+            assign_cells(batch, cents, "embedding", by), lo, hi), planes)
          .write.partitionBy("cell").mode("overwrite").parquet(vec_dir))
         pairs.unpersist()
         return
 
     cents = _load_centroids(spark, state_dir)
     _ensure_quant_store(spark, state_dir)
+    _ensure_planes_store(spark, state_dir, dim=len(cents[0][1]))
     lo, hi = _load_quant(spark, state_dir)
+    planes = _load_planes(spark, state_dir)
     store = spark.read.parquet(vec_dir)
     delta = batch.join(store.select("vec_id"), "vec_id", "left_anti")
     deleted_dir = os.path.join(state_dir, "deleted")
@@ -252,8 +318,9 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
             # vectors append LAST — the commit marker: a crash before
             # this line replays the whole batch (delta still absent
             # from the store), after it the replay dedups to empty
-            (_with_codes(assign_cells(delta, cents, "embedding", by),
-                         lo, hi)
+            (_with_proj(_with_codes(
+                assign_cells(delta, cents, "embedding", by), lo, hi),
+                planes)
              .write.partitionBy("cell").mode("append").parquet(vec_dir))
         finally:
             pairs.unpersist()
@@ -405,6 +472,29 @@ def quantized_serving_frames(spark, state_dir: str):
     return (store.select("vec_id", "codes", "cell"),
             store.select("vec_id", "embedding"),
             _load_centroids(spark, state_dir), lo, hi)
+
+
+def projected_serving_frames(spark, state_dir: str):
+    """The :func:`operators.similarity.jl_topk` corpus inputs straight
+    off the maintained store: ``(proj_frame, float_frame, planes)`` —
+    the coarse tier scans only (vec_id, proj, cell) (d'=32 doubles
+    instead of the full embedding width; 30-100× narrower on
+    production 1k-4k-dim embeddings), floats fetched by id for the
+    exact rerank. Read-only, no lock, no migration — a pre-projection
+    store raises with the recipe (any ingest batch migrates it)
+    instead of silently projecting at serve time."""
+    vec_dir = os.path.join(state_dir, "vectors")
+    store = spark.read.parquet(vec_dir)
+    if "proj" not in store.columns or not os.path.exists(
+            os.path.join(state_dir, "planes")):
+        raise ValueError(
+            f"projected_serving_frames: {state_dir!r} predates the "
+            f"projected store — run one ingest_embeddings_batch (the "
+            f"_ensure_planes_store migration) before serving off "
+            f"projections")
+    return (store.select("vec_id", "proj", "cell"),
+            store.select("vec_id", "embedding"),
+            _load_planes(spark, state_dir))
 
 
 def start_embedding_ingest(stream: DataFrame, state_dir: str,

@@ -1322,3 +1322,84 @@ def test_cms_store_sentinelless_dir_rebuilt_not_trusted(spark, tmp_path):
         [(3, "delta beta")], ["doc_id", "text"]), state, batch_id=1)
     corpus = spark.read.parquet(os.path.join(state, "corpus"))
     assert _cms_cells(spark, state) == _cms_recompute(spark, corpus)
+
+
+def test_embedding_ingest_maintains_projected_vectors(spark, tmp_path):
+    """The vector store carries the JL projection under BOOTSTRAP-pinned
+    seeded-Gaussian planes (round-9: the streaming consumer of the E59
+    compressed serving tier): every stored proj equals a fresh
+    jl_project of the stored vector under the pinned planes, across
+    batches; the serving accessor feeds jl_topk a pre-projected coarse
+    tier that returns BIT-IDENTICAL results to the in-plan projection."""
+    from cati_database_feeder_spark.operators.similarity import (
+        jl_project, jl_topk)
+    from cati_database_feeder_spark.streaming import (
+        ingest_embeddings as ie)
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    b1 = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 2)]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    b2 = spark.createDataFrame(
+        [(10, [0.3, -0.4, 1.0]), (11, [0.5, 0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    state = str(tmp_path / "emb_p")
+    ie.ingest_embeddings_batch(spark, b1, state, centroid_rows=cents,
+                               threshold=0.8, batch_id=0)
+    planes = ie._load_planes(spark, state)
+    assert len(planes) == min(ie.JL_PROJ_DIM, 3) and len(planes[0]) == 3
+    ie.ingest_embeddings_batch(spark, b2, state, threshold=0.8, batch_id=1)
+    assert ie._load_planes(spark, state) == planes     # pinned
+    store = spark.read.parquet(os.path.join(state, "vectors"))
+    fresh = (jl_project(store.select("vec_id", "embedding", "proj"),
+                        "embedding", planes, out_col="want"))
+    assert fresh.filter(F.col("proj") != F.col("want")).count() == 0
+    proj_f, float_f, got_planes = ie.projected_serving_frames(spark, state)
+    assert got_planes == planes
+    q = b1.limit(2).select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec"))
+    served = sorted(map(tuple, jl_topk(
+        q, float_f, planes, k=3, coarse_k=4,
+        corpus_proj=proj_f).collect()))
+    inplan = sorted(map(tuple, jl_topk(
+        q, store.select("vec_id", "embedding"), planes, k=3,
+        coarse_k=4).collect()))
+    assert served == inplan
+
+
+def test_embedding_ingest_migrates_legacy_store_to_proj(spark, tmp_path):
+    """A pre-projection store (simulated by dropping planes/ and the
+    proj column) migrates on the next ingest: planes pinned from the
+    centroid dim, vectors rewritten once, stored proj ≡ fresh
+    projection; pre-migration serving refuses with the recipe."""
+    import pytest as _pytest
+    from cati_database_feeder_spark.operators.similarity import jl_project
+    from cati_database_feeder_spark.streaming import (
+        ingest_embeddings as ie)
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    b1 = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 2)]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    state = str(tmp_path / "emb_leg")
+    ie.ingest_embeddings_batch(spark, b1, state, centroid_rows=cents,
+                               threshold=0.8, batch_id=0)
+    # simulate the legacy layout
+    vec_dir = os.path.join(state, "vectors")
+    legacy = (spark.read.parquet(vec_dir)
+              .select("vec_id", "embedding", "codes", "cell")
+              .repartition("cell").persist())
+    legacy.count()
+    shutil.rmtree(os.path.join(state, "planes"))
+    shutil.rmtree(vec_dir)
+    legacy.write.partitionBy("cell").mode("overwrite").parquet(vec_dir)
+    legacy.unpersist()
+    with _pytest.raises(ValueError, match="predates the projected store"):
+        ie.projected_serving_frames(spark, state)
+    b2 = spark.createDataFrame(
+        [(20, [0.2, 0.9, 0.1])], "vec_id long, embedding array<double>")
+    ie.ingest_embeddings_batch(spark, b2, state, threshold=0.8, batch_id=1)
+    planes = ie._load_planes(spark, state)
+    store = spark.read.parquet(vec_dir)
+    assert store.count() == 6 and "proj" in store.columns
+    fresh = (jl_project(store.select("vec_id", "embedding", "proj"),
+                        "embedding", planes, out_col="want"))
+    assert fresh.filter(F.col("proj") != F.col("want")).count() == 0
