@@ -144,3 +144,41 @@ def cms_estimate(candidates: DataFrame, key_col: str, table: DataFrame,
             .groupBy(*keep)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias(out_col)))
+
+
+def cms_heavy_hitters(items: DataFrame, key_col: str, min_count: int,
+                      depth: int = 4, width: int = 2048,
+                      table: DataFrame | None = None) -> DataFrame:
+    """Exact heavy hitters (keys with occurrence count ≥ ``min_count``)
+    with the count-min table as a RESULT-TRANSPARENT candidate prune —
+    the same structure as the Bloom-gated decontamination: the sketch's
+    one-sided error (est ≥ true, always) means filtering DISTINCT keys
+    on ``cms_estimate ≥ min_count`` can never dismiss a true heavy
+    hitter, so the exact count pass runs only over the surviving
+    candidates and the output equals the plain exact query.
+
+    Why this beats counting everything at 100 TB: the exact form
+    shuffles one counted row per DISTINCT KEY (a web-scale token
+    vocabulary is billions of rows, almost all of count 1); here the
+    distinct-key stream is filtered map-side against the broadcast
+    depth×width table, so only keys the sketch cannot rule out — the
+    true heavy hitters plus the collision-inflated few — reach the
+    exact count. The candidate count is bounded by
+    n_true_heavy + O(depth-collision survivors), not the vocabulary.
+
+    Output: (key_col, true_cnt) for every key with true_cnt ≥
+    min_count. ``table`` injects a prebuilt/maintained sketch (e.g.
+    streaming.ingest.read_cms); by default one is built from
+    ``items``."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    t = table if table is not None else cms_table(items, key_col,
+                                                  depth, width)
+    cand = (cms_estimate(items.select(key_col).distinct(), key_col, t,
+                         depth, width)
+            .filter(F.col("cms_est") >= min_count)
+            .drop("cms_est"))
+    return (items.join(F.broadcast(cand), key_col, "left_semi")
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("true_cnt"))
+            .filter(F.col("true_cnt") >= min_count))

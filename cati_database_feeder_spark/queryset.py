@@ -5052,6 +5052,40 @@ def text_vocab_oov(spark, sf_dir):
     return vocab_oov_rate(T(spark, sf_dir, "documents"), vocab_size=16)
 
 
+@register("text_heavy_hitters", sql=r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS true_cnt
+FROM toks GROUP BY tok
+HAVING COUNT(*) >= (SELECT n // 32 FROM tot)
+""")
+def text_heavy_hitters(spark, sf_dir):
+    """E66 exact heavy hitters with a count-min candidate prune
+    (SURVEY §7 round-10 item, closed early): tokens with occurrence
+    count ≥ total/32, where the DISTINCT-key stream is first filtered
+    against the broadcast 4×2048 sketch — the one-sided guarantee
+    (est ≥ true) makes the prune RESULT-TRANSPARENT (no true heavy
+    hitter can be dismissed), so the oracle is the plain exact
+    HAVING query, the same structure as the Bloom gate. At 100 TB the
+    exact form shuffles one counted row per distinct key (a web-scale
+    vocabulary, almost all count 1); the pruned form counts only the
+    true heavies plus collision survivors. On this fixture's tiny
+    31-token vocabulary the prune removes the 1-2 light tokens — the
+    STRUCTURE is what the gate checks; the skew fixture in
+    tests/test_sketches.py shows the prune doing real work
+    (functions/sketches.py:cms_heavy_hitters)."""
+    from cati_database_feeder_spark.functions import sketches
+    toks = (T(spark, sf_dir, "documents")
+            .select(F.explode(text.tokens(F.col("text"))).alias("tok")))
+    min_count = max(1, toks.count() // 32)
+    return (sketches.cms_heavy_hitters(toks, "tok", min_count)
+            .select(F.col("tok").alias("token"), "true_cnt"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -5080,7 +5114,7 @@ _CHECK_ORDER = [
     "decontaminate_bloom_gate", "text_token_cms",
     "minhash_calibration_check", "decontaminate_semantic",
     "text_token_cms_store", "sample_pps_systematic",
-    "text_vocab_oov",
+    "text_vocab_oov", "text_heavy_hitters",
     # -- r7-green block rotated back through the window: the recency
     #    ratchet (tests/test_bench_contract.py) requires every
     #    past-window query to hold a green <= 2 rounds old, and these
@@ -5091,7 +5125,7 @@ _CHECK_ORDER = [
     "pack_training_sequences", "corpus_shuffle_order",
     "text_repetition_profile", "shard_manifest", "ivf_recall_check",
     "ivf_assign_topk", "embedding_cosine_topk",
-    "dedup_embedding_cosine_pairs", "events_exact_median",
+    "dedup_embedding_cosine_pairs",
     "decontaminate_against_benchmark",
     "backfill_month_repair_per_file", "multimodal_binary_features",
     "q5_local_supplier_volume",
@@ -5114,16 +5148,16 @@ _CHECK_ORDER = [
     # agg_filtered_counts, agg_value_histogram, q3_shipping_priority,
     # q10_returned_items, text_chunk_documents, json_extract_props,
     # split_train_holdout, text_token_doc_freq,
-    # window_range_rolling_sum, funnel_view_to_purchase and
-    # events_sliding_window are the fourteen r7-greens deliberately
-    # left at 2-rounds-old (the policy bound): trivially stable
-    # queries, unchanged for many rounds, value-checked at sf0.001 on
-    # every pytest run — evicted so E54-E65 could enter the window;
-    # ALL FOURTEEN must rotate back next round (the recency-ratchet
-    # test will fail the round-10 build otherwise — that is by design;
-    # 14 mandatory slots of 50 is within the sustainable period-3
-    # rotation budget even with a typical ~8-query round-10 surface).
-    # semdedup_incremental,
+    # window_range_rolling_sum, funnel_view_to_purchase,
+    # events_sliding_window and events_exact_median are the fifteen
+    # r7-greens deliberately left at 2-rounds-old (the policy bound):
+    # trivially stable queries, unchanged for many rounds,
+    # value-checked at sf0.001 on every pytest run — evicted so
+    # E54-E66 could enter the window; ALL FIFTEEN must rotate back
+    # next round (the recency-ratchet test will fail the round-10
+    # build otherwise — that is by design; 15 mandatory slots of 50 is
+    # within the sustainable period-3 rotation budget even with a
+    # typical ~8-query round-10 surface). semdedup_incremental,
     # lsh_recall_check, dedup_multi_signal, near_dup queries reading
     # shared stages: round-9 plan-only rewiring (the staged cell
     # assignment / brute-force baseline), values re-verified identical
@@ -5136,6 +5170,7 @@ _CHECK_ORDER = [
     "text_chunk_documents", "json_extract_props", "split_train_holdout",
     "text_token_doc_freq", "window_range_rolling_sum",
     "funnel_view_to_purchase", "events_sliding_window",
+    "events_exact_median",
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",

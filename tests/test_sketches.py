@@ -134,3 +134,33 @@ def test_bloom_might_contain_rejects_mismatched_bitmap(spark):
                                  m_bits=4096, k=2)
     with pytest.raises(ValueError, match="false negatives"):
         sketches.bloom_might_contain(F.col("k"), words, 2 ** 20, k=2)
+
+
+def test_cms_heavy_hitters_equals_exact_and_prunes(spark):
+    """cms_heavy_hitters ≡ the plain exact HAVING query on a Zipf-ish
+    fixture where the prune does real work (few heavies, a long tail
+    of singletons), and the candidate prune is demonstrably smaller
+    than the vocabulary."""
+    rows = ([("hot",)] * 200 + [("warm",)] * 60
+            + [(f"tail-{i}",) for i in range(500)])
+    items = spark.createDataFrame(rows, ["k"])
+    got = sorted(map(tuple, sketches.cms_heavy_hitters(
+        items, "k", min_count=50).collect()))
+    assert got == [("hot", 200), ("warm", 60)]
+    # the prune itself: distinct keys surviving est >= 50 is far below
+    # the 502-key vocabulary (collisions at width 2048 are rare here)
+    t = sketches.cms_table(items, "k")
+    cand = (sketches.cms_estimate(items.select("k").distinct(), "k", t)
+            .filter(F.col("cms_est") >= 50).count())
+    assert cand < 50, f"prune ineffective: {cand} candidates survive"
+
+
+def test_cms_heavy_hitters_injected_table(spark):
+    """A maintained sketch (streaming.ingest.read_cms shape) can be
+    injected; the result still equals the exact query."""
+    rows = [("a",)] * 9 + [("b",)] * 2
+    items = spark.createDataFrame(rows, ["k"])
+    t = sketches.cms_table(items, "k")
+    got = sorted(map(tuple, sketches.cms_heavy_hitters(
+        items, "k", min_count=3, table=t).collect()))
+    assert got == [("a", 9)]
