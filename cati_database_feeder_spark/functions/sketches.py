@@ -168,17 +168,39 @@ def cms_heavy_hitters(items: DataFrame, key_col: str, min_count: int,
 
     Output: (key_col, true_cnt) for every key with true_cnt ≥
     min_count. ``table`` injects a prebuilt/maintained sketch (e.g.
-    streaming.ingest.read_cms); by default one is built from
-    ``items``."""
+    streaming.ingest.read_cms) — it MUST have been built with the same
+    (depth, width): a mismatch silently misses cells and coalesces
+    estimates to 0, i.e. silent false negatives, so the catchable half
+    of the contract (any stored r ≥ depth or bucket ≥ width) is
+    checked loudly; a STRICTLY SMALLER build is structurally
+    indistinguishable from a sparse table and stays on the caller.
+
+    Precondition on ``min_count``: the prune only prunes above the
+    sketch noise floor ε·N ≈ e·N/width — below it (min_count=1 being
+    the extreme) essentially every distinct key survives and the
+    candidate set IS the vocabulary; the candidate join is therefore
+    left to AQE (broadcast only when actually small) rather than
+    force-broadcast."""
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     t = table if table is not None else cms_table(items, key_col,
                                                   depth, width)
+    if table is not None:
+        mx = table.agg(F.max("r").alias("mr"),
+                       F.max("bucket").alias("mb")).collect()[0]
+        if mx["mr"] is not None and (int(mx["mr"]) >= depth
+                                     or int(mx["mb"]) >= width):
+            raise ValueError(
+                f"cms_heavy_hitters: injected table has cells up to "
+                f"(r={int(mx['mr'])}, bucket={int(mx['mb'])}) but this "
+                f"call uses (depth={depth}, width={width}) — a dims "
+                f"mismatch silently drops true heavy hitters; pass the "
+                f"dims the table was built with")
     cand = (cms_estimate(items.select(key_col).distinct(), key_col, t,
                          depth, width)
             .filter(F.col("cms_est") >= min_count)
             .drop("cms_est"))
-    return (items.join(F.broadcast(cand), key_col, "left_semi")
+    return (items.join(cand, key_col, "left_semi")
             .groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("true_cnt"))
             .filter(F.col("true_cnt") >= min_count))

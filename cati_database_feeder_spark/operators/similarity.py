@@ -953,7 +953,8 @@ def jl_topk(queries: DataFrame, corpus: DataFrame,
             planes: list[list[float]], k: int = 10, coarse_k: int = 100,
             q_id: str = "q_id", q_vec: str = "q_vec",
             c_id: str = "vec_id", c_vec: str = "embedding",
-            corpus_proj: DataFrame | None = None) -> DataFrame:
+            corpus_proj: DataFrame | None = None,
+            proj_col: str = "proj") -> DataFrame:
     """Approximate top-k through a Johnson–Lindenstrauss coarse tier:
     scan PROJECTED vectors (len(planes) dims instead of the full
     width) for each query's ``coarse_k`` nearest by projected cosine,
@@ -977,7 +978,19 @@ def jl_topk(queries: DataFrame, corpus: DataFrame,
 
     Determinism: projected values are sequential-fold dots of plan
     literals; both ranking stages break ties on ascending id — an
-    oracle replays the exact candidate set and the exact top-k."""
+    oracle replays the exact candidate set and the exact top-k.
+
+    ``corpus_proj`` (optional): a PRE-PROJECTED corpus frame
+    ``(c_id, proj_col)`` — e.g. the ingest-maintained store
+    (streaming/ingest_embeddings.projected_serving_frames) — used for
+    the coarse tier instead of projecting ``corpus`` in-plan. CALLER
+    CONTRACT: its values must be jl_project outputs under the SAME
+    ``planes`` passed here (the queries are projected under ``planes``
+    in-plan; a matrix mismatch silently decorrelates the coarse
+    cosines — recall collapses with no error, which is why the serving
+    accessor returns the store's pinned planes alongside the frame).
+    ``corpus`` still supplies the full-width vectors for the exact
+    rerank."""
     qp = (jl_project(queries, q_vec, planes, "__qp")
           .withColumn("__qpn", V.norm(F.col("__qp"))))
     if corpus_proj is not None:
@@ -987,7 +1000,7 @@ def jl_topk(queries: DataFrame, corpus: DataFrame,
         # projecting the full vectors at serve time. Stored values are
         # jl_project outputs under the SAME plane literals, so the
         # result is bit-identical to the in-plan form (pinned by test).
-        cp = (corpus_proj.select(c_id, F.col("proj").alias("__cp"))
+        cp = (corpus_proj.select(c_id, F.col(proj_col).alias("__cp"))
               .withColumn("__cpn", V.norm(F.col("__cp"))))
     else:
         cp = (jl_project(corpus.select(c_id, c_vec), c_vec, planes, "__cp")

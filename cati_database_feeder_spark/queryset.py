@@ -5079,10 +5079,20 @@ def text_heavy_hitters(spark, sf_dir):
     tests/test_sketches.py shows the prune doing real work
     (functions/sketches.py:cms_heavy_hitters)."""
     from cati_database_feeder_spark.functions import sketches
+    # persisted: the occurrence stream feeds the sketch build, the
+    # distinct-key stream and the exact verify count — a flat string
+    # column caches cheap (the dup-span-profile precedent)
     toks = (T(spark, sf_dir, "documents")
-            .select(F.explode(text.tokens(F.col("text"))).alias("tok")))
-    min_count = max(1, toks.count() // 32)
-    return (sketches.cms_heavy_hitters(toks, "tok", min_count)
+            .select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+            .persist())
+    table = sketches.cms_table(toks, "tok")
+    # total occurrences N comes from the SKETCH (any single row r
+    # counts every occurrence exactly once: sum cnt over r=0), not a
+    # dedicated full-corpus count() pass (review finding)
+    n_total = (table.filter(F.col("r") == 0)
+               .agg(F.sum("cnt").alias("n")).collect()[0]["n"]) or 0
+    min_count = max(1, int(n_total) // 32)
+    return (sketches.cms_heavy_hitters(toks, "tok", min_count, table=table)
             .select(F.col("tok").alias("token"), "true_cnt"))
 
 

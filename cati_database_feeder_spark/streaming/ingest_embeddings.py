@@ -28,19 +28,23 @@ concurrency contract):
   READ the stored quantizer instead of trusting the caller to resend
   the same one; retraining centroids means a new state dir (exactly
   the production contract for an IVF-style layout).
-- ``vectors/``  — (vec_id, embedding, codes, cell), append-only
+- ``vectors/``  — (vec_id, embedding, codes, proj, cell), append-only
   parquet PARTITIONED BY cell — the write-time layout that makes the
   per-batch probe partition-prunable at 100 TB. ``codes`` is the int8
   quantization of the vector under the PINNED corpus range (below),
   maintained per batch so the quantized IVF serving path
   (operators/similarity.ivf_topk_quantized) reads its coarse tier
-  straight off the store at an eighth of the float bytes.
+  straight off the store at an eighth of the float bytes; ``proj`` is
+  the d'=32 JL projection under the PINNED plane matrix (``planes/``),
+  so the compressed flat tier (operators/similarity.jl_topk with
+  ``corpus_proj=``) likewise reads a narrow stored column with zero
+  serve-time projection.
 - ``quant/``    — one (lo, hi) row, written ONCE at bootstrap (same
   pinned-at-bootstrap contract as the centroids): every batch
   quantizes against the stored range, out-of-range elements clamp
   (quantize_int8's contract), so the code store is one consistent
   quantization. Legacy dirs migrate on first post-upgrade ingest
-  (:func:`_ensure_quant_store`).
+  (:func:`_ensure_derived_stores`).
 - ``labels/``   — (id, component) SemDeDup closure labeling, replaced
   per batch via the atomic directory swap.
 
@@ -161,57 +165,73 @@ def _default_planes(dim: int) -> list[list[float]]:
     return gaussian_hyperplanes(dim, min(JL_PROJ_DIM, dim), seed=JL_PROJ_SEED)
 
 
-def _ensure_planes_store(spark, state_dir: str, dim: int) -> None:
-    """One-time migration for state dirs created before the projected
-    column existed: pin the Gaussian plane matrix (seeded, derived from
-    the vector dim — the same bootstrap-pinned contract as centroids
-    and quant) and rewrite vectors/ with the ``proj`` column. Crash
-    order mirrors _ensure_quant_store: the rewrite is keyed on the
-    column's absence, so a crash between the planes write and the
-    vector rewrite re-enters cleanly."""
-    vec_dir = os.path.join(state_dir, "vectors")
-    planes_dir = os.path.join(state_dir, "planes")
-    store = spark.read.parquet(vec_dir)
-    have_planes = os.path.exists(planes_dir)
-    if have_planes and "proj" in store.columns:
-        return
-    if not have_planes:
-        planes = _default_planes(dim)
-        spark.createDataFrame(
-            [(i, p) for i, p in enumerate(planes)],
-            "idx int, plane array<double>") \
-            .coalesce(1).write.mode("overwrite").parquet(planes_dir)
-    else:
-        planes = _load_planes(spark, state_dir)
-    if "proj" not in store.columns:
-        _swap_write_by_cell(_with_proj(store, planes).repartition("cell"),
-                            vec_dir)
+def _heal_or_load(spark, path: str, loader, regenerate):
+    """Load a tiny pinned-parameter store, healing a partial write: a
+    dir that exists but cannot be read back as committed rows is a
+    crash inside its original (pre-swap-discipline) overwrite — every
+    complete writer leaves committed parquet, so an unreadable or
+    empty dir is rebuilt via ``regenerate()`` (pure/derivable values)
+    and swap-written so the heal itself cannot recreate the wound
+    (review finding: os.path.exists alone wedged the store forever)."""
+    import shutil as _sh
+    if os.path.exists(path):
+        try:
+            got = loader()
+            if got is not None:
+                return got
+        except Exception:
+            pass
+        _sh.rmtree(path)
+    frame = regenerate()
+    _swap_write(frame.coalesce(1), path)
+    return loader()
 
 
-def _ensure_quant_store(spark, state_dir: str) -> None:
-    """One-time migration for state dirs created before the codes
-    column existed: pin the quantizer range from the CURRENT store
-    (production pins it at quantization time — the same
-    bootstrap-pinned contract as the centroids) and rewrite vectors/
-    with the int8 ``codes`` column. Idempotent and crash-safe in
-    either order: the rewrite is keyed on the column's absence, so a
-    crash between the quant write and the vector rewrite re-enters
-    the rewrite on retry instead of appending mixed schemas."""
+def _ensure_derived_stores(spark, state_dir: str, dim: int):
+    """One-time migration for state dirs predating the derived columns
+    (int8 ``codes`` under the pinned quant range; JL ``proj`` under the
+    pinned plane matrix): pin whichever parameter store is missing —
+    healing partial writes (:func:`_heal_or_load`) — and rewrite
+    vectors/ ONCE adding every missing column (two back-to-back full
+    rewrites for a doubly-legacy store would double the one-time
+    migration I/O; review finding). Idempotent: keyed on the columns'
+    absence. Returns ``((lo, hi), planes)`` so the caller pays no
+    second read of the parameter stores."""
     vec_dir = os.path.join(state_dir, "vectors")
-    quant_dir = os.path.join(state_dir, "quant")
     store = spark.read.parquet(vec_dir)
-    have_quant = os.path.exists(quant_dir)
-    if have_quant and "codes" in store.columns:
-        return
-    if not have_quant:
+
+    def _load_q():
+        rows = spark.read.parquet(os.path.join(state_dir, "quant")).collect()
+        return (float(rows[0]["lo"]), float(rows[0]["hi"])) if rows else None
+
+    def _regen_q():
         lo, hi = _corpus_range(store)
-        spark.createDataFrame([(lo, hi)], "lo double, hi double") \
-            .coalesce(1).write.mode("overwrite").parquet(quant_dir)
-    else:
-        lo, hi = _load_quant(spark, state_dir)
-    if "codes" not in store.columns:
-        _swap_write_by_cell(_with_codes(store, lo, hi).repartition("cell"),
-                            vec_dir)
+        return spark.createDataFrame([(lo, hi)], "lo double, hi double")
+
+    def _load_p():
+        rows = spark.read.parquet(os.path.join(state_dir, "planes")).collect()
+        return ([list(r["plane"]) for r in
+                 sorted(rows, key=lambda r: int(r["idx"]))]
+                if rows else None)
+
+    def _regen_p():
+        return spark.createDataFrame(
+            [(i, p) for i, p in enumerate(_default_planes(dim))],
+            "idx int, plane array<double>")
+
+    lo_hi = _heal_or_load(spark, os.path.join(state_dir, "quant"),
+                          _load_q, _regen_q)
+    planes = _heal_or_load(spark, os.path.join(state_dir, "planes"),
+                           _load_p, _regen_p)
+    missing = [c for c in ("codes", "proj") if c not in store.columns]
+    if missing:
+        out = store
+        if "codes" in missing:
+            out = _with_codes(out, *lo_hi)
+        if "proj" in missing:
+            out = _with_proj(out, planes)
+        _swap_write_by_cell(out.repartition("cell"), vec_dir)
+    return lo_hi, planes
 
 
 
@@ -279,10 +299,8 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
         return
 
     cents = _load_centroids(spark, state_dir)
-    _ensure_quant_store(spark, state_dir)
-    _ensure_planes_store(spark, state_dir, dim=len(cents[0][1]))
-    lo, hi = _load_quant(spark, state_dir)
-    planes = _load_planes(spark, state_dir)
+    (lo, hi), planes = _ensure_derived_stores(spark, state_dir,
+                                              dim=len(cents[0][1]))
     store = spark.read.parquet(vec_dir)
     delta = batch.join(store.select("vec_id"), "vec_id", "left_anti")
     deleted_dir = os.path.join(state_dir, "deleted")
@@ -467,7 +485,7 @@ def quantized_serving_frames(spark, state_dir: str):
         raise ValueError(
             f"quantized_serving_frames: {state_dir!r} predates the "
             f"codes store — run one ingest_embeddings_batch (the "
-            f"_ensure_quant_store migration) before serving quantized")
+            f"_ensure_derived_stores migration) before serving quantized")
     lo, hi = _load_quant(spark, state_dir)
     return (store.select("vec_id", "codes", "cell"),
             store.select("vec_id", "embedding"),
@@ -490,7 +508,7 @@ def projected_serving_frames(spark, state_dir: str):
         raise ValueError(
             f"projected_serving_frames: {state_dir!r} predates the "
             f"projected store — run one ingest_embeddings_batch (the "
-            f"_ensure_planes_store migration) before serving off "
+            f"_ensure_derived_stores migration) before serving off "
             f"projections")
     return (store.select("vec_id", "proj", "cell"),
             store.select("vec_id", "embedding"),

@@ -164,3 +164,15 @@ def test_cms_heavy_hitters_injected_table(spark):
     got = sorted(map(tuple, sketches.cms_heavy_hitters(
         items, "k", min_count=3, table=t).collect()))
     assert got == [("a", 9)]
+
+
+def test_cms_heavy_hitters_rejects_mismatched_injected_table(spark):
+    """An injected table built with LARGER dims than the call's would
+    silently miss cells and drop true heavy hitters — the catchable
+    half of the dims contract must refuse."""
+    rows = [("a",)] * 9
+    items = spark.createDataFrame(rows, ["k"])
+    big = sketches.cms_table(items, "k", depth=8, width=8192)
+    with pytest.raises(ValueError, match="dims\\s*mismatch|dims "):
+        sketches.cms_heavy_hitters(items, "k", min_count=2,
+                                   depth=4, width=2048, table=big)
