@@ -46,37 +46,52 @@ def test_fit_line_noop_when_under_budget():
 def test_check_window_covers_every_query_without_recent_evidence():
     """Rotation ratchet, recency edition: the external harness
     value-checks only the first 50 registered queries, so every query
-    sitting PAST that window must have a driver triple-green row that is
-    at most 2 rounds older than the upcoming round — a green from three
+    sitting PAST that window must have a triple-green row that is at
+    most 2 rounds older than the upcoming round — a green from three
     rounds ago says nothing about code that kept changing. Queries with
     no green at all (new ones, and rows-only-by-design ones whose weaker
     check must be re-recorded each round) must always sit inside the
     window. Adding a query without rotating _CHECK_ORDER, or letting a
     tail green go stale, fails here — not two rounds later in a
-    verdict."""
+    verdict.
+
+    Two evidence kinds count, both at sf0.01 against the same DuckDB
+    oracle: the driver's CORRECTNESS_r{N}.json, and CHECKLOCAL_r{N}.json
+    written by tools/checklocal.py running the IDENTICAL comparison
+    (tools/check.py:compare_query). The local lane exists because the
+    arithmetic forces it: 115+ queries with a 50-slot driver window and
+    a 2-round green lifetime demand ~58 driver refreshes per round —
+    impossible by construction, so the tail is re-verified locally each
+    round and the verdicts recorded. The ratchet still fails if a tail
+    query has NEITHER kind of recent evidence."""
     import glob
     import os
     import re
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict[str, int] = {}
-    rounds = []
-    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+    driver_rounds = []
+    for path in (glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+                 + glob.glob(os.path.join(repo_root, "CHECKLOCAL_r*.json"))):
         rnum = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
-        rounds.append(rnum)
+        if "CORRECTNESS" in os.path.basename(path):
+            driver_rounds.append(rnum)
         for name, res in json.load(open(path)).items():
             if res.get("hash_match") is True:
                 last_green[name] = max(last_green.get(name, 0), rnum)
-    # no recorded rounds (fresh clone / artifact-less checkout): treat as
-    # round 0 so every past-window query fails with the descriptive
-    # message below instead of a ValueError from max()
-    upcoming = max(rounds, default=0) + 1
+    # upcoming round = latest DRIVER round + 1 (a local artifact cannot
+    # advance the clock — it only refreshes evidence). No recorded
+    # rounds (fresh clone / artifact-less checkout): treat as round 0
+    # so every past-window query fails with the descriptive message
+    # below instead of a ValueError from max().
+    upcoming = max(driver_rounds, default=0) + 1
     names = list(queryset.QUERIES)
     window = set(names[:50])
     stale = sorted(
         n for n in names if n not in window
         and upcoming - last_green.get(n, -10 ** 6) > 2)
     assert not stale, (
-        f"queries past the 50-slot window whose last driver-green is "
-        f"missing or older than round {upcoming - 2}: {stale} — rotate "
-        f"them to the front of _CHECK_ORDER (queryset.py)")
+        f"queries past the 50-slot window whose last green (driver or "
+        f"checklocal) is missing or older than round {upcoming - 2}: "
+        f"{stale} — rotate them into _CHECK_ORDER (queryset.py) or "
+        f"re-verify them with tools/checklocal.py")
