@@ -965,16 +965,25 @@ def jl_topk(queries: DataFrame, corpus: DataFrame,
     smaller scan; on production 1k-4k-dim embeddings, 30-100×), the
     coarse scan touches ONLY that table, and the rerank fetches full
     vectors by an equi-join on the candidate ids — never the whole
-    corpus. The coarse stage is corpus-linear per query by design
-    (same class as brute_force_topk, which is the gate); for
-    sublinear candidate generation compose the projection with the
-    IVF cell restriction (:func:`ivf_topk`) or LSH bucketing — the
-    projection is an orthogonal compression axis, not a competitor.
+    corpus. The coarse SCAN is corpus-linear per query by design
+    (same class as brute_force_topk, which is the gate), but the
+    coarse RANKING is a two-level top-k: each (query, partition)
+    slice is pruned to its local top ``coarse_k`` before the final
+    per-query rank runs over the bounded survivor union — no
+    corpus-length single-task sort anywhere (round-9 verdict item 2;
+    plan-pinned in tests). For sublinear candidate generation compose
+    the projection with the IVF cell restriction (:func:`ivf_topk`)
+    or LSH bucketing — the projection is an orthogonal compression
+    axis, not a competitor.
 
-    ``coarse_k`` must grow with the corpus (a fixed candidate count
-    dilutes as n grows): callers pass ``ceil(frac·n)``. Recall of
-    this family is gated by ``jl_recall_check`` (queryset.py) the
-    same way lsh_recall_check gates the LSH family.
+    ``coarse_k`` is a FIXED serving budget, calibrated against the
+    recall gate (``jl_recall_check``, queryset.py — the same contract
+    lsh_recall_check holds for the LSH family) and re-calibrated when
+    the corpus distribution shifts. A budget proportional to the
+    corpus (``ceil(frac·n)``) keeps recall flat as n grows but makes
+    the rerank join corpus-linear — the shape this operator exists to
+    avoid; a fixed budget keeps rerank cost constant and surfaces any
+    recall dilution in the gate instead of hiding it in the plan.
 
     Determinism: projected values are sequential-fold dots of plan
     literals; both ranking stages break ties on ascending id — an
@@ -1009,9 +1018,31 @@ def jl_topk(queries: DataFrame, corpus: DataFrame,
     coarse = (cp.crossJoin(qp.select(q_id, "__qp", "__qpn"))
               .withColumn("__ccos", V.cosine_from_norms(
                   F.col("__cp"), F.col("__qp"),
-                  F.col("__cpn"), F.col("__qpn"))))
+                  F.col("__cpn"), F.col("__qpn")))
+              # slim to 3 narrow columns BEFORE any exchange: the
+              # ranking needs only (query, id, score); shuffling the
+              # projected vectors alongside would multiply the coarse
+              # shuffle bytes by the projection width for nothing
+              .select(q_id, c_id, "__ccos"))
+    # Two-level top-k (round-9 verdict item 2): the single
+    # `row_number() OVER (PARTITION BY q_id)` form funnels every
+    # corpus row for a query through ONE task's sort — a per-query
+    # serialization point at 10^11 vectors. Level 1 prunes each
+    # (query, input-partition) slice to its LOCAL top coarse_k;
+    # level 2 ranks only the <= coarse_k * n_partitions survivors.
+    # Bit-identical to the single window: any row in the global top
+    # coarse_k (ordered by __ccos DESC, id ASC) has local rank <= its
+    # global rank, so level 1 always retains a superset of the global
+    # winners, for every partitioning of the input. The level-1 sort
+    # parallelizes across (q_id, partition) groups; no task ever
+    # sorts more than one partition's rows for one query.
+    lvl1 = Window.partitionBy(q_id, "__part") \
+        .orderBy(F.desc("__ccos"), F.asc(c_id))
     wc = Window.partitionBy(q_id).orderBy(F.desc("__ccos"), F.asc(c_id))
-    cand = (coarse.withColumn("__crank", F.row_number().over(wc))
+    cand = (coarse.withColumn("__part", F.spark_partition_id())
+            .withColumn("__prank", F.row_number().over(lvl1))
+            .filter(F.col("__prank") <= coarse_k)
+            .withColumn("__crank", F.row_number().over(wc))
             .filter(F.col("__crank") <= coarse_k)
             .select(q_id, c_id))
     full = (cand
