@@ -446,28 +446,54 @@ def token_budget_prefix(df: DataFrame, key: Column, tie_cols: list[str],
             .drop("__key", "__pid", "__toff", *drop_tok))
 
 
+#: Default heavy-group mass threshold for :func:`per_group_rank_buckets`:
+#: groups at or above this row count ride the literal-bucket global-rank
+#: machinery; smaller groups ride a plain partitioned window. 2^20 rows
+#: sorts comfortably inside one window task, and bounds the heavy-side
+#: driver/broadcast state at n_rows / 2^20 entries (10^5 for a 10^11-row
+#: corpus) INDEPENDENT of how many groups exist.
+HEAVY_GROUP_THRESHOLD = 1 << 20
+
+
 def per_group_rank_buckets(df: DataFrame, group_col: str,
                            within_key: Column, n_buckets: int = 3,
-                           partitions: int | None = None) -> DataFrame:
-    """Per-group rank-quantile bucketing WITHOUT a per-group window
-    (extension E55 — the CCNet head/middle/tail assignment when the
-    group is a source and the key is a quality score): every row gets
-    its group, its 1-based ``grp_rank`` under ``within_key`` ascending
-    within its group, the group size ``grp_n``, and
+                           partitions: int | None = None,
+                           heavy_threshold: int | None = None) -> DataFrame:
+    """Per-group rank-quantile bucketing that scales in BOTH group-size
+    directions (extension E55 — the CCNet head/middle/tail assignment
+    when the group is a source and the key is a quality score): every
+    row gets its group, its 1-based ``grp_rank`` under ``within_key``
+    ascending within its group, the group size ``grp_n``, and
     ``bucket = (n_buckets * (grp_rank - 1)) DIV grp_n`` — exact
     integer arithmetic, bucket populations equal to the rank-quantile
     partition (first ceil-third = 0, etc.).
 
-    The naive form is ``row_number() OVER (PARTITION BY group ORDER BY
-    key)`` — at 100 TB a handful of sources means a handful of
-    giant single tasks. Here rows ride the literal-bucket global-rank
-    machinery (:func:`global_shuffle_ordinals`, sampled-boundary path)
-    over the composite key ``md5(group) || within_key`` — groups are
-    contiguous in the global order but every partition holds a bounded
-    SLICE of each giant group — and the per-group rank is the global
-    ordinal minus the group's broadcast start offset. Driver/broadcast
-    state is one (min_pos, count) row per GROUP (sources: dozens), the
-    same bounded-model-state class as the IVF centroids.
+    HYBRID plan (round-9 verdict item 3): one per-group count
+    aggregate splits the corpus at ``heavy_threshold`` rows.
+
+    * **Heavy groups** (a handful of giant sources — where
+      ``row_number() OVER (PARTITION BY group)`` would serialize each
+      group into one giant task) ride the literal-bucket global-rank
+      machinery (:func:`global_shuffle_ordinals`, sampled-boundary
+      path) over the composite key ``md5(group) || within_key``:
+      groups contiguous in the global order, every partition holding a
+      bounded SLICE of each giant group, per-group rank = global
+      ordinal − the group's broadcast start offset.
+    * **Light groups** (the long tail — tens of millions of domains,
+      where per-group broadcast state would itself become GBs) ride
+      the plain partitioned window: millions of sub-threshold
+      partitions parallelize fine, and the window carries ZERO driver
+      state.
+
+    Driver/broadcast state is therefore bounded by
+    ``n_rows / heavy_threshold`` heavy entries — independent of group
+    CARDINALITY (the round-9 machinery kept one broadcast row per
+    group, which broke exactly on the per-domain-cap use case E57 is
+    pitched for). Default threshold: :data:`HEAVY_GROUP_THRESHOLD`.
+    Both paths emit identical values for any split point because the
+    rank is a pure function of (group, within_key) — property-tested
+    against a driver row_number reference across thresholds and
+    partition counts.
 
     ``within_key`` contract (same as text_unigram_rarity's rank key):
     a fixed-width orderable STRING, UNIQUE within its group — encode
@@ -476,22 +502,57 @@ def per_group_rank_buckets(df: DataFrame, group_col: str,
     engine from the key alone."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    key = F.concat(F.md5(F.col(group_col).cast("string")), within_key)
-    ordd = global_shuffle_ordinals(df, key, [], partitions=partitions,
-                                   hex_key=False)
-    offs = (ordd.groupBy(group_col)
-            .agg(F.min("pos").alias("__gmin"),
-                 F.count(F.lit(1)).alias("grp_n")))
-    return (ordd.join(F.broadcast(offs), group_col)
-            .withColumn("grp_rank", (F.col("pos") - F.col("__gmin")
-                                     + F.lit(1)).cast("bigint"))
-            .withColumn("bucket", F.expr(
-                f"CAST(({n_buckets} * (grp_rank - 1)) DIV grp_n AS INT)"))
-            .drop("pos", "__gmin"))
+    if heavy_threshold is None:
+        heavy_threshold = HEAVY_GROUP_THRESHOLD
+    if heavy_threshold < 1:
+        raise ValueError(
+            f"heavy_threshold must be >= 1, got {heavy_threshold}")
+    bucket_expr = F.expr(
+        f"CAST(({n_buckets} * (grp_rank - 1)) DIV grp_n AS INT)")
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("grp_n"))
+    heavy_names = counts.filter(F.col("grp_n") >= heavy_threshold)
+    # bounded collect: at most n_rows / heavy_threshold entries exist
+    n_heavy = heavy_names.limit(1).count()
+
+    if n_heavy == 0:
+        # common case at the tail: nothing crosses the threshold — the
+        # whole frame rides the window, no ordinal machinery, no
+        # driver state at all
+        light = df
+        heavy_part = None
+    else:
+        hv = F.broadcast(heavy_names.select(group_col))
+        light = df.join(hv, group_col, "left_anti")
+        heavy = df.join(hv, group_col, "left_semi")
+        key = F.concat(F.md5(F.col(group_col).cast("string")), within_key)
+        ordd = global_shuffle_ordinals(heavy, key, [],
+                                       partitions=partitions,
+                                       hex_key=False)
+        offs = (ordd.groupBy(group_col)
+                .agg(F.min("pos").alias("__gmin"),
+                     F.count(F.lit(1)).alias("grp_n")))
+        heavy_part = (ordd.join(F.broadcast(offs), group_col)
+                      .withColumn("grp_rank",
+                                  (F.col("pos") - F.col("__gmin")
+                                   + F.lit(1)).cast("bigint"))
+                      .withColumn("bucket", bucket_expr)
+                      .drop("pos", "__gmin"))
+
+    wg = Window.partitionBy(group_col)
+    light_part = (light
+                  .withColumn("grp_rank", F.row_number().over(
+                      wg.orderBy(within_key)).cast("bigint"))
+                  .withColumn("grp_n", F.count(F.lit(1)).over(wg))
+                  .withColumn("bucket", bucket_expr))
+    if heavy_part is None:
+        return light_part
+    return light_part.unionByName(heavy_part)
 
 
 def cap_per_group(df: DataFrame, group_col: str, within_key: Column,
-                  cap: int, partitions: int | None = None) -> DataFrame:
+                  cap: int, partitions: int | None = None,
+                  heavy_threshold: int | None = None) -> DataFrame:
     """Per-group document cap (extension E57 — the RefinedWeb-style
     per-domain cap): keep at most ``cap`` rows per ``group_col``
     value, chosen deterministically as the first ``cap`` under
@@ -499,18 +560,21 @@ def cap_per_group(df: DataFrame, group_col: str, within_key: Column,
     unbiased fixed sample of each group — the standard guard against
     any single domain/source dominating a training mix.
 
-    Rides :func:`per_group_rank_buckets` (the E55 machinery), so the
-    rank is computed WITHOUT a per-group window: at 100 TB a handful
-    of giant sources would otherwise serialize into a handful of
-    giant ``row_number() OVER (PARTITION BY source)`` tasks. Output
-    keeps ``grp_rank`` (1-based position inside the group's key
-    order) and ``grp_n`` (group size before the cap) so the drop
-    volume is auditable; ``within_key`` has the same
-    fixed-width-unique contract as per_group_rank_buckets."""
+    Rides :func:`per_group_rank_buckets` (the E55 hybrid machinery):
+    giant sources rank through the literal-bucket global-rank path
+    instead of serializing into giant ``row_number() OVER (PARTITION
+    BY source)`` tasks, while the long tail of small domains (tens of
+    millions on a web corpus — the RefinedWeb case) rides the plain
+    partitioned window with zero per-group driver state. Output keeps
+    ``grp_rank`` (1-based position inside the group's key order) and
+    ``grp_n`` (group size before the cap) so the drop volume is
+    auditable; ``within_key`` has the same fixed-width-unique
+    contract as per_group_rank_buckets."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     ranked = per_group_rank_buckets(df, group_col, within_key,
-                                    n_buckets=1, partitions=partitions)
+                                    n_buckets=1, partitions=partitions,
+                                    heavy_threshold=heavy_threshold)
     return (ranked.filter(F.col("grp_rank") <= cap)
             .drop("bucket"))
 

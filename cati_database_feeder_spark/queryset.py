@@ -4117,15 +4117,17 @@ def text_ccnet_buckets(spark, sf_dir):
     the E52 quality score (familiarity desc, doc_id tie-break) and
     split each source into rank-terciles — the canonical CCNet
     arrangement where each bucket gets its own retention policy (keep
-    head, sample middle, drop tail). The oracle's ROW_NUMBER() OVER
-    (PARTITION BY source) is exactly the shape that cannot scale — a
-    handful of sources means a handful of giant single tasks — so the
-    Spark side rides the literal-bucket global-rank machinery over the
+    head, sample middle, drop tail). The Spark side rides the round-10
+    HYBRID per-group rank (operators/sampling.py:
+    per_group_rank_buckets): groups above the mass threshold rank
+    through the literal-bucket global-rank machinery over the
     composite key md5(source) || inverted-µfamiliarity || doc_id
     (groups contiguous, every partition holds a bounded slice of each
-    group, per-group rank = global ordinal - broadcast group offset;
-    operators/sampling.py:per_group_rank_buckets). Bucket index is
-    exact integer arithmetic ((3*(rank-1)) DIV n)."""
+    giant group), while the long tail of small groups rides a plain
+    partitioned window with zero per-group driver state — so the plan
+    survives BOTH a handful of giant sources and tens of millions of
+    tiny ones. Bucket index is exact integer arithmetic
+    ((3*(rank-1)) DIV n)."""
     from cati_database_feeder_spark.operators.quality import bigram_familiarity
     from cati_database_feeder_spark.operators.sampling import (
         per_group_rank_buckets)
@@ -4470,13 +4472,16 @@ def sample_source_cap(spark, sf_dir):
     the standard guard against one domain dominating a training mix
     (cap=2 is the SF-portable test setting: every SF has sources above
     and at/below the cap, so both branches carry rows; production runs
-    thousands). The oracle's ROW_NUMBER() OVER (PARTITION BY source)
-    is the shape that canNOT scale — the Spark side ranks through the
-    literal-bucket global-rank machinery over md5(source)||md5(doc_id)
-    (operators/sampling.py:cap_per_group -> per_group_rank_buckets):
-    groups contiguous, every partition holds a bounded slice of each
-    giant source, rank = global ordinal - broadcast group offset.
-    grp_n rides along so the drop volume is auditable per source."""
+    thousands). The Spark side ranks through the round-10 HYBRID
+    per-group machinery (operators/sampling.py:cap_per_group ->
+    per_group_rank_buckets): sources above the mass threshold ride
+    the literal-bucket global-rank path (bounded slice of each giant
+    source per partition), the long tail rides a plain partitioned
+    window with zero per-group driver state — driver/broadcast state
+    is bounded by n_rows/threshold, independent of how many domains
+    exist (the RefinedWeb per-domain case this operator is pitched
+    for). grp_n rides along so the drop volume is auditable per
+    source."""
     from cati_database_feeder_spark.operators.sampling import cap_per_group
     d = T(spark, sf_dir, "documents").select("doc_id", "source")
     wk = F.concat(F.md5(F.col("doc_id").cast("string")),

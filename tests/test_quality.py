@@ -160,6 +160,52 @@ def test_per_group_rank_buckets_equals_driver_reference(spark):
         assert got == expect, f"parts={parts}"
 
 
+def test_per_group_rank_hybrid_tiny_and_giant_groups(spark):
+    """The round-10 hybrid split (operators/sampling.py:
+    per_group_rank_buckets): a fixture with 10^4 one-row groups plus 2
+    giant ones must equal the driver row_number reference at EVERY
+    split point — heavy_threshold below all groups (everything rides
+    the literal-bucket global-rank path), between (mixed: giants on
+    the ordinal path, the tail on the plain window), and above all
+    (pure window path, zero driver state). The mixed setting is the
+    production shape E57 is pitched for: a web corpus where a handful
+    of giant domains would serialize a per-group window AND tens of
+    millions of tiny domains would blow up a per-group broadcast."""
+    import random
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.operators.sampling import (
+        cap_per_group, per_group_rank_buckets)
+    rng = random.Random(47)
+    rows = [(i, f"tiny{i:05d}", rng.randrange(10 ** 6))
+            for i in range(10 ** 4)]
+    nxt = 10 ** 4
+    for g in ("giant_a", "giant_b"):
+        for _ in range(500):
+            rows.append((nxt, g, rng.randrange(10 ** 6)))
+            nxt += 1
+    expect = {}
+    for g in {r[1] for r in rows}:
+        grp = sorted((v, i) for i, gg, v in rows if gg == g)
+        n = len(grp)
+        for r, (v, i) in enumerate(grp, start=1):
+            expect[i] = (r, n, (3 * (r - 1)) // n)
+    wk = F.concat(F.format_string("%020d", F.col("v")),
+                  F.format_string("%020d", F.col("id")))
+    df = spark.createDataFrame(rows, ["id", "g", "v"]).repartition(8)
+    for thresh in (1, 100, 10 ** 6):
+        got = {r["id"]: (r["grp_rank"], r["grp_n"], r["bucket"])
+               for r in per_group_rank_buckets(
+                   df, "g", wk, n_buckets=3, partitions=8,
+                   heavy_threshold=thresh).collect()}
+        assert got == expect, f"heavy_threshold={thresh}"
+    # cap_per_group on the mixed split: ranks survive the hybrid union
+    capped = cap_per_group(df, "g", wk, cap=3, partitions=8,
+                           heavy_threshold=100).collect()
+    want = {i: (r, n) for i, (r, n, _) in expect.items() if r <= 3}
+    assert {r["id"]: (r["grp_rank"], r["grp_n"])
+            for r in capped} == want
+
+
 def test_lsh_multiprobe_supersets_single_probe(spark, sf_dir):
     """Multi-probe candidates include the base bucket, so per-query
     hits against brute force can never drop below single-probe; with
