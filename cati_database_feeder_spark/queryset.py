@@ -2126,6 +2126,32 @@ def embedding_quantize_int8(spark, sf_dir):
         (err_raw <= bucket * 0.5 + 1e-9).alias("within_half_bucket"))
 
 
+def _ivf_quantized_topk_stage(spark, sf_dir):
+    """In-plan IVF-quantized top-10 for the fixed query set, persisted
+    once per session: consumed by the recall gate
+    (``ivf_quantized_recall_check``) and by the store-serving twin
+    (``ivf_quantized_store``), which must match it bit-for-bit."""
+    from cati_database_feeder_spark.functions.vectors import quantize_int8
+    from cati_database_feeder_spark.operators.similarity import (
+        ivf_topk_quantized)
+
+    def build():
+        e = T(spark, sf_dir, "embeddings")
+        cents = _cents16(spark, sf_dir)
+        lo, hi = _quant_range(spark, sf_dir)
+        codes = (_cell_assign_stage(spark, sf_dir)
+                 .withColumn("codes",
+                             quantize_int8(F.col("embedding"), F.lit(lo),
+                                           F.lit(hi)))
+                 .select("vec_id", "codes", "cell"))
+        q = e.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"))
+        return ivf_topk_quantized(q, codes, e, cents, lo, hi, k=10,
+                                  nprobe=4, rerank=30, by="ip")
+    return shared_stage(spark, f"ivf_qz_topk:{sf_dir}", build)
+
+
 @register("ivf_quantized_recall_check", sql="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
        TRUE AS within_5pp_of_float
@@ -2145,21 +2171,12 @@ def ivf_quantized_recall_check(spark, sf_dir):
     SCALING.md). A quantizer, range, or rerank regression flips a
     boolean and hash-mismatches instead of hiding behind a rows-only
     pass (operators/similarity.py:ivf_topk_quantized)."""
-    from cati_database_feeder_spark.functions.vectors import quantize_int8
-    from cati_database_feeder_spark.operators.similarity import (
-        brute_force_topk, ivf_topk, ivf_topk_quantized)
+    from cati_database_feeder_spark.operators.similarity import ivf_topk
     e = T(spark, sf_dir, "embeddings")
     cents = _cents16(spark, sf_dir)
-    lo, hi = _quant_range(spark, sf_dir)
-    codes = (_cell_assign_stage(spark, sf_dir)
-             .withColumn("codes",
-                         quantize_int8(F.col("embedding"), F.lit(lo),
-                                       F.lit(hi)))
-             .select("vec_id", "codes", "cell"))
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    qz = ivf_topk_quantized(q, codes, e, cents, lo, hi, k=10, nprobe=4,
-                            rerank=30, by="ip").select("q_id", "vec_id")
+    qz = _ivf_quantized_topk_stage(spark, sf_dir).select("q_id", "vec_id")
     fl = ivf_topk(q, _cell_assign_stage(spark, sf_dir), cents, k=10,
                   nprobe=4, by="ip").select("q_id", "vec_id")
     ex = _brute_topk10_stage(spark, sf_dir).select("q_id", "vec_id")
@@ -4555,7 +4572,12 @@ def _jl_topk10_stage(spark, sf_dir):
     return shared_stage(spark, f"jl_topk10:{sf_dir}", build)
 
 
-@register("embedding_jl_topk", sql=f"""
+# shared by embedding_jl_topk AND embedding_jl_topk_store: the in-plan
+# projection and the ingest-maintained projected store must serve the
+# IDENTICAL top-k (the store's planes are the same seeded matrix), so
+# both queries hash against one oracle — the near_dup_incremental
+# discipline applied to the embedding tier
+_JL_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 p AS (SELECT vec_id, v, {_plane_dots_sql(_JL_PLANES_32)} AS pv FROM e),
 q AS (SELECT vec_id AS q_id, v AS qv, pv AS qpv FROM p WHERE vec_id % 100 = 0),
@@ -4583,7 +4605,10 @@ ranked AS (
   FROM scored)
 SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
 FROM ranked WHERE rank <= 10
-""")
+"""
+
+
+@register("embedding_jl_topk", sql=_JL_TOPK_SQL)
 def embedding_jl_topk(spark, sf_dir):
     """E59 Johnson–Lindenstrauss compressed serving tier: coarse scan
     over 32-dim PROJECTED vectors (half the scan bytes here; 30-100×
@@ -4632,6 +4657,113 @@ def jl_recall_check(spark, sf_dir):
             .select("n_queries",
                     (F.col("h") / (10.0 * F.col("n_queries")) >= 0.7)
                     .alias("recall_ok")))
+
+
+# ---------------------------------------------------------------------
+# Round-10 additions: registered STORE-BACKED serving twins for the
+# embedding tiers (round-9 verdict item 4) — the loop-closers that
+# near_dup_incremental_store / text_token_cms_store already are for the
+# text tier: the serving queries below read the ingest-MAINTAINED
+# parquet stores (vectors/ with proj + codes columns, quant/, planes/),
+# not in-plan recomputation, and must hash-match the in-plan twins.
+# ---------------------------------------------------------------------
+
+# One bootstrapped embedding ingest store per (session, sf_dir): the
+# full embeddings table ingested as the bootstrap batch under the same
+# fixed 16-seed centroids the in-plan queries use, so cells, quant
+# range and JL planes are pinned to the identical values. The store is
+# a real parquet state dir (streaming/ingest_embeddings.py), built once
+# and served from thereafter — per-query cost is reading the store,
+# which is the production economics these twins exist to demonstrate.
+_EMB_STORE_CACHE: dict = {}
+
+
+def _emb_store_dir(spark, sf_dir: str) -> str:
+    import tempfile
+    from cati_database_feeder_spark.streaming.ingest_embeddings import (
+        ingest_embeddings_batch)
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _EMB_STORE_CACHE if k[0] != app_id]:
+        del _EMB_STORE_CACHE[stale]
+    key = (app_id, sf_dir)
+    if key not in _EMB_STORE_CACHE:
+        d = tempfile.mkdtemp(prefix="emb_serving_store_")
+        ingest_embeddings_batch(
+            spark, T(spark, sf_dir, "embeddings"), d,
+            centroid_rows=_cents16(spark, sf_dir),
+            threshold=0.3, by="ip", batch_id=0)
+        _EMB_STORE_CACHE[key] = d
+    return _EMB_STORE_CACHE[key]
+
+
+@register("embedding_jl_topk_store", sql=_JL_TOPK_SQL)
+def embedding_jl_topk_store(spark, sf_dir):
+    """E59+ serving off the ingest-MAINTAINED projected store: the
+    coarse tier reads the stored ``proj`` column (written by
+    ingest_embeddings_batch under the bootstrap-pinned plane matrix —
+    at production dims a 30-100× narrower scan with zero serve-time
+    projection), full vectors fetched from the same store for the
+    exact rerank. Shares the oracle VERBATIM with ``embedding_jl_topk``
+    (fixed coarse budget 256): the stored projections are bit-identical
+    to in-plan projection under the same planes (pinned by
+    tests/test_incremental_e2e.py), so the store path must reproduce
+    the in-plan top-k exactly — a stale plane matrix, a drifted stored
+    projection, or a serving-path regression hash-mismatches here
+    (streaming/ingest_embeddings.py:projected_serving_frames)."""
+    from cati_database_feeder_spark.operators.similarity import jl_topk
+    from cati_database_feeder_spark.streaming.ingest_embeddings import (
+        projected_serving_frames)
+    proj, floats, planes = projected_serving_frames(
+        spark, _emb_store_dir(spark, sf_dir))
+    q = (T(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    return jl_topk(q, floats, planes, k=10, coarse_k=_JL_COARSE_K,
+                   corpus_proj=proj)
+
+
+@register("ivf_quantized_store", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS store_matches_inplan
+FROM embeddings WHERE vec_id % 100 = 0
+""")
+def ivf_quantized_store(spark, sf_dir):
+    """E48+ serving off the ingest-MAINTAINED quantized code store:
+    ivf_topk_quantized reads (vec_id, codes, cell) plus the pinned
+    (lo, hi) straight from the state dir — an eighth of the float
+    bytes in the coarse tier — with floats fetched from the same
+    store for the rerank, and the result is required to EQUAL the
+    in-plan quantized IVF top-k row-for-row (ids, ranks and rounded
+    cosines). The store's quant range and cells are bootstrap-pinned
+    from the same corpus and centroids the in-plan path uses, so any
+    divergence (range drift, clamped re-quantization, stale codes
+    after takedown/compaction) flips the boolean and hash-mismatches
+    (streaming/ingest_embeddings.py:quantized_serving_frames)."""
+    from cati_database_feeder_spark.operators.similarity import (
+        ivf_topk_quantized)
+    from cati_database_feeder_spark.streaming.ingest_embeddings import (
+        quantized_serving_frames)
+    codes, floats, cents, lo, hi = quantized_serving_frames(
+        spark, _emb_store_dir(spark, sf_dir))
+    q = (T(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    served = ivf_topk_quantized(q, codes, floats, cents, lo, hi, k=10,
+                                nprobe=4, rerank=30, by="ip")
+    inplan = _ivf_quantized_topk_stage(spark, sf_dir)
+    cols = served.columns  # (q_id, vec_id, cosine, rank)
+    matched = served.join(inplan, on=cols, how="inner")
+    return (T(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 100 == 0)
+            .agg(F.count(F.lit(1)).alias("n_queries"))
+            .crossJoin(served.agg(F.count(F.lit(1)).alias("__ns")))
+            .crossJoin(inplan.agg(F.count(F.lit(1)).alias("__np")))
+            .crossJoin(matched.agg(F.count(F.lit(1)).alias("__nm")))
+            .select("n_queries",
+                    ((F.col("__ns") == F.col("__nm"))
+                     & (F.col("__np") == F.col("__nm")))
+                    .alias("store_matches_inplan")))
 
 
 # ---------------------------------------------------------------------
@@ -5148,8 +5280,8 @@ _CHECK_ORDER = [
     # [b] engine path changed in round 10
     "embedding_jl_topk", "jl_recall_check",
     "sample_source_cap", "text_ccnet_buckets",
-    # [c] new round-10 queries land here (store-backed serving twins,
-    #     hybrid-rank giants fixture)
+    # [c] new round-10 queries
+    "embedding_jl_topk_store", "ivf_quantized_store",
     # [d] r08-green refreshes
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
@@ -5165,7 +5297,6 @@ _CHECK_ORDER = [
     "agg_cube_grouping_sets", "agg_distinct_counts",
     "agg_rollup_region_nation", "udaf_weighted_median",
     "udaf_trimmed_mean", "window_first_occurrence_dedup",
-    "pivot_unpivot_roundtrip", "snapshot_diff",
     # ---- tail (past slot 50). Sustainability arithmetic: 115+
     # registered queries, a 50-slot driver window, and driver greens
     # that expire after 2 rounds demand ~58 refresh slots per round —
@@ -5212,6 +5343,7 @@ _CHECK_ORDER = [
     "feeder_skipped_report", "flagship_feeder_w6",
     "join_inner_left_pack", "join_multiway_star", "join_range_buckets",
     "limit_first_match", "month_surgery_faithful",
+    "pivot_unpivot_roundtrip", "snapshot_diff",
     "scalar_functions", "set_ops_pack",
     "string_functions", "text_doc_profile",
     "top_k_orders", "union_pages",
