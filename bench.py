@@ -105,6 +105,17 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     queryset._cell_assign_stage(spark, sf_dir).count()
     timings["stage:cell_assign"] = round(time.time() - t0, 3)
+    # in-plan quantized-IVF top-10 — consumed by the recall gate and
+    # the store-serving agreement twin
+    t0 = time.time()
+    queryset._ivf_quantized_topk_stage(spark, sf_dir).count()
+    timings["stage:ivf_qz_topk"] = round(time.time() - t0, 3)
+    # the ingest-maintained embedding store the two store-serving twins
+    # read: in production it is maintained by the streaming ingest, not
+    # built at query time — a stage, not a per-query cost
+    t0 = time.time()
+    queryset._emb_store_dir(spark, sf_dir)
+    timings["stage:emb_serving_store"] = round(time.time() - t0, 3)
 
     def run_once(name, fn):
         t0 = time.time()
@@ -180,7 +191,12 @@ def main() -> None:
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
-        json.dump({"total_sec": total, "queries": timings, "sf": payload["sf"]},
+        # same shape as the per-round BENCH files (metric/value/unit/
+        # queries/sf) so one reader handles both; total_sec kept for
+        # older tooling
+        json.dump({"metric": payload["metric"], "value": total,
+                   "unit": "sec", "total_sec": total,
+                   "queries": timings, "sf": payload["sf"]},
                   f, indent=1, sort_keys=True)
 
     print(fit_line(payload), flush=True)

@@ -103,6 +103,57 @@ def bloom_might_contain(key: Column, words: list[int], m_bits: int,
     return test
 
 
+def counting_bloom_cells(keys: DataFrame, key_col: str, m_cells: int,
+                         k: int = 2) -> DataFrame:
+    """``(cell, cnt)`` occurrence counts of the keys' Bloom positions —
+    the DELETABLE form of :func:`bloom_build` (extension E60 at ingest,
+    round-9 verdict item 5): positions come from the IDENTICAL
+    universal-hash family and seed indices, so ``cnt > 0`` reproduces
+    the bloom_build bitmap over the same keys bit-for-bit
+    (:func:`counting_bloom_words` does the packing). Like the count-min
+    table this is a LINEAR sketch: cell-wise ADD merges shards/streams,
+    and cell-wise SUBTRACT of a subset's cells removes it exactly —
+    callers feed one row per (document, distinct key), so a key shared
+    by several documents keeps its cells positive until the LAST holder
+    is subtracted (no false negatives for survivors, ever; a stale
+    positive is just a Bloom false positive the downstream exact verify
+    already absorbs). One aggregate with map-side partials; at most
+    ``m_cells`` rows, so 8× the bits of the plain bitmap buys
+    deletability — the classic counting-Bloom trade."""
+    if m_cells % 64 != 0 or m_cells <= 0:
+        raise ValueError(
+            f"m_cells must be a positive multiple of 64, got {m_cells}")
+    h = T.hash64(F.col(key_col))
+    pos = F.array(*_hash_positions(h, m_cells, k, BLOOM_SEED_BASE))
+    return (keys.select(F.explode(pos).alias("cell"))
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def counting_bloom_words(cells: DataFrame, m_bits: int) -> list[int]:
+    """Collapse counting-Bloom cells to the packed signed-64-bit word
+    list :func:`bloom_might_contain` takes — the serving handoff from
+    the maintained (deletable) counts to the zero-shuffle codegen
+    membership test. ``cells``: (cell, cnt) rows; any cell with
+    ``cnt > 0`` sets its bit. Driver collect bounded by ``m_bits``
+    positions — the same bounded-model-state class as bloom_build's
+    set-bit collect."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64, got {m_bits}")
+    rows = (cells.filter(F.col("cnt") > 0)
+            .select(F.col("cell").cast("bigint")).distinct().collect())
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        p = int(r["cell"])
+        if not 0 <= p < m_bits:
+            raise ValueError(
+                f"counting_bloom_words: cell {p} outside [0, {m_bits}) "
+                f"— the cells were built with different m_cells; a "
+                f"mismatch would silently drop bits (false negatives)")
+        words[p // 64] |= 1 << (p % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
 def cms_buckets(key: Column, depth: int, width: int) -> Column:
     """array<bigint> of the key's ``depth`` count-min bucket ids (row r
     hashes with coefficient index CMS_SEED_BASE+r, bucket in

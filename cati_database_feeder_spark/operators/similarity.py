@@ -24,6 +24,42 @@ from pyspark.sql import functions as F
 from cati_database_feeder_spark.functions import vectors as V
 
 
+def _two_level_rank(scored: DataFrame, part_col: str, order_cols,
+                    k: int, rank_col: str = "rank") -> DataFrame:
+    """Per-``part_col`` rank filtered to ≤ ``k`` WITHOUT a
+    group-spanning single-task sort (round-10, generalizing the JL
+    fix to the whole top-k family): level 1 prunes each
+    (group, input-partition) slice to its local top k — any row of the
+    global top k has local rank ≤ its global rank under EVERY
+    partitioning, so the survivor union is a superset — and level 2
+    ranks the ≤ k·n_partitions survivors. Bit-identical to the single
+    window for any deterministic ``order_cols``; the level-1 sort
+    parallelizes across partitions instead of funneling every row of a
+    group through one task. Callers should slim ``scored`` to the
+    (group, id, score) columns first so neither exchange carries
+    vectors."""
+    lvl1 = Window.partitionBy(part_col, "__part").orderBy(*order_cols)
+    lvl2 = Window.partitionBy(part_col).orderBy(*order_cols)
+    return (scored.withColumn("__part", F.spark_partition_id())
+            .withColumn("__l1r", F.row_number().over(lvl1))
+            .filter(F.col("__l1r") <= k)
+            .withColumn(rank_col, F.row_number().over(lvl2))
+            .filter(F.col(rank_col) <= k)
+            .drop("__part", "__l1r"))
+
+
+def _topk_output(scored: DataFrame, q_id: str, c_id: str,
+                 k: int) -> DataFrame:
+    """The standard exact-rerank tail shared by the whole top-k family:
+    slim to (query, id, cosine), two-level rank with the deterministic
+    (cosine desc, id asc) tie-break, emit (q_id, c_id, cosine, rank)."""
+    ranked = _two_level_rank(
+        scored.select(q_id, c_id, "cosine"), q_id,
+        [F.desc("cosine"), F.asc(c_id)], k)
+    return ranked.select(q_id, F.col(c_id),
+                         F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                      q_id: str = "q_id", q_vec: str = "q_vec",
                      c_id: str = "vec_id", c_vec: str = "embedding",
@@ -47,10 +83,7 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
               .crossJoin(q)
               .withColumn("cosine", V.cosine_from_norms(
                   F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn"))))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(q_id, F.col(c_id), F.round("cosine", 6).alias("cosine"), "rank"))
+    return _topk_output(scored, q_id, c_id, k)
 
 
 def gaussian_hyperplanes(dim: int, n_bits: int = 8,
@@ -128,10 +161,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     scored = (cb.join(qb, on="bucket")
               .withColumn("cosine", V.cosine_from_norms(
                   F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn"))))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(q_id, F.col(c_id), F.round("cosine", 6).alias("cosine"), "rank"))
+    return _topk_output(scored, q_id, c_id, k)
 
 
 def with_lsh_table_buckets(df: DataFrame, vec_col: str, id_col: str,
@@ -260,11 +290,7 @@ def lsh_topk_tables(queries: DataFrame, corpus: DataFrame,
     scored = (cands.join(cv, c_id).join(qv, q_id)
               .withColumn("cosine", V.cosine_from_norms(
                   F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn"))))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(q_id, F.col(c_id),
-                    F.round("cosine", 6).alias("cosine"), "rank"))
+    return _topk_output(scored, q_id, c_id, k)
 
 
 def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
@@ -585,10 +611,7 @@ def ivf_topk(queries: DataFrame, corpus_assigned: DataFrame,
               .join(probes, on="cell")
               .withColumn("cosine", V.cosine_from_norms(
                   F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn"))))
-    w2 = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
-    return (scored.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select(q_id, F.col(c_id), F.round("cosine", 6).alias("cosine"), "rank"))
+    return _topk_output(scored, q_id, c_id, k)
 
 
 def subsplit_hot_cells(assigned: DataFrame, cap: int,
@@ -848,10 +871,10 @@ def ivf_topk_quantized(queries: DataFrame, corpus_codes: DataFrame,
               .join(probes, on="cell")
               .withColumn("approx", V.cosine_from_norms(
                   F.col("__deq"), F.col(q_vec), F.col("__dn"), F.col("__qn"))))
-    w1 = Window.partitionBy(q_id).orderBy(F.desc("approx"), F.asc(c_id))
-    survivors = (coarse.withColumn("__r", F.row_number().over(w1))
-                 .filter(F.col("__r") <= rerank)
-                 .select(q_id, c_id))
+    survivors = _two_level_rank(
+        coarse.select(q_id, c_id, "approx"), q_id,
+        [F.desc("approx"), F.asc(c_id)], rerank,
+        rank_col="__r").select(q_id, c_id)
     qv = queries.withColumn("__qn", V.norm(F.col(q_vec)))
     cv = corpus_vec.select(F.col(c_id), F.col(c_vec),
                            V.norm(F.col(c_vec)).alias("__cn"))
@@ -924,11 +947,7 @@ def lsh_topk_multiprobe(queries: DataFrame, corpus: DataFrame,
     scored = (cb.join(qb, on="bucket")
               .withColumn("cosine", V.cosine_from_norms(
                   F.col(c_vec), F.col(q_vec), F.col("__cn"), F.col("__qn"))))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(q_id, F.col(c_id),
-                    F.round("cosine", 6).alias("cosine"), "rank"))
+    return _topk_output(scored, q_id, c_id, k)
 
 
 def jl_project(df: DataFrame, vec_col: str,
@@ -1024,27 +1043,14 @@ def jl_topk(queries: DataFrame, corpus: DataFrame,
               # projected vectors alongside would multiply the coarse
               # shuffle bytes by the projection width for nothing
               .select(q_id, c_id, "__ccos"))
-    # Two-level top-k (round-9 verdict item 2): the single
-    # `row_number() OVER (PARTITION BY q_id)` form funnels every
-    # corpus row for a query through ONE task's sort — a per-query
-    # serialization point at 10^11 vectors. Level 1 prunes each
-    # (query, input-partition) slice to its LOCAL top coarse_k;
-    # level 2 ranks only the <= coarse_k * n_partitions survivors.
-    # Bit-identical to the single window: any row in the global top
-    # coarse_k (ordered by __ccos DESC, id ASC) has local rank <= its
-    # global rank, so level 1 always retains a superset of the global
-    # winners, for every partitioning of the input. The level-1 sort
-    # parallelizes across (q_id, partition) groups; no task ever
-    # sorts more than one partition's rows for one query.
-    lvl1 = Window.partitionBy(q_id, "__part") \
-        .orderBy(F.desc("__ccos"), F.asc(c_id))
-    wc = Window.partitionBy(q_id).orderBy(F.desc("__ccos"), F.asc(c_id))
-    cand = (coarse.withColumn("__part", F.spark_partition_id())
-            .withColumn("__prank", F.row_number().over(lvl1))
-            .filter(F.col("__prank") <= coarse_k)
-            .withColumn("__crank", F.row_number().over(wc))
-            .filter(F.col("__crank") <= coarse_k)
-            .select(q_id, c_id))
+    # Two-level top-k (round-9 verdict item 2, now the family-wide
+    # :func:`_two_level_rank`): the single `row_number() OVER
+    # (PARTITION BY q_id)` form funnels every corpus row for a query
+    # through ONE task's sort — a per-query serialization point at
+    # 10^11 vectors.
+    cand = _two_level_rank(coarse, q_id,
+                           [F.desc("__ccos"), F.asc(c_id)], coarse_k,
+                           rank_col="__crank").select(q_id, c_id)
     full = (cand
             .join(corpus.select(c_id, c_vec), c_id)
             .join(queries.select(q_id, q_vec), q_id))

@@ -1162,11 +1162,14 @@ def text_dup_span_profile(spark, sf_dir):
     # Measured at sf0.1: recompute 6.7-9.8 s, persist 4.1-5.7 s,
     # localCheckpoint 3.9-4.4 s — persist chosen over checkpoint
     # because evicted persist blocks recompute while evicted
-    # checkpoint blocks are fatal (lineage truncated); the cache is
-    # released by the ContextCleaner when the returned plan is GC'd
-    # (SCALING.md, round-8 persist-vs-recompute table).
-    ex = (sh.select("doc_id", F.explode("shingles").alias("shingle"))
-          .persist())
+    # checkpoint blocks are fatal (lineage truncated). Routed through
+    # shared_stage (round-10 hygiene): a bare per-query persist() has
+    # no unpersist path, so a long multi-query session accumulates
+    # orphan blocks until LRU eviction; the stage cache is released by
+    # clear_stage_cache() and its no-leaked-blocks pin covers it.
+    ex = shared_stage(
+        spark, f"q:dup_span_profile:shingles:{sf_dir}",
+        lambda: sh.select("doc_id", F.explode("shingles").alias("shingle")))
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
     per = (ex.join(dfreq, "shingle")
            .groupBy("doc_id")
@@ -1580,7 +1583,10 @@ def near_dup_incremental_store(spark, sf_dir):
     # already does; without it every consuming branch (new_reps, probe,
     # expansion) re-tokenizes the delta. Measured at sf0.1: 6.2-7.6 s
     # recompute vs 4.7-5.8 s persisted (SCALING.md, round-8 table).
-    dmemb = delta_membership(delta, reps).persist()
+    # shared_stage (round-10 hygiene): gives the block the session
+    # cache's release path instead of leaking until LRU eviction.
+    dmemb = shared_stage(spark, f"q:near_dup_incr_store:dmemb:{sf_dir}",
+                         lambda: delta_membership(delta, reps))
     pairs, _, _ = incremental_near_dup_pairs_from_store(
         delta, members, reps, buckets, threshold=0.7, dmemb=dmemb)
     return pairs
@@ -4766,6 +4772,141 @@ def ivf_quantized_store(spark, sf_dir):
                     .alias("store_matches_inplan")))
 
 
+# One bootstrapped TEXT ingest store per (session, sf_dir), corpus =
+# the E60 split's training side (doc_id % 40 != 0): the cbloom gate
+# twin reads the counting-Bloom state this builds. Same economics as
+# _emb_store_dir — a real parquet state dir (streaming/ingest.py),
+# built once per session, served from thereafter.
+_TEXT_STORE_CACHE: dict = {}
+
+
+def _text_store_dir(spark, sf_dir: str) -> str:
+    import tempfile
+    from cati_database_feeder_spark.streaming.ingest import ingest_batch
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _TEXT_STORE_CACHE if k[0] != app_id]:
+        del _TEXT_STORE_CACHE[stale]
+    key = (app_id, sf_dir)
+    if key not in _TEXT_STORE_CACHE:
+        d = tempfile.mkdtemp(prefix="text_serving_store_")
+        ingest_batch(spark,
+                     T(spark, sf_dir, "documents")
+                     .filter(F.col("doc_id") % 40 != 0)
+                     .select("doc_id", "text"),
+                     d, batch_id=0)
+        _TEXT_STORE_CACHE[key] = d
+    return _TEXT_STORE_CACHE[key]
+
+
+from cati_database_feeder_spark.operators.dedup import (  # noqa: E402
+    minhash_coeffs as _mh_coeffs)
+
+# Bloom universal-hash coefficients (seed indices 100/101 — the
+# BLOOM_SEED_BASE family, disjoint from MinHash's 0..15) as literals
+# the oracle replays verbatim
+_CB_A0, _CB_B0 = _mh_coeffs(100)
+_CB_A1, _CB_B1 = _mh_coeffs(101)
+
+_CBLOOM_GATE_SQL = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+4], ' ')
+                        FOR i IN range(1, len(tk) - 3)]) AS shingles
+  FROM tk WHERE len(tk) >= 5
+),
+bench AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 40 = 0
+),
+corpus AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 40 <> 0
+),
+hashed_c AS (
+  SELECT CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+           % 2147483647 AS h
+  FROM corpus
+),
+cells AS (
+  SELECT DISTINCT (({_CB_A0} * h + {_CB_B0}) % 2147483647) % 65536 AS p
+  FROM hashed_c
+  UNION
+  SELECT DISTINCT (({_CB_A1} * h + {_CB_B1}) % 2147483647) % 65536 AS p
+  FROM hashed_c
+),
+gated AS (
+  SELECT b.doc_id, b.shingle,
+         (CAST(concat('0x', substr(md5(b.shingle), 1, 15)) AS BIGINT)
+            % 2147483647) AS h,
+         (b.shingle IN (SELECT shingle FROM corpus)) AS shared
+  FROM bench b
+)
+SELECT doc_id,
+       CAST(COUNT(CASE WHEN
+              (({_CB_A0} * h + {_CB_B0}) % 2147483647) % 65536
+                IN (SELECT p FROM cells)
+              AND (({_CB_A1} * h + {_CB_B1}) % 2147483647) % 65536
+                IN (SELECT p FROM cells)
+            THEN 1 END) AS BIGINT) AS n_gate_hits,
+       CAST(COUNT(CASE WHEN shared THEN 1 END) AS BIGINT) AS n_shared_exact,
+       (COUNT(CASE WHEN
+              (({_CB_A0} * h + {_CB_B0}) % 2147483647) % 65536
+                IN (SELECT p FROM cells)
+              AND (({_CB_A1} * h + {_CB_B1}) % 2147483647) % 65536
+                IN (SELECT p FROM cells)
+            THEN 1 END)
+        >= COUNT(CASE WHEN shared THEN 1 END)) AS gate_no_false_negatives
+FROM gated
+GROUP BY doc_id
+"""
+
+
+@register("decontaminate_cbloom_store", sql=_CBLOOM_GATE_SQL)
+def decontaminate_cbloom_store(spark, sf_dir):
+    """E60+ serving off the ingest-MAINTAINED counting-Bloom gate: an
+    incoming benchmark/eval set (every 40th doc) is screened against
+    the LIVE corpus's shingle gate read straight from the cbloom/
+    store (streaming/ingest.py:cbloom_gate) — per eval doc, the count
+    of its distinct 5-token shingles PASSING the stored gate next to
+    the exact shared count, plus the no-false-negative boolean the
+    gate's result-transparency rests on. The oracle REPLAYS the
+    counting-Bloom cells from the corpus shingles through the same
+    md5→universal-hash arithmetic (coefficient indices 100.., disjoint
+    from MinHash) — so a drifted store cell, a hash regression, or a
+    takedown that left deleted shingles set would hash-mismatch on
+    actual counts, not a boolean alone. The gate screen reads NO
+    corpus text (the store is the corpus's fingerprint); the exact
+    column is the verify join a production pipeline runs only on the
+    gate's survivors."""
+    from cati_database_feeder_spark.functions import sketches
+    from cati_database_feeder_spark.streaming.ingest import cbloom_gate
+    words, m, k = cbloom_gate(spark, _text_store_dir(spark, sf_dir))
+    d = T(spark, sf_dir, "documents")
+    staged = (d.select("doc_id", text.tokens(F.col("text")).alias("__tk"))
+              .filter(F.size("__tk") >= 5)
+              .select("doc_id", F.explode(F.array_distinct(
+                  text.shingles_from_tokens(F.col("__tk"), 5)))
+                  .alias("shingle")))
+    bench = staged.filter(F.col("doc_id") % 40 == 0)
+    cs = (staged.filter(F.col("doc_id") % 40 != 0)
+          .select("shingle").distinct()
+          .withColumn("__in_corpus", F.lit(1)))
+    j = (bench
+         .withColumn("__hit", sketches.bloom_might_contain(
+             F.col("shingle"), words, m, k))
+         .join(cs, "shingle", "left"))
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.when(F.col("__hit"), 1)).alias("n_gate_hits"),
+                 F.count(F.when(F.col("__in_corpus").isNotNull(), 1))
+                 .alias("n_shared_exact"))
+            .select("doc_id", "n_gate_hits", "n_shared_exact",
+                    (F.col("n_gate_hits") >= F.col("n_shared_exact"))
+                    .alias("gate_no_false_negatives")))
+
+
 # ---------------------------------------------------------------------
 # Round-9 additions, sketch tier: Bloom-gated decontamination (E60),
 # count-min heavy-hitter estimation (E61), MinHash calibration (E62)
@@ -4817,12 +4958,15 @@ def decontaminate_bloom_gate(spark, sf_dir):
               .select("doc_id",
                       F.array_distinct(
                           text.shingles_from_tokens(F.col("__tk"), 5)).alias("sh")))
-    # persisted: the tiny distinct benchmark set is scanned twice (the
-    # bloom_build collect and the exact verify join) — without persist
-    # each scan re-runs the benchmark-side shingle pass
-    bench = (staged.filter(F.col("doc_id") % 40 == 0)
-             .select(F.explode("sh").alias("shingle")).distinct()
-             .persist())
+    # persisted via shared_stage: the tiny distinct benchmark set is
+    # scanned twice (the bloom_build collect and the exact verify
+    # join) — without caching each scan re-runs the benchmark-side
+    # shingle pass, and the stage cache gives the block a release path
+    # (round-10 hygiene)
+    bench = shared_stage(
+        spark, f"q:bloom_gate:bench_shingles:{sf_dir}",
+        lambda: staged.filter(F.col("doc_id") % 40 == 0)
+        .select(F.explode("sh").alias("shingle")).distinct())
     words = sketches.bloom_build(bench, "shingle", m_bits=m_bits, k=2)
     corpus = (staged.filter(F.col("doc_id") % 40 != 0)
               .select("doc_id", F.explode("sh").alias("shingle")))
@@ -5229,12 +5373,15 @@ def text_heavy_hitters(spark, sf_dir):
     tests/test_sketches.py shows the prune doing real work
     (functions/sketches.py:cms_heavy_hitters)."""
     from cati_database_feeder_spark.functions import sketches
-    # persisted: the occurrence stream feeds the sketch build, the
-    # distinct-key stream and the exact verify count — a flat string
-    # column caches cheap (the dup-span-profile precedent)
-    toks = (T(spark, sf_dir, "documents")
-            .select(F.explode(text.tokens(F.col("text"))).alias("tok"))
-            .persist())
+    # persisted via shared_stage: the occurrence stream feeds the
+    # sketch build, the distinct-key stream and the exact verify count
+    # — a flat string column caches cheap (the dup-span-profile
+    # precedent), and the stage cache gives the block a release path
+    # (round-10 hygiene)
+    toks = shared_stage(
+        spark, f"q:heavy_hitters:toks:{sf_dir}",
+        lambda: T(spark, sf_dir, "documents")
+        .select(F.explode(text.tokens(F.col("text"))).alias("tok")))
     table = sketches.cms_table(toks, "tok")
     # total occurrences N comes from the SKETCH (any single row r
     # counts every occurrence exactly once: sum cnt over r=0), not a
@@ -5282,6 +5429,7 @@ _CHECK_ORDER = [
     "sample_source_cap", "text_ccnet_buckets",
     # [c] new round-10 queries
     "embedding_jl_topk_store", "ivf_quantized_store",
+    "decontaminate_cbloom_store",
     # [d] r08-green refreshes
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
@@ -5296,7 +5444,7 @@ _CHECK_ORDER = [
     "bm25_topk_search", "embedding_quantize_int8", "dedup_keep_best",
     "agg_cube_grouping_sets", "agg_distinct_counts",
     "agg_rollup_region_nation", "udaf_weighted_median",
-    "udaf_trimmed_mean", "window_first_occurrence_dedup",
+    "udaf_trimmed_mean",
     # ---- tail (past slot 50). Sustainability arithmetic: 115+
     # registered queries, a 50-slot driver window, and driver greens
     # that expire after 2 rounds demand ~58 refresh slots per round —
@@ -5346,7 +5494,7 @@ _CHECK_ORDER = [
     "pivot_unpivot_roundtrip", "snapshot_diff",
     "scalar_functions", "set_ops_pack",
     "string_functions", "text_doc_profile",
-    "top_k_orders", "union_pages",
+    "top_k_orders", "union_pages", "window_first_occurrence_dedup",
     "window_running_lag", "window_top_orders_per_customer",
 ]
 

@@ -118,7 +118,8 @@ from cati_database_feeder_spark.operators.graph import (
     connected_components, incremental_components)
 
 _STORES = ("labels", "corpus", "buckets", "members", "reps", "metrics",
-           "pairs", "deleted", "cms")
+           "pairs", "deleted", "cms", "cbloom", "cms_pending",
+           "cbloom_pending")
 
 _LOCK_NAME = "_LOCK"
 _DELETE_PENDING = "_DELETE_PENDING"
@@ -344,17 +345,51 @@ def _ensure_pairs_store(spark, state_dir: str, threshold: float,
 
 CMS_DEPTH = 4
 CMS_WIDTH = 2048
+CBLOOM_M = 65536   # counting-Bloom cells (= bits of the served bitmap)
+CBLOOM_K = 2       # hash functions — matches the E60 gate's k
 _CMS_FP_ROW = -1    # sentinel: bucket = delta id-hash sum, cnt = delta rows
-_CMS_DIMS_ROW = -2  # sentinel: bucket = depth, cnt = width
+_CMS_DIMS_ROW = -2  # sentinel: bucket = d1, cnt = d2
+_CMS_SUBT_ROW = -3  # takedown ledger: bucket = hash64(doc_id) whose counts
+#                     this sketch no longer contains (reflected deletions)
+_CMS_IDS_ROW = -4   # sidecar only: bucket = hash64(doc_id) of the delta
 _CMS_NO_FP = (-1, -1)  # "no last-merged delta" (bootstrap/migration/delete)
 
+# The two ingest-maintained linear sketches share one store discipline
+# (frame shape, sentinels, per-batch sidecar, takedown): the count-min
+# token-frequency table (E61+) and the counting-Bloom decontamination
+# gate over 5-token shingles (E60 at ingest, round-9 verdict item 5).
+# Registered as (store name, cells builder, default dims).
 
-def _cms_of(docs: DataFrame, depth: int, width: int) -> DataFrame:
+
+def _cms_of(docs: DataFrame, depth: int = CMS_DEPTH,
+            width: int = CMS_WIDTH) -> DataFrame:
     """(r, bucket, cnt) count-min table over the docs' token
     occurrences (functions/sketches.py:cms_table)."""
     toks = docs.select(F.explode(
         text_fns.tokens(F.col("text"))).alias("tok"))
     return sketches.cms_table(toks, "tok", depth=depth, width=width)
+
+
+def _cbloom_of(docs: DataFrame, m_cells: int = CBLOOM_M,
+               k: int = CBLOOM_K) -> DataFrame:
+    """(r=0, bucket=cell, cnt) counting-Bloom cells over the docs'
+    per-doc DISTINCT 5-token shingles — the E60 gate's key definition,
+    counted per (doc, shingle) so subtracting one document's cells
+    leaves every shingle it SHARED with a surviving document positive
+    (functions/sketches.py:counting_bloom_cells)."""
+    sh = (docs.select("doc_id",
+                      text_fns.tokens(F.col("text")).alias("__tk"))
+          .filter(F.size("__tk") >= 5)
+          .select("doc_id", F.explode(F.array_distinct(
+              text_fns.shingles_from_tokens(F.col("__tk"), 5)))
+              .alias("shingle")))
+    return (sketches.counting_bloom_cells(sh, "shingle", m_cells, k)
+            .select(F.lit(0).alias("r"), F.col("cell").alias("bucket"),
+                    "cnt"))
+
+
+_SKETCH_STORES = (("cms", _cms_of, (CMS_DEPTH, CMS_WIDTH)),
+                  ("cbloom", _cbloom_of, (CBLOOM_M, CBLOOM_K)))
 
 
 def _cms_fp(delta: DataFrame) -> tuple[int, int]:
@@ -370,17 +405,35 @@ def _cms_fp(delta: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _doc_id_hashes(docs: DataFrame) -> DataFrame:
+    """One (bucket = hash64(doc_id)) row per doc — the id identity used
+    by the sidecar's committed-check and the takedown ledger. Full
+    60-bit hashes (not mod P): a collision here silently skips a
+    subtraction, so the accident class is kept at ~2^-60 per pair."""
+    return docs.select(text_fns.hash64(F.col("doc_id").cast("string"))
+                       .alias("bucket"))
+
+
 def _cms_store_frame(spark, table: DataFrame, fp: tuple[int, int],
-                     depth: int, width: int) -> DataFrame:
-    """Data rows + the two sentinel rows, one frame so one swap commits
-    both (fp and dims must never drift from the cells they describe)."""
+                     d1: int, d2: int,
+                     extra_rows: DataFrame | None = None) -> DataFrame:
+    """Data rows + the two sentinel rows (+ optional bookkeeping rows:
+    the takedown ledger in the main store, the delta id-hashes in a
+    sidecar), ONE frame so one swap commits all of it — fp, dims and
+    ledgers must never drift from the cells they describe."""
     sent = spark.createDataFrame(
-        [(_CMS_FP_ROW, fp[1], fp[0]), (_CMS_DIMS_ROW, depth, width)],
+        [(_CMS_FP_ROW, fp[1], fp[0]), (_CMS_DIMS_ROW, d1, d2)],
         "r INT, bucket BIGINT, cnt BIGINT")
-    return (table.select(F.col("r").cast("int"),
-                         F.col("bucket").cast("bigint"),
-                         F.col("cnt").cast("bigint"))
-            .unionByName(sent))
+    out = (table.select(F.col("r").cast("int"),
+                        F.col("bucket").cast("bigint"),
+                        F.col("cnt").cast("bigint"))
+           .unionByName(sent))
+    if extra_rows is not None:
+        out = out.unionByName(
+            extra_rows.select(F.col("r").cast("int"),
+                              F.col("bucket").cast("bigint"),
+                              F.col("cnt").cast("bigint")))
+    return out
 
 
 def read_cms(spark, state_dir: str) -> DataFrame:
@@ -392,30 +445,57 @@ def read_cms(spark, state_dir: str) -> DataFrame:
             .filter(F.col("r") >= 0))
 
 
-def _ensure_cms_store(spark, state_dir: str,
-                      depth: int = CMS_DEPTH,
-                      width: int = CMS_WIDTH) -> None:
-    """One-time migration for pre-cms state dirs (one corpus tokenize
-    pass, the same policy as the other ensure fns); on maintained dirs
-    this only verifies the BOOTSTRAP-PINNED dims — merging a table
-    built with different (depth, width) would silently corrupt every
-    cell, so a mismatch is a descriptive refusal, not a rebuild."""
-    cms_dir = os.path.join(state_dir, "cms")
-    if os.path.exists(cms_dir):
-        dims = (spark.read.parquet(cms_dir)
+def read_cbloom(spark, state_dir: str) -> DataFrame:
+    """The maintained counting-Bloom cells (cell, cnt) of the live
+    corpus's 5-token shingles, sentinels stripped."""
+    return (spark.read.parquet(os.path.join(state_dir, "cbloom"))
+            .filter(F.col("r") >= 0)
+            .select(F.col("bucket").alias("cell"), "cnt"))
+
+
+def cbloom_gate(spark, state_dir: str):
+    """Serving handoff for the ingest-maintained decontamination gate:
+    ``(words, m_bits, k)`` ready for
+    :func:`functions.sketches.bloom_might_contain` — test any incoming
+    benchmark/eval shingle set against the LIVE corpus in a
+    zero-shuffle codegen projection, no corpus tokenize. No false
+    negatives for surviving documents' shingles (the counting cells
+    subtract exactly on takedown); false positives go to the usual
+    exact verify join. Dims come from the bootstrap-pinned sentinel."""
+    stored = spark.read.parquet(os.path.join(state_dir, "cbloom"))
+    dims = stored.filter(F.col("r") == _CMS_DIMS_ROW).collect()
+    m, k = ((int(dims[0]["bucket"]), int(dims[0]["cnt"])) if dims
+            else (CBLOOM_M, CBLOOM_K))
+    words = sketches.counting_bloom_words(
+        stored.filter(F.col("r") >= 0)
+        .select(F.col("bucket").alias("cell"), "cnt"), m)
+    return words, m, k
+
+
+def _sk_ensure_store(spark, state_dir: str, name: str, cells_of,
+                     d1: int, d2: int) -> None:
+    """One-time migration for state dirs predating the ``name`` sketch
+    store (one corpus pass, the same policy as the other ensure fns);
+    on maintained dirs this only verifies the BOOTSTRAP-PINNED dims —
+    merging a table built with different dims would silently corrupt
+    every cell, so a mismatch is a descriptive refusal, not a
+    rebuild."""
+    sk_dir = os.path.join(state_dir, name)
+    if os.path.exists(sk_dir):
+        dims = (spark.read.parquet(sk_dir)
                 .filter(F.col("r") == _CMS_DIMS_ROW).collect())
         if dims and (int(dims[0]["bucket"]), int(dims[0]["cnt"])) \
-                != (depth, width):
+                != (d1, d2):
             raise StateLockError(
-                f"cms store at {cms_dir!r} was bootstrapped with "
-                f"(depth, width) = ({int(dims[0]['bucket'])}, "
+                f"{name} store at {sk_dir!r} was bootstrapped with "
+                f"dims ({int(dims[0]['bucket'])}, "
                 f"{int(dims[0]['cnt'])}) but this ingest is configured "
-                f"for ({depth}, {width}) — dims are pinned at bootstrap "
+                f"for ({d1}, {d2}) — dims are pinned at bootstrap "
                 f"(merging mismatched tables corrupts every cell); use "
                 f"the stored dims or rebuild the store.")
         if dims:
             return
-        # a cms dir WITHOUT the dims sentinel is a partially written
+        # a sketch dir WITHOUT the dims sentinel is a partially written
         # store (every complete writer — bootstrap, merge, delete,
         # this migration — commits data + sentinels in one frame):
         # treating it as valid would serve a permanently under-counted
@@ -423,53 +503,202 @@ def _ensure_cms_store(spark, state_dir: str,
         # w.r.t. a crashed in-flight batch because the corpus marker
         # for that batch is unwritten, so its redelivered delta merges
         # against this rebuild normally.
-        shutil.rmtree(cms_dir)
+        shutil.rmtree(sk_dir)
     corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
     # _swap_write (not a plain overwrite): a crash mid-migration must
-    # leave either no cms dir (retry re-enters here) or a complete one
-    # — never a sentinel-less partial (review finding)
-    _swap_write(_cms_store_frame(spark, _cms_of(corpus, depth, width),
-                                 _CMS_NO_FP, depth, width), cms_dir)
+    # leave either no sketch dir (retry re-enters here) or a complete
+    # one — never a sentinel-less partial (review finding)
+    _swap_write(_cms_store_frame(spark, cells_of(corpus, d1, d2),
+                                 _CMS_NO_FP, d1, d2), sk_dir)
+
+
+def _ensure_cms_store(spark, state_dir: str,
+                      depth: int = CMS_DEPTH,
+                      width: int = CMS_WIDTH) -> None:
+    _sk_ensure_store(spark, state_dir, "cms", _cms_of, depth, width)
+
+
+def _sk_merge_delta(spark, state_dir: str, name: str, delta: DataFrame,
+                    cells_of, d1: int, d2: int) -> None:
+    """Fold one delta into the ``name`` sketch store: cell-wise ADD
+    (the linear-sketch merge), swap-replaced. Replay-guarded:
+    foreachBatch is at-least-once, the merge is not idempotent, and a
+    crash AFTER this swap but BEFORE the corpus commit marker
+    redelivers the identical delta — whose fingerprint then matches
+    the stored sentinel and the merge is skipped.
+
+    SIDECAR (round-10, the safe-subtract enabler — SURVEY.md's open
+    thread 2): before the merge, the delta's own aggregated cells +
+    fp + id-hashes are swap-written to ``{name}_pending/``. The
+    sidecar makes takedown's subtraction well-defined across the
+    merge→corpus-commit crash window: a takedown finding a sidecar
+    whose fp matches the store's AND whose ids are not all in the
+    corpus knows the store contains a merged-but-uncommitted delta
+    and can subtract exactly it (:func:`_sk_takedown`). Write order
+    is load-bearing: sidecar BEFORE the store swap, so a crash
+    between them leaves sidecar.fp != store.fp (takedown ignores it,
+    the replayed batch overwrites it). The sidecar is garbage-
+    collected after the corpus commit (:func:`_sk_gc_pending`); a
+    stale committed sidecar (crash in that last window) is detected
+    by the ids⊆corpus check and GC'd without subtraction. Plans here
+    read only the sketch dirs + the delta, so the call is
+    recacheByPath-safe anywhere before the corpus append."""
+    sk_dir = os.path.join(state_dir, name)
+    pend_dir = os.path.join(state_dir, name + "_pending")
+    stored = spark.read.parquet(sk_dir)
+    fp = _cms_fp(delta)
+    prev = stored.filter(F.col("r") == _CMS_FP_ROW).collect()
+    if prev and (int(prev[0]["cnt"]), int(prev[0]["bucket"])) == fp:
+        return  # crash-window replay: this delta is already merged
+    ids = (_doc_id_hashes(delta)
+           .select(F.lit(_CMS_IDS_ROW).alias("r"), "bucket",
+                   F.lit(1).alias("cnt")))
+    _swap_write(_cms_store_frame(spark, cells_of(delta, d1, d2), fp,
+                                 d1, d2, extra_rows=ids), pend_dir)
+    # merge reads the delta's cells BACK FROM the sidecar — the
+    # aggregation was paid by the sidecar write, so the merge itself
+    # is one bounded-cardinality union + groupBy; the takedown ledger
+    # rows (r=-3) are carried over verbatim
+    pend_cells = (spark.read.parquet(pend_dir)
+                  .filter(F.col("r") >= 0))
+    ledger = stored.filter(F.col("r") == _CMS_SUBT_ROW)
+    merged = (stored.filter(F.col("r") >= 0)
+              .unionByName(pend_cells)
+              .groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt")))
+    # NO coalesce(1) here: coalesce collapses the whole upstream plan
+    # into one serial task (measured 4.5 s vs 0.6 s for this write —
+    # SCALING.md round 9); AQE already shrinks the tiny shuffle, and
+    # compact_state owns the file count (sketches compact to 1 file)
+    _swap_write(_cms_store_frame(spark, merged, fp, d1, d2,
+                                 extra_rows=ledger), sk_dir)
 
 
 def _cms_merge_delta(spark, state_dir: str, delta: DataFrame,
                      depth: int = CMS_DEPTH,
                      width: int = CMS_WIDTH) -> None:
-    """Fold one delta into the cms store: cell-wise ADD (the linear-
-    sketch merge), swap-replaced. Replay-guarded: foreachBatch is
-    at-least-once, the merge is not idempotent, and a crash AFTER this
-    swap but BEFORE the corpus commit marker redelivers the identical
-    delta — whose fingerprint then matches the stored sentinel and the
-    merge is skipped. Plans here read only cms/ (self-read is what
-    _swap_write exists for) and the delta (batch text + corpus
-    anti-join), so the call is recacheByPath-safe anywhere before the
-    corpus append."""
-    cms_dir = os.path.join(state_dir, "cms")
-    stored = spark.read.parquet(cms_dir)
-    fp = _cms_fp(delta)
-    prev = stored.filter(F.col("r") == _CMS_FP_ROW).collect()
-    if prev and (int(prev[0]["cnt"]), int(prev[0]["bucket"])) == fp:
-        return  # crash-window replay: this delta is already merged
-    # ONE shuffle: stored cells union RAW delta (r, bucket, 1) rows,
-    # one groupBy — building the delta's own table first would add a
-    # second shuffle of the same rows for nothing; the result is
-    # bounded (depth×width) so it coalesces to one file, which is also
-    # what keeps the next batch's store read a one-file scan
-    delta_cells = (delta.select(F.explode(
-        text_fns.tokens(F.col("text"))).alias("tok"))
-        .select(F.posexplode(sketches.cms_buckets(
-            F.col("tok"), depth, width)).alias("r", "bucket"))
-        .select(F.col("r").cast("int"), F.col("bucket").cast("bigint"),
-                F.lit(1).cast("bigint").alias("cnt")))
-    merged = (stored.filter(F.col("r") >= 0)
-              .unionByName(delta_cells)
-              .groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt")))
-    # NO coalesce(1) here: coalesce collapses the whole upstream plan
-    # into one serial task (measured 4.5 s vs 0.6 s for this write —
-    # SCALING.md round 9); AQE already shrinks the tiny shuffle, and
-    # compact_state owns the file count (cms compacts to 1 file)
-    _swap_write(_cms_store_frame(spark, merged, fp, depth, width),
-                cms_dir)
+    _sk_merge_delta(spark, state_dir, "cms", delta, _cms_of, depth,
+                    width)
+
+
+def _sk_gc_pending(state_dir: str, name: str) -> None:
+    """Drop the ``name`` sidecar after the corpus commit marker: its
+    delta is now corpus-true, so takedown no longer needs it (the
+    ids⊆corpus check would classify it committed anyway — this is
+    hygiene, not correctness)."""
+    shutil.rmtree(os.path.join(state_dir, name + "_pending"),
+                  ignore_errors=True)
+
+
+def _sk_takedown(spark, state_dir: str, name: str, cells_of,
+                 d1_default: int, d2_default: int, corpus: DataFrame,
+                 tomb: DataFrame, mode: str) -> None:
+    """Reflect the FULL tombstone set in the ``name`` sketch store,
+    before the corpus swap (both modes read the OLD corpus text).
+
+    ``mode="rebuild"``: recount from the surviving corpus — one corpus
+    pass, immune to everything, the round-9 shipped form.
+
+    ``mode="subtract"`` (round-10, SURVEY.md open thread 2 closed):
+    linear-sketch subtraction, cost bounded by the DELETED documents —
+    the 100 TB small-delete path. Correct across every crash window
+    via two pieces of recorded state:
+
+    * the r=-3 LEDGER rows in the store (hash64 of every tombstone the
+      cells already reflect) make the subtraction idempotent — a retry
+      after a crash between the sketch swap and the corpus swap
+      subtracts nothing twice, and a later delete with more ids
+      subtracts only the new ones even if the earlier corpus swap
+      never landed;
+    * the per-batch SIDECAR (:func:`_sk_merge_delta`) resolves the
+      merged-but-uncommitted delta: if the sidecar's fp matches the
+      store's and its ids are NOT all in the corpus, the store
+      contains exactly that delta's cells with no corpus rows behind
+      them — subtract the sidecar's cells wholesale and reset fp, so
+      the redelivered (tombstone-filtered) delta re-merges onto a
+      corpus-true base. A sidecar whose fp mismatches was never
+      merged; one whose ids are all present is committed (GC'd, not
+      subtracted).
+
+    Both modes end with fp = NO_FP (safe: committed deltas are
+    replay-protected by the corpus anti-join, and any pending delta
+    was just subtracted or rebuilt away) and the ledger equal to the
+    full tombstone hash set. Cells driven negative — impossible unless
+    the store was hand-edited — are a descriptive refusal pointing at
+    the rebuild mode."""
+    sk_dir = os.path.join(state_dir, name)
+    if not os.path.exists(sk_dir):
+        return
+    pend_dir = os.path.join(state_dir, name + "_pending")
+    stored = spark.read.parquet(sk_dir)
+    dims = stored.filter(F.col("r") == _CMS_DIMS_ROW).collect()
+    d1, d2 = ((int(dims[0]["bucket"]), int(dims[0]["cnt"])) if dims
+              else (d1_default, d2_default))
+    tomb_hash_rows = (_doc_id_hashes(tomb).distinct()
+                      .select(F.lit(_CMS_SUBT_ROW).alias("r"), "bucket",
+                              F.lit(1).alias("cnt")))
+    if mode == "rebuild":
+        _swap_write(_cms_store_frame(
+            spark, cells_of(corpus.join(tomb, "doc_id", "left_anti"),
+                            d1, d2),
+            _CMS_NO_FP, d1, d2, extra_rows=tomb_hash_rows), sk_dir)
+        _sk_gc_pending(state_dir, name)
+        return
+    if mode != "subtract":
+        raise ValueError(
+            f"sketch takedown mode must be 'subtract' or 'rebuild', "
+            f"got {mode!r}")
+    ledger = stored.filter(F.col("r") == _CMS_SUBT_ROW).select("bucket")
+    to_sub_docs = (corpus.join(tomb, "doc_id", "left_semi")
+                   .withColumn("__h", text_fns.hash64(
+                       F.col("doc_id").cast("string")))
+                   .join(ledger.withColumnRenamed("bucket", "__h"),
+                         "__h", "left_anti")
+                   .drop("__h"))
+    neg = cells_of(to_sub_docs, d1, d2).withColumn(
+        "cnt", -F.col("cnt"))
+    parts = [stored.filter(F.col("r") >= 0), neg]
+    prev_fp = stored.filter(F.col("r") == _CMS_FP_ROW).collect()
+    store_fp = ((int(prev_fp[0]["cnt"]), int(prev_fp[0]["bucket"]))
+                if prev_fp else _CMS_NO_FP)
+    if os.path.exists(pend_dir):
+        pend = spark.read.parquet(pend_dir)
+        pfp_rows = pend.filter(F.col("r") == _CMS_FP_ROW).collect()
+        pend_fp = ((int(pfp_rows[0]["cnt"]), int(pfp_rows[0]["bucket"]))
+                   if pfp_rows else _CMS_NO_FP)
+        if pend_fp == store_fp and pend_fp != _CMS_NO_FP:
+            pend_ids = (pend.filter(F.col("r") == _CMS_IDS_ROW)
+                        .select("bucket"))
+            n_uncommitted = (pend_ids
+                             .join(_doc_id_hashes(
+                                 corpus.select("doc_id")),
+                                 "bucket", "left_anti")
+                             .limit(1).count())
+            if n_uncommitted:
+                parts.append(pend.filter(F.col("r") >= 0)
+                             .withColumn("cnt", -F.col("cnt")))
+    new_cells = parts[0]
+    for p in parts[1:]:
+        new_cells = new_cells.unionByName(p)
+    new_cells = (new_cells.groupBy("r", "bucket")
+                 .agg(F.sum("cnt").alias("cnt")).persist())
+    try:
+        if new_cells.filter(F.col("cnt") < 0).limit(1).count():
+            raise StateLockError(
+                f"{name} takedown subtraction drove a cell negative — "
+                f"the store does not contain the counts being removed "
+                f"(hand-edited store or unsupported legacy state). "
+                f"Re-run delete_docs with sketch_takedown='rebuild'.")
+        new_ledger = (ledger
+                      .unionByName(tomb_hash_rows.select("bucket"))
+                      .distinct()
+                      .select(F.lit(_CMS_SUBT_ROW).alias("r"), "bucket",
+                              F.lit(1).alias("cnt")))
+        _swap_write(_cms_store_frame(
+            spark, new_cells.filter(F.col("cnt") > 0),
+            _CMS_NO_FP, d1, d2, extra_rows=new_ledger), sk_dir)
+    finally:
+        new_cells.unpersist()
+    _sk_gc_pending(state_dir, name)
 
 
 def _check_no_pending_delete(state_dir: str, op: str) -> None:
@@ -580,13 +809,17 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # the edge store takedown repairs labels from (delete_docs)
         pairs.select("id_a", "id_b").write.mode("overwrite") \
             .parquet(pairs_dir)
-        # cms sketch of the bootstrap corpus; a bootstrap retry redoes
-        # this overwrite with identical content (idempotent), and the
-        # fp sentinel records the batch so a partial-crash redelivery
+        # linear-sketch stores of the bootstrap corpus (count-min token
+        # table + counting-Bloom shingle gate); a bootstrap retry redoes
+        # these overwrites with identical content (idempotent), and the
+        # fp sentinels record the batch so a partial-crash redelivery
         # that somehow reaches the incremental path still skips
-        (_cms_store_frame(spark, _cms_of(batch, CMS_DEPTH, CMS_WIDTH),
-                          _cms_fp(batch), CMS_DEPTH, CMS_WIDTH)
-         .write.mode("overwrite").parquet(os.path.join(state_dir, "cms")))
+        boot_fp = _cms_fp(batch)
+        for sk_name, sk_cells, (sd1, sd2) in _SKETCH_STORES:
+            (_cms_store_frame(spark, sk_cells(batch, sd1, sd2),
+                              boot_fp, sd1, sd2)
+             .write.mode("overwrite")
+             .parquet(os.path.join(state_dir, sk_name)))
         # metrics BEFORE the corpus commit marker: a crash between the
         # two replays the whole bootstrap (corpus absent) and appends a
         # duplicate row with the same batch_id — at-least-once, which
@@ -603,7 +836,8 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
 
     _ensure_membership_stores(spark, state_dir)
     _ensure_pairs_store(spark, state_dir, threshold, num_hashes, bands)
-    _ensure_cms_store(spark, state_dir)
+    for sk_name, sk_cells, (sd1, sd2) in _SKETCH_STORES:
+        _sk_ensure_store(spark, state_dir, sk_name, sk_cells, sd1, sd2)
     fr = _incremental_frames(spark, state_dir, batch, threshold,
                              num_hashes, bands)
     # persist the per-batch frames every downstream branch consumes;
@@ -659,11 +893,14 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         fr["buckets_append"].write.mode("append").parquet(buckets_dir)
         fr["members_append"].write.mode("append").parquet(members_dir)
         fr["reps_append"].write.mode("append").parquet(reps_dir)
-        # cms merge BEFORE the corpus commit marker (its replay guard
-        # assumes a crash here redelivers the identical delta, which
-        # holds only while the marker is unwritten); reads cms/ + the
-        # delta only, so it is recacheByPath-safe at this slot
-        _cms_merge_delta(spark, state_dir, delta)
+        # sketch merges BEFORE the corpus commit marker (their replay
+        # guard assumes a crash here redelivers the identical delta,
+        # which holds only while the marker is unwritten); each reads
+        # its own dirs + the delta only, so the calls are
+        # recacheByPath-safe at this slot
+        for sk_name, sk_cells, (sd1, sd2) in _SKETCH_STORES:
+            _sk_merge_delta(spark, state_dir, sk_name, delta, sk_cells,
+                            sd1, sd2)
         # metrics BEFORE the corpus commit marker (same argument as the
         # bootstrap branch): a crash in between replays the batch and
         # appends a duplicate batch_id row — at-least-once — where the
@@ -674,6 +911,9 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         _append_metrics(spark, state_dir, batch_id, m_rows_in, m_delta,
                         m_pairs, quiet, False)
         delta.write.mode("append").parquet(corpus_dir)
+        # past the commit marker: the sidecars' deltas are corpus-true
+        for sk_name, _, _ in _SKETCH_STORES:
+            _sk_gc_pending(state_dir, sk_name)
     finally:
         new_pairs.unpersist()
         dmemb.unpersist()
@@ -775,7 +1015,8 @@ def _compact_state_locked(spark, state_dir: str,
     # compact it with them (append-only, so the swap discipline holds);
     # one row per batch → one file, not n near-empty ones
     for name, parts in (("members", n), ("reps", n), ("metrics", 1),
-                        ("pairs", n), ("deleted", 1), ("cms", 1)):
+                        ("pairs", n), ("deleted", 1), ("cms", 1),
+                        ("cbloom", 1)):
         d = os.path.join(state_dir, name)
         if os.path.exists(d):
             _swap_write(spark.read.parquet(d).repartition(parts), d)
@@ -791,7 +1032,8 @@ def _compact_state_locked(spark, state_dir: str,
 
 def delete_docs(spark, state_dir: str, doc_ids,
                 threshold: float = 0.7, num_hashes: int = 16,
-                bands: int = 4) -> None:
+                bands: int = 4,
+                sketch_takedown: str = "subtract") -> None:
     """Takedown/retraction for the ingest stores (round-8 verdict
     item 2): remove a doc_id set from EVERY store — the path a
     production corpus needs for copyright/PII deletion requests, which
@@ -832,15 +1074,24 @@ def delete_docs(spark, state_dir: str, doc_ids,
     after a crash completes the interrupted deletion; per-store swap
     crashes heal through the usual :func:`_recover_swaps`.
 
-    ``doc_ids``: an iterable of ids or a single-column DataFrame."""
+    ``doc_ids``: an iterable of ids or a single-column DataFrame.
+
+    ``sketch_takedown``: how the linear-sketch stores (cms/, cbloom/)
+    reflect the deletion — ``"subtract"`` (default; cost bounded by
+    the deleted docs — the 100 TB small-delete path, made crash-safe
+    by the r=-3 reflection ledger + the per-batch sidecar, see
+    :func:`_sk_takedown`) or ``"rebuild"`` (recount from the
+    surviving corpus — one corpus pass, the round-9 form, kept as the
+    fallback)."""
     with _state_lock(state_dir, "delete_docs"):
         _delete_docs_locked(spark, state_dir, doc_ids, threshold,
-                            num_hashes, bands)
+                            num_hashes, bands, sketch_takedown)
 
 
 def _delete_docs_locked(spark, state_dir: str, doc_ids,
                         threshold: float, num_hashes: int,
-                        bands: int) -> None:
+                        bands: int,
+                        sketch_takedown: str = "subtract") -> None:
     _recover_swaps(state_dir)
     corpus_dir = os.path.join(state_dir, "corpus")
     if not os.path.exists(corpus_dir):
@@ -964,23 +1215,18 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
         _swap_write(new_buckets, buckets_dir)
         _swap_write(surv_pairs, pairs_dir)
         _swap_write(new_members, members_dir)
-        # cms rebuilt from the SURVIVING corpus (reads the old corpus/
-        # + deleted/, so it must run before the corpus swap). Rebuild,
-        # not subtract: the re-apply-full-tombstone-set retry contract
-        # makes subtraction double-apply on a crash; fp resets to the
-        # no-delta sentinel so any in-flight batch redelivered after
-        # the delete merges normally. Dims come from the stored
-        # sentinel (bootstrap-pinned).
-        cms_dir = os.path.join(state_dir, "cms")
-        if os.path.exists(cms_dir):
-            dims = (spark.read.parquet(cms_dir)
-                    .filter(F.col("r") == _CMS_DIMS_ROW).collect())
-            cd, cw = ((int(dims[0]["bucket"]), int(dims[0]["cnt"]))
-                      if dims else (CMS_DEPTH, CMS_WIDTH))
-            _swap_write(_cms_store_frame(
-                spark, _cms_of(corpus.join(tomb, "doc_id", "left_anti"),
-                               cd, cw),
-                _CMS_NO_FP, cd, cw), cms_dir)
+        # linear-sketch stores reflect the full tombstone set (reads
+        # the old corpus/ + deleted/, so both modes must run before
+        # the corpus swap). Default is the round-10 SUBTRACT path —
+        # deleted-doc-bounded, idempotent via the r=-3 reflection
+        # ledger, pending-batch-safe via the merge sidecar; "rebuild"
+        # recounts from survivors (the round-9 form, kept as the
+        # fallback). Either way fp resets to the no-delta sentinel so
+        # any in-flight batch redelivered after the delete merges
+        # normally (_sk_takedown).
+        for sk_name, sk_cells, (sd1, sd2) in _SKETCH_STORES:
+            _sk_takedown(spark, state_dir, sk_name, sk_cells, sd1, sd2,
+                         corpus, tomb, sketch_takedown)
         _swap_write(corpus.join(tomb, "doc_id", "left_anti"), corpus_dir)
     except BaseException:
         raise  # marker stays: the refusal gate routes to a retry

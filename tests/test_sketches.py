@@ -176,3 +176,42 @@ def test_cms_heavy_hitters_rejects_mismatched_injected_table(spark):
     with pytest.raises(ValueError, match="dims\\s*mismatch|dims "):
         sketches.cms_heavy_hitters(items, "k", min_count=2,
                                    depth=4, width=2048, table=big)
+
+
+def test_counting_bloom_words_equal_plain_bloom_bitmap(spark):
+    """counting_bloom_cells positions come from the identical hash
+    family as bloom_build, so cnt>0 packs to the BIT-IDENTICAL word
+    list — the deletable store serves the same gate."""
+    keys = spark.createDataFrame(
+        [(f"shingle {i} text",) for i in range(50)], ["k"])
+    m = 1024
+    plain = sketches.bloom_build(keys, "k", m_bits=m, k=2)
+    counted = sketches.counting_bloom_words(
+        sketches.counting_bloom_cells(keys, "k", m_cells=m, k=2), m)
+    assert counted == plain
+
+
+def test_counting_bloom_subtract_preserves_shared_keys(spark):
+    """Cell-wise subtraction of one holder's (doc, key) rows leaves a
+    key positive while ANY other holder survives — the per-occurrence
+    counting that makes takedown exact: after subtracting doc A's
+    cells, every key doc B still holds tests positive, and a key held
+    ONLY by doc A drops out of the survivor-rebuilt cells entirely."""
+    m = 1024
+    rows = [("A", "shared key"), ("A", "only in a"), ("B", "shared key"),
+            ("B", "only in b")]
+    df = spark.createDataFrame(rows, ["doc", "k"])
+    full = sketches.counting_bloom_cells(df, "k", m_cells=m, k=2)
+    a_cells = sketches.counting_bloom_cells(
+        df.filter(F.col("doc") == "A"), "k", m_cells=m, k=2)
+    after = (full.unionByName(a_cells.withColumn("cnt", -F.col("cnt")))
+             .groupBy("cell").agg(F.sum("cnt").alias("cnt"))
+             .filter(F.col("cnt") > 0))
+    survivors_only = sketches.counting_bloom_cells(
+        df.filter(F.col("doc") == "B"), "k", m_cells=m, k=2)
+    assert (sorted(map(tuple, after.collect()))
+            == sorted(map(tuple, survivors_only.collect())))
+    words = sketches.counting_bloom_words(after, m)
+    b_keys = df.filter(F.col("doc") == "B").select("k")
+    assert b_keys.filter(~sketches.bloom_might_contain(
+        F.col("k"), words, m, k=2)).count() == 0
