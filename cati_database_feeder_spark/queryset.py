@@ -4907,6 +4907,106 @@ def decontaminate_cbloom_store(spark, sf_dir):
                     .alias("gate_no_false_negatives")))
 
 
+def _all_doc_shingles(spark, sf_dir):
+    """(doc_id, shingle) rows over the whole documents table — the
+    distinct-cardinality queries' input, matching the ingest store's
+    shingle definition (streaming/ingest.py:_doc_shingles)."""
+    d = T(spark, sf_dir, "documents")
+    return (d.select("doc_id", text.tokens(F.col("text")).alias("__tk"))
+            .filter(F.size("__tk") >= 5)
+            .select("doc_id", F.explode(F.array_distinct(
+                text.shingles_from_tokens(F.col("__tk"), 5)))
+                .alias("shingle")))
+
+
+_HLL_SHINGLE_SQL_BODY = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+4], ' ')
+                        FOR i IN range(1, len(tk) - 3)])) AS shingle
+  FROM tk WHERE len(tk) >= 5
+)
+"""
+
+
+@register("text_distinct_shingles_hll", sql=_HLL_SHINGLE_SQL_BODY + """
+SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_exact,
+       TRUE AS within_bounds, TRUE AS merged_within_bounds
+FROM sh
+""")
+def text_distinct_shingles_hll(spark, sf_dir):
+    """E67 mergeable distinct-shingle cardinality (Datasketches HLL,
+    built-in JVM aggregate — no custom code, no Python): the sizing
+    input of the whole Bloom tier ("how many distinct shingles does
+    the corpus hold" decides the gate's bits-per-key), where the exact
+    form is a billions-row DISTINCT at web scale and the sketch is
+    2^12 registers with ~1.6% standard error. Hash-gated three ways:
+    the exact count itself (oracle-replayed), the monolithic estimate
+    within ±5% of exact, and the union of four doc-parity shard
+    sketches within the same bound — the mergeability that makes HLL
+    the multi-shard/streaming answer. Union and direct build are NOT
+    register-identical in Datasketches (the union gadget's target
+    representation differs — measured here: 23995 exact, equal-to-exact
+    monolithic vs a union estimate a few counts off), which is exactly
+    why the contract is an error BOUND, not equality; idempotence of
+    re-merging the SAME sketch still holds exactly and is what lets
+    the maintained hll/ ingest store skip the replay fingerprint
+    (streaming/ingest.py:_hll_merge_delta)."""
+    sh = _all_doc_shingles(spark, sf_dir)
+    mono = sh.agg(F.hll_sketch_agg("shingle", 12).alias("sk")) \
+        .select(F.hll_sketch_estimate("sk").alias("__em"))
+    merged = (sh.withColumn("__s", F.col("doc_id") % 4)
+              .groupBy("__s")
+              .agg(F.hll_sketch_agg("shingle", 12).alias("sk"))
+              .agg(F.hll_union_agg("sk").alias("sk"))
+              .select(F.hll_sketch_estimate("sk").alias("__eu")))
+    exact = sh.agg(F.count_distinct("shingle").alias("n_exact"))
+    return (exact.crossJoin(mono).crossJoin(merged)
+            .select(F.col("n_exact").cast("bigint").alias("n_exact"),
+                    (F.abs(F.col("__em") - F.col("n_exact"))
+                     <= 0.05 * F.col("n_exact")).alias("within_bounds"),
+                    (F.abs(F.col("__eu") - F.col("n_exact"))
+                     <= 0.05 * F.col("n_exact"))
+                    .alias("merged_within_bounds")))
+
+
+@register("text_distinct_shingles_hll_store", sql=_HLL_SHINGLE_SQL_BODY + """
+SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_exact,
+       TRUE AS within_bounds, TRUE AS store_tracks_inplan
+FROM sh WHERE doc_id % 40 <> 0
+""")
+def text_distinct_shingles_hll_store(spark, sf_dir):
+    """E67 serving off the ingest-MAINTAINED hll/ store: the corpus's
+    distinct-shingle estimate read straight from the state dir (no
+    corpus scan — streaming/ingest.py:read_hll), gated against the
+    exact count of the store's corpus (the E60 training split) AND
+    against the in-plan monolithic sketch over the same docs. The
+    cross-check is a ±2% BOUND, not equality — Datasketches estimates
+    are not register-identical across build paths (partial-aggregation
+    merge vs a one-shot build; the text_distinct_shingles_hll
+    docstring has the measurement) — so a stale store (a missing
+    batch's shingles, a wrong corpus split) still flips the boolean
+    while representation noise does not."""
+    from cati_database_feeder_spark.streaming.ingest import read_hll
+    est, _lgk = read_hll(spark, _text_store_dir(spark, sf_dir))
+    sh = (_all_doc_shingles(spark, sf_dir)
+          .filter(F.col("doc_id") % 40 != 0))
+    inplan = sh.agg(F.hll_sketch_agg("shingle", 12).alias("sk")) \
+        .select(F.hll_sketch_estimate("sk").alias("__em"))
+    exact = sh.agg(F.count_distinct("shingle").alias("n_exact"))
+    return (exact.crossJoin(inplan)
+            .select(F.col("n_exact").cast("bigint").alias("n_exact"),
+                    (F.abs(F.lit(est) - F.col("n_exact"))
+                     <= 0.05 * F.col("n_exact")).alias("within_bounds"),
+                    (F.abs(F.lit(est) - F.col("__em"))
+                     <= 0.02 * F.greatest(F.col("__em"), F.lit(1)))
+                    .alias("store_tracks_inplan")))
+
+
 # ---------------------------------------------------------------------
 # Round-9 additions, sketch tier: Bloom-gated decontamination (E60),
 # count-min heavy-hitter estimation (E61), MinHash calibration (E62)
@@ -5430,6 +5530,7 @@ _CHECK_ORDER = [
     # [c] new round-10 queries
     "embedding_jl_topk_store", "ivf_quantized_store",
     "decontaminate_cbloom_store",
+    "text_distinct_shingles_hll", "text_distinct_shingles_hll_store",
     # [d] r08-green refreshes
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
@@ -5443,8 +5544,7 @@ _CHECK_ORDER = [
     "flagship_feeder", "q18_large_volume_customers", "approx_aggregates",
     "bm25_topk_search", "embedding_quantize_int8", "dedup_keep_best",
     "agg_cube_grouping_sets", "agg_distinct_counts",
-    "agg_rollup_region_nation", "udaf_weighted_median",
-    "udaf_trimmed_mean",
+    "agg_rollup_region_nation",
     # ---- tail (past slot 50). Sustainability arithmetic: 115+
     # registered queries, a 50-slot driver window, and driver greens
     # that expire after 2 rounds demand ~58 refresh slots per round —
@@ -5494,7 +5594,8 @@ _CHECK_ORDER = [
     "pivot_unpivot_roundtrip", "snapshot_diff",
     "scalar_functions", "set_ops_pack",
     "string_functions", "text_doc_profile",
-    "top_k_orders", "union_pages", "window_first_occurrence_dedup",
+    "top_k_orders", "udaf_trimmed_mean", "udaf_weighted_median",
+    "union_pages", "window_first_occurrence_dedup",
     "window_running_lag", "window_top_orders_per_customer",
 ]
 

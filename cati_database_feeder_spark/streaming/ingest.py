@@ -119,7 +119,7 @@ from cati_database_feeder_spark.operators.graph import (
 
 _STORES = ("labels", "corpus", "buckets", "members", "reps", "metrics",
            "pairs", "deleted", "cms", "cbloom", "cms_pending",
-           "cbloom_pending")
+           "cbloom_pending", "hll")
 
 _LOCK_NAME = "_LOCK"
 _DELETE_PENDING = "_DELETE_PENDING"
@@ -370,20 +370,28 @@ def _cms_of(docs: DataFrame, depth: int = CMS_DEPTH,
     return sketches.cms_table(toks, "tok", depth=depth, width=width)
 
 
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows — each doc's DISTINCT 5-token shingles,
+    the E60 gate's key definition (docs under 5 tokens contribute
+    none). Shared by the counting-Bloom gate and the HLL cardinality
+    store so both sketch the identical key universe."""
+    return (docs.select("doc_id",
+                        text_fns.tokens(F.col("text")).alias("__tk"))
+            .filter(F.size("__tk") >= 5)
+            .select("doc_id", F.explode(F.array_distinct(
+                text_fns.shingles_from_tokens(F.col("__tk"), 5)))
+                .alias("shingle")))
+
+
 def _cbloom_of(docs: DataFrame, m_cells: int = CBLOOM_M,
                k: int = CBLOOM_K) -> DataFrame:
     """(r=0, bucket=cell, cnt) counting-Bloom cells over the docs'
-    per-doc DISTINCT 5-token shingles — the E60 gate's key definition,
-    counted per (doc, shingle) so subtracting one document's cells
-    leaves every shingle it SHARED with a surviving document positive
+    per-doc DISTINCT 5-token shingles — counted per (doc, shingle) so
+    subtracting one document's cells leaves every shingle it SHARED
+    with a surviving document positive
     (functions/sketches.py:counting_bloom_cells)."""
-    sh = (docs.select("doc_id",
-                      text_fns.tokens(F.col("text")).alias("__tk"))
-          .filter(F.size("__tk") >= 5)
-          .select("doc_id", F.explode(F.array_distinct(
-              text_fns.shingles_from_tokens(F.col("__tk"), 5)))
-              .alias("shingle")))
-    return (sketches.counting_bloom_cells(sh, "shingle", m_cells, k)
+    return (sketches.counting_bloom_cells(_doc_shingles(docs),
+                                          "shingle", m_cells, k)
             .select(F.lit(0).alias("r"), F.col("cell").alias("bucket"),
                     "cnt"))
 
@@ -470,6 +478,78 @@ def cbloom_gate(spark, state_dir: str):
         stored.filter(F.col("r") >= 0)
         .select(F.col("bucket").alias("cell"), "cnt"), m)
     return words, m, k
+
+
+# ---------------------------------------------------------------------
+# hll/ store: mergeable distinct-shingle cardinality (extension E67).
+# The sizing companion of the cbloom gate: "how many distinct shingles
+# does the live corpus hold" is exactly the number that decides m_cells
+# (bits per key) for the Bloom tier, and an exact distinct count at
+# web scale is a billions-row aggregate. The Datasketches HLL sketch
+# (built-in JVM: hll_sketch_agg / hll_union_agg — no custom code, no
+# Python) is register-MAX state: merging is idempotent and
+# order/partition-free BY ALGEBRA, so unlike the counting sketches this
+# store needs NO replay fingerprint and NO sidecar — an at-least-once
+# redelivery re-maxes the same registers into place. The price of that
+# algebra: registers cannot be subtracted, so takedown REBUILDS from
+# the surviving corpus (documented, tested) — the one sketch in the
+# store family where rebuild is not a fallback but the only sound form.
+# ---------------------------------------------------------------------
+
+HLL_LGK = 12  # 2^12 registers → ~1.6% standard error; pinned at bootstrap
+
+
+def _hll_frame(spark, docs: DataFrame) -> DataFrame:
+    """One-row (sk binary, lgk int) sketch of the docs' distinct
+    shingles."""
+    return (_doc_shingles(docs)
+            .agg(F.hll_sketch_agg("shingle", HLL_LGK).alias("sk"))
+            .select("sk", F.lit(HLL_LGK).alias("lgk")))
+
+
+def read_hll(spark, state_dir: str) -> tuple[int, int]:
+    """(estimated distinct shingle count, lgk) off the maintained
+    store — no corpus scan."""
+    row = (spark.read.parquet(os.path.join(state_dir, "hll"))
+           .select(F.hll_sketch_estimate("sk").alias("est"), "lgk")
+           .collect())[0]
+    return int(row["est"]), int(row["lgk"])
+
+
+def _ensure_hll_store(spark, state_dir: str) -> None:
+    """One-time migration for pre-hll state dirs (one corpus shingle
+    pass); on maintained dirs verifies the BOOTSTRAP-PINNED lgk —
+    unioning sketches of different lgk silently degrades to the
+    smaller, so a mismatch refuses."""
+    hll_dir = os.path.join(state_dir, "hll")
+    if os.path.exists(hll_dir):
+        rows = spark.read.parquet(hll_dir).select("lgk").collect()
+        if rows and int(rows[0]["lgk"]) != HLL_LGK:
+            raise StateLockError(
+                f"hll store at {hll_dir!r} was bootstrapped with "
+                f"lgk={int(rows[0]['lgk'])} but this ingest is "
+                f"configured for {HLL_LGK} — lgk is pinned at bootstrap "
+                f"(a union would silently degrade precision); use the "
+                f"stored lgk or rebuild the store.")
+        if rows:
+            return
+        shutil.rmtree(hll_dir)
+    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
+    _swap_write(_hll_frame(spark, corpus).coalesce(1), hll_dir)
+
+
+def _hll_merge_delta(spark, state_dir: str, delta: DataFrame) -> None:
+    """Union-merge one delta's shingle sketch into the store. No
+    fingerprint guard, on purpose: HLL registers merge by MAX, so
+    re-merging the identical delta after a crash-window redelivery is
+    a no-op by algebra — the idempotence the counting sketches have to
+    buy with sentinels comes free here."""
+    hll_dir = os.path.join(state_dir, "hll")
+    stored = spark.read.parquet(hll_dir).select("sk")
+    merged = (stored.unionByName(_hll_frame(spark, delta).select("sk"))
+              .agg(F.hll_union_agg("sk").alias("sk"))
+              .select("sk", F.lit(HLL_LGK).alias("lgk")))
+    _swap_write(merged.coalesce(1), hll_dir)
 
 
 def _sk_ensure_store(spark, state_dir: str, name: str, cells_of,
@@ -820,6 +900,8 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
                               boot_fp, sd1, sd2)
              .write.mode("overwrite")
              .parquet(os.path.join(state_dir, sk_name)))
+        (_hll_frame(spark, batch).coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(state_dir, "hll")))
         # metrics BEFORE the corpus commit marker: a crash between the
         # two replays the whole bootstrap (corpus absent) and appends a
         # duplicate row with the same batch_id — at-least-once, which
@@ -838,6 +920,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
     _ensure_pairs_store(spark, state_dir, threshold, num_hashes, bands)
     for sk_name, sk_cells, (sd1, sd2) in _SKETCH_STORES:
         _sk_ensure_store(spark, state_dir, sk_name, sk_cells, sd1, sd2)
+    _ensure_hll_store(spark, state_dir)
     fr = _incremental_frames(spark, state_dir, batch, threshold,
                              num_hashes, bands)
     # persist the per-batch frames every downstream branch consumes;
@@ -901,6 +984,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         for sk_name, sk_cells, (sd1, sd2) in _SKETCH_STORES:
             _sk_merge_delta(spark, state_dir, sk_name, delta, sk_cells,
                             sd1, sd2)
+        _hll_merge_delta(spark, state_dir, delta)
         # metrics BEFORE the corpus commit marker (same argument as the
         # bootstrap branch): a crash in between replays the batch and
         # appends a duplicate batch_id row — at-least-once — where the
@@ -1227,6 +1311,12 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
         for sk_name, sk_cells, (sd1, sd2) in _SKETCH_STORES:
             _sk_takedown(spark, state_dir, sk_name, sk_cells, sd1, sd2,
                          corpus, tomb, sketch_takedown)
+        # hll takedown is ALWAYS a rebuild from survivors — register-max
+        # state cannot be subtracted (the price of the fp-free merge)
+        if os.path.exists(os.path.join(state_dir, "hll")):
+            _swap_write(_hll_frame(
+                spark, corpus.join(tomb, "doc_id", "left_anti"))
+                .coalesce(1), os.path.join(state_dir, "hll"))
         _swap_write(corpus.join(tomb, "doc_id", "left_anti"), corpus_dir)
     except BaseException:
         raise  # marker stays: the refusal gate routes to a retry

@@ -1495,6 +1495,60 @@ def test_sketch_subtract_mid_delete_crash_no_double_subtract(
     assert _cbloom_cells(spark, state) == _cbloom_recompute(spark, corpus)
 
 
+def test_hll_store_multi_batch_tracks_exact_and_replays_idempotently(
+        spark, tmp_path):
+    """The maintained HLL cardinality store (round 10, E67): across
+    bootstrap + two batches (with exact-dedup replays) the estimate
+    stays within the sketch's error bound of the TRUE distinct shingle
+    count, the lgk pin survives, and re-merging the SAME delta twice —
+    the at-least-once redelivery the counting sketches need a
+    fingerprint for — changes nothing, because HLL registers merge by
+    max (the fp-free idempotence the store's design note claims)."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _CB_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _CB_DOCS1, ["doc_id", "text"]), state, batch_id=1)
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    n_exact = _corpus_shingles(corpus).distinct().count()
+    est, lgk = ing.read_hll(spark, state)
+    assert lgk == ing.HLL_LGK
+    assert abs(est - n_exact) <= max(1, int(0.05 * n_exact))
+    # explicit double-merge of an identical delta: estimate unchanged
+    delta = spark.createDataFrame(
+        [(4, "eight nine ten eleven twelve")], ["doc_id", "text"])
+    ing._hll_merge_delta(spark, state, delta)
+    est2, _ = ing.read_hll(spark, state)
+    ing._hll_merge_delta(spark, state, delta)
+    est3, _ = ing.read_hll(spark, state)
+    assert est3 == est2
+
+
+def test_hll_store_takedown_rebuilds_and_lgk_pinned(spark, tmp_path):
+    """HLL registers cannot be subtracted — takedown must REBUILD the
+    sketch from survivors (post-delete estimate tracks the survivors'
+    exact count, not the pre-delete corpus); a mismatched lgk
+    configuration refuses at the ensure gate."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _CB_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    ing.delete_docs(spark, state, [1, 2])
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    n_exact = _corpus_shingles(corpus).distinct().count()
+    est, _ = ing.read_hll(spark, state)
+    assert abs(est - n_exact) <= max(1, int(0.05 * n_exact))
+    # lgk pin: a store claiming a different lgk refuses the merge path
+    real = ing.HLL_LGK
+    try:
+        ing.HLL_LGK = real + 1
+        with pytest.raises(ing.StateLockError, match="pinned at bootstrap"):
+            ing._ensure_hll_store(spark, state)
+    finally:
+        ing.HLL_LGK = real
+
+
 def test_embedding_ingest_maintains_projected_vectors(spark, tmp_path):
     """The vector store carries the JL projection under BOOTSTRAP-pinned
     seeded-Gaussian planes (round-9: the streaming consumer of the E59
