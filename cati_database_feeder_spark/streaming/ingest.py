@@ -1073,6 +1073,14 @@ def compact_state(spark, state_dir: str, target_files: int | None = None,
     removes legacy rows from pre-membership-store state dirs, where
     min-id gids could supersede a rep).
 
+    The linear-sketch stores additionally get their r=-3 takedown-
+    reflection ledgers pruned: a ledger row only matters while its
+    tombstoned doc is still in corpus/ (the mid-delete crash window),
+    and compaction runs strictly behind the pending-delete fence, so
+    rows for fully-committed deletes — in the steady state, all of
+    them — are dropped. This bounds the ledger by the IN-FLIGHT
+    delete, not by lifetime delete volume.
+
     One writer per state dir, ENFORCED: this takes the same fencing
     lock as ``ingest_batch``, so compacting against a live ingest (the
     race whose directory swaps would corrupt the in-flight batch's
@@ -1099,11 +1107,42 @@ def _compact_state_locked(spark, state_dir: str,
     # compact it with them (append-only, so the swap discipline holds);
     # one row per batch → one file, not n near-empty ones
     for name, parts in (("members", n), ("reps", n), ("metrics", 1),
-                        ("pairs", n), ("deleted", 1), ("cms", 1),
-                        ("cbloom", 1)):
+                        ("pairs", n), ("deleted", 1), ("hll", 1)):
         d = os.path.join(state_dir, name)
         if os.path.exists(d):
             _swap_write(spark.read.parquet(d).repartition(parts), d)
+    # linear-sketch stores: compact to one file AND prune the r=-3
+    # takedown-reflection ledger (SURVEY.md open thread: ledger
+    # compaction). A ledger row exists solely so a retried/extended
+    # delete cannot subtract a tombstone's counts twice WHILE the doc
+    # is still in corpus/ (the sketch-swap → corpus-swap crash
+    # window). compact_state runs behind _check_no_pending_delete, so
+    # every recorded delete completed its corpus swap: the subtract
+    # path's `corpus semi-join tombstones` already excludes every
+    # ledgered doc and the rows are dead weight growing one-per-
+    # deleted-doc forever. Pruned CONSERVATIVELY — keep exactly the
+    # rows whose hash64(doc_id) is still reachable via
+    # corpus ∩ deleted (normally none) — so the rewrite stays correct
+    # even if the no-pending invariant ever weakens. deleted/ itself
+    # is NOT prunable: tombstones guard against at-least-once
+    # redelivery arbitrarily far in the future.
+    tomb_dir = os.path.join(state_dir, "deleted")
+    for name in ("cms", "cbloom"):
+        d = os.path.join(state_dir, name)
+        if not os.path.exists(d):
+            continue
+        stored = spark.read.parquet(d)
+        ledger = stored.filter(F.col("r") == _CMS_SUBT_ROW)
+        if os.path.exists(corpus_dir) and os.path.exists(tomb_dir):
+            live = _doc_id_hashes(
+                spark.read.parquet(corpus_dir).join(
+                    spark.read.parquet(tomb_dir).select("doc_id"),
+                    "doc_id", "left_semi"))
+            ledger = ledger.join(live, "bucket", "left_semi")
+        else:
+            ledger = ledger.limit(0)
+        _swap_write(stored.filter(F.col("r") != _CMS_SUBT_ROW)
+                    .unionByName(ledger).repartition(1), d)
     if os.path.exists(buckets_dir):
         buckets = spark.read.parquet(buckets_dir)
         reps_dir = os.path.join(state_dir, "reps")

@@ -1495,6 +1495,50 @@ def test_sketch_subtract_mid_delete_crash_no_double_subtract(
     assert _cbloom_cells(spark, state) == _cbloom_recompute(spark, corpus)
 
 
+def test_compact_state_prunes_sketch_ledger_and_keeps_takedown_safe(
+        spark, tmp_path):
+    """Ledger compaction (SURVEY.md round-11 open thread 3): the r=-3
+    reflection ledger grows one row per deleted doc and only matters
+    while a tombstoned doc is still in corpus/ — compact_state runs
+    behind the pending-delete fence, so it prunes the ledger to zero.
+    The prune must not break any takedown property: a RE-delete of the
+    pruned ids stays a no-op (the corpus semi-join excludes them), and
+    a NEW subtract-mode delete after compaction still equals a
+    from-scratch recount over the survivors, for both sketch stores."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _CB_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _CB_DOCS1, ["doc_id", "text"]), state, batch_id=1)
+    ing.delete_docs(spark, state, [2], sketch_takedown="subtract")
+
+    def ledger_rows(name):
+        return (spark.read.parquet(os.path.join(state, name))
+                .filter(F.col("r") == ing._CMS_SUBT_ROW).count())
+
+    assert ledger_rows("cms") == 1 and ledger_rows("cbloom") == 1
+    ing.compact_state(spark, state, target_files=2)
+    assert ledger_rows("cms") == 0 and ledger_rows("cbloom") == 0
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert _cms_cells(spark, state) == _cms_recompute(spark, corpus)
+    assert (_cbloom_cells(spark, state)
+            == _cbloom_recompute(spark, corpus))
+    # re-delete of the pruned id: no double subtraction without the
+    # ledger row — the doc is gone from corpus/, so nothing to subtract
+    # (re-read corpus: every delete swaps the dir)
+    ing.delete_docs(spark, state, [2], sketch_takedown="subtract")
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert _cms_cells(spark, state) == _cms_recompute(spark, corpus)
+    # a NEW delete after compaction still ≡ rebuild from survivors
+    ing.delete_docs(spark, state, [3], sketch_takedown="subtract")
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 4]
+    assert _cms_cells(spark, state) == _cms_recompute(spark, corpus)
+    assert (_cbloom_cells(spark, state)
+            == _cbloom_recompute(spark, corpus))
+
+
 def test_hll_store_multi_batch_tracks_exact_and_replays_idempotently(
         spark, tmp_path):
     """The maintained HLL cardinality store (round 10, E67): across
