@@ -181,3 +181,101 @@ def vocab_oov_rate(documents: DataFrame, vocab_size: int,
                     F.round(F.col("n_oov")
                             / F.col("n_tokens").cast("double"), 6)
                     .alias("oov_rate")))
+
+
+def collocation_lift(documents: DataFrame, min_count: int = 5,
+                     k: int = 50, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-level collocation mining by LIFT (extension E69):
+    rank bigrams by ``P(w1,w2) / (P(w1)·P(w2))`` — the exponentiated
+    PMI, which keeps the association ordering while avoiding ``log``
+    (transcendental last-ulp behavior differs between engines; every
+    input here is an exact BIGINT count and the lift is two correctly
+    rounded IEEE multiplies and one divide, so a SQL oracle replays
+    the exact doubles). ``min_count`` is the standard support floor —
+    without it hapax pairs of hapax words trivially top the list.
+
+    Output: top-``k`` bigrams by (lift DESC, w1, w2), with the exact
+    pair / unigram occurrence counts kept for auditability.
+
+    Plan shape at 100 TB: one token explode (corpus-token-linear), one
+    bigram groupBy and one unigram groupBy — both with map-side
+    partials, so stop-word hot keys ship one partial row per map task
+    — then two re-joins of the (already min_count-filtered, hence
+    vocab²-bounded-but-small) bigram table to the unigram counts on
+    the word keys, and a TakeOrderedAndProject for the top-k. No
+    window, no driver state, nothing quadratic.
+    """
+    tk = (documents
+          .select(F.col(id_col),
+                  F.transform(textfn.tokens(F.col(text_col)),
+                              F.lower).alias("tk")))
+    uni = (tk.select(F.explode("tk").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("u")))
+    n = F.size("tk")
+    bg = (tk.filter(F.size("tk") >= 2)
+          .select(F.explode(F.arrays_zip(F.slice("tk", 1, n - 1),
+                                         F.slice("tk", 2, n - 1)))
+                  .alias("b"))
+          .select(F.col("b")["0"].alias("w1"),
+                  F.col("b")["1"].alias("w2")))
+    pairs = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+             .filter(F.col("pair_count") >= min_count))
+    total = uni.agg(F.sum("u").alias("n_tokens"))
+    scored = (pairs
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("u").alias("w1_count")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("u").alias("w2_count")), "w2")
+              .crossJoin(F.broadcast(total))
+              .withColumn(
+                  "lift",
+                  F.round((F.col("pair_count").cast("double")
+                           * F.col("n_tokens").cast("double"))
+                          / (F.col("w1_count").cast("double")
+                             * F.col("w2_count").cast("double")), 6)))
+    return (scored.select("w1", "w2", "pair_count", "w1_count",
+                          "w2_count", "lift")
+            .orderBy(F.col("lift").desc(), "w1", "w2").limit(k))
+
+
+def robust_outlier_profile(df: DataFrame, group_col: str,
+                           value_col: str, k_mad: float = 3.0) -> DataFrame:
+    """Per-group robust outlier profile (extension E71): median and
+    MAD (median absolute deviation) of ``value_col`` within each
+    ``group_col`` value, plus the count of rows whose deviation
+    exceeds ``k_mad``·MAD — the robust z-score screen a curation
+    pipeline runs per source to catch length/score distributions
+    poisoned by boilerplate or truncation, where mean/stddev would be
+    dragged by the very outliers being hunted.
+
+    Exactness: the exact interpolated percentile over doubles that are
+    exact integer casts; the midpoint interpolation and the
+    ``|x − med| > k·MAD`` comparison are single IEEE ops, identical in
+    any engine (the events_exact_median discipline, per group).
+
+    Scale: exact percentile buffers each group's values — the right
+    correctness gate, and fine while groups are sources (few, giant —
+    they split across partial buffers). At extreme per-group volume
+    production swaps in ``approx_percentile`` (sketch-mergeable,
+    bounded memory) and re-validates against this exact form on a
+    sample, the approx_aggregates pattern. The outlier count itself is
+    one re-join on the group key + a groupBy with map-side partials.
+    """
+    v = F.col(value_col).cast("double")
+    med = (df.groupBy(group_col)
+           .agg(F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.5)")
+                .alias("med")))
+    dev = (df.join(med, group_col)
+           .withColumn("__ad", F.abs(v - F.col("med"))))
+    mad = (dev.groupBy(group_col)
+           .agg(F.expr("percentile(__ad, 0.5)").alias("mad")))
+    return (dev.join(mad, group_col)
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.max("med").alias("med_value"),
+                 F.max("mad").alias("mad_value"),
+                 F.sum(F.when(F.col("__ad")
+                              > F.lit(float(k_mad)) * F.col("mad"),
+                              F.lit(1)).otherwise(F.lit(0)))
+                 .cast("bigint").alias("n_outliers")))

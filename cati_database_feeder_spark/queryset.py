@@ -5494,6 +5494,164 @@ def text_heavy_hitters(spark, sf_dir):
 
 
 # =====================================================================
+# Round-10 late extensions: E68 sessionization, E69 collocations,
+# E70 cluster-balanced sampling, E71 robust outliers
+# =====================================================================
+
+
+@register("events_sessionize", sql="""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_id
+  FROM o)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000
+            AS BIGINT) AS duration_sec,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+FROM s GROUP BY user_id, session_id
+""")
+def events_sessionize(spark, sf_dir):
+    """E68 batch gap-based sessionization — the batch twin of the
+    streaming session_window (§2.8): a 12-hour inactivity gap splits
+    each user's event stream into sessions (12 h because the fixture's
+    mean per-user inter-event gap is ~10.7 h, so both multi-event and
+    singleton sessions carry rows at every SF; a web pipeline runs
+    30 min). Gap arithmetic in integer MICROSECONDS — the fixtures
+    carry sub-second timestamps and float epoch seconds would make
+    the break predicate engine-dependent. One shuffle: the lag and
+    the running break-count share the same (user)×(ts, event_id)
+    window spec, then the session aggregate groups with map-side
+    partials (operators/windows.py:sessionize)."""
+    from cati_database_feeder_spark.operators.windows import sessionize
+    return sessionize(T(spark, sf_dir, "events"), gap_sec=43200)
+
+
+@register("text_collocations", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+uni AS (SELECT w, COUNT(*) AS u
+        FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w),
+tot AS (SELECT CAST(SUM(u) AS BIGINT) AS n_tokens FROM uni),
+bg AS (
+  SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]} FOR i IN range(1, len(tk))]) AS b
+  FROM tk WHERE len(tk) >= 2
+),
+pairs AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS pair_count
+          FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+SELECT p.w1, p.w2, p.pair_count,
+       u1.u AS w1_count, u2.u AS w2_count,
+       round(CAST(p.pair_count AS DOUBLE) * CAST(t.n_tokens AS DOUBLE)
+             / (CAST(u1.u AS DOUBLE) * CAST(u2.u AS DOUBLE)), 6) AS lift
+FROM pairs p
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2
+CROSS JOIN tot t
+ORDER BY lift DESC, p.w1, p.w2
+LIMIT 50
+""")
+def text_collocations(spark, sf_dir):
+    """E69 collocation mining by exact LIFT (exponentiated PMI —
+    log dropped so every emitted double is two IEEE multiplies and a
+    divide over exact BIGINT counts, the integer-exactness discipline
+    of the bigram/DSIR family): top-50 bigrams by association
+    strength with a support floor of 5. Two map-side-partial
+    groupBys (bigram, unigram), two re-joins of the support-filtered
+    pair table on the word keys, TakeOrderedAndProject for the cut
+    (operators/quality.py:collocation_lift)."""
+    from cati_database_feeder_spark.operators.quality import collocation_lift
+    return collocation_lift(T(spark, sf_dir, "documents"),
+                            min_count=5, k=50)
+
+
+@register("sample_cluster_balanced", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT e.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY -list_dot_product(e.v, c.centroid) ASC, c.cell ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY cell
+           ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS grp_rank,
+         COUNT(*) OVER (PARTITION BY cell) AS grp_n
+  FROM corpus)
+SELECT vec_id, cell, CAST(grp_rank AS BIGINT) AS grp_rank,
+       CAST(grp_n AS BIGINT) AS grp_n
+FROM ranked WHERE grp_rank <= 10
+""")
+def sample_cluster_balanced(spark, sf_dir):
+    """E70 cluster-balanced diversity sampling: at most 10 vectors per
+    IVF cell, picked by the md5 gate — even coverage of the embedding
+    space's cluster structure instead of its density (the curation
+    move that stops a training mix from being 90% of one modal
+    cluster; SemDeDup's complement — that removes within-cell
+    redundancy, this caps within-cell mass). Rides the shared
+    stage:cell_assign materialization and the round-10 HYBRID
+    per-group rank: heavy_threshold=40 puts the fixture's large cells
+    (mean occupancy 31 at sf0.01, 125 at sf0.1) on the literal-bucket
+    global-rank path and the small ones on the plain window, so BOTH
+    paths are exercised and hash-checked here; at production scale
+    the same split keeps giant cells from serializing into one
+    row_number task while millions of tiny cells carry zero driver
+    state."""
+    from cati_database_feeder_spark.operators.sampling import cap_per_group
+    assigned = _cell_assign_stage(spark, sf_dir).select("vec_id", "cell")
+    wk = F.concat(F.md5(F.col("vec_id").cast("string")),
+                  F.format_string("%020d", F.col("vec_id")))
+    return cap_per_group(assigned, "cell", wk, cap=10,
+                         heavy_threshold=40)
+
+
+@register("quality_robust_outliers", sql="""
+WITH med AS (
+  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+  FROM documents GROUP BY source),
+mad AS (
+  SELECT d.source, quantile_cont(abs(CAST(d.n_chars AS DOUBLE) - m.med), 0.5) AS mad
+  FROM documents d JOIN med m USING (source) GROUP BY d.source)
+SELECT d.source, COUNT(*) AS n_rows,
+       MAX(m.med) AS med_value, MAX(a.mad) AS mad_value,
+       CAST(SUM(CASE WHEN abs(CAST(d.n_chars AS DOUBLE) - m.med)
+                          > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM documents d JOIN med m USING (source) JOIN mad a USING (source)
+GROUP BY d.source
+""")
+def quality_robust_outliers(spark, sf_dir):
+    """E71 per-source robust outlier screen: median + MAD of document
+    length per source and the count of docs beyond 3 MADs — the
+    robust z-score a curation pipeline uses where mean/stddev would
+    be dragged by the very boilerplate/truncation outliers being
+    hunted. Exact interpolated percentiles over exact integer casts
+    (the events_exact_median discipline, per group); production
+    swaps approx_percentile for the giant-group case and re-validates
+    on a sample (operators/quality.py:robust_outlier_profile)."""
+    from cati_database_feeder_spark.operators.quality import (
+        robust_outlier_profile)
+    return robust_outlier_profile(T(spark, sf_dir, "documents"),
+                                  "source", "n_chars", k_mad=3.0)
+
+
+# =====================================================================
 # Registry ordering
 # =====================================================================
 # The external correctness harness checks queries in registration order
@@ -5531,6 +5689,8 @@ _CHECK_ORDER = [
     "embedding_jl_topk_store", "ivf_quantized_store",
     "decontaminate_cbloom_store",
     "text_distinct_shingles_hll", "text_distinct_shingles_hll_store",
+    "events_sessionize", "text_collocations",
+    "sample_cluster_balanced", "quality_robust_outliers",
     # [d] r08-green refreshes
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
@@ -5541,10 +5701,8 @@ _CHECK_ORDER = [
     "near_dup_pairs", "dedup_cluster_components",
     "training_pipeline_e2e", "text_dup_span_profile",
     "dedup_token_jaccard_pairs", "text_fingerprint_dedup",
-    "flagship_feeder", "q18_large_volume_customers", "approx_aggregates",
+    "flagship_feeder", "approx_aggregates",
     "bm25_topk_search", "embedding_quantize_int8", "dedup_keep_best",
-    "agg_cube_grouping_sets", "agg_distinct_counts",
-    "agg_rollup_region_nation",
     # ---- tail (past slot 50). Sustainability arithmetic: 115+
     # registered queries, a 50-slot driver window, and driver greens
     # that expire after 2 rounds demand ~58 refresh slots per round —
@@ -5586,6 +5744,8 @@ _CHECK_ORDER = [
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
     # r8-green block (CHECKLOCAL_r10 refresh recorded this round):
+    "q18_large_volume_customers", "agg_cube_grouping_sets",
+    "agg_distinct_counts", "agg_rollup_region_nation",
     "array_functions",
     "backfill_coalesce_repair", "bulk_multi_wave", "cross_join_pairs",
     "feeder_skipped_report", "flagship_feeder_w6",

@@ -397,3 +397,73 @@ def test_vocab_oov_rate_hand_computed(spark):
     got3 = {r["doc_id"]: r for r in
             vocab_oov_rate(docs, vocab_size=3).collect()}
     assert (got3[1]["n_oov"], got3[2]["n_oov"]) == (1, 0)    # z still OOV
+
+
+def test_collocation_lift_hand_computed(spark):
+    """E69: exact lift over a hand-counted corpus. Tokens: 'x y' ×5
+    docs plus noise. With min_count=1: pair (x,y) c=5, u(x)=5,
+    u(y)=6, n_tokens=13 → lift = 5·13/(5·6) = 2.166667."""
+    from cati_database_feeder_spark.operators.quality import (
+        collocation_lift)
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(5)] + [(10, "y z w")],
+        ["doc_id", "text"])
+    rows = {(r["w1"], r["w2"]): r
+            for r in collocation_lift(docs, min_count=1, k=10).collect()}
+    xy = rows[("x", "y")]
+    assert xy["pair_count"] == 5 and xy["w1_count"] == 5
+    assert xy["w2_count"] == 6
+    assert xy["lift"] == round(5 * 13 / (5 * 6), 6)
+    # support floor: min_count=2 drops the singleton bigrams
+    kept = collocation_lift(docs, min_count=2, k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in kept] == [("x", "y")]
+
+
+def test_robust_outlier_profile_hand_computed(spark):
+    """E71: median/MAD/outlier-count on a fixture with one planted
+    outlier. Values 10,12,14,16,1000 → med 14... recompute: sorted
+    [10,12,14,16,1000] med=14; |x-med| = [4,2,0,2,986] sorted
+    [0,2,2,4,986] MAD=2; 3·MAD=6 → only 1000 (dev 986) flags."""
+    from cati_database_feeder_spark.operators.quality import (
+        robust_outlier_profile)
+    rows = spark.createDataFrame(
+        [("a", v) for v in (10, 12, 14, 16, 1000)]
+        + [("b", v) for v in (5, 5, 5)],
+        ["source", "n_chars"])
+    got = {r["source"]: r
+           for r in robust_outlier_profile(
+               rows, "source", "n_chars", k_mad=3.0).collect()}
+    assert got["a"]["med_value"] == 14.0 and got["a"]["mad_value"] == 2.0
+    assert got["a"]["n_outliers"] == 1 and got["a"]["n_rows"] == 5
+    # constant group: MAD 0 → nothing exceeds 3·0 strictly? |x-med|=0
+    # is NOT > 0 → zero outliers (strict inequality is the contract)
+    assert got["b"]["mad_value"] == 0.0 and got["b"]["n_outliers"] == 0
+
+
+def test_sessionize_matches_driver_reference(spark):
+    """E68: break iff gap > threshold, sessions partition each user's
+    events — checked against a driver-side reference over an
+    irregular fixture (gaps straddling the threshold, ties on ts
+    broken by event_id, sub-second components)."""
+    import datetime as dt
+    from cati_database_feeder_spark.operators.windows import sessionize
+    base = dt.datetime(2024, 1, 1, 0, 0, 0, 500000)
+    rows = []
+    # user 1: gaps 100s, 3601s (break), 10s
+    offs = [0, 100, 100 + 3601, 100 + 3601 + 10]
+    rows += [(1, i, base + dt.timedelta(seconds=o), 1.0)
+             for i, o in enumerate(offs)]
+    # user 2: gap exactly == threshold → NO break (strict >)
+    rows += [(2, 10, base, 2.0),
+             (2, 11, base + dt.timedelta(seconds=3600), 2.0)]
+    # user 3: same ts twice → tie broken by event_id, one session
+    rows += [(3, 21, base, 0.5), (3, 20, base, 0.5)]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "value"])
+    got = sorted(
+        (r["user_id"], r["session_id"], r["n_events"], r["duration_sec"])
+        for r in sessionize(df, gap_sec=3600).collect())
+    assert got == [(1, 1, 2, 100), (1, 2, 2, 10),
+                   (2, 1, 2, 3600), (3, 1, 2, 0)]
+    # sessions partition the input: event counts sum to the input size
+    assert sum(g[2] for g in got) == len(rows)
