@@ -921,3 +921,54 @@ def remove_duplicate_spans(documents: DataFrame, k: int = 8,
                     (F.size("tk") - F.size(kept)).cast("bigint")
                     .alias("n_removed"),
                     F.array_join(kept, " ").alias("cleaned_text")))
+
+
+def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = "media_id",
+                           hash_col: str = "dhash", bits: int = 60,
+                           max_hamming: int = 3,
+                           chunks: int = 4) -> DataFrame:
+    """Near-dup pairs over any precomputed integer fingerprint column
+    (extension E72 — the perceptual-hash consumer; the text twin
+    computes its signature inline in simhash_near_dup_pairs): pairs
+    within Hamming distance ``max_hamming``, found COMPLETELY by
+    pigeonhole banding — with ``chunks > max_hamming`` two hashes
+    within the bound must agree on at least one chunk, so the banded
+    equi-join provably equals brute force (pinned in
+    tests/test_multimodal.py against a crossJoin reference).
+
+    Same scale shape as the simhash/MinHash family: identical hashes
+    collapse to one representative FIRST (an exact-dup cluster of m
+    items would otherwise put m ids in every chunk bucket — O(m²)
+    candidate rows), candidates are one equi-join on (chunk, value),
+    verification is one JVM-side ``bit_count(xor)``, and member pairs
+    expand back with hamming 0. No crossJoin, no window over the
+    corpus, driver state zero."""
+    if chunks <= max_hamming:
+        raise ValueError("need chunks > max_hamming for exact recall")
+    if bits % chunks:
+        raise ValueError(f"bits={bits} not divisible by chunks={chunks}")
+    width = bits // chunks
+    sig = hashes.select(F.col(id_col).alias("id"),
+                        F.col(hash_col).alias("sig"))
+    wg = Window.partitionBy("sig")
+    memb = sig.withColumn("gid", F.min("id").over(wg))
+    reps = (memb.filter(F.col("id") == F.col("gid"))
+            .select(F.col("gid").alias("id"), "sig"))
+    chunked = (reps.select("id", F.explode(F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftright(F.col("sig"), c * width)
+                  .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
+        for c in range(chunks)])).alias("cb"))
+        .select("id", "cb.chunk", "cb.val"))
+    cands = _bucket_pairs(chunked, ["chunk", "val"], "id")
+    s_a = reps.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    s_b = reps.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    rep_pairs = (cands.join(s_a, "id_a").join(s_b, "id_b")
+                 .withColumn("hamming",
+                             simhash_hamming(F.col("sig_a"),
+                                             F.col("sig_b"), bits)
+                             .cast("bigint"))
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))
+    return expand_group_pairs(rep_pairs, memb.select("gid", "id"),
+                              {"hamming": F.lit(0).cast("bigint")})

@@ -5651,6 +5651,65 @@ def quality_robust_outliers(spark, sf_dir):
                                   "source", "n_chars", k_mad=3.0)
 
 
+@register("multimodal_dhash_pairs", sql="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT),
+             CAST(3 AS BIGINT))
+  FROM documents WHERE doc_id % 7 = 0),
+b AS (
+  SELECT media_id, h, band, (h >> (band * 15)) & 32767 AS bv
+  FROM m CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
+  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv
+                    AND a.media_id < c.media_id)
+SELECT cand.id_a, cand.id_b,
+       CAST(bit_count(xor(ha.h, hb.h)) AS BIGINT) AS hamming
+FROM cand JOIN m ha ON ha.media_id = cand.id_a
+          JOIN m hb ON hb.media_id = cand.id_b
+WHERE bit_count(xor(ha.h, hb.h)) <= 3
+""")
+def multimodal_dhash_pairs(spark, sf_dir):
+    """E72 perceptual-hash image near-dup: mapInPandas dHash over
+    binary payloads (sources/multimodal.py:image_dhash — real 7×10
+    difference hash when the payload decodes, the 60-bit md5 fake
+    tier otherwise) → pigeonhole-banded Hamming pairs
+    (operators/dedup.py:hamming_near_dup_pairs, provably complete for
+    max_hamming < chunks). The fixture payloads are text bytes, so
+    every row rides the DETERMINISTIC fake tier — which is exactly
+    the repo's hash64 convention, so the oracle replays hashing,
+    banding, candidate join and bit_count verification bit-for-bit;
+    the REAL decode tier is pinned separately on synthetic images in
+    tests/test_multimodal.py (near-dup found, brute-force equality).
+    Every 7th payload is planted twice with a 2-bit hash flip — the
+    banded join must surface exactly those hamming-2 pairs (2 flips
+    < 4 chunks → guaranteed recall), exercising the nonzero-distance
+    path the corpus (no duplicate payloads) would otherwise never
+    hit."""
+    from cati_database_feeder_spark.operators.dedup import (
+        hamming_near_dup_pairs)
+    from cati_database_feeder_spark.sources.multimodal import (
+        documents_as_media, image_dhash)
+    media = documents_as_media(spark, sf_dir)
+    twins = (media.filter(F.col("media_id") % 7 == 0)
+             .withColumn("media_id",
+                         F.col("media_id") + F.lit(1000000000)))
+    hashes = image_dhash(media.unionByName(twins))
+    planted = hashes.withColumn(
+        "dhash",
+        F.when(F.col("media_id") >= F.lit(1000000000),
+               F.col("dhash").bitwiseXOR(F.lit(3)))
+        .otherwise(F.col("dhash")))
+    return (hamming_near_dup_pairs(planted, bits=60, max_hamming=3,
+                                   chunks=4)
+            .select("id_a", "id_b", "hamming"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -5691,6 +5750,7 @@ _CHECK_ORDER = [
     "text_distinct_shingles_hll", "text_distinct_shingles_hll_store",
     "events_sessionize", "text_collocations",
     "sample_cluster_balanced", "quality_robust_outliers",
+    "multimodal_dhash_pairs",
     # [d] r08-green refreshes
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
@@ -5702,7 +5762,7 @@ _CHECK_ORDER = [
     "training_pipeline_e2e", "text_dup_span_profile",
     "dedup_token_jaccard_pairs", "text_fingerprint_dedup",
     "flagship_feeder", "approx_aggregates",
-    "bm25_topk_search", "embedding_quantize_int8", "dedup_keep_best",
+    "bm25_topk_search", "embedding_quantize_int8",
     # ---- tail (past slot 50). Sustainability arithmetic: 115+
     # registered queries, a 50-slot driver window, and driver greens
     # that expire after 2 rounds demand ~58 refresh slots per round —
@@ -5744,6 +5804,7 @@ _CHECK_ORDER = [
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
     # r8-green block (CHECKLOCAL_r10 refresh recorded this round):
+    "dedup_keep_best",
     "q18_large_volume_customers", "agg_cube_grouping_sets",
     "agg_distinct_counts", "agg_rollup_region_nation",
     "array_functions",

@@ -288,3 +288,66 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
         F.lit("text").alias("media_type"),
         F.lit(None).cast("struct<width:int,height:int,sample_rate:int,n_frames:int>").alias("meta"))
+
+
+# ---------------------------------------------------------------------
+# Perceptual hashing (extension E72): 60-bit dHash + the fake tier
+# ---------------------------------------------------------------------
+
+DHASH_BITS = 60          # the repo-wide 60-bit signed-int64 convention
+_DHASH_GRID_W = 7        # (w-1)·h comparisons = 6 × 10 = 60 bits
+_DHASH_GRID_H = 10
+
+
+def _real_dhash(payload: bytes) -> int:
+    """Difference hash over the real decode: grayscale → 7×10
+    nearest-neighbor resample → 60 horizontal brighter-than-left
+    comparisons packed MSB-first. Gradient-structured, so near-
+    identical images (crop noise, brightness jitter, re-encode) land
+    within a few bits while distinct images differ in ~30."""
+    gray = decode_image_gray(payload)
+    g = resize_gray_nn(gray, _DHASH_GRID_W, _DHASH_GRID_H)
+    v = 0
+    for bit in (g[:, 1:] > g[:, :-1]).flatten():
+        v = (v << 1) | int(bit)
+    return v
+
+
+def _fake_dhash(payload: bytes) -> int:
+    """Deterministic fake tier: the first 15 md5 hex chars as a 60-bit
+    int — EXACTLY the engine's hash64 convention
+    (functions/text.py:hash64, `conv(substr(md5(x),1,15),16,10)`), so
+    a SQL oracle replays the fake tier bit-for-bit."""
+    return int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+
+def image_dhash(media: DataFrame,
+                use_real_codecs: bool | None = None) -> DataFrame:
+    """E72 transform: per-image perceptual hash in mapInPandas —
+    ``(media_id, dhash long, real boolean)``. Same three-tier ladder
+    as extract_features: numpy decode always, Pillow when importable,
+    md5 fake per undecodable item (corrupt payloads at 100 TB must
+    never kill the stage — they hash to uniform noise and simply
+    never collide). ``real`` records which tier ran, so a pipeline
+    can audit its decode coverage with one aggregate."""
+    real = True if use_real_codecs is None else use_real_codecs
+
+    def one(payload: bytes) -> tuple[int, bool]:
+        if real:
+            try:
+                return _real_dhash(payload), True
+            except Exception:
+                pass
+        return _fake_dhash(payload), False
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "dhash": [h for h, _ in out],
+                "real": [r for _, r in out],
+            })
+
+    return media.mapInPandas(
+        kernel, schema="media_id long, dhash long, real boolean")

@@ -149,3 +149,71 @@ def test_resize_images_real_decode(spark):
     out = multimodal.resize_images(media, width=4, height=2).collect()[0]
     px = list(bytes(out["payload"]))
     assert px == [0, 0, 255, 255, 0, 0, 255, 255]
+
+
+def _make_pgm_px(w, h, pixels):
+    assert len(pixels) == w * h
+    return b"P5\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def _grad_image(jitter_at=None):
+    """16x16 gradient: value = x*15 — every dHash comparison True.
+    ``jitter_at=x`` zeroes the single sampled pixel (x, y=0), flipping
+    exactly ONE comparison (the left neighbor's margin is 30, the
+    right neighbor still dominates 0)."""
+    px = [[min(255, x * 15) for x in range(16)] for _ in range(16)]
+    if jitter_at is not None:
+        px[0][jitter_at] = 0
+    return _make_pgm_px(16, 16, [v for row in px for v in row])
+
+
+def test_real_dhash_near_dup_geometry():
+    """The pure kernel: a 1-pixel edit at a sampled location flips
+    exactly one of the 60 comparisons; a structurally different image
+    is tens of bits away."""
+    base = multimodal._real_dhash(_grad_image())
+    near = multimodal._real_dhash(_grad_image(jitter_at=4))
+    far = multimodal._real_dhash(_make_pgm_px(
+        16, 16, [(x * 97 + y * 11) % 256 for y in range(16)
+                 for x in range(16)]))
+    assert bin(base ^ near).count("1") == 1
+    assert bin(base ^ far).count("1") > 10
+    assert 0 <= base < (1 << 60)
+
+
+def test_dhash_pairs_equal_brute_force(spark):
+    """E72 completeness pin: pigeonhole banding (4 chunks, max_hamming
+    3) must find EXACTLY the brute-force pair set — including a
+    planted identical pair (rep-collapse/expand path, hamming 0),
+    1-bit near-dups, and a corrupt payload riding the fake tier."""
+    from cati_database_feeder_spark.operators.dedup import (
+        hamming_near_dup_pairs)
+    rows = [(1, _grad_image(), "image", None),
+            (2, _grad_image(), "image", None),           # exact dup of 1
+            (3, _grad_image(jitter_at=4), "image", None),  # 1 bit off
+            (4, _grad_image(jitter_at=9), "image", None),  # 1 bit off
+            (5, b"corrupt payload bytes", "image", None)]  # fake tier
+    for seed in range(6, 20):
+        rows.append((seed, _make_pgm_px(
+            16, 16, [(seed * x * x + y * 17) % 256
+                     for y in range(16) for x in range(16)]),
+            "image", None))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    hashes = multimodal.image_dhash(media)
+    collected = {r["media_id"]: (r["dhash"], r["real"])
+                 for r in hashes.collect()}
+    assert collected[5][1] is False
+    assert collected[5][0] == multimodal._fake_dhash(
+        b"corrupt payload bytes")
+    assert collected[1][1] is True and collected[1] == collected[2]
+    brute = set()
+    ids = sorted(collected)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(collected[a][0] ^ collected[b][0]).count("1") <= 3:
+                brute.add((a, b))
+    got = {(r["id_a"], r["id_b"])
+           for r in hamming_near_dup_pairs(
+               hashes, bits=60, max_hamming=3, chunks=4).collect()}
+    assert got == brute
+    assert {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)} <= got
