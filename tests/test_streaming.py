@@ -151,3 +151,29 @@ def test_ingest_dedup_against_corpus_matches_batch_anti_join(event_stream, spark
     want = batch.join(corpus, "event_id", "left_anti")
     assert len(got) == want.count()
     assert all(r["event_id"] % 10 != 0 for r in got)
+
+
+def test_sessionize_batch_equals_session_window_twin(spark, sf_dir):
+    """E68 ↔ §2.8 twin contract: the batch gap-sessionization must
+    partition events exactly like Spark's own session_window run over
+    the same batch (same gap). session_window merges on a strict
+    within-gap rule and sessionize breaks on a strict beyond-gap rule
+    — identical groupings unless a gap equals the threshold to the
+    microsecond, which the sub-second fixture cannot produce. Matched
+    on (user, formatted session start, event count)."""
+    from cati_database_feeder_spark.catalog import load_table
+    from cati_database_feeder_spark.operators.windows import sessionize
+    events = load_table(spark, sf_dir, "events")
+    mine = {(r["user_id"], r["session_start"], r["n_events"])
+            for r in sessionize(events, gap_sec=21600).collect()}
+    twin = {(r["user_id"], r["session_start"], r["n_events"])
+            for r in (events
+                      .groupBy(F.session_window("ts", "6 hours")
+                               .alias("w"), "user_id")
+                      .agg(F.count(F.lit(1)).alias("n_events"))
+                      .select("user_id",
+                              F.date_format("w.start",
+                                            "yyyy-MM-dd HH:mm:ss")
+                              .alias("session_start"), "n_events")
+                      .collect())}
+    assert mine == twin and len(mine) > 0
