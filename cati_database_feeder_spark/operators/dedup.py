@@ -972,3 +972,93 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = "media_id",
                  .select("id_a", "id_b", "hamming"))
     return expand_group_pairs(rep_pairs, memb.select("gid", "id"),
                               {"hamming": F.lit(0).cast("bigint")})
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS scheme; extension E73): hash every word
+    ``k``-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's MINIMUM — any two documents sharing a token run of length
+    ≥ ``w + k − 1`` are GUARANTEED to share a selected fingerprint
+    (every window inside the shared run picks the same local minimum),
+    while the fingerprint density is ~2/(w+1) per position instead of
+    one per k-gram. The robust, sample-rate-bounded span fingerprint a
+    contamination/plagiarism scan runs where exact span dedup (E53)
+    would index every occurrence.
+
+    Output: distinct ``(doc_id, fp)`` rows — the VALUE set of selected
+    minima, which equals the occurrence-based winnowing selection
+    projected to values.
+
+    Plan shape: map-only per document (tokenize → k shifted slices →
+    per-element hash → window minima via sequence+slice+array_min,
+    O(n·w) inside whole-stage codegen) + one explode; each stage is
+    its OWN projection referencing plain columns — the CollapseProject
+    HOF-inlining trap (SCALING.md round 9) re-evaluates an inlined
+    array argument per element, turning O(n·w) into O(n²·w)."""
+    tk = documents.select(F.col(id_col), T.tokens(F.col(text_col))
+                          .alias("tk"))
+    sh = tk.select(id_col, T.shingles_from_tokens(F.col("tk"), k)
+                   .alias("sh"))
+    h = (sh.select(id_col, F.transform("sh", T.hash64).alias("h"))
+         .filter(F.size("h") >= w))
+    # window minima as a zip of w SHIFTED SLICES whose lambda touches
+    # only its own struct element — NOT `array_min(slice(h, i, w))`
+    # inside a transform over positions: `h` referenced inside a
+    # lambda re-evaluates the whole hash-transform tree once PER
+    # WINDOW (the CollapseProject HOF-inlining trap, SCALING.md round
+    # 9), turning O(n·w) into O(n²) md5 calls — measured 92.9 s vs
+    # 2.6 s at sf0.1 for this exact operator. The slices reference
+    # `h` outside any lambda (≤ w evaluations, constant), the same
+    # idiom shingles_from_tokens uses for the k-gram build.
+    m = F.size("h") - F.lit(w - 1)
+    zipped = F.arrays_zip(*[F.slice("h", j + 1, m) for j in range(w)])
+    wm = h.select(
+        id_col,
+        F.array_distinct(F.transform(
+            zipped, lambda s: F.least(*[s[str(j)] for j in range(w)])))
+        .alias("fps"))
+    return wm.select(id_col, F.explode("fps").alias("fp"))
+
+
+def winnow_fingerprint_pairs(documents: DataFrame, k: int = 4,
+                             w: int = 4, min_shared: int = 1,
+                             max_df: int | None = None,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             precomputed: bool = False) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints,
+    with the shared count — the overlap-detection join over
+    :func:`winnow_fingerprints`.
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents BEFORE pairing, for two reasons that coincide at scale:
+    an ultra-common fingerprint is boilerplate (headers, licenses —
+    not meaningful overlap), and it is the quadratic hot key — a
+    fingerprint in m docs emits m·(m−1)/2 pair rows. Same
+    df-capping move as BM25's stopword effect and the LSH occupancy
+    guard; the cap is a COUNT aggregate riding the same fp key the
+    pair join shuffles on.
+
+    ``precomputed=True``: ``documents`` already IS a (id, fp)
+    fingerprint frame (typically persisted/materialized — this plan
+    reads it three times); k/w are ignored."""
+    fps = (documents if precomputed
+           else winnow_fingerprints(documents, k, w, id_col, text_col))
+    if max_df is not None:
+        keep = (fps.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_df)
+                .select("fp"))
+        fps = fps.join(keep, "fp", "left_semi")
+    a = fps.alias("a").hint("shuffle_hash")
+    b = fps.alias("b").hint("shuffle_hash")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

@@ -5720,6 +5720,69 @@ def multimodal_dhash_pairs(spark, sf_dir):
             .select("id_a", "id_b", "hamming"))
 
 
+@register("text_winnow_overlap", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         [concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3])
+          FOR i IN range(1, len(tk) - 2)] AS sh
+  FROM tk
+),
+h AS (
+  SELECT doc_id,
+         [CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+          FOR s IN sh] AS h
+  FROM sh WHERE len(sh) >= 4
+),
+fp AS (
+  SELECT DISTINCT doc_id, fp
+  FROM (SELECT doc_id,
+               unnest([list_min(h[i:i+3])
+                       FOR i IN range(1, len(h) - 2)]) AS fp
+        FROM h)
+),
+kept AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp)
+  WHERE df <= 50
+),
+ff AS (SELECT doc_id, fp FROM fp SEMI JOIN kept USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+""")
+def text_winnow_overlap(spark, sf_dir):
+    """E73 winnowing overlap detection (the MOSS fingerprint scheme,
+    Schleimer/Wilkerson/Aiken 2003): word-4-gram hashes → window-of-4
+    minima → distinct fingerprints per doc → pairs sharing ≥ 2
+    fingerprints, boilerplate fingerprints (df > 50) dropped before
+    pairing. Guarantee: any shared run of ≥ 7 tokens shares a
+    fingerprint, at ~2/(w+1) fingerprint density instead of
+    every-position indexing — the bounded-rate complement of the
+    exact span dedup E53. All stages map-only JVM HOFs until one
+    fp-key equi-join (operators/dedup.py:winnow_fingerprint_pairs)."""
+    from cati_database_feeder_spark.operators.dedup import (
+        winnow_fingerprints, winnow_fingerprint_pairs)
+    # fingerprint extraction is the md5-heavy map pass and the pair
+    # machinery reads it three times (two join branches + the df-cap
+    # aggregate) — materialize once (measured 19.2 → 11.5 s cold /
+    # 1.0 s warm at sf0.1; the residual cold cost IS the one hash
+    # pass, same class as stage:jaccard_pairs. At 100 TB the
+    # fingerprint table is written once and re-read, the
+    # stage:verified_pairs economics)
+    fps = shared_stage(
+        spark, f"winnow_fps:{sf_dir}",
+        lambda: winnow_fingerprints(T(spark, sf_dir, "documents"),
+                                    k=4, w=4))
+    return winnow_fingerprint_pairs(
+        fps, k=4, w=4, min_shared=2, max_df=50,
+        precomputed=True)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -5760,7 +5823,7 @@ _CHECK_ORDER = [
     "text_distinct_shingles_hll", "text_distinct_shingles_hll_store",
     "events_sessionize", "text_collocations",
     "sample_cluster_balanced", "quality_robust_outliers",
-    "multimodal_dhash_pairs",
+    "multimodal_dhash_pairs", "text_winnow_overlap",
     # [d] r08-green refreshes
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
@@ -5771,8 +5834,7 @@ _CHECK_ORDER = [
     "near_dup_pairs", "dedup_cluster_components",
     "training_pipeline_e2e", "text_dup_span_profile",
     "dedup_token_jaccard_pairs", "text_fingerprint_dedup",
-    "flagship_feeder", "approx_aggregates",
-    "bm25_topk_search", "embedding_quantize_int8",
+    "flagship_feeder", "approx_aggregates", "bm25_topk_search",
     # ---- tail (past slot 50). Sustainability arithmetic: 115+
     # registered queries, a 50-slot driver window, and driver greens
     # that expire after 2 rounds demand ~58 refresh slots per round —
@@ -5814,7 +5876,7 @@ _CHECK_ORDER = [
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
     # r8-green block (CHECKLOCAL_r10 refresh recorded this round):
-    "dedup_keep_best",
+    "embedding_quantize_int8", "dedup_keep_best",
     "q18_large_volume_customers", "agg_cube_grouping_sets",
     "agg_distinct_counts", "agg_rollup_region_nation",
     "array_functions",

@@ -764,3 +764,43 @@ def test_semantic_decontaminate_plan_broadcasts_and_aggregates(spark):
     assert "BroadcastNestedLoopJoin" in plan
     for bad in ("Window", "CartesianProduct", "SortMergeJoin"):
         assert bad not in plan, f"{bad} in plan:\n{plan}"
+
+
+def test_winnow_guarantee_and_boilerplate_cap(spark):
+    """E73: (a) the winnowing GUARANTEE — two docs sharing a token run
+    of length >= w+k-1 (= 7 here) share a fingerprint, wherever the
+    run sits in otherwise-disjoint text; (b) docs with NO shared run
+    of that length produce no pair; (c) max_df drops a fingerprint
+    planted in many docs before pairing (the boilerplate/hot-key
+    guard)."""
+    from cati_database_feeder_spark.operators.dedup import (
+        winnow_fingerprint_pairs, winnow_fingerprints)
+    run = "alpha beta gamma delta epsilon zeta eta"       # 7 tokens
+    docs = [
+        (1, "p1 p2 p3 " + run + " s1 s2"),
+        (2, "q1 q2 " + run + " t1 t2 t3 t4"),
+        (3, "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11"),        # disjoint
+    ]
+    boiler = "fixed header line common to every doc here"  # 8 tokens
+    docs += [(10 + i, boiler + f" body{i} x{i} y{i} z{i}")
+             for i in range(4)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps = {r["doc_id"]: set() for r in df.collect()}
+    for r in winnow_fingerprints(df, k=4, w=4).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared 7-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_fingerprint_pairs(
+                 df, k=4, w=4, min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # boilerplate docs all pair with each other via the header run...
+    assert (10, 11) in pairs
+    # ...until max_df drops fingerprints present in >2 docs — the
+    # header fps sit in 4 docs, so the boilerplate pairs vanish while
+    # the organic (1,2) overlap survives
+    capped = {(r["id_a"], r["id_b"])
+              for r in winnow_fingerprint_pairs(
+                  df, k=4, w=4, min_shared=1, max_df=2).collect()}
+    assert (1, 2) in capped and (10, 11) not in capped
