@@ -5783,6 +5783,56 @@ def text_winnow_overlap(spark, sf_dir):
         precomputed=True)
 
 
+@register("ivf_cell_profile", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT e.vec_id, e.v, c.cell, list_dot_product(e.v, c.centroid) AS ip,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY -list_dot_product(e.v, c.centroid) ASC, c.cell ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id, cell, ip FROM assign WHERE rn = 1)
+SELECT cell, COUNT(*) AS occupancy,
+       round(CAST(SUM(CAST(ip AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_ip,
+       round(MIN(ip), 6) AS min_ip,
+       round(MAX(ip), 6) AS max_ip
+FROM corpus GROUP BY cell
+""")
+def ivf_cell_profile(spark, sf_dir):
+    """E74 quantizer-quality profile: per IVF cell, occupancy plus the
+    decimal-accumulated mean / min / max inner product of members with
+    THEIR OWN centroid — the coarse-quantizer health report (low
+    avg_ip cells = diffuse clusters that hurt IVF recall; paired with
+    the occupancy diagnostic E47 this is the full 'retrain or
+    sub-split?' dashboard). The member→centroid score is one
+    element_at into the 2-D centroid literal indexed by the assigned
+    cell — evaluated OUTSIDE any lambda (the round-9 inlining rule) —
+    and one zip_with fold; one groupBy on the same cell key the
+    assignment stage already produced, map-side partials. Double
+    discipline: per-row fold is sequential (engine-agreed), cross-row
+    mean via DECIMAL accumulation (dsum/davg), everything rounded at
+    emission."""
+    from cati_database_feeder_spark.functions import vectors as V
+    from cati_database_feeder_spark.operators.aggregates import dsum
+    cents = sorted(_cents16(spark, sf_dir))
+    lit2d = F.array(*[F.array(*[F.lit(float(x)) for x in vec])
+                      for _, vec in cents])
+    assigned = _cell_assign_stage(spark, sf_dir)
+    scored = assigned.select(
+        "cell",
+        V.dot(F.col("embedding"),
+              F.element_at(lit2d, F.col("cell") + 1)).alias("ip"))
+    return (scored.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("occupancy"),
+                 F.round(dsum(F.col("ip"))
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("avg_ip"),
+                 F.round(F.min("ip"), 6).alias("min_ip"),
+                 F.round(F.max("ip"), 6).alias("max_ip")))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -5824,6 +5874,7 @@ _CHECK_ORDER = [
     "events_sessionize", "text_collocations",
     "sample_cluster_balanced", "quality_robust_outliers",
     "multimodal_dhash_pairs", "text_winnow_overlap",
+    "ivf_cell_profile",
     # [d] r08-green refreshes
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
@@ -5834,7 +5885,7 @@ _CHECK_ORDER = [
     "near_dup_pairs", "dedup_cluster_components",
     "training_pipeline_e2e", "text_dup_span_profile",
     "dedup_token_jaccard_pairs", "text_fingerprint_dedup",
-    "flagship_feeder", "approx_aggregates", "bm25_topk_search",
+    "flagship_feeder", "approx_aggregates",
     # ---- tail (past slot 50). Sustainability arithmetic: 115+
     # registered queries, a 50-slot driver window, and driver greens
     # that expire after 2 rounds demand ~58 refresh slots per round —
@@ -5876,7 +5927,7 @@ _CHECK_ORDER = [
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
     # r8-green block (CHECKLOCAL_r10 refresh recorded this round):
-    "embedding_quantize_int8", "dedup_keep_best",
+    "bm25_topk_search", "embedding_quantize_int8", "dedup_keep_best",
     "q18_large_volume_customers", "agg_cube_grouping_sets",
     "agg_distinct_counts", "agg_rollup_region_nation",
     "array_functions",
