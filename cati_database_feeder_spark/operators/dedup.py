@@ -1013,7 +1013,12 @@ def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 4,
     # 2.6 s at sf0.1 for this exact operator. The slices reference
     # `h` outside any lambda (≤ w evaluations, constant), the same
     # idiom shingles_from_tokens uses for the k-gram build.
-    m = F.size("h") - F.lit(w - 1)
+    # greatest(..., 0): the filter above prunes short docs, but the
+    # collapsed projection's slice expressions can still be EVALUATED
+    # for filtered rows inside the same codegen stage, and slice
+    # raises on a negative length — clamp instead of trusting
+    # evaluation order (reproduced: 5-token docs crashed the stage)
+    m = F.greatest(F.size("h") - F.lit(w - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice("h", j + 1, m) for j in range(w)])
     wm = h.select(
         id_col,

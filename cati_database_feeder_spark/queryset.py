@@ -5833,6 +5833,59 @@ def ivf_cell_profile(spark, sf_dir):
                  F.round(F.max("ip"), 6).alias("max_ip")))
 
 
+@register("text_winnow_overlap_store", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents WHERE doc_id % 40 != 0
+),
+sh AS (
+  SELECT doc_id,
+         [concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3])
+          FOR i IN range(1, len(tk) - 2)] AS sh
+  FROM tk
+),
+h AS (
+  SELECT doc_id,
+         [CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+          FOR s IN sh] AS h
+  FROM sh WHERE len(sh) >= 4
+),
+fp AS (
+  SELECT DISTINCT doc_id, fp
+  FROM (SELECT doc_id,
+               unnest([list_min(h[i:i+3])
+                       FOR i IN range(1, len(h) - 2)]) AS fp
+        FROM h)
+),
+kept AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp)
+  WHERE df <= 50
+),
+ff AS (SELECT doc_id, fp FROM fp SEMI JOIN kept USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+""")
+def text_winnow_overlap_store(spark, sf_dir):
+    """E73+ store-backed serving twin: the overlap pairs computed from
+    the MAINTAINED ``wfp/`` fingerprint store (streaming/ingest.py —
+    appended per batch behind an id anti-join, exact-row takedown,
+    geometry pinned at bootstrap), reading NO document text at query
+    time. The oracle replays the full tokenize→4-gram-hash→window-min
+    pipeline over the store's corpus slice (doc_id % 40 != 0, the
+    bench session's ingest bootstrap), so store CONTENT drift — not
+    just pair counts — hash-mismatches. Same serving-twin discipline
+    as text_token_cms_store / decontaminate_cbloom_store."""
+    from cati_database_feeder_spark.operators.dedup import (
+        winnow_fingerprint_pairs)
+    from cati_database_feeder_spark.streaming.ingest import read_wfp
+    fps = read_wfp(spark, _text_store_dir(spark, sf_dir))
+    return winnow_fingerprint_pairs(fps, min_shared=2, max_df=50,
+                                    precomputed=True)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -5874,7 +5927,7 @@ _CHECK_ORDER = [
     "events_sessionize", "text_collocations",
     "sample_cluster_balanced", "quality_robust_outliers",
     "multimodal_dhash_pairs", "text_winnow_overlap",
-    "ivf_cell_profile",
+    "ivf_cell_profile", "text_winnow_overlap_store",
     # [d] r08-green refreshes
     "semdedup_incremental", "lsh_recall_check",
     "text_unigram_rarity", "dedup_cross_source_matrix",
@@ -5885,7 +5938,7 @@ _CHECK_ORDER = [
     "near_dup_pairs", "dedup_cluster_components",
     "training_pipeline_e2e", "text_dup_span_profile",
     "dedup_token_jaccard_pairs", "text_fingerprint_dedup",
-    "flagship_feeder", "approx_aggregates",
+    "flagship_feeder",
     # ---- tail (past slot 50). Sustainability arithmetic: 115+
     # registered queries, a 50-slot driver window, and driver greens
     # that expire after 2 rounds demand ~58 refresh slots per round —
@@ -5927,6 +5980,7 @@ _CHECK_ORDER = [
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
     # r8-green block (CHECKLOCAL_r10 refresh recorded this round):
+    "approx_aggregates",
     "bm25_topk_search", "embedding_quantize_int8", "dedup_keep_best",
     "q18_large_volume_customers", "agg_cube_grouping_sets",
     "agg_distinct_counts", "agg_rollup_region_nation",

@@ -119,7 +119,7 @@ from cati_database_feeder_spark.operators.graph import (
 
 _STORES = ("labels", "corpus", "buckets", "members", "reps", "metrics",
            "pairs", "deleted", "cms", "cbloom", "cms_pending",
-           "cbloom_pending", "hll")
+           "cbloom_pending", "hll", "wfp")
 
 _LOCK_NAME = "_LOCK"
 _DELETE_PENDING = "_DELETE_PENDING"
@@ -552,6 +552,78 @@ def _hll_merge_delta(spark, state_dir: str, delta: DataFrame) -> None:
     _swap_write(merged.coalesce(1), hll_dir)
 
 
+# wfp/ store: maintained winnowing fingerprints (extension E73+) —
+# the incremental contamination/overlap index. Unlike the linear
+# sketches this is a plain id-keyed TABLE (doc_id, fp), so every
+# hazard the sketch stores buy off with sentinels and sidecars is
+# structural here: redelivery is absorbed by an id anti-join (append
+# is idempotent), takedown is an exact row delete (no subtraction
+# algebra), and the serving read needs no replay fingerprint. The one
+# pinned invariant is the (k, w) geometry — fingerprints from a
+# different geometry are silently incomparable, so it rides a
+# sentinel row (doc_id = _WFP_DIMS_ID) checked like the sketch dims.
+WFP_K = 4
+WFP_W = 4
+_WFP_DIMS_ID = -2  # sentinel row: fp = k*1000 + w
+
+
+def _wfp_frame(spark, docs: DataFrame, k: int, w: int) -> DataFrame:
+    fps = dedup.winnow_fingerprints(docs, k=k, w=w)
+    dims = spark.createDataFrame(
+        [(_WFP_DIMS_ID, k * 1000 + w)], "doc_id long, fp long")
+    return fps.unionByName(dims)
+
+
+def read_wfp(spark, state_dir: str) -> DataFrame:
+    """The maintained fingerprint table, sentinel stripped."""
+    return (spark.read.parquet(os.path.join(state_dir, "wfp"))
+            .filter(F.col("doc_id") != _WFP_DIMS_ID))
+
+
+def _ensure_wfp_store(spark, state_dir: str, k: int = WFP_K,
+                      w: int = WFP_W) -> None:
+    """One-time migration for pre-wfp state dirs (one corpus
+    fingerprint pass); on maintained dirs verifies the
+    BOOTSTRAP-PINNED (k, w) — fingerprints of mixed geometry never
+    match each other, so a mismatch is a refusal, not a merge. A
+    sentinel-less dir is a partial write → rebuild (same policy as
+    the sketch stores)."""
+    wfp_dir = os.path.join(state_dir, "wfp")
+    if os.path.exists(wfp_dir):
+        rows = (spark.read.parquet(wfp_dir)
+                .filter(F.col("doc_id") == _WFP_DIMS_ID)
+                .select("fp").collect())
+        if rows and int(rows[0]["fp"]) != k * 1000 + w:
+            got = int(rows[0]["fp"])
+            raise StateLockError(
+                f"wfp store at {wfp_dir!r} was bootstrapped with "
+                f"(k={got // 1000}, w={got % 1000}) but this ingest is "
+                f"configured for (k={k}, w={w}) — the fingerprint "
+                f"geometry is pinned at bootstrap (mixed-geometry "
+                f"fingerprints are silently incomparable); use the "
+                f"stored geometry or rebuild the store.")
+        if rows:
+            return
+        shutil.rmtree(wfp_dir)
+    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
+    _swap_write(_wfp_frame(spark, corpus, k, w), wfp_dir)
+
+
+def _wfp_append_delta(spark, state_dir: str, delta: DataFrame,
+                      k: int = WFP_K, w: int = WFP_W) -> None:
+    """Append the delta's fingerprints, guarded by an id anti-join on
+    the store (the deleted/-ledger idiom): a crash after this append
+    but before the corpus commit redelivers the identical delta, whose
+    doc_ids are already present — the replay appends nothing, so
+    at-least-once delivery cannot duplicate fingerprint rows."""
+    wfp_dir = os.path.join(state_dir, "wfp")
+    existing = (spark.read.parquet(wfp_dir).select("doc_id")
+                .distinct())
+    (dedup.winnow_fingerprints(delta, k=k, w=w)
+     .join(existing, "doc_id", "left_anti")
+     .write.mode("append").parquet(wfp_dir))
+
+
 def _sk_ensure_store(spark, state_dir: str, name: str, cells_of,
                      d1: int, d2: int) -> None:
     """One-time migration for state dirs predating the ``name`` sketch
@@ -902,6 +974,8 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
              .parquet(os.path.join(state_dir, sk_name)))
         (_hll_frame(spark, batch).coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(state_dir, "hll")))
+        (_wfp_frame(spark, batch, WFP_K, WFP_W).write.mode("overwrite")
+         .parquet(os.path.join(state_dir, "wfp")))
         # metrics BEFORE the corpus commit marker: a crash between the
         # two replays the whole bootstrap (corpus absent) and appends a
         # duplicate row with the same batch_id — at-least-once, which
@@ -921,6 +995,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
     for sk_name, sk_cells, (sd1, sd2) in _SKETCH_STORES:
         _sk_ensure_store(spark, state_dir, sk_name, sk_cells, sd1, sd2)
     _ensure_hll_store(spark, state_dir)
+    _ensure_wfp_store(spark, state_dir)
     fr = _incremental_frames(spark, state_dir, batch, threshold,
                              num_hashes, bands)
     # persist the per-batch frames every downstream branch consumes;
@@ -985,6 +1060,11 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
             _sk_merge_delta(spark, state_dir, sk_name, delta, sk_cells,
                             sd1, sd2)
         _hll_merge_delta(spark, state_dir, delta)
+        # wfp append at the same slot: reads only wfp/ (its replay
+        # guard) + the delta, so it is recacheByPath-safe here, and a
+        # crash before the marker redelivers a delta whose ids the
+        # guard already excludes
+        _wfp_append_delta(spark, state_dir, delta)
         # metrics BEFORE the corpus commit marker (same argument as the
         # bootstrap branch): a crash in between replays the batch and
         # appends a duplicate batch_id row — at-least-once — where the
@@ -1107,7 +1187,8 @@ def _compact_state_locked(spark, state_dir: str,
     # compact it with them (append-only, so the swap discipline holds);
     # one row per batch → one file, not n near-empty ones
     for name, parts in (("members", n), ("reps", n), ("metrics", 1),
-                        ("pairs", n), ("deleted", 1), ("hll", 1)):
+                        ("pairs", n), ("deleted", 1), ("hll", 1),
+                        ("wfp", n)):
         d = os.path.join(state_dir, name)
         if os.path.exists(d):
             _swap_write(spark.read.parquet(d).repartition(parts), d)
@@ -1356,6 +1437,13 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
             _swap_write(_hll_frame(
                 spark, corpus.join(tomb, "doc_id", "left_anti"))
                 .coalesce(1), os.path.join(state_dir, "hll"))
+        # wfp takedown is an exact row delete — the id-keyed table
+        # needs no subtraction algebra and no ledger (the sentinel's
+        # negative id can never match a tombstone)
+        wfp_dir = os.path.join(state_dir, "wfp")
+        if os.path.exists(wfp_dir):
+            _swap_write(spark.read.parquet(wfp_dir)
+                        .join(tomb, "doc_id", "left_anti"), wfp_dir)
         _swap_write(corpus.join(tomb, "doc_id", "left_anti"), corpus_dir)
     except BaseException:
         raise  # marker stays: the refusal gate routes to a retry

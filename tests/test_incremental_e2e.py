@@ -1672,3 +1672,93 @@ def test_embedding_ingest_migrates_legacy_store_to_proj(spark, tmp_path):
     fresh = (jl_project(store.select("vec_id", "embedding", "proj"),
                         "embedding", planes, out_col="want"))
     assert fresh.filter(F.col("proj") != F.col("want")).count() == 0
+
+
+def _wfp_rows(spark, state):
+    from cati_database_feeder_spark.streaming import ingest as ing
+    return sorted(map(tuple, ing.read_wfp(spark, state).collect()))
+
+
+def _wfp_recompute(spark, docs):
+    from cati_database_feeder_spark.operators.dedup import (
+        winnow_fingerprints)
+    from cati_database_feeder_spark.streaming import ingest as ing
+    return sorted(map(tuple, winnow_fingerprints(
+        docs, k=ing.WFP_K, w=ing.WFP_W).collect()))
+
+
+_WFP_DOCS0 = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+              (2, "one two three alpha beta gamma delta epsilon iota"),
+              (3, "completely different words with no shared runs at all")]
+_WFP_DOCS1 = [(4, "p q alpha beta gamma delta epsilon zeta r s"),
+              (1, "REPLAYED exact dup dies x y z w v u t s")]
+
+
+def test_wfp_store_multi_batch_equals_recompute_and_replays(
+        spark, tmp_path):
+    """The maintained winnowing-fingerprint store (E73+): across
+    bootstrap + a batch (with an exact-dedup replay inside it) the
+    store equals a from-scratch fingerprint pass over the final
+    corpus; re-ingesting the identical batch (at-least-once
+    redelivery) changes nothing — the id anti-join guard, not a
+    fingerprint sentinel, absorbs it."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS1, ["doc_id", "text"]), state, batch_id=1)
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert _wfp_rows(spark, state) == _wfp_recompute(spark, corpus)
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS1, ["doc_id", "text"]), state, batch_id=1)
+    assert _wfp_rows(spark, state) == _wfp_recompute(spark, corpus)
+
+
+def test_wfp_store_crash_replay_no_duplicate_rows(spark, tmp_path):
+    """Crash AFTER the wfp append but BEFORE the corpus commit marker:
+    the redelivered delta's ids are already in the store, so the
+    replay appends nothing and the store still equals the recompute
+    (the hazard the sketch stores need fp sentinels for, absorbed
+    structurally by the id guard)."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    real_append = ing._append_metrics
+    crashed = []
+
+    def crash_at_metrics(*a, **kw):
+        if not crashed:
+            crashed.append(True)
+            raise RuntimeError("injected crash before commit marker")
+        real_append(*a, **kw)
+
+    ing._append_metrics = crash_at_metrics
+    try:
+        batch = spark.createDataFrame(_WFP_DOCS1, ["doc_id", "text"])
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ing.ingest_batch(spark, batch, state, batch_id=1)
+        ing.ingest_batch(spark, batch, state, batch_id=1)
+    finally:
+        ing._append_metrics = real_append
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 3, 4]
+    assert _wfp_rows(spark, state) == _wfp_recompute(spark, corpus)
+
+
+def test_wfp_store_takedown_and_geometry_pin(spark, tmp_path):
+    """Takedown on the fingerprint table is an exact row delete
+    (post-delete ≡ recompute over survivors); a re-ingest configured
+    for a different (k, w) refuses on the bootstrap-pinned geometry
+    sentinel."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    ing.delete_docs(spark, state, [2])
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 3]
+    assert _wfp_rows(spark, state) == _wfp_recompute(spark, corpus)
+    with pytest.raises(ing.StateLockError, match="geometry"):
+        ing._ensure_wfp_store(spark, state, k=5, w=4)
