@@ -5886,6 +5886,63 @@ def text_winnow_overlap_store(spark, sf_dir):
                                     precomputed=True)
 
 
+@register("decontaminate_winnow", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         [concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3])
+          FOR i IN range(1, len(tk) - 2)] AS sh
+  FROM tk
+),
+h AS (
+  SELECT doc_id,
+         [CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+          FOR s IN sh] AS h
+  FROM sh WHERE len(sh) >= 4
+),
+fp AS (
+  SELECT DISTINCT doc_id, fp
+  FROM (SELECT doc_id,
+               unnest([list_min(h[i:i+3])
+                       FOR i IN range(1, len(h) - 2)]) AS fp
+        FROM h)
+),
+bench AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 40 = 0)
+SELECT f.doc_id, COUNT(*) AS n_hits
+FROM fp f JOIN bench USING (fp)
+WHERE f.doc_id % 40 != 0
+GROUP BY f.doc_id
+""")
+def decontaminate_winnow(spark, sf_dir):
+    """E73 applied to decontamination: corpus docs sharing a WINNOWING
+    fingerprint with the benchmark slice (doc_id % 40 = 0 — the same
+    split the exact/Bloom/semantic decontamination queries use), with
+    the shared-fingerprint count. Catches near-verbatim contamination
+    spans ≥ w+k−1 tokens at ~2/(w+1) index density — between the
+    exact-shingle gate (every position) and the semantic gate
+    (embeddings) in the decontamination ladder. Both sides read the
+    session's ONE materialized fingerprint stage; the benchmark
+    fingerprint set is broadcast (bounded by construction — benchmark
+    suites are small; the same justification as
+    decontaminate_against_benchmark)."""
+    from cati_database_feeder_spark.operators.dedup import (
+        winnow_fingerprints)
+    fps = shared_stage(
+        spark, f"winnow_fps:{sf_dir}",
+        lambda: winnow_fingerprints(T(spark, sf_dir, "documents"),
+                                    k=4, w=4))
+    bench_fp = (fps.filter(F.col("doc_id") % 40 == 0)
+                .select("fp").distinct())
+    return (fps.filter(F.col("doc_id") % 40 != 0)
+            .join(F.broadcast(bench_fp), "fp")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -5928,8 +5985,9 @@ _CHECK_ORDER = [
     "sample_cluster_balanced", "quality_robust_outliers",
     "multimodal_dhash_pairs", "text_winnow_overlap",
     "ivf_cell_profile", "text_winnow_overlap_store",
+    "decontaminate_winnow",
     # [d] r08-green refreshes
-    "semdedup_incremental", "lsh_recall_check",
+    "semdedup_incremental",
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",
     "split_decontaminated", "dedup_impact_report",
@@ -5980,7 +6038,7 @@ _CHECK_ORDER = [
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
     # r8-green block (CHECKLOCAL_r10 refresh recorded this round):
-    "approx_aggregates",
+    "lsh_recall_check", "approx_aggregates",
     "bm25_topk_search", "embedding_quantize_int8", "dedup_keep_best",
     "q18_large_volume_customers", "agg_cube_grouping_sets",
     "agg_distinct_counts", "agg_rollup_region_nation",
