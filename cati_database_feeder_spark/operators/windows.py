@@ -76,19 +76,8 @@ def sessionize(events: DataFrame, gap_sec: int,
     partials on (user, session_id).
     """
     from cati_database_feeder_spark.operators.aggregates import dsum
-    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
-    us = F.unix_micros(F.col(ts_col))
-    prev = F.lag(us).over(w)
-    brk = F.when(prev.isNull()
-                 | ((us - prev) > F.lit(int(gap_sec) * 1_000_000)),
-                 F.lit(1)).otherwise(F.lit(0))
-    cum = (Window.partitionBy(user_col).orderBy(ts_col, tie_col)
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    sess = (events
-            .withColumn("__us", us)
-            .withColumn("__brk", brk)
-            .withColumn("session_id",
-                        F.sum("__brk").over(cum).cast("bigint")))
+    sess = sessionize_events(events, gap_sec, user_col, ts_col,
+                             tie_col)
     return (sess.groupBy(user_col, "session_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min(ts_col).alias("__t0"),
@@ -104,3 +93,26 @@ def sessionize(events: DataFrame, gap_sec: int,
                     F.expr("(__us1 - __us0) DIV 1000000")
                     .cast("bigint").alias("duration_sec"),
                     "value_sum"))
+
+
+def sessionize_events(events: DataFrame, gap_sec: int,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      tie_col: str = "event_id") -> DataFrame:
+    """Event-level half of :func:`sessionize`: every input row plus
+    ``session_id`` (1-based per user), ``__us`` (epoch micros) and
+    ``__brk`` — the frame session-scoped analytics (funnels, dwell
+    time, per-session features) start from. Both window functions
+    share one (user)×(ts, tie) window spec → one Exchange."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    brk = F.when(prev.isNull()
+                 | ((us - prev) > F.lit(int(gap_sec) * 1_000_000)),
+                 F.lit(1)).otherwise(F.lit(0))
+    cum = (Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (events
+            .withColumn("__us", us)
+            .withColumn("__brk", brk)
+            .withColumn("session_id",
+                        F.sum("__brk").over(cum).cast("bigint")))

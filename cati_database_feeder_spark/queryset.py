@@ -5943,6 +5943,103 @@ def decontaminate_winnow(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_hits")))
 
 
+@register("text_source_cardinality", sql=_HLL_SHINGLE_SQL_BODY.replace(
+    "SELECT doc_id,", "SELECT doc_id, source,").replace(
+    "SELECT doc_id, unnest", "SELECT doc_id, source, unnest") + """
+SELECT source, CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_exact,
+       COUNT(*) AS n_rows, TRUE AS within_bounds
+FROM sh GROUP BY source
+""")
+def text_source_cardinality(spark, sf_dir):
+    """E75 per-source distinct-shingle cardinality — E67's rollup
+    form: the per-slice sizing report a sharded Bloom/dedup tier is
+    provisioned from (one global number hides a source that alone
+    holds half the distinct mass). Exact count per source is
+    oracle-replayed; the HLL estimate (one mergeable sketch per
+    source from ONE aggregate — the groupBy form of hll_sketch_agg)
+    is gated within ±5% of exact per group, the approx_aggregates
+    error-bound discipline. At 100 TB the exact branch is the one
+    that dies (billions-row DISTINCT per source); the sketch branch
+    is the production path and the exact branch the test-SF
+    validator."""
+    sh = (_all_doc_shingles(spark, sf_dir)
+          .join(T(spark, sf_dir, "documents").select("doc_id", "source"),
+                "doc_id"))
+    exact = (sh.groupBy("source")
+             .agg(F.count_distinct("shingle").alias("n_exact"),
+                  F.count(F.lit(1)).alias("n_rows")))
+    est = (sh.groupBy("source")
+           .agg(F.hll_sketch_agg("shingle", 12).alias("sk"))
+           .select("source",
+                   F.hll_sketch_estimate("sk").alias("__e")))
+    return (exact.join(est, "source")
+            .select("source",
+                    F.col("n_exact").cast("bigint").alias("n_exact"),
+                    "n_rows",
+                    (F.abs(F.col("__e") - F.col("n_exact"))
+                     <= 0.05 * F.col("n_exact")).alias("within_bounds")))
+
+
+@register("events_session_funnel", sql="""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_id
+  FROM o),
+per_sess AS (
+  SELECT user_id, session_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           AS first_view_us,
+         MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS last_purchase_us
+  FROM s GROUP BY user_id, session_id)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view_sessions,
+       CAST(SUM(CASE WHEN first_view_us IS NOT NULL
+                      AND last_purchase_us >= first_view_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM per_sess GROUP BY user_id
+""")
+def events_session_funnel(spark, sf_dir):
+    """E76 session-scoped funnel: per user, how many sessions, how
+    many contained a view, and how many CONVERTED (a purchase at or
+    after the session's first view) — the funnel bounded by the E68
+    session instead of a fixed time horizon (funnel_view_to_purchase
+    is the range-join horizon form; real product analytics want both).
+    Rides sessionize_events (one window Exchange), then two plain
+    aggregates with map-side partials; micros comparisons keep the
+    at-or-after predicate engine-exact."""
+    from cati_database_feeder_spark.operators.windows import (
+        sessionize_events)
+    se = sessionize_events(T(spark, sf_dir, "events"), gap_sec=43200)
+    per_sess = (se.groupBy("user_id", "session_id")
+                .agg(F.min(F.when(F.col("event_type") == "view",
+                                  F.col("__us"))).alias("first_view_us"),
+                     F.max(F.when(F.col("event_type") == "purchase",
+                                  F.col("__us")))
+                     .alias("last_purchase_us")))
+    return (per_sess.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(F.when(F.col("first_view_us").isNotNull(),
+                              F.lit(1)).otherwise(F.lit(0)))
+                 .cast("bigint").alias("n_view_sessions"),
+                 F.sum(F.when(F.col("first_view_us").isNotNull()
+                              & (F.col("last_purchase_us")
+                                 >= F.col("first_view_us")),
+                              F.lit(1)).otherwise(F.lit(0)))
+                 .cast("bigint").alias("n_converted")))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -5985,12 +6082,12 @@ _CHECK_ORDER = [
     "sample_cluster_balanced", "quality_robust_outliers",
     "multimodal_dhash_pairs", "text_winnow_overlap",
     "ivf_cell_profile", "text_winnow_overlap_store",
-    "decontaminate_winnow",
+    "decontaminate_winnow", "text_source_cardinality",
+    "events_session_funnel",
     # [d] r08-green refreshes
-    "semdedup_incremental",
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",
-    "split_decontaminated", "dedup_impact_report",
+    "split_decontaminated",
     "embedding_lsh_topk",
     "near_dup_incremental_store", "near_dup_incremental",
     "near_dup_pairs", "dedup_cluster_components",
@@ -6037,7 +6134,8 @@ _CHECK_ORDER = [
     "events_session_window", "events_daily_gap_fill",
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
-    # r8-green block (CHECKLOCAL_r10 refresh recorded this round):
+    # r8/r9-green displaced block (CHECKLOCAL_r10 refresh recorded):
+    "semdedup_incremental", "dedup_impact_report",
     "lsh_recall_check", "approx_aggregates",
     "bm25_topk_search", "embedding_quantize_int8", "dedup_keep_best",
     "q18_large_volume_customers", "agg_cube_grouping_sets",
