@@ -94,3 +94,40 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: str,
                          F.last(F.col(f"__carry_{c}"), ignorenulls=True).over(w))
     return (u.filter(F.col("__side") == 1)
             .drop("__side", *[f"__carry_{c}" for c in carry_cols]))
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, on: str,
+                      ts_col: str, tie_col: str, carry_cols: list[str],
+                      prefix: str = "asof_") -> DataFrame:
+    """As-of join (forward): for each left row, the EARLIEST right row
+    with ``right.ts >= left.ts`` for the same key — the
+    time-to-next-event / lead-attribution twin of
+    :func:`asof_join_backward`, same merge-ordered physical shape
+    (tag, union, ONE shuffle on the key, a running
+    ``first(ignorenulls)`` over the FOLLOWING frame). Equal timestamps
+    match; at equal (ts), right rows sort AFTER left rows in the
+    window order (side 0 for left, 1 for right) so the current-row-
+    inclusive following frame sees them; ties among right rows resolve
+    toward the smaller ``tie_col``. Same column/nullability contract
+    as the backward form."""
+    from pyspark.sql import Window
+
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    l2 = left.select(
+        *left.columns,
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(rdt[c]).alias(f"__carry_{c}") for c in carry_cols])
+    r2 = right.select(
+        *[(F.col(c) if c in (on, ts_col, tie_col)
+           else F.lit(None).cast(ldt[c])).alias(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__carry_{c}") for c in carry_cols])
+    w = (Window.partitionBy(on)
+         .orderBy(F.col(ts_col), F.col("__side"), F.col(tie_col))
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    u = l2.unionByName(r2)
+    for c in carry_cols:
+        u = u.withColumn(f"{prefix}{c}",
+                         F.first(F.col(f"__carry_{c}"), ignorenulls=True).over(w))
+    return (u.filter(F.col("__side") == 0)
+            .drop("__side", *[f"__carry_{c}" for c in carry_cols]))

@@ -6040,6 +6040,56 @@ def events_session_funnel(spark, sf_dir):
                  .cast("bigint").alias("n_converted")))
 
 
+@register("join_asof_forward", sql="""
+WITH base AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t, value FROM events),
+u AS (
+  SELECT event_id, user_id, t, 0 AS side,
+         NULL::BIGINT AS c_eid, NULL::BIGINT AS c_t, NULL::DOUBLE AS c_val
+  FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, user_id, t, 1, event_id, t, value
+  FROM base WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT *,
+         first_value(c_eid IGNORE NULLS) OVER w AS asof_event_id,
+         first_value(c_t IGNORE NULLS) OVER w AS asof_t,
+         first_value(c_val IGNORE NULLS) OVER w AS asof_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, side, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, t, asof_event_id, asof_value,
+       asof_t - t AS lead_us
+FROM m WHERE side = 0
+""")
+def join_asof_forward_query(spark, sf_dir):
+    """E13's forward twin: each click matched to the user's EARLIEST
+    at-or-after purchase — the time-to-next-event join (lead
+    attribution, dwell-to-conversion). Same merge-ordered one-shuffle
+    plan as the backward form, with the window frame flipped to
+    current-row→following and sides ordered so equal-timestamp
+    purchases are visible to the click
+    (operators/joins.py:asof_join_forward)."""
+    from cati_database_feeder_spark.operators.joins import (
+        asof_join_forward)
+    e = T(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id", "event_type",
+                    F.unix_micros("ts").alias("t"), "value")
+    clicks = base.filter(F.col("event_type") == "click") \
+                 .select("event_id", "user_id", "t")
+    purchases = base.filter(F.col("event_type") == "purchase") \
+                    .select("event_id", "user_id", "t", "value")
+    joined = asof_join_forward(clicks, purchases, on="user_id",
+                               ts_col="t", tie_col="event_id",
+                               carry_cols=["event_id", "t", "value"])
+    return joined.select(
+        "event_id", "user_id", "t",
+        F.col("asof_event_id"),
+        F.col("asof_value"),
+        (F.col("asof_t") - F.col("t")).alias("lead_us"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -6083,13 +6133,13 @@ _CHECK_ORDER = [
     "multimodal_dhash_pairs", "text_winnow_overlap",
     "ivf_cell_profile", "text_winnow_overlap_store",
     "decontaminate_winnow", "text_source_cardinality",
-    "events_session_funnel",
+    "events_session_funnel", "join_asof_forward",
     # [d] r08-green refreshes
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",
     "split_decontaminated",
     "embedding_lsh_topk",
-    "near_dup_incremental_store", "near_dup_incremental",
+    "near_dup_incremental_store",
     "near_dup_pairs", "dedup_cluster_components",
     "training_pipeline_e2e", "text_dup_span_profile",
     "dedup_token_jaccard_pairs", "text_fingerprint_dedup",
@@ -6135,6 +6185,7 @@ _CHECK_ORDER = [
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
     # r8/r9-green displaced block (CHECKLOCAL_r10 refresh recorded):
+    "near_dup_incremental",
     "semdedup_incremental", "dedup_impact_report",
     "lsh_recall_check", "approx_aggregates",
     "bm25_topk_search", "embedding_quantize_int8", "dedup_keep_best",
