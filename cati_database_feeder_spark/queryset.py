@@ -6090,6 +6090,53 @@ def join_asof_forward_query(spark, sf_dir):
         (F.col("asof_t") - F.col("t")).alias("lead_us"))
 
 
+@register("text_top_tokens_per_source", sql=r"""
+WITH tk AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+cnt AS (SELECT source, token, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+ranked AS (
+  SELECT source, token, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, token ASC) AS grp_rank,
+         COUNT(*) OVER (PARTITION BY source) AS grp_n
+  FROM cnt)
+SELECT source, token, cnt, CAST(grp_rank AS BIGINT) AS grp_rank,
+       CAST(grp_n AS BIGINT) AS grp_n
+FROM ranked WHERE grp_rank <= 5
+""")
+def text_top_tokens_per_source(spark, sf_dir):
+    """E77 per-source top-k tokens (the per-domain term report — the
+    grouped form of the global heavy hitters E61/E66): top-5 tokens
+    per source by exact count, deterministic (count DESC, token ASC)
+    tie-break. One token explode + one (source, token) groupBy with
+    map-side partials, then the round-10 HYBRID per-group rank over
+    a composite key that encodes count-descending as a fixed-width
+    ascending string (10^12−cnt zero-padded, token suffix for
+    uniqueness) — per-source VOCABULARIES are the giant groups here
+    (millions of distinct tokens per domain at web scale, exactly the
+    case a bare `row_number() OVER (PARTITION BY source)` serializes),
+    while the count aggregate itself stays windowless."""
+    from cati_database_feeder_spark.functions import text as textfn
+    from cati_database_feeder_spark.operators.sampling import cap_per_group
+    d = T(spark, sf_dir, "documents")
+    cnt = (d.select("source",
+                    F.explode(F.transform(
+                        textfn.tokens(F.col("text")), F.lower))
+                    .alias("token"))
+           .groupBy("source", "token")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    wk = F.concat(F.format_string("%020d",
+                                  F.lit(10 ** 12) - F.col("cnt")),
+                  F.col("token"))
+    return (cap_per_group(cnt, "source", wk, cap=5,
+                          heavy_threshold=500)
+            .select("source", "token", "cnt", "grp_rank", "grp_n"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -6134,13 +6181,14 @@ _CHECK_ORDER = [
     "ivf_cell_profile", "text_winnow_overlap_store",
     "decontaminate_winnow", "text_source_cardinality",
     "events_session_funnel", "join_asof_forward",
+    "text_top_tokens_per_source",
     # [d] r08-green refreshes
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",
     "split_decontaminated",
     "embedding_lsh_topk",
     "near_dup_incremental_store",
-    "near_dup_pairs", "dedup_cluster_components",
+    "near_dup_pairs",
     "training_pipeline_e2e", "text_dup_span_profile",
     "dedup_token_jaccard_pairs", "text_fingerprint_dedup",
     "flagship_feeder",
@@ -6185,7 +6233,7 @@ _CHECK_ORDER = [
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
     # r8/r9-green displaced block (CHECKLOCAL_r10 refresh recorded):
-    "near_dup_incremental",
+    "dedup_cluster_components", "near_dup_incremental",
     "semdedup_incremental", "dedup_impact_report",
     "lsh_recall_check", "approx_aggregates",
     "bm25_topk_search", "embedding_quantize_int8", "dedup_keep_best",

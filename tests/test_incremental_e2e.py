@@ -751,6 +751,10 @@ def test_start_incremental_ingest_multi_batch_equals_full_recompute(
                 .select("id_a", "id_b")).collect()}
     assert len(want) > 0
     assert got == want
+    # the winnowing-fingerprint store rides the same streaming path:
+    # after three micro-batches (one with replayed ids) it must equal
+    # a from-scratch fingerprint pass over the final corpus
+    assert _wfp_rows(spark, state_dir) == _wfp_recompute(spark, corpus)
 
 
 def _takedown_fixture(spark, tmp_path):
