@@ -303,3 +303,33 @@ def test_incremental_semdedup_equals_filtered_full(spark, vecs, delta_mod):
     want = {(a, b, c) for a, b, c in full
             if a % delta_mod == 0 or b % delta_mod == 0}
     assert got == want
+
+
+@given(
+    a_pre=st.lists(st.sampled_from("pqrs"), max_size=6),
+    a_suf=st.lists(st.sampled_from("tuvw"), max_size=6),
+    b_pre=st.lists(st.sampled_from("jkl"), max_size=6),
+    b_suf=st.lists(st.sampled_from("mno"), max_size=6),
+    run_len=st.integers(min_value=7, max_value=12),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnow_guarantee_property(spark, a_pre, a_suf, b_pre, b_suf,
+                                   run_len):
+    """E73 randomized guarantee: for ANY surrounding context and any
+    shared run of length >= w+k-1 (=7 at k=w=4), the two documents
+    share at least one winnowing fingerprint — the SIGMOD-03 theorem,
+    checked on generated inputs rather than one fixture. The run
+    tokens are disjoint from every context alphabet so the shared
+    k-grams come only from the planted run."""
+    from cati_database_feeder_spark.operators.dedup import (
+        winnow_fingerprints)
+    run = [f"r{i}" for i in range(run_len)]
+    doc_a = " ".join(list(a_pre) + run + list(a_suf))
+    doc_b = " ".join(list(b_pre) + run + list(b_suf))
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)],
+                               ["doc_id", "text"])
+    fps = {1: set(), 2: set()}
+    for r in winnow_fingerprints(df, k=4, w=4).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2]
