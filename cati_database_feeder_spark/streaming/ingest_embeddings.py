@@ -240,6 +240,7 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
                               batch_id=None) -> None:
     _recover_swaps(state_dir, _EMB_STORES)
     _check_no_pending_delete(state_dir, "ingest_embeddings_batch")
+    _check_no_pending_migration(state_dir, "ingest_embeddings_batch")
     vec_dir = os.path.join(state_dir, "vectors")
     lab_dir = os.path.join(state_dir, "labels")
     cen_dir = os.path.join(state_dir, "centroids")
@@ -360,6 +361,7 @@ def compact_embeddings_state(spark, state_dir: str,
     with _state_lock(state_dir, "compact_embeddings_state"):
         _recover_swaps(state_dir, _EMB_STORES)
         _check_no_pending_delete(state_dir, "compact_embeddings_state")
+        _check_no_pending_migration(state_dir, "compact_embeddings_state")
         vec_dir = os.path.join(state_dir, "vectors")
         if not os.path.exists(vec_dir):
             return
@@ -408,6 +410,7 @@ def delete_embeddings(spark, state_dir: str, vec_ids,
 def _delete_embeddings_locked(spark, state_dir: str, vec_ids,
                               threshold: float, by: str) -> None:
     _recover_swaps(state_dir, _EMB_STORES)
+    _check_no_pending_migration(state_dir, "delete_embeddings")
     vec_dir = os.path.join(state_dir, "vectors")
     if not os.path.exists(vec_dir):
         raise ValueError(
@@ -478,6 +481,7 @@ def quantized_serving_frames(spark, state_dir: str):
     for the rerank survivors. Read-only: no lock taken, no migration
     performed — a pre-codes store raises with the recipe (any ingest
     batch migrates it) instead of silently serving floats."""
+    _check_no_pending_migration(state_dir, "quantized_serving_frames")
     vec_dir = os.path.join(state_dir, "vectors")
     store = spark.read.parquet(vec_dir)
     if "codes" not in store.columns or not os.path.exists(
@@ -501,6 +505,7 @@ def projected_serving_frames(spark, state_dir: str):
     exact rerank. Read-only, no lock, no migration — a pre-projection
     store raises with the recipe (any ingest batch migrates it)
     instead of silently projecting at serve time."""
+    _check_no_pending_migration(state_dir, "projected_serving_frames")
     vec_dir = os.path.join(state_dir, "vectors")
     store = spark.read.parquet(vec_dir)
     if "proj" not in store.columns or not os.path.exists(
@@ -538,3 +543,117 @@ def start_embedding_ingest(stream: DataFrame, state_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------
+# Quantizer-drift maintenance (extension E79): retrain + migrate
+# ---------------------------------------------------------------------
+
+_MIGRATE_PENDING = "_MIGRATE_PENDING"
+_CENTS_NEXT = "centroids__next"
+
+
+def _check_no_pending_migration(state_dir: str, op: str) -> None:
+    """A crash inside :func:`retrain_embeddings_centroids` can leave
+    vectors/ partitioned under one centroid epoch and centroids/
+    holding the other — each store readable alone, WRONG together
+    (probes would assign queries under one epoch and join partitions
+    of the other). The marker turns that window into a descriptive
+    refusal, the delete-fence pattern applied to migration."""
+    from cati_database_feeder_spark.streaming.ingest import StateLockError
+    if os.path.exists(os.path.join(state_dir, _MIGRATE_PENDING)):
+        raise StateLockError(
+            f"state dir {state_dir!r} has an interrupted centroid "
+            f"migration (marker {_MIGRATE_PENDING}): vectors/ and "
+            f"centroids/ may disagree on the cell epoch. Re-run "
+            f"retrain_embeddings_centroids(spark, state_dir) to "
+            f"complete it before {op}.")
+
+
+def _complete_migration(spark, state_dir: str, by: str) -> None:
+    """Finish an in-flight migration from the staged next-centroids:
+    idempotent (reassignment under the staged centroids is
+    deterministic; both swaps heal through the tmp/old discipline), so
+    any crash inside re-enters here on the retry."""
+    vec_dir = os.path.join(state_dir, "vectors")
+    cen_dir = os.path.join(state_dir, "centroids")
+    next_dir = os.path.join(state_dir, _CENTS_NEXT)
+    marker = os.path.join(state_dir, _MIGRATE_PENDING)
+    if not os.path.exists(next_dir):
+        # marker without staging: the migration never got past the
+        # marker write — nothing moved, just clear it
+        if os.path.exists(marker):
+            os.unlink(marker)
+        return
+    cents = sorted((int(r["cell"]), list(r["centroid"])) for r in
+                   spark.read.parquet(next_dir).collect())
+    store = spark.read.parquet(vec_dir)
+    keep = [c for c in store.columns if c != "cell"]
+    _swap_write_by_cell(
+        assign_cells(store.select(*keep), cents, "embedding", by),
+        vec_dir)
+    _swap_write(spark.read.parquet(next_dir).coalesce(1), cen_dir)
+    os.unlink(marker)
+    import shutil
+    shutil.rmtree(next_dir, ignore_errors=True)
+
+
+def retrain_embeddings_centroids(spark, state_dir: str,
+                                 n_cells: int | None = None,
+                                 iterations: int = 2,
+                                 max_share: float | None = None,
+                                 by: str = "ip") -> None:
+    """Quantizer-drift maintenance (extension E79): retrain the IVF
+    coarse quantizer from the STORED corpus and migrate the vector
+    store to the new cells — the operational move when the cell
+    profile (E74) / occupancy diagnostic (E47) says the
+    bootstrap-pinned centroids no longer fit the data the store has
+    accumulated. ``max_share`` forwards to the occupancy-aware
+    trainer (E49), so the retrain can be the skew FIX, not just a
+    re-fit.
+
+    Migrates: centroids/ and the cell partitioning of vectors/.
+    INVARIANT by design: vec_id, embedding, codes (the int8 quantizer
+    range is corpus-global — orthogonal to cells), proj (plane matrix
+    pinned — orthogonal), labels/ (dedup decisions are HISTORY, not a
+    cell function: re-celling changes which pairs future batches
+    consider, never decisions already taken), deleted/, metrics/.
+    The serving twins (quantized / JL) therefore serve IDENTICAL
+    results across a migration — pinned in pytest — while IVF probes
+    see the new, better-balanced cells.
+
+    Crash safety: next-centroids are staged (swap-written) and the
+    ``_MIGRATE_PENDING`` marker is held across the two store swaps;
+    every embedding op refuses while it exists, and re-running this
+    function completes the migration idempotently from the staging
+    (the delete_docs fence pattern). Holds the state dir's fencing
+    lock; refuses behind a pending delete."""
+    from cati_database_feeder_spark.operators.similarity import (
+        train_ivf_centroids)
+    with _state_lock(state_dir, "retrain_embeddings_centroids"):
+        _recover_swaps(state_dir, _EMB_STORES + (_CENTS_NEXT,))
+        _check_no_pending_delete(state_dir, "retrain_embeddings_centroids")
+        marker = os.path.join(state_dir, _MIGRATE_PENDING)
+        if os.path.exists(marker):
+            _complete_migration(spark, state_dir, by)
+            return
+        vec_dir = os.path.join(state_dir, "vectors")
+        if not os.path.exists(vec_dir):
+            raise ValueError(
+                f"retrain_embeddings_centroids: {state_dir!r} has no "
+                f"vector store — bootstrap with "
+                f"ingest_embeddings_batch first")
+        old = _load_centroids(spark, state_dir)
+        k = n_cells or len(old)
+        corpus = spark.read.parquet(vec_dir).select("vec_id", "embedding")
+        cents = train_ivf_centroids(corpus, n_cells=k,
+                                    iterations=iterations,
+                                    max_share=max_share)
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in cents],
+            "cell int, centroid array<double>") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(state_dir, _CENTS_NEXT))
+        with open(marker, "w") as fh:
+            fh.write("retrain_embeddings_centroids in progress")
+        _complete_migration(spark, state_dir, by)

@@ -1766,3 +1766,115 @@ def test_wfp_store_takedown_and_geometry_pin(spark, tmp_path):
     assert _wfp_rows(spark, state) == _wfp_recompute(spark, corpus)
     with pytest.raises(ing.StateLockError, match="geometry"):
         ing._ensure_wfp_store(spark, state, k=5, w=4)
+
+
+def _retrain_fixture(spark, tmp_path):
+    """Clustered vectors bootstrapped under DELIBERATELY bad centroids
+    (both near one cluster) — the drift scenario E79 exists for."""
+    from cati_database_feeder_spark.streaming.ingest_embeddings import (
+        ingest_embeddings_batch)
+    rows = ([(i, [10.0 + (i % 3), 0.0, 0.0]) for i in range(12)]
+            + [(100 + i, [0.0, 10.0 + (i % 3), 0.0]) for i in range(12)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.05, 0.0]), (1, [1.0, -0.05, 0.0])]
+    state = str(tmp_path / "emb_state")
+    ingest_embeddings_batch(spark, df.filter(F.col("vec_id") < 50),
+                            state, centroid_rows=cents, threshold=0.99)
+    ingest_embeddings_batch(spark, df.filter(F.col("vec_id") >= 50),
+                            state, threshold=0.99)
+    return df, state
+
+
+def test_retrain_centroids_migrates_and_preserves_payload(
+        spark, tmp_path):
+    """E79 happy path: after retrain+migrate (a) every payload column
+    (vec_id, embedding, codes, proj) is row-set IDENTICAL — only the
+    cell partitioning moved; (b) the stored cells equal a fresh
+    assign_cells under the new centroids; (c) the serving accessors
+    produce the same (vec_id → codes/proj) maps as before (the
+    quantizer and planes are orthogonal to cells); (d) the occupancy
+    actually improves on the clustered fixture (the bad bootstrap put
+    ~everything in one cell); (e) a post-migration ingest lands
+    normally under the new cells."""
+    from cati_database_feeder_spark.operators.similarity import (
+        assign_cells)
+    from cati_database_feeder_spark.streaming import (
+        ingest_embeddings as ie)
+    df, state = _retrain_fixture(spark, tmp_path)
+    vec_dir = os.path.join(state, "vectors")
+    before = {(r["vec_id"], tuple(r["embedding"]), tuple(r["codes"]),
+               tuple(r["proj"]))
+              for r in spark.read.parquet(vec_dir).collect()}
+    occ0 = (spark.read.parquet(vec_dir).groupBy("cell").count()
+            .agg(F.max("count")).collect()[0][0])
+    ie.retrain_embeddings_centroids(spark, state, iterations=2,
+                                    max_share=0.6)
+    after_rows = spark.read.parquet(vec_dir).collect()
+    after = {(r["vec_id"], tuple(r["embedding"]), tuple(r["codes"]),
+              tuple(r["proj"])) for r in after_rows}
+    assert after == before
+    cents = ie._load_centroids(spark, state)
+    want_cells = {r["vec_id"]: r["cell"] for r in assign_cells(
+        spark.read.parquet(vec_dir).select("vec_id", "embedding"),
+        cents, by="ip").collect()}
+    assert {r["vec_id"]: r["cell"] for r in after_rows} == want_cells
+    occ1 = (spark.read.parquet(vec_dir).groupBy("cell").count()
+            .agg(F.max("count")).collect()[0][0])
+    assert occ1 < occ0, (occ0, occ1)
+    codes_f, float_f, _, lo, hi = ie.quantized_serving_frames(spark, state)
+    assert codes_f.count() == len(before)
+    # post-migration ingest: new batch lands under the NEW cells
+    extra = spark.createDataFrame(
+        [(500, [0.0, 0.0, 10.0])], "vec_id long, embedding array<double>")
+    ie.ingest_embeddings_batch(spark, extra, state, threshold=0.99)
+    got = spark.read.parquet(vec_dir).filter(F.col("vec_id") == 500)
+    assert got.count() == 1
+    want = assign_cells(extra, cents, by="ip").collect()[0]["cell"]
+    assert got.collect()[0]["cell"] == want
+
+
+def test_retrain_centroids_crash_fence_and_resume(spark, tmp_path):
+    """E79 crash window: a crash between the vectors rewrite and the
+    centroids swap leaves the two stores on different cell epochs —
+    every embedding op must REFUSE on the migration marker, and
+    re-running retrain completes the migration from the staged
+    centroids, landing identical to an uninterrupted run."""
+    from cati_database_feeder_spark.streaming import (
+        ingest_embeddings as ie)
+    from cati_database_feeder_spark.streaming.ingest import StateLockError
+    df, state = _retrain_fixture(spark, tmp_path)
+    cen_dir = os.path.join(state, "centroids")
+    real_swap = ie._swap_write
+    crashed = []
+
+    def crash_at_cen_swap(frame, target):
+        if target.rstrip("/") == cen_dir.rstrip("/") and not crashed:
+            crashed.append(True)
+            raise RuntimeError("injected crash before centroids swap")
+        real_swap(frame, target)
+
+    ie._swap_write = crash_at_cen_swap
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ie.retrain_embeddings_centroids(spark, state, iterations=2,
+                                            max_share=0.6)
+        extra = spark.createDataFrame(
+            [(500, [0.0, 0.0, 10.0])],
+            "vec_id long, embedding array<double>")
+        with pytest.raises(StateLockError, match="interrupted centroid"):
+            ie.ingest_embeddings_batch(spark, extra, state)
+        with pytest.raises(StateLockError, match="interrupted centroid"):
+            ie.quantized_serving_frames(spark, state)
+    finally:
+        ie._swap_write = real_swap
+    ie.retrain_embeddings_centroids(spark, state)  # resume
+    from cati_database_feeder_spark.operators.similarity import (
+        assign_cells)
+    cents = ie._load_centroids(spark, state)
+    rows = spark.read.parquet(os.path.join(state, "vectors")).collect()
+    want = {r["vec_id"]: r["cell"] for r in assign_cells(
+        spark.read.parquet(os.path.join(state, "vectors"))
+        .select("vec_id", "embedding"), cents, by="ip").collect()}
+    assert {r["vec_id"]: r["cell"] for r in rows} == want
+    assert not os.path.exists(os.path.join(state, ie._MIGRATE_PENDING))
+    assert not os.path.exists(os.path.join(state, ie._CENTS_NEXT))
