@@ -349,3 +349,49 @@ def top_bigram_run(tk: Column) -> Column:
                     F.lit(0).cast("long").alias("run"),
                     F.lit(0).cast("long").alias("mx"))
     return F.aggregate(F.array_sort(grams), acc0, _merge, lambda a: a["mx"])
+
+
+def cdc_chunk_rows(df, k: int = 4, mod: int = 16,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Content-defined chunking (extension E80 — the FastCDC/rsync
+    boundary idea on tokens): cut AFTER token position p whenever the
+    hash of the k-gram STARTING at p is ≡ 0 (mod ``mod``). Boundaries
+    depend only on k adjacent tokens, so an edit moves only the
+    boundaries inside its own neighborhood — unlike fixed-size
+    chunking (E23), where one inserted token shifts every later chunk
+    and destroys chunk-level dedup. Expected chunk length ≈ ``mod``
+    tokens. Returns one row per chunk: (id, chunk_id, n_tokens,
+    chunk_hash), with chunk_hash = md5 of the space-joined chunk —
+    the unit of chunk-level exact dedup.
+
+    Plan shape: one posexplode (corpus-token-linear), ONE window spec
+    per doc shared by the k−1 leads and the running break count (docs
+    are bounded — the sessionize partition argument), one groupBy with
+    an order-recovering struct sort. Deliberately row-based: the
+    array-HOF formulation re-evaluates the token array inside every
+    chunk's slice lambda (the CollapseProject trap, SCALING.md), and
+    md5 per k-gram is the dominant cost either way."""
+    from pyspark.sql import Window
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("token", i).over(w) for i in range(1, k)]
+    gram = F.concat_ws(" ", F.col("token"), *leads)
+    brk = F.when(leads[-1].isNotNull()
+                 & (hash64(gram) % F.lit(mod) == 0),
+                 F.lit(1)).otherwise(F.lit(0))
+    cum = (Window.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    rows = (tok.withColumn("__brk", brk)
+            .withColumn("chunk_id",
+                        (F.coalesce(F.sum("__brk").over(cum),
+                                    F.lit(0)) + 1).cast("bigint")))
+    return (rows.groupBy(id_col, "chunk_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "token"))),
+                         lambda s: s["token"]), " "))
+                 .alias("chunk_hash")))

@@ -6238,6 +6238,70 @@ def jl_ivf_recall_check(spark, sf_dir):
                     .alias("recall_ok")))
 
 
+@register("text_cdc_chunk_dedup", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(tk) AS token,
+         unnest(range(1, len(tk) + 1)) AS pos
+  FROM tk
+),
+g AS (
+  SELECT doc_id, token, pos,
+         lead(token, 1) OVER w AS t1,
+         lead(token, 2) OVER w AS t2,
+         lead(token, 3) OVER w AS t3
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+b AS (
+  SELECT doc_id, token, pos,
+         CASE WHEN t3 IS NOT NULL AND
+           CAST(concat('0x', substr(md5(concat_ws(' ', token, t1, t2, t3)), 1, 15)) AS BIGINT)
+             % 16 = 0
+         THEN 1 ELSE 0 END AS brk
+  FROM g
+),
+c AS (
+  SELECT doc_id, token, pos,
+         1 + coalesce(CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS chunk_id
+  FROM b
+),
+ch AS (
+  SELECT doc_id, chunk_id, COUNT(*) AS n_tokens,
+         md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+  FROM c GROUP BY doc_id, chunk_id
+)
+SELECT chunk_hash, CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ch GROUP BY chunk_hash HAVING COUNT(*) >= 2
+""")
+def text_cdc_chunk_dedup(spark, sf_dir):
+    """E80 content-defined chunk dedup: CDC boundaries (cut where the
+    4-gram hash ≡ 0 mod 16 — edit-local, so shared runs chunk
+    identically regardless of surrounding edits, unlike fixed-size
+    E23 windows) and the duplicated chunks with occurrence / doc
+    counts — partial-overlap dedup at ~16-token granularity, the
+    middle rung between span-level E53 (every duplicated k-gram
+    occurrence) and document-level dedup. One posexplode, one per-doc
+    window spec shared by the leads and the running break count, two
+    groupBys with map-side partials
+    (functions/text.py:cdc_chunk_rows)."""
+    from cati_database_feeder_spark.functions.text import cdc_chunk_rows
+    ch = cdc_chunk_rows(T(spark, sf_dir, "documents"), k=4, mod=16)
+    return (ch.groupBy("chunk_hash")
+            .agg(F.min("n_tokens").cast("bigint").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 F.count_distinct("doc_id").cast("bigint")
+                 .alias("n_docs"))
+            .filter(F.col("n_occurrences") >= 2))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -6284,6 +6348,7 @@ _CHECK_ORDER = [
     "events_session_funnel", "join_asof_forward",
     "text_top_tokens_per_source",
     "embedding_jl_ivf_topk", "jl_ivf_recall_check",
+    "text_cdc_chunk_dedup",
     # [d] r08-green refreshes
     "text_unigram_rarity", "dedup_cross_source_matrix",
     "sample_epoch_mix", "dedup_multi_signal",
@@ -6292,7 +6357,6 @@ _CHECK_ORDER = [
     "near_dup_incremental_store",
     "near_dup_pairs",
     "training_pipeline_e2e",
-    "dedup_token_jaccard_pairs",
     "flagship_feeder",
     # ---- tail (past slot 50). Sustainability arithmetic: 115+
     # registered queries, a 50-slot driver window, and driver greens
@@ -6335,6 +6399,7 @@ _CHECK_ORDER = [
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
     # r8/r9-green displaced block (CHECKLOCAL_r10 refresh recorded):
+    "dedup_token_jaccard_pairs",
     "text_dup_span_profile", "text_fingerprint_dedup",
     "dedup_cluster_components", "near_dup_incremental",
     "semdedup_incremental", "dedup_impact_report",
