@@ -6302,6 +6302,34 @@ def text_cdc_chunk_dedup(spark, sf_dir):
             .filter(F.col("n_occurrences") >= 2))
 
 
+@register("events_retention_cohorts", sql="""
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+c AS (SELECT user_id, MIN(d) AS cohort FROM a GROUP BY user_id)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', c.cohort, a.d) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+""")
+def events_retention_cohorts(spark, sf_dir):
+    """E81 retention cohort triangle — the classic product-analytics
+    rollup (cohort = each user's first active day; one row per
+    (cohort, day-offset) with the distinct active users): two
+    aggregates and one join, all on the user key, with the distinct
+    (user, day) reduction FIRST so the join input is activity-days —
+    not raw events — sized. Integer day arithmetic on both engines
+    (datediff of dates), no timestamps in the output."""
+    e = T(spark, sf_dir, "events")
+    a = (e.select("user_id", F.to_date("ts").alias("d")).distinct())
+    c = a.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (a.join(c, "user_id")
+            .groupBy(F.date_format("cohort", "yyyy-MM-dd")
+                     .alias("cohort_day"),
+                     F.datediff("d", "cohort").cast("bigint")
+                     .alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -6348,10 +6376,10 @@ _CHECK_ORDER = [
     "events_session_funnel", "join_asof_forward",
     "text_top_tokens_per_source",
     "embedding_jl_ivf_topk", "jl_ivf_recall_check",
-    "text_cdc_chunk_dedup",
+    "text_cdc_chunk_dedup", "events_retention_cohorts",
     # [d] r08-green refreshes
     "text_unigram_rarity", "dedup_cross_source_matrix",
-    "sample_epoch_mix", "dedup_multi_signal",
+    "dedup_multi_signal",
     "split_decontaminated",
     "embedding_lsh_topk",
     "near_dup_incremental_store",
@@ -6399,7 +6427,7 @@ _CHECK_ORDER = [
     "agg_pricing_summary", "dedup_char_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
     # r8/r9-green displaced block (CHECKLOCAL_r10 refresh recorded):
-    "dedup_token_jaccard_pairs",
+    "sample_epoch_mix", "dedup_token_jaccard_pairs",
     "text_dup_span_profile", "text_fingerprint_dedup",
     "dedup_cluster_components", "near_dup_incremental",
     "semdedup_incremental", "dedup_impact_report",
