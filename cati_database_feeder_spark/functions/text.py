@@ -4,7 +4,10 @@ LLM-training-data pipeline primitives over the ``documents`` table:
 tokenization, token counting, quality scoring, language-ID heuristics,
 and document fingerprinting. All built-in Spark expressions — at
 100 TB these run inside whole-stage codegen with zero Python; nothing
-here shuffles (pure per-row projections).
+here shuffles (pure per-row projections). One deliberate exception:
+unicode NFC normalization (:func:`nfc_fold`), which Spark has no
+native expression for — an Arrow-batched pandas UDF with an ASCII
+fast path, still map-only.
 """
 
 from __future__ import annotations
@@ -186,6 +189,62 @@ def fingerprint_normalized(text: Column) -> Column:
     of document fingerprints reduced to its deterministic core."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(norm)
+
+
+# ---------------------------------------------------------------------
+# Unicode normalization (extension E82, round-10 verdict item 3): the
+# opt-in stage AHEAD of the dedup/fingerprint keys. Real corpora carry
+# composed/decomposed form variants (é vs e+U+0301) and case variants
+# that evade exact AND near dedup when keys are built from raw bytes —
+# the reference's own Cyrillic CATI data is form-sensitive the same
+# way. Spark has no built-in NFC expression, so this is the one place
+# in the text tier where Python runs: an Arrow-batched pandas UDF with
+# a per-value ASCII fast path (str.isascii() is a C check; ASCII text
+# — the overwhelming bulk of web corpora — pays one lowercase and no
+# normalize call). A production deployment with a JVM NFC UDF swaps in
+# at this exact seam; the column contract is identical.
+# ---------------------------------------------------------------------
+
+
+def _nfc_fold_fn(x):
+    if x is None:
+        return None
+    if x.isascii():
+        return x.lower()
+    import unicodedata
+    return unicodedata.normalize("NFC", x.lower())
+
+
+def nfc_fold(col: Column) -> Column:
+    """NFC-normalized, lowercased text (Arrow-batched pandas UDF).
+    Composition order is lower-then-NFC on BOTH engines, so the DuckDB
+    oracle replays it as ``nfc_normalize(lower(x))``. Known engine
+    divergence, deliberately out of contract: Python's str.lower is
+    context-aware (Greek final sigma, Turkish İ→i+combining-dot) where
+    DuckDB's utf8proc uses simple per-codepoint mappings — corpora
+    where that matters need a locale-pinned casefold, which neither
+    engine's default provides. The oracle-checked fixtures avoid those
+    codepoints; everything else (Latin accents, Cyrillic, composed vs
+    decomposed forms, ASCII case) agrees bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.map(_nfc_fold_fn)
+
+    return _nfc(col)
+
+
+def fingerprint_nfc(text: Column) -> Column:
+    """Content fingerprint robust to unicode-form AND case/whitespace
+    jitter: md5 of the NFC-normalized, lowercased, whitespace-collapsed
+    text — :func:`fingerprint_normalized` with the unicode-form hole
+    closed (its raw lower/collapse keys treat é and e+COMBINING-ACUTE
+    as different documents). The whitespace collapse runs JVM-side
+    first so the Python hop sees the shortest string; only the md5 of
+    the UDF output is computed, never stored text."""
+    ws = F.regexp_replace(F.trim(text), r"\s+", " ")
+    return F.md5(nfc_fold(ws))
 
 
 def hash64(col: Column) -> Column:

@@ -510,21 +510,33 @@ def per_group_rank_buckets(df: DataFrame, group_col: str,
     bucket_expr = F.expr(
         f"CAST(({n_buckets} * (grp_rank - 1)) DIV grp_n AS INT)")
 
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("grp_n"))
-    heavy_names = counts.filter(F.col("grp_n") >= heavy_threshold)
-    # bounded collect: at most n_rows / heavy_threshold entries exist
-    n_heavy = heavy_names.limit(1).count()
+    # ONE bounded collect decides the split (round-10 advice): at most
+    # n_rows / heavy_threshold heavy groups exist, so the key list is
+    # driver-safe by construction — and materializing it ONCE means the
+    # light/heavy branches below partition on the SAME fixed literal
+    # set even if the input frame is nondeterministic (two independent
+    # evaluations of the count aggregate could otherwise disagree and
+    # drop or duplicate rows at the boundary).
+    heavy_keys = [r[0] for r in
+                  (df.groupBy(group_col)
+                   .agg(F.count(F.lit(1)).alias("grp_n"))
+                   .filter(F.col("grp_n") >= heavy_threshold)
+                   .select(group_col).collect())]
 
-    if n_heavy == 0:
+    if not heavy_keys:
         # common case at the tail: nothing crosses the threshold — the
         # whole frame rides the window, no ordinal machinery, no
         # driver state at all
         light = df
         heavy_part = None
     else:
-        hv = F.broadcast(heavy_names.select(group_col))
-        light = df.join(hv, group_col, "left_anti")
-        heavy = df.join(hv, group_col, "left_semi")
+        # literal-isin split: deterministic, single-evaluation, no
+        # second aggregate job. NULL-group rows always ride the light
+        # window (isin(NULL) is NULL — matching the old anti-join
+        # behavior, where NULL keys never equi-match).
+        in_heavy = F.col(group_col).isin(heavy_keys)
+        light = df.filter(~in_heavy | F.col(group_col).isNull())
+        heavy = df.filter(in_heavy)
         key = F.concat(F.md5(F.col(group_col).cast("string")), within_key)
         ordd = global_shuffle_ordinals(heavy, key, [],
                                        partitions=partitions,

@@ -5720,6 +5720,71 @@ def multimodal_dhash_pairs(spark, sf_dir):
             .select("id_a", "id_b", "hamming"))
 
 
+@register("multimodal_audio_pairs", sql="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT),
+             CAST(5 AS BIGINT))
+  FROM documents WHERE doc_id % 5 = 0),
+b AS (
+  SELECT media_id, h, band, (h >> (band * 15)) & 32767 AS bv
+  FROM m CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
+  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv
+                    AND a.media_id < c.media_id)
+SELECT cand.id_a, cand.id_b,
+       CAST(bit_count(xor(ha.h, hb.h)) AS BIGINT) AS hamming
+FROM cand JOIN m ha ON ha.media_id = cand.id_a
+          JOIN m hb ON hb.media_id = cand.id_b
+WHERE bit_count(xor(ha.h, hb.h)) <= 3
+""")
+def multimodal_audio_pairs(spark, sf_dir):
+    """E83 audio near-dup (round-10 verdict item 4): per-clip 60-bit
+    envelope hash (sources/multimodal.py:audio_fingerprint — real
+    PCM-16 WAV decode → 61-slice RMS difference hash when the payload
+    parses; the md5 fake tier otherwise) → the SAME pigeonhole-banded
+    Hamming machinery E72 uses (operators/dedup.py:
+    hamming_near_dup_pairs is generic over any fingerprint column).
+    The fixture payloads are text bytes, so every row rides the
+    DETERMINISTIC fake tier — the engine's hash64 convention — and the
+    oracle replays hashing, banding, candidates and bit_count verify
+    bit-for-bit; the REAL decode tier (time-shifted and volume-scaled
+    WAV twins found, ≡ brute force) is pinned on synthetic WAVs in
+    tests/test_multimodal.py. Every 5th payload is planted twice with
+    a 2-bit hash flip (xor 5) — 2 flips < 4 chunks guarantees recall,
+    so exactly those hamming-2 pairs must surface."""
+    from cati_database_feeder_spark.operators.dedup import (
+        hamming_near_dup_pairs)
+    from cati_database_feeder_spark.sources.multimodal import (
+        audio_fingerprint, documents_as_media)
+
+    def build():
+        media = (documents_as_media(spark, sf_dir)
+                 .withColumn("media_type", F.lit("audio")))
+        twins = (media.filter(F.col("media_id") % 5 == 0)
+                 .withColumn("media_id",
+                             F.col("media_id") + F.lit(1000000000)))
+        hashes = audio_fingerprint(media.unionByName(twins))
+        return hashes.withColumn(
+            "ahash",
+            F.when(F.col("media_id") >= F.lit(1000000000),
+                   F.col("ahash").bitwiseXOR(F.lit(5)))
+            .otherwise(F.col("ahash")))
+
+    # materialized once for the same reason as the dhash twin: the
+    # pair machinery reads the hash table from ~6 join branches, and
+    # at 100 TB the fingerprint table is written once at ingest
+    planted = shared_stage(spark, f"ahash_planted:{sf_dir}", build)
+    return (hamming_near_dup_pairs(planted, hash_col="ahash", bits=60,
+                                   max_hamming=3, chunks=4)
+            .select("id_a", "id_b", "hamming"))
+
+
 @register("text_winnow_overlap", sql=r"""
 WITH tk AS (
   SELECT doc_id,
@@ -5884,6 +5949,30 @@ def text_winnow_overlap_store(spark, sf_dir):
     fps = read_wfp(spark, _text_store_dir(spark, sf_dir))
     return winnow_fingerprint_pairs(fps, min_shared=2, max_df=50,
                                     precomputed=True)
+
+
+@register("multimodal_dhash_store", sql="""
+SELECT doc_id,
+       CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS dhash
+FROM documents WHERE doc_id % 40 != 0
+""")
+def multimodal_dhash_store(spark, sf_dir):
+    """E72+ store-backed serving twin (round-10 verdict item 6): the
+    perceptual-hash table read from the MAINTAINED ``dhash/`` store
+    (streaming/ingest.py — one row per doc appended per batch behind
+    an id anti-join, exact-row takedown, grid geometry pinned at
+    bootstrap), reading NO payload bytes at query time. The oracle
+    REPLAYS the hash from the payloads themselves (text bytes ride
+    the deterministic fake tier = the engine's hash64 convention)
+    over the store's corpus slice (doc_id % 40 != 0, the session's
+    text-store bootstrap), so store CONTENT drift — a stale row after
+    takedown, a missed batch, a corrupted append — hash-mismatches,
+    not just row counts. Same serving-twin discipline as
+    text_winnow_overlap_store; redelivery/takedown/migration pinned
+    in tests/test_incremental_e2e.py."""
+    from cati_database_feeder_spark.streaming.ingest import read_dhash
+    return (read_dhash(spark, _text_store_dir(spark, sf_dir))
+            .select("doc_id", "dhash"))
 
 
 @register("decontaminate_winnow", sql=r"""
@@ -6330,6 +6419,40 @@ def events_retention_cohorts(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_users")))
 
 
+@register("text_normalize_dedup", sql=r"""
+WITH k AS (
+  SELECT doc_id, md5(text) AS raw_fp,
+         md5(nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS norm_fp
+  FROM documents
+)
+SELECT norm_fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id,
+       CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_raw_variants
+FROM k GROUP BY norm_fp
+""")
+def text_normalize_dedup(spark, sf_dir):
+    """E82 unicode-normalized exact dedup (round-10 verdict item 3):
+    group by the NFC+lowercase+whitespace-collapsed fingerprint
+    (functions/text.py:fingerprint_nfc — Arrow pandas UDF with an
+    ASCII fast path, the one Python hop in the text tier because Spark
+    has no native NFC expression), keeping the min doc_id per group
+    and counting how many RAW fingerprints each normalized group
+    collapses — the composed/decomposed + case variants raw exact
+    dedup misses. Oracle replays the key via DuckDB's nfc_normalize;
+    the non-ASCII mechanics (é vs e+U+0301 twins, Cyrillic case) are
+    additionally pinned cross-engine on a controlled fixture in
+    tests/test_quality.py. Map-only key build + one hash aggregate —
+    the exact-dedup scale shape with the unicode hole closed."""
+    docs = T(spark, sf_dir, "documents")
+    keys = docs.select(
+        "doc_id",
+        text.fingerprint_md5(F.col("text")).alias("raw_fp"),
+        text.fingerprint_nfc(F.col("text")).alias("norm_fp"))
+    return (keys.groupBy("norm_fp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("keep_id"),
+                 F.count_distinct("raw_fp").alias("n_raw_variants")))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -6353,6 +6476,9 @@ _CHECK_ORDER = [
     #    Every tail query additionally gets a recorded tools/check.py
     #    sf0.01 pass this round (CHECKLOCAL_r10.json — see the
     #    sustainability note at the tail comment).
+    # [new round-11 queries — provisional slots; final rotation below]
+    "text_normalize_dedup", "multimodal_audio_pairs",
+    "multimodal_dhash_store",
     # [a] r7-green block (rotation obligation from round 9)
     "null_normalization", "string_regex_extract", "text_quality_filter",
     "agg_filtered_counts", "agg_value_histogram",

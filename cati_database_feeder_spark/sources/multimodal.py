@@ -321,6 +321,66 @@ def _fake_dhash(payload: bytes) -> int:
     return int(hashlib.md5(payload).hexdigest()[:15], 16)
 
 
+AUDIO_HASH_BITS = 60     # 61 RMS slices → 60 envelope comparisons
+
+
+def _real_audio_hash(payload: bytes) -> int:
+    """Envelope difference hash over the real WAV decode (extension
+    E83 — the audio sibling of :func:`_real_dhash`): mono PCM → 61
+    equal time slices → per-slice RMS → 60 louder-than-previous
+    comparisons packed MSB-first. Scale-INVARIANT by construction
+    (volume scaling multiplies every RMS by the same constant, so the
+    comparisons are unchanged) and tolerant of small time shifts (the
+    energy envelope moves by a fraction of a slice, flipping only the
+    few bits whose neighboring slices swap order) — the two
+    perturbations a near-dup audio scan must survive. A production
+    kernel swaps per-band spectral energies into the same 60-bit
+    comparison frame; the banding join downstream is unchanged."""
+    _, samples = decode_wav_pcm16(payload)
+    if samples.size == 0:
+        raise ValueError("empty audio")
+    chunks = np.array_split(samples, AUDIO_HASH_BITS + 1)
+    rms = np.array([float(np.sqrt(np.mean(c * c))) if c.size else 0.0
+                    for c in chunks])
+    v = 0
+    for bit in rms[1:] > rms[:-1]:
+        v = (v << 1) | int(bit)
+    return v
+
+
+def audio_fingerprint(media: DataFrame,
+                      use_real_codecs: bool | None = None) -> DataFrame:
+    """E83 transform: per-clip 60-bit envelope hash in mapInPandas —
+    ``(media_id, ahash long, real boolean)``. Same three-tier ladder
+    as :func:`image_dhash`: real PCM-16 WAV decode when the payload
+    parses, the md5 fake (the engine's hash64 convention, so a SQL
+    oracle replays it bit-for-bit) per undecodable item — corrupt
+    payloads at 100 TB hash to uniform noise and simply never collide.
+    Feed the output straight into
+    ``operators/dedup.py:hamming_near_dup_pairs(hash_col='ahash')``."""
+    real = True if use_real_codecs is None else use_real_codecs
+
+    def one(payload: bytes) -> tuple[int, bool]:
+        if real:
+            try:
+                return _real_audio_hash(payload), True
+            except Exception:
+                pass
+        return _fake_dhash(payload), False
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "ahash": [h for h, _ in out],
+                "real": [r for _, r in out],
+            })
+
+    return media.mapInPandas(
+        kernel, schema="media_id long, ahash long, real boolean")
+
+
 def image_dhash(media: DataFrame,
                 use_real_codecs: bool | None = None) -> DataFrame:
     """E72 transform: per-image perceptual hash in mapInPandas —

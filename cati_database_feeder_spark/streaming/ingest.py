@@ -119,7 +119,7 @@ from cati_database_feeder_spark.operators.graph import (
 
 _STORES = ("labels", "corpus", "buckets", "members", "reps", "metrics",
            "pairs", "deleted", "cms", "cbloom", "cms_pending",
-           "cbloom_pending", "hll", "wfp")
+           "cbloom_pending", "hll", "wfp", "wfp_pending", "dhash")
 
 _LOCK_NAME = "_LOCK"
 _DELETE_PENDING = "_DELETE_PENDING"
@@ -509,11 +509,14 @@ def _hll_frame(spark, docs: DataFrame) -> DataFrame:
 
 def read_hll(spark, state_dir: str) -> tuple[int, int]:
     """(estimated distinct shingle count, lgk) off the maintained
-    store — no corpus scan."""
+    store — no corpus scan. A NULL sketch (a corpus whose docs are all
+    shorter than the shingle width aggregates ZERO rows, so
+    hll_sketch_agg yields NULL) estimates 0, not a crash — the empty
+    corpus genuinely has zero distinct shingles (round-10 advice)."""
     row = (spark.read.parquet(os.path.join(state_dir, "hll"))
            .select(F.hll_sketch_estimate("sk").alias("est"), "lgk")
            .collect())[0]
-    return int(row["est"]), int(row["lgk"])
+    return (0 if row["est"] is None else int(row["est"])), int(row["lgk"])
 
 
 def _ensure_hll_store(spark, state_dir: str) -> None:
@@ -546,7 +549,13 @@ def _hll_merge_delta(spark, state_dir: str, delta: DataFrame) -> None:
     buy with sentinels comes free here."""
     hll_dir = os.path.join(state_dir, "hll")
     stored = spark.read.parquet(hll_dir).select("sk")
+    # NULL sketches (all-short-doc bootstrap or delta — zero shingle
+    # rows aggregate to a NULL hll_sketch_agg) are dropped before the
+    # union: hll_union_agg(NULL-bearing input) is NULL, which would
+    # erase the live side's registers (round-10 advice). Both sides
+    # NULL leaves a NULL merged sketch, which read_hll reports as 0.
     merged = (stored.unionByName(_hll_frame(spark, delta).select("sk"))
+              .filter(F.col("sk").isNotNull())
               .agg(F.hll_union_agg("sk").alias("sk"))
               .select("sk", F.lit(HLL_LGK).alias("lgk")))
     _swap_write(merged.coalesce(1), hll_dir)
@@ -575,9 +584,43 @@ def _wfp_frame(spark, docs: DataFrame, k: int, w: int) -> DataFrame:
 
 
 def read_wfp(spark, state_dir: str) -> DataFrame:
-    """The maintained fingerprint table, sentinel stripped."""
-    return (spark.read.parquet(os.path.join(state_dir, "wfp"))
-            .filter(F.col("doc_id") != _WFP_DIMS_ID))
+    """The maintained fingerprint table, sentinel stripped. If a crash
+    left a committed ``wfp_pending/`` sidecar behind (see
+    :func:`_wfp_append_delta`), the sidecar is OVERLAID read-only —
+    rows for its doc_ids come from the sidecar, not from the possibly
+    partial append — so serving never observes incomplete fingerprints
+    even before the next state-mutating op runs :func:`_wfp_recover`."""
+    wfp = (spark.read.parquet(os.path.join(state_dir, "wfp"))
+           .filter(F.col("doc_id") != _WFP_DIMS_ID))
+    pending = os.path.join(state_dir, "wfp_pending")
+    if os.path.exists(pending):
+        pend = spark.read.parquet(pending)
+        wfp = (wfp.join(pend.select("doc_id").distinct(), "doc_id",
+                        "left_anti")
+               .unionByName(pend))
+    return wfp
+
+
+def _wfp_recover(spark, state_dir: str) -> None:
+    """Heal a crash inside :func:`_wfp_append_delta`'s append step.
+    A surviving ``wfp_pending/`` sidecar (always swap-committed, so
+    either absent or complete) means the append into ``wfp/`` may have
+    landed only SOME of its task files: rewrite ``wfp/`` as
+    (wfp minus sidecar doc_ids) ∪ sidecar — idempotent, so a crash
+    anywhere in this recovery just re-runs it — then drop the sidecar.
+    Called by every state-mutating op right after
+    :func:`_recover_swaps`, before anything reads or appends wfp/."""
+    pending = os.path.join(state_dir, "wfp_pending")
+    if not os.path.exists(pending):
+        return
+    wfp_dir = os.path.join(state_dir, "wfp")
+    if os.path.exists(wfp_dir):
+        pend = spark.read.parquet(pending)
+        _swap_write(spark.read.parquet(wfp_dir)
+                    .join(pend.select("doc_id").distinct(), "doc_id",
+                          "left_anti")
+                    .unionByName(pend), wfp_dir)
+    shutil.rmtree(pending, ignore_errors=True)
 
 
 def _ensure_wfp_store(spark, state_dir: str, k: int = WFP_K,
@@ -615,13 +658,119 @@ def _wfp_append_delta(spark, state_dir: str, delta: DataFrame,
     the store (the deleted/-ledger idiom): a crash after this append
     but before the corpus commit redelivers the identical delta, whose
     doc_ids are already present — the replay appends nothing, so
-    at-least-once delivery cannot duplicate fingerprint rows."""
+    at-least-once delivery cannot duplicate fingerprint rows.
+
+    The append itself commits through a SWAP-WRITTEN ``wfp_pending/``
+    sidecar (round-10 advice): a plain parquet append moves task files
+    into the store one rename at a time, so a crash mid-commit could
+    leave SOME of a document's fingerprint rows visible — and the id
+    replay guard would then skip that doc_id forever, leaving it with
+    permanently incomplete fingerprints. Sequence: (1) the delta's
+    complete fingerprint set is swap-written to the sidecar (atomic:
+    either absent or whole); (2) the store append runs FROM the
+    sidecar; (3) the sidecar is removed. A crash inside (2) or before
+    (3) leaves the sidecar in place, and :func:`_wfp_recover` — run by
+    every state op before touching wfp/ — rewrites the store from it;
+    :func:`read_wfp` overlays it read-only in the meantime. At every
+    instant wfp/ is complete or the sidecar holds the rows to make it
+    so."""
     wfp_dir = os.path.join(state_dir, "wfp")
+    pending = os.path.join(state_dir, "wfp_pending")
     existing = (spark.read.parquet(wfp_dir).select("doc_id")
                 .distinct())
-    (dedup.winnow_fingerprints(delta, k=k, w=w)
+    _swap_write(dedup.winnow_fingerprints(delta, k=k, w=w)
+                .join(existing, "doc_id", "left_anti"), pending)
+    spark.read.parquet(pending).write.mode("append").parquet(wfp_dir)
+    shutil.rmtree(pending, ignore_errors=True)
+
+
+# dhash/ store: maintained perceptual image fingerprints (extension
+# E72+, round-10 verdict item 6) — the image-fingerprint sibling of
+# wfp/: an id-keyed TABLE (doc_id, dhash, real), one row per document,
+# appended per batch behind an id anti-join, takedown an exact row
+# delete. Because every doc contributes EXACTLY ONE row, the
+# partial-append hazard wfp/ needs its pending sidecar for is absent
+# by construction: a crash mid-append leaves some docs' single rows
+# visible and others' absent, and the redelivered batch's anti-join
+# appends exactly the missing ones — no doc can be half-fingerprinted.
+# The pinned invariant is the dHash grid geometry (hashes from a
+# different grid are silently incomparable), recorded like wfp's
+# (k, w) sentinel.
+_DHASH_DIMS_ID = -2  # sentinel row: dhash = grid_w * 1000 + grid_h
+
+
+def _dhash_geometry() -> int:
+    from cati_database_feeder_spark.sources import multimodal as mm
+    return mm._DHASH_GRID_W * 1000 + mm._DHASH_GRID_H
+
+
+def _dhash_frame(spark, docs: DataFrame) -> DataFrame:
+    """(doc_id, dhash, real) perceptual hashes of the docs' payload
+    bytes (text cast to binary — the test-adapter payload; a real
+    media corpus feeds its binary column through the same kernel) via
+    the three-tier decode ladder (sources/multimodal.py:image_dhash),
+    plus the geometry sentinel row."""
+    from cati_database_feeder_spark.sources import multimodal as mm
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit(None).cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int>")
+        .alias("meta"))
+    hashes = (mm.image_dhash(media)
+              .select(F.col("media_id").alias("doc_id"), "dhash", "real"))
+    dims = spark.createDataFrame(
+        [(_DHASH_DIMS_ID, _dhash_geometry(), False)],
+        "doc_id long, dhash long, real boolean")
+    return hashes.unionByName(dims)
+
+
+def read_dhash(spark, state_dir: str) -> DataFrame:
+    """The maintained perceptual-hash table, sentinel stripped."""
+    return (spark.read.parquet(os.path.join(state_dir, "dhash"))
+            .filter(F.col("doc_id") != _DHASH_DIMS_ID))
+
+
+def _ensure_dhash_store(spark, state_dir: str) -> None:
+    """One-time migration for pre-dhash state dirs (one corpus decode
+    pass); on maintained dirs verifies the BOOTSTRAP-PINNED grid
+    geometry — mixed-geometry hashes never match each other, so a
+    mismatch is a refusal, not a merge. A sentinel-less dir is a
+    partial write → rebuild (the sketch-store policy)."""
+    dhash_dir = os.path.join(state_dir, "dhash")
+    geom = _dhash_geometry()
+    if os.path.exists(dhash_dir):
+        rows = (spark.read.parquet(dhash_dir)
+                .filter(F.col("doc_id") == _DHASH_DIMS_ID)
+                .select("dhash").collect())
+        if rows and int(rows[0]["dhash"]) != geom:
+            got = int(rows[0]["dhash"])
+            raise StateLockError(
+                f"dhash store at {dhash_dir!r} was bootstrapped with "
+                f"grid ({got // 1000}×{got % 1000}) but this ingest is "
+                f"configured for ({geom // 1000}×{geom % 1000}) — the "
+                f"hash geometry is pinned at bootstrap (mixed-geometry "
+                f"hashes are silently incomparable); use the stored "
+                f"grid or rebuild the store.")
+        if rows:
+            return
+        shutil.rmtree(dhash_dir)
+    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
+    _swap_write(_dhash_frame(spark, corpus), dhash_dir)
+
+
+def _dhash_append_delta(spark, state_dir: str, delta: DataFrame) -> None:
+    """Append the delta's hashes behind the id anti-join replay guard.
+    One row per doc, so the plain append IS crash-safe (see the store
+    comment above) — no pending sidecar needed."""
+    dhash_dir = os.path.join(state_dir, "dhash")
+    existing = (spark.read.parquet(dhash_dir).select("doc_id")
+                .distinct())
+    (_dhash_frame(spark, delta)
+     .filter(F.col("doc_id") != _DHASH_DIMS_ID)
      .join(existing, "doc_id", "left_anti")
-     .write.mode("append").parquet(wfp_dir))
+     .write.mode("append").parquet(dhash_dir))
 
 
 def _sk_ensure_store(spark, state_dir: str, name: str, cells_of,
@@ -925,6 +1074,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
                          num_hashes: int, bands: int,
                          batch_id: int | None = None) -> None:
     _recover_swaps(state_dir)
+    _wfp_recover(spark, state_dir)
     _check_no_pending_delete(state_dir, "ingest_batch")
     corpus_dir = os.path.join(state_dir, "corpus")
     labels_dir = os.path.join(state_dir, "labels")
@@ -976,6 +1126,8 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
          .parquet(os.path.join(state_dir, "hll")))
         (_wfp_frame(spark, batch, WFP_K, WFP_W).write.mode("overwrite")
          .parquet(os.path.join(state_dir, "wfp")))
+        (_dhash_frame(spark, batch).write.mode("overwrite")
+         .parquet(os.path.join(state_dir, "dhash")))
         # metrics BEFORE the corpus commit marker: a crash between the
         # two replays the whole bootstrap (corpus absent) and appends a
         # duplicate row with the same batch_id — at-least-once, which
@@ -996,6 +1148,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         _sk_ensure_store(spark, state_dir, sk_name, sk_cells, sd1, sd2)
     _ensure_hll_store(spark, state_dir)
     _ensure_wfp_store(spark, state_dir)
+    _ensure_dhash_store(spark, state_dir)
     fr = _incremental_frames(spark, state_dir, batch, threshold,
                              num_hashes, bands)
     # persist the per-batch frames every downstream branch consumes;
@@ -1065,6 +1218,10 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # crash before the marker redelivers a delta whose ids the
         # guard already excludes
         _wfp_append_delta(spark, state_dir, delta)
+        # dhash append: same slot, same replay-guard argument (reads
+        # only dhash/ + the delta); one row per doc makes the plain
+        # append crash-safe without a sidecar
+        _dhash_append_delta(spark, state_dir, delta)
         # metrics BEFORE the corpus commit marker (same argument as the
         # bootstrap branch): a crash in between replays the batch and
         # appends a duplicate batch_id row — at-least-once — where the
@@ -1175,6 +1332,7 @@ def _compact_state_locked(spark, state_dir: str,
                           target_files: int | None,
                           prune_buckets: bool) -> None:
     _recover_swaps(state_dir)
+    _wfp_recover(spark, state_dir)
     _check_no_pending_delete(state_dir, "compact_state")
     corpus_dir = os.path.join(state_dir, "corpus")
     buckets_dir = os.path.join(state_dir, "buckets")
@@ -1188,7 +1346,7 @@ def _compact_state_locked(spark, state_dir: str,
     # one row per batch → one file, not n near-empty ones
     for name, parts in (("members", n), ("reps", n), ("metrics", 1),
                         ("pairs", n), ("deleted", 1), ("hll", 1),
-                        ("wfp", n)):
+                        ("wfp", n), ("dhash", n)):
         d = os.path.join(state_dir, name)
         if os.path.exists(d):
             _swap_write(spark.read.parquet(d).repartition(parts), d)
@@ -1297,6 +1455,7 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
                         bands: int,
                         sketch_takedown: str = "subtract") -> None:
     _recover_swaps(state_dir)
+    _wfp_recover(spark, state_dir)
     corpus_dir = os.path.join(state_dir, "corpus")
     if not os.path.exists(corpus_dir):
         raise ValueError(
@@ -1444,6 +1603,12 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
         if os.path.exists(wfp_dir):
             _swap_write(spark.read.parquet(wfp_dir)
                         .join(tomb, "doc_id", "left_anti"), wfp_dir)
+        # dhash takedown: the same exact row delete (id-keyed table;
+        # the sentinel's negative id can never match a tombstone)
+        dhash_dir = os.path.join(state_dir, "dhash")
+        if os.path.exists(dhash_dir):
+            _swap_write(spark.read.parquet(dhash_dir)
+                        .join(tomb, "doc_id", "left_anti"), dhash_dir)
         _swap_write(corpus.join(tomb, "doc_id", "left_anti"), corpus_dir)
     except BaseException:
         raise  # marker stays: the refusal gate routes to a retry

@@ -1878,3 +1878,134 @@ def test_retrain_centroids_crash_fence_and_resume(spark, tmp_path):
     assert {r["vec_id"]: r["cell"] for r in rows} == want
     assert not os.path.exists(os.path.join(state, ie._MIGRATE_PENDING))
     assert not os.path.exists(os.path.join(state, ie._CENTS_NEXT))
+
+
+def test_wfp_partial_append_crash_heals_and_serves_complete(
+        spark, tmp_path):
+    """Round-10 advice (medium): a plain parquet append commits task
+    files one rename at a time, so a crash mid-append can leave SOME
+    of a document's fingerprint rows visible — and the doc_id replay
+    guard would then skip the doc forever. The fix stages each delta's
+    complete fingerprint set in a swap-committed ``wfp_pending/``
+    sidecar. This test reconstructs the exact crash window (store
+    holds a strict subset of a doc's rows, sidecar holds the complete
+    set) and pins both halves of the contract: ``read_wfp`` serves the
+    COMPLETE table read-only through the overlay, and the next
+    state-mutating op heals the store on disk and drops the sidecar."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS1, ["doc_id", "text"]), state, batch_id=1)
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    want = _wfp_recompute(spark, corpus)
+    assert _wfp_rows(spark, state) == want
+
+    wfp_dir = os.path.join(state, "wfp")
+    pend_dir = os.path.join(state, "wfp_pending")
+    stored = spark.read.parquet(wfp_dir)
+    doc4 = stored.filter(F.col("doc_id") == 4).persist()
+    n4 = doc4.count()
+    assert n4 >= 2, "fixture needs a multi-fingerprint doc"
+    # crash window: sidecar complete, store holding only ONE of
+    # doc 4's rows (a partially committed append)
+    ing._swap_write(doc4, pend_dir)
+    keep_fp = doc4.agg(F.min("fp")).collect()[0][0]
+    ing._swap_write(stored.filter((F.col("doc_id") != 4)
+                                  | (F.col("fp") == keep_fp)), wfp_dir)
+    doc4.unpersist()
+    # (a) serving overlays the sidecar — complete, without mutating
+    assert _wfp_rows(spark, state) == want
+    assert os.path.exists(pend_dir)
+    # (b) the next state op heals the store and drops the sidecar
+    ing.compact_state(spark, state)
+    assert not os.path.exists(pend_dir)
+    assert sorted(map(tuple, (spark.read.parquet(wfp_dir)
+                              .filter(F.col("doc_id") != ing._WFP_DIMS_ID)
+                              .collect()))) == want
+
+
+def test_hll_store_all_short_docs_reads_zero_and_recovers(
+        spark, tmp_path):
+    """Round-10 advice: a corpus whose docs are all shorter than the
+    shingle width aggregates ZERO shingle rows, so hll_sketch_agg
+    yields a NULL sketch. The store must read as estimate 0 (not
+    crash on int(None)), and a later real delta must merge normally —
+    the NULL sketch may never poison hll_union_agg."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        [(1, "a b"), (2, "c d e")], ["doc_id", "text"]),
+        state, batch_id=0)
+    est, lgk = ing.read_hll(spark, state)
+    assert (est, lgk) == (0, ing.HLL_LGK)
+    # a second all-short delta keeps the estimate at 0
+    ing.ingest_batch(spark, spark.createDataFrame(
+        [(3, "f g")], ["doc_id", "text"]), state, batch_id=1)
+    assert ing.read_hll(spark, state)[0] == 0
+    # a real delta merges normally despite the NULL-sketch store
+    ing.ingest_batch(spark, spark.createDataFrame(
+        [(4, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"]), state, batch_id=2)
+    est2, _ = ing.read_hll(spark, state)
+    assert est2 >= 5  # 10 tokens -> 6 distinct 5-shingles, ±1.6% err
+
+
+def _dhash_recompute(spark, docs):
+    from cati_database_feeder_spark.streaming import ingest as ing
+    return sorted(map(tuple, (ing._dhash_frame(spark, docs)
+                              .filter(F.col("doc_id")
+                                      != ing._DHASH_DIMS_ID)
+                              .collect())))
+
+
+def test_dhash_store_multi_batch_equals_recompute_and_replays(
+        spark, tmp_path):
+    """The maintained perceptual-hash store (E72+): across bootstrap +
+    a batch (with an exact-dup replay inside it) the store equals a
+    from-scratch dhash pass over the final corpus; re-ingesting the
+    identical batch changes nothing (id anti-join guard). One row per
+    doc — the structural property that makes the plain append
+    crash-safe without wfp's pending sidecar."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS1, ["doc_id", "text"]), state, batch_id=1)
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    stored = sorted(map(tuple, ing.read_dhash(spark, state).collect()))
+    assert stored == _dhash_recompute(spark, corpus)
+    assert len(stored) == corpus.count()  # exactly one row per doc
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS1, ["doc_id", "text"]), state, batch_id=1)
+    assert sorted(map(tuple, ing.read_dhash(spark, state).collect())) \
+        == stored
+
+
+def test_dhash_store_takedown_geometry_pin_and_migration(
+        spark, tmp_path, monkeypatch):
+    """Takedown is an exact row delete (post-delete ≡ recompute over
+    survivors); a re-ingest under a different dHash grid refuses on
+    the bootstrap-pinned geometry sentinel; a legacy dir (no dhash/)
+    migrates once from the corpus on the next batch."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    ing.delete_docs(spark, state, [2])
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert sorted(map(tuple, ing.read_dhash(spark, state).collect())) \
+        == _dhash_recompute(spark, corpus)
+    with pytest.raises(ing.StateLockError, match="geometry"):
+        monkeypatch.setattr(ing, "_dhash_geometry", lambda: 9009)
+        ing._ensure_dhash_store(spark, state)
+    monkeypatch.undo()
+    # legacy migration: drop the store, next batch rebuilds it whole
+    shutil.rmtree(os.path.join(state, "dhash"))
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS1, ["doc_id", "text"]), state, batch_id=1)
+    corpus2 = spark.read.parquet(os.path.join(state, "corpus"))
+    assert sorted(map(tuple, ing.read_dhash(spark, state).collect())) \
+        == _dhash_recompute(spark, corpus2)

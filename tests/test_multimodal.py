@@ -217,3 +217,83 @@ def test_dhash_pairs_equal_brute_force(spark):
                hashes, bits=60, max_hamming=3, chunks=4).collect()}
     assert got == brute
     assert {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)} <= got
+
+
+def _make_clip(phase=0.0, vol=1.0, shift=0, n=6100):
+    """Synthetic near-dup audio family: a ±carrier under a slow sine
+    energy envelope (period 1200 samples = 12 hash slices). ``vol``
+    scales amplitude (must NOT move the hash — RMS comparisons are
+    scale-invariant); ``shift`` prepends silence samples (moves the
+    envelope by shift/100 slices — 120 flips exactly the 2 comparisons
+    whose neighboring slices swap); ``phase`` changes the envelope
+    itself (a different clip, tens of bits away)."""
+    import math
+    import struct
+
+    def pack(samples):
+        data = b"".join(struct.pack("<h", max(-32768, min(32767, int(s))))
+                        for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    out = [0.0] * shift
+    for i in range(n):
+        env = 6000 + 5000 * math.sin(2 * math.pi * i / 1200 + phase)
+        out.append(vol * env * (1 if (i % 2) else -1))
+    return pack(out)
+
+
+def test_real_audio_hash_invariances():
+    """E83 kernel pins: volume scaling is hash-INVARIANT (RMS ratios
+    unchanged), a sub-slice time shift flips only the comparisons
+    whose neighbors swap (within the banded join's max_hamming=3),
+    and a different envelope is tens of bits away."""
+    base = multimodal._real_audio_hash(_make_clip())
+    assert 0 <= base < (1 << 60)
+    vol = multimodal._real_audio_hash(_make_clip(vol=0.4))
+    assert bin(base ^ vol).count("1") == 0
+    shifted = multimodal._real_audio_hash(_make_clip(shift=120))
+    assert 0 < bin(base ^ shifted).count("1") <= 3
+    far = multimodal._real_audio_hash(_make_clip(phase=2.0))
+    assert bin(base ^ far).count("1") > 10
+
+
+def test_audio_pairs_equal_brute_force(spark):
+    """E83 completeness pin (the dhash discipline on the audio
+    fingerprint): pigeonhole banding must find EXACTLY the brute-force
+    pair set over real-decoded WAVs — including the volume-scaled
+    twin (hamming 0, rep-collapse path), the time-shifted twin
+    (nonzero hamming), and a corrupt payload riding the fake tier."""
+    from cati_database_feeder_spark.operators.dedup import (
+        hamming_near_dup_pairs)
+    rows = [(1, _make_clip(), "audio", None),
+            (2, _make_clip(vol=0.4), "audio", None),    # volume twin
+            (3, _make_clip(shift=120), "audio", None),  # time-shift twin
+            (4, _make_clip(phase=2.0), "audio", None),
+            (5, _make_clip(phase=4.5), "audio", None),
+            (6, b"corrupt audio payload", "audio", None)]
+    for seed in range(7, 16):
+        rows.append((seed, _make_clip(phase=0.7 * seed), "audio", None))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    hashes = multimodal.audio_fingerprint(media)
+    collected = {r["media_id"]: (r["ahash"], r["real"])
+                 for r in hashes.collect()}
+    assert collected[6][1] is False
+    assert collected[6][0] == multimodal._fake_dhash(
+        b"corrupt audio payload")
+    assert collected[1][1] is True
+    assert collected[1][0] == collected[2][0]           # volume-invariant
+    brute = set()
+    ids = sorted(collected)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(collected[a][0] ^ collected[b][0]).count("1") <= 3:
+                brute.add((a, b))
+    got = {(r["id_a"], r["id_b"])
+           for r in hamming_near_dup_pairs(
+               hashes, hash_col="ahash", bits=60, max_hamming=3,
+               chunks=4).collect()}
+    assert got == brute
+    assert {(1, 2), (1, 3), (2, 3)} <= got

@@ -467,3 +467,41 @@ def test_sessionize_matches_driver_reference(spark):
                    (2, 1, 2, 3600), (3, 1, 2, 0)]
     # sessions partition the input: event counts sum to the input size
     assert sum(g[2] for g in got) == len(rows)
+
+
+def test_nfc_normalized_dedup_catches_unicode_twins(spark):
+    """E82 fixture pin (round-10 verdict item 3): composed/decomposed
+    + case + whitespace variants that RAW exact dedup misses must
+    collapse under the NFC+lower+collapse fingerprint - and the key
+    must agree bit-for-bit with DuckDB's nfc_normalize replay on the
+    same non-ASCII strings (the cross-engine contract the registered
+    query exercises only on ASCII corpora)."""
+    import duckdb
+    from cati_database_feeder_spark.functions.text import (
+        fingerprint_md5, fingerprint_nfc)
+    rows = [
+        (1, "Caf\u00e9 d\u00e9j\u00e0 vu"),              # composed
+        (2, "Cafe\u0301 de\u0301ja\u0300 vu"),           # decomposed twin
+        (3, "CAF\u00c9 D\u00c9J\u00c0 VU"),              # case twin
+        (4, "\u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"),
+        (5, "\u041f\u0420\u0418\u0412\u0415\u0422   \u043c\u0438\u0440"),
+        (6, "totally different"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("raw"),
+        fingerprint_nfc(F.col("text")).alias("norm")).collect()
+    raw = {r["doc_id"]: r["raw"] for r in out}
+    norm = {r["doc_id"]: r["norm"] for r in out}
+    assert len(set(raw.values())) == 6      # raw keys miss every twin
+    assert norm[1] == norm[2] == norm[3]    # form + case collapse
+    assert norm[4] == norm[5]               # Cyrillic case + whitespace
+    assert len(set(norm.values())) == 3
+    con = duckdb.connect()
+    for doc_id, t in rows:
+        got = con.execute(
+            r"SELECT md5(nfc_normalize(lower("
+            r"regexp_replace(trim(?), '\s+', ' ', 'g'))))",
+            [t]).fetchone()[0]
+        assert got == norm[doc_id], f"engine divergence on doc {doc_id}"

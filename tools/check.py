@@ -64,38 +64,74 @@ def oracle_connection(sf_dir: str):
     return con
 
 
-def compare_query(spark, con, sf_dir: str, name: str, fn, oracle: str | None):
+def compare_query_record(spark, con, sf_dir: str, name: str, fn,
+                         oracle: str | None) -> dict:
     """Run one query on Spark and (if it has an oracle) in DuckDB, and
-    return (status, problems): status in {'pass','weak','fail'};
-    problems is human-readable detail for failures. Importable so the
-    pytest suite can run the identical comparison the CLI gate runs."""
+    return a CORRECTNESS-row-shaped record with the THREE comparison
+    outcomes recorded separately and ``oracle_rows`` counted from the
+    DuckDB result itself — never copied from the Spark side (round-10
+    advice: a collapsed pass boolean with spark-derived oracle_rows
+    asserts less than the driver row it mimics). ``hash_match`` is the
+    order-insensitive exact-value comparison; a query without an
+    oracle gets all three False plus a descriptive ``err`` (the weaker
+    rows-only evidence is visible as such, never a silent green)."""
+    rec = {"rows_match": False, "schema_match": False,
+           "hash_match": False, "spark_rows": None, "oracle_rows": None,
+           "err": None}
     try:
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
     except Exception:
-        return "fail", [f"spark error: {traceback.format_exc()}"]
+        rec["err"] = f"spark error: {traceback.format_exc()}"
+        return rec
+    rec["spark_rows"] = len(srows)
     if oracle is None:
-        return "weak", [f"rows={len(srows)} (no oracle, rows-only check)"]
+        rec["err"] = f"rows={len(srows)} (no oracle, rows-only check)"
+        return rec
     try:
         rel = con.execute(oracle)
         ocols = [d[0] for d in rel.description]
         orows = rel.fetchall()
     except Exception:
-        return "fail", [f"duckdb error: {traceback.format_exc()}"]
+        rec["err"] = f"duckdb error: {traceback.format_exc()}"
+        return rec
+    rec["oracle_rows"] = len(orows)
+    rec["rows_match"] = len(srows) == len(orows)
+    rec["schema_match"] = (
+        sorted(scols) == sorted(c.lower() for c in ocols)
+        or sorted(c.lower() for c in scols)
+        == sorted(c.lower() for c in ocols))
     problems = []
-    if len(srows) != len(orows):
+    if not rec["rows_match"]:
         problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-    if sorted(scols) != sorted(c.lower() for c in ocols) and sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+    if not rec["schema_match"]:
         problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-    if not problems:
-        sk, ok = frame_key(srows, [c.lower() for c in scols]), frame_key(orows, [c.lower() for c in ocols])
-        if sk != ok:
-            ndiff = sum(1 for a, b in zip(sk, ok) if a != b)
-            problems.append(f"values differ ({ndiff} rows); first: spark={next((a for a,b in zip(sk,ok) if a!=b), None)} oracle={next((b for a,b in zip(sk,ok) if a!=b), None)}")
+    sk = frame_key(srows, [c.lower() for c in scols])
+    ok = frame_key(orows, [c.lower() for c in ocols])
+    rec["hash_match"] = sk == ok
+    if not rec["hash_match"] and not problems:
+        ndiff = sum(1 for a, b in zip(sk, ok) if a != b)
+        problems.append(
+            f"values differ ({ndiff} rows); first: "
+            f"spark={next((a for a, b in zip(sk, ok) if a != b), None)} "
+            f"oracle={next((b for a, b in zip(sk, ok) if a != b), None)}")
     if problems:
-        return "fail", problems
-    return "pass", [f"{len(srows)} rows"]
+        rec["err"] = "; ".join(problems)
+    return rec
+
+
+def compare_query(spark, con, sf_dir: str, name: str, fn, oracle: str | None):
+    """(status, problems) view over :func:`compare_query_record`:
+    status in {'pass','weak','fail'}; problems is human-readable
+    detail. Importable so the pytest suite can run the identical
+    comparison the CLI gate runs."""
+    rec = compare_query_record(spark, con, sf_dir, name, fn, oracle)
+    if oracle is None and rec["spark_rows"] is not None:
+        return "weak", [rec["err"]]
+    if rec["rows_match"] and rec["schema_match"] and rec["hash_match"]:
+        return "pass", [f"{rec['spark_rows']} rows"]
+    return "fail", [rec["err"] or "mismatch"]
 
 
 def main():
