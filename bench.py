@@ -110,12 +110,21 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     queryset._ivf_quantized_topk_stage(spark, sf_dir).count()
     timings["stage:ivf_qz_topk"] = round(time.time() - t0, 3)
-    # the ingest-maintained embedding store the two store-serving twins
-    # read: in production it is maintained by the streaming ingest, not
-    # built at query time — a stage, not a per-query cost
+    # One-time state BOOTSTRAPS, tagged "boot:" — distinct from the
+    # shared "stage:" compute so cross-round like-for-like math never
+    # has to hand-exclude them (round-10 verdict item 9). These build
+    # the ingest-maintained stores the serving twins read: in
+    # production both are maintained by the streaming ingest, not
+    # built at query time. Charging them explicitly here also keeps
+    # the min-of-two-passes per-query timings honest — without these
+    # lines the first query touching a store would absorb the build in
+    # pass 1 and the min would silently discard it.
     t0 = time.time()
     queryset._emb_store_dir(spark, sf_dir)
-    timings["stage:emb_serving_store"] = round(time.time() - t0, 3)
+    timings["boot:emb_serving_store"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    queryset._text_store_dir(spark, sf_dir)
+    timings["boot:text_serving_store"] = round(time.time() - t0, 3)
 
     def run_once(name, fn):
         t0 = time.time()

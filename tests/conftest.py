@@ -8,6 +8,30 @@ from cati_database_feeder_spark.session import get_session
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# Fast/slow lanes (round-10 verdict item 8): the full suite is ~30 min
+# and grows with every e2e/crash/streaming test, which degrades the
+# per-commit feedback loop — not the tests. The SLOW lane is the
+# modules dominated by multi-batch ingest e2e, streaming micro-batch
+# twins and crash/concurrency fences; everything else (oracle gate at
+# sf0.001, units, properties, plan pins) is FAST. Run `pytest -m fast`
+# per commit (<10 min), the full suite before a round close. Every
+# test is in exactly one lane; `pytest` with no marker runs both.
+_SLOW_MODULES = {"test_incremental_e2e", "test_streaming"}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: ingest e2e / streaming twins / crash fences")
+    config.addinivalue_line(
+        "markers", "fast: oracle gate + units + properties + plan pins")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        lane = "slow" if mod in _SLOW_MODULES else "fast"
+        item.add_marker(getattr(pytest.mark, lane))
+
 
 @pytest.fixture(scope="session")
 def spark():
