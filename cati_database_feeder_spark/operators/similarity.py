@@ -1082,6 +1082,42 @@ def jl_project(df: DataFrame, vec_col: str,
         out_col, F.transform(pl, lambda p: V.dot(F.col(vec_col), p)))
 
 
+def planes_frame(spark, planes: list[list[float]]) -> DataFrame:
+    """Driver-side JL plane matrix as an (idx int, plane
+    array<double>) DataFrame — the EXACT schema the ingest store's
+    ``planes/`` table uses (streaming/ingest_embeddings.py), so a
+    store-backed pipeline passes its planes table here directly."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(planes)],
+        "idx int, plane array<double>")
+
+
+def jl_project_joined(df: DataFrame, planes: DataFrame, vec_col: str,
+                      out_col: str = "proj") -> DataFrame:
+    """:func:`jl_project` with the plane matrix delivered as BROADCAST
+    DATA instead of a plan literal — the same model-size tier as
+    :func:`assign_cells_joined` (E84), applied to the projection
+    model: the planes frame is collapsed to one idx-ordered
+    ``array<struct<idx,plane>>`` row, broadcast, joined on a constant
+    key (single-build-row BroadcastNestedLoopJoin after constant
+    folding), and the SAME sequential-fold dot runs per row — bit-
+    equal to the literal form (pytest-pinned). At production dims a
+    d'=32 × 4k-dim literal is ~1 MB of plan PER USE; here it is one
+    broadcast variable. The literal form remains the SQL-oracle path
+    (the oracle replays those literals)."""
+    one = (planes.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("idx").cast("int").alias("idx"),
+            F.col("plane").alias("plane")))).alias("__planes"))
+        .withColumn("__pk", F.lit(1)))
+    joined = (df.withColumn("__pk", F.lit(1))
+              .join(F.broadcast(one), "__pk").drop("__pk"))
+    return (joined.withColumn(
+        out_col, F.transform(F.col("__planes"),
+                             lambda s: V.dot(F.col(vec_col), s["plane"])))
+        .drop("__planes"))
+
+
 def jl_topk(queries: DataFrame, corpus: DataFrame,
             planes: list[list[float]], k: int = 10, coarse_k: int = 100,
             q_id: str = "q_id", q_vec: str = "q_vec",

@@ -2250,7 +2250,7 @@ def ivf_recall_check(spark, sf_dir):
                     .alias("recall_ok")))
 
 
-@register("ivf_assign_topk", sql="""
+_IVF_ASSIGN_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid FROM e WHERE vec_id < 16),
 assign AS (
@@ -2282,7 +2282,10 @@ ranked AS (
 )
 SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
 FROM ranked WHERE rank <= 10
-""")
+"""
+
+
+@register("ivf_assign_topk", sql=_IVF_ASSIGN_SQL)
 def ivf_assign_topk(spark, sf_dir):
     """E7: the deterministic (fixed-centroid) half of IVF, fully
     hash-checked — seed centroids are the 16 lowest-id corpus vectors
@@ -2300,6 +2303,29 @@ def ivf_assign_topk(spark, sf_dir):
          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     return ivf_topk(q, _cell_assign_stage(spark, sf_dir), cents,
                     k=10, nprobe=4, by="ip")
+
+
+@register("ivf_assign_topk_bcast", sql=_IVF_ASSIGN_SQL)
+def ivf_assign_topk_bcast(spark, sf_dir):
+    """E84 broadcast-centroid serving twin: byte-identical output to
+    ``ivf_assign_topk`` (the oracle SQL is shared VERBATIM), but the
+    query-side probe argmin receives the centroid model as ONE
+    broadcast data row (operators/similarity.py:ivf_topk_joined)
+    instead of a plan literal — the tier that survives production
+    model sizes (n_cells ≈ 2^15 × 1k dims, where the literal is a
+    ~250 MB plan). The corpus side reads the session's shared
+    cell-assignment stage — the write-time partition-by-cell layout,
+    identical under either tier (bit-equality pytest-pinned in
+    tests/test_scale.py) — so this times exactly what production
+    serving pays: the probe and the rerank, never the assignment."""
+    from cati_database_feeder_spark.operators.similarity import (
+        centroid_frame, ivf_topk_joined)
+    e = T(spark, sf_dir, "embeddings")
+    cf = centroid_frame(spark, _cents16(spark, sf_dir))
+    q = e.filter(F.col("vec_id") % 100 == 0) \
+         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return ivf_topk_joined(q, _cell_assign_stage(spark, sf_dir), cf,
+                           k=10, nprobe=4, by="ip")
 
 
 # =====================================================================
@@ -5987,6 +6013,84 @@ def multimodal_dhash_store(spark, sf_dir):
             .select("doc_id", "dhash"))
 
 
+@register("multimodal_video_pairs", sql="""
+WITH v AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000,
+         substr(text, 1, length(text) // 2)
+         || repeat('X', length(text) - length(text) // 2)
+  FROM documents WHERE doc_id % 7 = 0),
+f AS (
+  SELECT media_id, i AS frame_idx,
+         md5(substr(text, i * greatest(length(text) // 4, 1) + 1,
+                    greatest(length(text) // 4, 1))) AS fh
+  FROM v CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+  WHERE i * greatest(length(text) // 4, 1) < length(text))
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       COUNT(*) AS n_matching_frames
+FROM f a JOIN f b ON a.frame_idx = b.frame_idx AND a.fh = b.fh
+                  AND a.media_id < b.media_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+""")
+def multimodal_video_pairs(spark, sf_dir):
+    """E85 frame-level video near-dup: the multimodal fan-out
+    composition — sample_frames (Arrow mapInPandas, one row per
+    evenly spaced byte-range frame; a production kernel swaps ffmpeg
+    keyframes into the same fan-out) → per-frame md5 fingerprint →
+    POSITIONAL frame matching (equi-join on (frame_idx, frame_hash))
+    → per-video-pair matching-frame count with a ≥2 floor. Re-encoded
+    or partially-edited copies of a video share most frame
+    fingerprints at the same positions; the equi-join is bucketed by
+    construction (no all-pairs shape — the E7 discipline on the frame
+    axis). Planted twins drive both paths: every 11th video twice
+    verbatim (all 4 frames match) and every 7th with its second half
+    overwritten (exactly the first 2 frames match — partial overlap,
+    length preserved so frame boundaries stay aligned). Payloads are
+    ASCII text bytes, so the oracle replays the byte slicing with
+    substr and the hashes bit-for-bit; empty frames (payloads shorter
+    than the frame count) are excluded on both sides — their shared
+    md5('') would otherwise join every short doc to every other."""
+    from cati_database_feeder_spark.sources.multimodal import (
+        sample_frames)
+    docs = T(spark, sf_dir, "documents")
+    v = (docs.select(F.col("doc_id").alias("media_id"), "text")
+         .unionByName(
+             docs.filter(F.col("doc_id") % 11 == 0)
+             .select((F.col("doc_id") + 1000000000).alias("media_id"),
+                     "text"))
+         .unionByName(
+             docs.filter(F.col("doc_id") % 7 == 0)
+             .select((F.col("doc_id") + 2000000000).alias("media_id"),
+                     F.concat(
+                         F.expr("substr(text, 1, "
+                                "CAST(FLOOR(length(text) / 2) AS INT))"),
+                         F.expr("repeat('X', length(text) - "
+                                "CAST(FLOOR(length(text) / 2) AS INT))"))
+                     .alias("text"))))
+    media = v.select(
+        "media_id", F.col("text").cast("binary").alias("payload"),
+        F.lit("video").alias("media_type"),
+        F.lit(None).cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int>")
+        .alias("meta"))
+    frames = (sample_frames(media, n_frames=4)
+              .filter(F.length("frame") > 0)
+              .select("media_id", "frame_idx",
+                      F.md5("frame").alias("fh")))
+    fr = shared_stage(spark, f"video_frames:{sf_dir}", lambda: frames)
+    a = fr.select(F.col("media_id").alias("id_a"), "frame_idx", "fh")
+    b = fr.select(F.col("media_id").alias("id_b"), "frame_idx", "fh")
+    return (a.join(b, ["frame_idx", "fh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_matching_frames"))
+            .filter(F.col("n_matching_frames") >= 2))
+
+
 @register("decontaminate_winnow", sql=r"""
 WITH tk AS (
   SELECT doc_id,
@@ -6431,6 +6535,180 @@ def events_retention_cohorts(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_users")))
 
 
+@register("embedding_label_drift", sql="""
+WITH x AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+),
+lm AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m,
+         COUNT(*) AS n
+  FROM x GROUP BY label, pos
+),
+gm AS (
+  SELECT pos,
+         CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS g
+  FROM x GROUP BY pos
+),
+d AS (
+  SELECT lm.label, lm.n,
+         CAST(SUM(CAST(lm.m * gm.g AS DECIMAL(38,30))) AS DOUBLE) AS lg,
+         CAST(SUM(CAST(lm.m * lm.m AS DECIMAL(38,30))) AS DOUBLE) AS ll,
+         CAST(SUM(CAST(gm.g * gm.g AS DECIMAL(38,30))) AS DOUBLE) AS gg
+  FROM lm JOIN gm USING (pos) GROUP BY lm.label, lm.n
+)
+SELECT label, CAST(n AS BIGINT) AS n_vectors,
+       round(lg / nullif(sqrt(ll) * sqrt(gg), 0.0), 6) AS drift_cosine
+FROM d
+""")
+def embedding_label_drift(spark, sf_dir):
+    """E86 per-group embedding centroid drift — the embedding-space
+    data-quality report a multi-source/multi-epoch pipeline watches: a
+    group (here the ``label`` column; in production a source or a
+    snapshot date) whose centroid swings away from the corpus
+    centroid signals a distribution shift BEFORE model metrics do.
+    Exact across engines end-to-end: per-(group, pos) means by decimal
+    accumulation / one division (the _centroids_of shape — corpus-
+    linear posexplode + ONE map-side-partial aggregate; everything
+    after is model-sized: labels × dim rows), then cosine(group
+    centroid, global centroid) with the three inner products decimal-
+    accumulated over the bounded pos join and the final IEEE ops in
+    fixed order. No window, no crossJoin, no driver collect."""
+    e = T(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    # ONE corpus pass: the global per-pos sums are derived from the
+    # per-(label,pos) DECIMAL sums (decimal addition is associative —
+    # regrouping is exact, so the derived global mean is bit-identical
+    # to the oracle's direct global aggregate); the base frame is
+    # model-sized (labels × dim) and persisted so the two consumers
+    # don't re-scan the corpus
+    base = shared_stage(
+        spark, f"label_pos_sums:{sf_dir}",
+        lambda: x.groupBy("label", "pos")
+        .agg(F.sum(F.col("v").cast("decimal(28,12)")).alias("s"),
+             F.count(F.lit(1)).alias("n")))
+    lm = base.select(
+        "label", "pos",
+        (F.col("s").cast("double") / F.col("n")).alias("m"), "n")
+    gm = (base.groupBy("pos")
+          .agg((F.sum("s").cast("double")
+                / F.sum("n")).alias("g")))
+    dec30 = lambda c: F.sum(c.cast("decimal(38,30)")).cast("double")
+    d = (lm.join(gm, "pos")
+         .groupBy("label", "n")
+         .agg(dec30(F.col("m") * F.col("g")).alias("lg"),
+              dec30(F.col("m") * F.col("m")).alias("ll"),
+              dec30(F.col("g") * F.col("g")).alias("gg")))
+    return d.select(
+        "label", F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(F.col("lg") / F.nullif(
+            F.sqrt("ll") * F.sqrt("gg"), F.lit(0.0)), 6)
+        .alias("drift_cosine"))
+
+
+@register("dq_referential_audit", sql="""
+SELECT 'lineitem.l_orderkey->orders' AS relation,
+       (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+       (SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o
+         ON l.l_orderkey = o.o_orderkey) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders r ANTI JOIN customer c
+         ON r.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer c ANTI JOIN nation n
+         ON c.c_nationkey = n.n_nationkey)
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       (SELECT COUNT(*) FROM supplier),
+       (SELECT COUNT(*) FROM supplier s ANTI JOIN nation n
+         ON s.s_nationkey = n.n_nationkey)
+UNION ALL
+SELECT 'nation.n_regionkey->region',
+       (SELECT COUNT(*) FROM nation),
+       (SELECT COUNT(*) FROM nation n ANTI JOIN region r
+         ON n.n_regionkey = r.r_regionkey)
+""")
+def dq_referential_audit(spark, sf_dir):
+    """E87 referential-integrity audit — the data-quality gate a
+    pipeline runs BEFORE joins silently drop rows: per foreign-key
+    relation, the child row count and the orphan count (child keys
+    with no parent; NULL keys count as orphans on both engines — an
+    anti-join never matches NULL). Each relation is one left_anti join
+    whose parent side AQE broadcasts when small (dims) and shuffles
+    when not — the same hint-free discipline as the dedup anti-join
+    (op #17). At 100 TB this is five independent scans, each
+    column-pruned to its key pair; the output is five rows."""
+    def rel(name, child, ckey, parent, pkey):
+        c = T(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = T(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+        return (c.agg(F.count(F.lit(1)).alias("n_child_rows"))
+                .crossJoin(c.join(p, "k", "left_anti")
+                           .agg(F.count(F.lit(1)).alias("n_orphans")))
+                .select(F.lit(name).alias("relation"),
+                        "n_child_rows", "n_orphans"))
+
+    out = rel("lineitem.l_orderkey->orders",
+              "lineitem", "l_orderkey", "orders", "o_orderkey")
+    for args in (("orders.o_custkey->customer",
+                  "orders", "o_custkey", "customer", "c_custkey"),
+                 ("customer.c_nationkey->nation",
+                  "customer", "c_nationkey", "nation", "n_nationkey"),
+                 ("supplier.s_nationkey->nation",
+                  "supplier", "s_nationkey", "nation", "n_nationkey"),
+                 ("nation.n_regionkey->region",
+                  "nation", "n_regionkey", "region", "r_regionkey")):
+        out = out.unionByName(rel(*args))
+    return out
+
+
+@register("skew_key_profile", sql="""
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+t AS (SELECT COUNT(*) AS total, COUNT(DISTINCT user_id) AS n_keys
+      FROM events),
+top AS (
+  SELECT user_id, n_events,
+         ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id ASC) AS rnk
+  FROM c
+)
+SELECT top.rnk AS rank, top.user_id, top.n_events,
+       round(CAST(top.n_events AS DOUBLE) / t.total, 6) AS share,
+       t.n_keys AS n_distinct_keys
+FROM top CROSS JOIN t
+WHERE top.rnk <= 10
+""")
+def skew_key_profile(spark, sf_dir):
+    """E88 hot-key profile — the diagnostic that decides WHEN the skew
+    mitigations (E26 salting, E47 occupancy guard) are worth their
+    overhead: the top-10 keys by row count with each key's share of
+    the table and the distinct-key count. One counted aggregate with
+    map-side partials, top-10 via TakeOrderedAndProject (per-partition
+    heap, never a global sort — the E21 discipline), rank re-derived
+    over the 10 collected survivors, totals attached by a single-row
+    crossJoin. Share is one IEEE division of exact BIGINTs, rounded on
+    output — hash-identical across engines."""
+    e = T(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    top = (c.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.desc("n_events"), F.asc("user_id")))))
+    t = e.agg(F.count(F.lit(1)).alias("total"),
+              F.count_distinct("user_id").alias("n_distinct_keys"))
+    return (top.crossJoin(t)
+            .select("rank", "user_id", "n_events",
+                    F.round(F.col("n_events").cast("double")
+                            / F.col("total"), 6).alias("share"),
+                    "n_distinct_keys"))
+
+
 @register("text_normalize_dedup", sql=r"""
 WITH k AS (
   SELECT doc_id, md5(text) AS raw_fp,
@@ -6479,21 +6757,23 @@ def text_normalize_dedup(spark, sf_dir):
 # oracle on every pytest run (tests/test_oracle_gate.py) and by
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
-    # -- round-11 rotation, slot budget (50): [a] the three NEW
+    # -- round-11 rotation, slot budget (50): [a] the five NEW
     #    round-11 queries (never driver-checked); [b] queries whose
     #    engine path changed this round (hybrid per-group rank's
     #    one-collect literal split; quant (lo,hi) read from the
     #    embedding store; wfp pending-sidecar append; dhash store in
-    #    the text-store bootstrap; NULL-safe HLL merge); [c] 34 of the
-    #    46 queries whose last driver green is r9 — the rotation
-    #    obligation the round-10 verdict named (item 1). The 12
-    #    remaining r9-greens (10 + the 2 that double as [b]) lead the
-    #    tail for round 12's window and hold CHECKLOCAL_r11 greens
-    #    meanwhile; every tail query gets a recorded tools/checklocal
-    #    sf0.01 pass this round (CHECKLOCAL_r11.json).
+    #    the text-store bootstrap; NULL-safe HLL merge); [c] the
+    #    r9-driver-green rotation block (round-10 verdict item 1) —
+    #    32 fit the 50 slots, the r9-greens displaced past slot 50
+    #    lead the tail for round 12's window and hold CHECKLOCAL_r11
+    #    greens meanwhile; every tail query has a recorded
+    #    tools/checklocal sf0.01 pass this round (CHECKLOCAL_r11.json,
+    #    92 rows, 0 failed).
     # [a] new round-11 queries
     "text_normalize_dedup", "multimodal_audio_pairs",
-    "multimodal_dhash_store",
+    "multimodal_dhash_store", "ivf_assign_topk_bcast",
+    "multimodal_video_pairs", "embedding_label_drift",
+    "dq_referential_audit", "skew_key_profile",
     # [b] engine path changed in round 11
     "text_ccnet_buckets", "sample_source_cap",
     "text_top_tokens_per_source", "sample_cluster_balanced",

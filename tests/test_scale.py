@@ -612,3 +612,30 @@ def test_broadcast_centroid_tier_bit_equal_and_model_scale(spark):
     # probe-to-corpus cell join is free to shuffle or broadcast as
     # AQE sees fit — that side scales with data, not with the model)
     assert "BroadcastExchange" in _plan(served)
+
+
+def test_jl_planes_broadcast_tier_bit_equal(spark):
+    """E84 applied to the JL projection model: jl_project_joined must
+    be BIT-EQUAL to the literal jl_project under the same plane matrix
+    and must deliver the planes as broadcast data (plan O(1) in
+    n_planes·dim; the literal plan embeds every double)."""
+    import random
+    from cati_database_feeder_spark.operators.similarity import (
+        gaussian_hyperplanes, jl_project, jl_project_joined,
+        planes_frame)
+    rnd = random.Random(7)
+    dim = 256
+    planes = gaussian_hyperplanes(dim, n_bits=32)
+    df = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(80)],
+        "vec_id long, embedding array<double>")
+    lit_df = jl_project(df, "embedding", planes, "proj")
+    joined_df = jl_project_joined(df, planes_frame(spark, planes),
+                                  "embedding", "proj")
+    lit = {r["vec_id"]: tuple(r["proj"]) for r in lit_df.collect()}
+    got = {r["vec_id"]: tuple(r["proj"]) for r in joined_df.collect()}
+    assert got == lit                       # bit-equal doubles
+    plan = _plan(joined_df)
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert len(plan) * 5 < len(_plan(lit_df))
