@@ -1157,6 +1157,12 @@ def jl_topk(queries: DataFrame, corpus: DataFrame,
     Determinism: projected values are sequential-fold dots of plan
     literals; both ranking stages break ties on ascending id — an
     oracle replays the exact candidate set and the exact top-k.
+    (Model-size note: the plane literal here is n_planes·dim doubles
+    per use — fine at test dims, ~1 MB of plan at 32×4k. Past that,
+    project through :func:`jl_project_joined` — bit-equal, broadcast
+    data — and feed the result in via ``corpus_proj``; the planes
+    stay SQL-oracle-able only on the literal path, which is why the
+    registered queries keep it.)
 
     ``corpus_proj`` (optional): a PRE-PROJECTED corpus frame
     ``(c_id, proj_col)`` — e.g. the ingest-maintained store

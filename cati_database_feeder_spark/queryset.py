@@ -6743,6 +6743,54 @@ def text_normalize_dedup(spark, sf_dir):
                  F.count_distinct("raw_fp").alias("n_raw_variants")))
 
 
+# E89: the decontamination-ladder summary — registered LAST among the
+# rungs so the oracle can be composed from their already-registered
+# SQL verbatim (a wrapper aggregate per rung, unioned): the Spark side
+# composes the rung functions, the oracle composes the rung oracles,
+# and any drift in EITHER layer of any rung hash-mismatches here too.
+_LADDER_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{method}' AS method, "
+    f"CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_flagged "
+    f"FROM ({ORACLES[q]}) __{method}" + (f" WHERE {cond}" if cond else "")
+    for method, q, id_col, cond in (
+        ("exact_shingle", "decontaminate_against_benchmark", "doc_id", ""),
+        ("bloom_gate", "decontaminate_bloom_gate", "doc_id", ""),
+        ("winnow", "decontaminate_winnow", "doc_id", ""),
+        ("semantic", "decontaminate_semantic", "vec_id", "contaminated"),
+    ))
+
+
+@register("decontaminate_ladder_report", sql=_LADDER_SQL)
+def decontaminate_ladder_report(spark, sf_dir):
+    """E89 decontamination-ladder dashboard: one row per rung of the
+    ladder (exact shingle → Bloom gate → winnowing → semantic) with
+    the count of flagged items — the coverage summary an operator
+    reads before choosing which rungs to run at 100 TB (each rung
+    trades index density for span/paraphrase robustness; the counts
+    quantify what each adds on THIS corpus). Pure composition: each
+    rung is the session's already-materialized stage (shared_stage
+    keys match the standalone queries), so the report costs four
+    bounded aggregates on top of work the ladder already did — the
+    same economics as running it in production off the rungs' output
+    tables."""
+    rungs = (
+        ("exact_shingle", decontaminate_against_benchmark, "doc_id", None),
+        ("bloom_gate", decontaminate_bloom_gate, "doc_id", None),
+        ("winnow", decontaminate_winnow, "doc_id", None),
+        ("semantic", decontaminate_semantic, "vec_id", "contaminated"),
+    )
+    out = None
+    for method, fn, id_col, cond in rungs:
+        df = fn(spark, sf_dir)
+        if cond:
+            df = df.filter(F.col(cond))
+        row = (df.agg(F.count_distinct(id_col).alias("n_flagged"))
+               .select(F.lit(method).alias("method"),
+                       F.col("n_flagged").cast("bigint")))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -6774,6 +6822,7 @@ _CHECK_ORDER = [
     "multimodal_dhash_store", "ivf_assign_topk_bcast",
     "multimodal_video_pairs", "embedding_label_drift",
     "dq_referential_audit", "skew_key_profile",
+    "decontaminate_ladder_report",
     # [b] engine path changed in round 11
     "text_ccnet_buckets", "sample_source_cap",
     "text_top_tokens_per_source", "sample_cluster_balanced",
