@@ -343,6 +343,76 @@ def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
                               {"jaccard": F.lit(1.0)})
 
 
+def sorted_neighborhood_pairs(documents: DataFrame, window: int = 4,
+                              threshold: float = 0.5, key_len: int = 16,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              partitions: int | None = None) -> DataFrame:
+    """Sorted-Neighborhood dedup (Hernández & Stolfo, SIGMOD 1995 —
+    extension E93): sort records under a BLOCKING KEY (here the first
+    ``key_len`` chars of the lowercased, whitespace-collapsed text),
+    slide a window of ``window`` consecutive records, verify every
+    window pair with exact token Jaccard. The classic entity-
+    resolution complement to hashing-based blocking: near-dups whose
+    shingles/minhashes diverge (heavy edits late in the doc) still
+    sort adjacently when their PREFIXES agree.
+
+    Scale shape — the two classic SNM bottlenecks, both avoided:
+
+    1. The global sort. ``row_number() OVER (ORDER BY key)`` is a
+       single-partition sort of the corpus; ranks come instead from
+       the literal-bucket ordinal machinery
+       (operators/sampling.py:global_shuffle_ordinals — per-bucket
+       local sort + broadcast offsets, driver state bounded by the
+       bucket count). The rank key is made UNIQUE by the fixed-width
+       zero-padded id suffix (the engine-wide rank-key contract), so
+       the ordering replays identically on any engine.
+    2. The window self-join. |pos_a − pos_b| < window as a THETA join
+       is corpus × corpus; instead side A explodes to its
+       ``window−1`` successor positions and the join is an EQUI-join
+       on the successor ordinal — n·(window−1) rows, bucketed,
+       shuffle-partitioned like any other key join.
+
+    Output: (id_a, id_b, jaccard) for window pairs at or above
+    ``threshold``, ids ordered ascending. Pairs found by BOTH a
+    window slot and similarity — SNM recall is bounded by the key's
+    clustering quality by design (the multi-pass remedy is running
+    this operator again under a second key and unioning)."""
+    from cati_database_feeder_spark.operators.sampling import (
+        global_shuffle_ordinals)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                            r"\s+", " ")
+    key = F.concat(F.rpad(F.substring(norm, 1, key_len),
+                          key_len, " "),
+                   F.lpad(F.col(id_col).cast("string"), 20, "0"))
+    staged = documents.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(T.tokens(F.col(text_col))).alias("toks"))
+    ranked = global_shuffle_ordinals(
+        documents.select(F.col(id_col).alias("id"),
+                         key.alias("__snm_key")),
+        F.col("__snm_key"), [], partitions=partitions, hex_key=False
+    ).select("id", "pos")
+    lead = (ranked.select(F.col("id").alias("id_a"),
+                          F.explode(F.array(*[
+                              F.col("pos") + F.lit(d)
+                              for d in range(1, window)])).alias("pos")))
+    cand = (lead.join(ranked.select(F.col("id").alias("id_b"), "pos"),
+                      "pos")
+            .select("id_a", "id_b"))
+    a = staged.select(F.col("id").alias("id_a"),
+                      F.col("toks").alias("__ta"))
+    b = staged.select(F.col("id").alias("id_b"),
+                      F.col("toks").alias("__tb"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard", F.round(
+                token_jaccard(F.col("__ta"), F.col("__tb")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                    "jaccard"))
+
+
 def token_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
     """Exact token-set Jaccard (JVM-side). PRECONDITION: both arrays
     hold distinct elements (every caller applies ``array_distinct``

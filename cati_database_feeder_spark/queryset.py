@@ -6634,6 +6634,11 @@ SELECT 'nation.n_regionkey->region',
        (SELECT COUNT(*) FROM nation),
        (SELECT COUNT(*) FROM nation n ANTI JOIN region r
          ON n.n_regionkey = r.r_regionkey)
+UNION ALL
+SELECT 'documents.doc_id->embeddings',
+       (SELECT COUNT(*) FROM documents),
+       (SELECT COUNT(*) FROM documents d ANTI JOIN embeddings e
+         ON d.doc_id = e.vec_id)
 """)
 def dq_referential_audit(spark, sf_dir):
     """E87 referential-integrity audit — the data-quality gate a
@@ -6663,7 +6668,13 @@ def dq_referential_audit(spark, sf_dir):
                  ("supplier.s_nationkey->nation",
                   "supplier", "s_nationkey", "nation", "n_nationkey"),
                  ("nation.n_regionkey->region",
-                  "nation", "n_regionkey", "region", "r_regionkey")):
+                  "nation", "n_regionkey", "region", "r_regionkey"),
+                 # the multimodal-consistency relation: a doc with no
+                 # embedding row silently skips the semantic dedup /
+                 # decontamination tier (nonzero at sf0.1 by fixture
+                 # design: 5000 docs, 2000 embeddings)
+                 ("documents.doc_id->embeddings",
+                  "documents", "doc_id", "embeddings", "vec_id")):
         out = out.unionByName(rel(*args))
     return out
 
@@ -6741,6 +6752,189 @@ def text_normalize_dedup(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("keep_id"),
                  F.count_distinct("raw_fp").alias("n_raw_variants")))
+
+
+@register("dedup_sorted_neighborhood", sql=r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+         list_distinct(list_filter(
+             string_split_regex(trim(text), '\s+'),
+             t -> t <> '')) AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id, toks,
+         ROW_NUMBER() OVER (ORDER BY
+             rpad(substr(norm, 1, 16), 16, ' ')
+             || lpad(CAST(doc_id AS VARCHAR), 20, '0')) AS pos
+  FROM base
+),
+cand AS (
+  SELECT a.doc_id AS ia, a.toks AS ta, b.doc_id AS ib, b.toks AS tb
+  FROM r a JOIN r b ON b.pos - a.pos BETWEEN 1 AND 3
+)
+SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+       round(len(list_intersect(ta, tb))
+             / nullif(CAST(len(ta) + len(tb)
+                           - len(list_intersect(ta, tb)) AS DOUBLE),
+                      0.0), 6) AS jaccard
+FROM cand
+WHERE round(len(list_intersect(ta, tb))
+            / nullif(CAST(len(ta) + len(tb)
+                          - len(list_intersect(ta, tb)) AS DOUBLE),
+                     0.0), 6) >= 0.5
+""")
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """E93 Sorted-Neighborhood dedup (Hernández & Stolfo 1995): rank
+    the corpus under a 16-char normalized-prefix blocking key (the
+    literal-bucket ordinal machinery — NEVER row_number over the
+    corpus, the oracle's ROW_NUMBER is deliberately the non-scaling
+    twin), slide a 4-record window via a successor-ordinal EQUI-join
+    (side A explodes to its 3 successor positions — n·3 rows, never a
+    theta join), verify with exact token Jaccard at 0.5. The classic
+    entity-resolution blocking complement to MinHash banding: prefix-
+    agreeing near-dups sort adjacently even when heavy late edits
+    shift their shingle sets (operators/dedup.py:
+    sorted_neighborhood_pairs)."""
+    from cati_database_feeder_spark.operators.dedup import (
+        sorted_neighborhood_pairs)
+    return sorted_neighborhood_pairs(
+        T(spark, sf_dir, "documents"), window=4, threshold=0.5)
+
+
+_DQ_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+_DQ_PROFILE_SQL = ("WITH t AS (SELECT COUNT(*) AS n_rows, "
+                   + ", ".join(
+                       f"COUNT({c}) AS nn_{c}, "
+                       f"COUNT(DISTINCT {c}) AS nd_{c}"
+                       for c in _DQ_PROFILE_COLS)
+                   + " FROM documents)\n"
+                   + "\nUNION ALL\n".join(
+                       f"SELECT '{c}' AS column_name, n_rows, "
+                       f"n_rows - nn_{c} AS n_null, "
+                       f"nd_{c} AS n_distinct FROM t"
+                       for c in _DQ_PROFILE_COLS))
+
+
+@register("dq_null_profile", sql=_DQ_PROFILE_SQL)
+def dq_null_profile(spark, sf_dir):
+    """E92 column-level table profile — the first thing a data-quality
+    pass computes on an unfamiliar table: per column, the row count,
+    NULL count and exact distinct count (nullability drift and
+    cardinality collapse are the two cheapest upstream-break
+    detectors). ONE scan: a single aggregate row carrying count /
+    count(col) / count_distinct(col) per column, unpivoted to one row
+    per column with ``stack`` — no per-column scan, no union of
+    subqueries Spark-side (the oracle's UNION ALL reads one CTE). At
+    100 TB exact distincts on high-cardinality columns are the cost
+    center; swap approx_count_distinct per column under the E11
+    error-bound discipline."""
+    d = T(spark, sf_dir, "documents")
+    cols = _DQ_PROFILE_COLS
+    row = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.count_distinct(c).alias(f"nd_{c}") for c in cols])
+    stack = ("stack(" + str(len(cols)) + ", "
+             + ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+             + ") AS (column_name, __nn, n_distinct)")
+    return (row.select("n_rows", F.expr(stack))
+            .select("column_name", "n_rows",
+                    (F.col("n_rows") - F.col("__nn")).alias("n_null"),
+                    "n_distinct"))
+
+
+@register("text_length_percentiles", sql="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 6) AS p99
+FROM documents GROUP BY source
+""")
+def text_length_percentiles(spark, sf_dir):
+    """E91 per-source length distribution — the tokenizer-budget and
+    truncation-policy report (p99 decides max_seq_len; a source whose
+    p50 collapses signals scraper breakage): exact interpolated
+    p50/p90/p99 of n_chars per source, the events_exact_median
+    discipline applied per group (percentile over exact integer casts
+    — both engines interpolate identically on exact doubles). Exact
+    percentile sorts within each group; sources are bounded here — at
+    a 100 TB per-DOMAIN granularity swap in approx_percentile, the
+    E71 rule."""
+    d = T(spark, sf_dir, "documents")
+    pct = F.percentile(F.col("n_chars").cast("double"),
+                       F.lit([0.5, 0.9, 0.99]))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 pct.alias("__p"))
+            .select("source", "n_docs",
+                    F.round(F.element_at("__p", 1), 6).alias("p50"),
+                    F.round(F.element_at("__p", 2), 6).alias("p90"),
+                    F.round(F.element_at("__p", 3), 6).alias("p99")))
+
+
+@register("events_daily_anomalies", sql="""
+WITH d AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, n_events,
+         COUNT(*) OVER fr AS n_hist,
+         SUM(n_events) OVER fr AS s,
+         SUM(n_events * n_events) OVER fr AS ss
+  FROM d
+  WINDOW fr AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, n_events,
+       round(CAST(s AS DOUBLE) / 7, 6) AS trail_mean,
+       round((n_events - CAST(s AS DOUBLE) / 7)
+             / nullif(sqrt((CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * s / 7) / 7), 0.0),
+             6) AS z_score,
+       coalesce(abs((n_events - CAST(s AS DOUBLE) / 7)
+             / nullif(sqrt((CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * s / 7) / 7), 0.0))
+             > 3.0, FALSE) AS is_anomaly
+FROM w WHERE n_hist = 7
+""")
+def events_daily_anomalies(spark, sf_dir):
+    """E90 time-series anomaly screen — the volume monitor an ingest
+    pipeline alarms on (a collapsed or exploded daily row count is the
+    first symptom of an upstream break): per day, the event count, the
+    trailing-7-day mean, the population z-score against that trailing
+    window, and a |z| > 3 flag. Exact cross-engine: the window carries
+    only BIGINT sums (count, count²) — mean and variance derive from
+    them in fixed IEEE order, so both engines compute identical
+    doubles; days without a full 7-day history are excluded rather
+    than scored against a short window. Scale shape: the corpus-sized
+    work is ONE daily-rollup aggregate with map-side partials; the
+    window then runs over day-grain rows — bounded by the calendar,
+    not the data — so the unpartitioned window is a bounded single
+    task by design (the events_exact_median argument)."""
+    e = T(spark, sf_dir, "events")
+    d = (e.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                   .alias("day"))
+         .agg(F.count(F.lit(1)).alias("n_events")))
+    fr = (Window.orderBy("day").rowsBetween(-7, -1))
+    w = (d.withColumn("n_hist", F.count(F.lit(1)).over(fr))
+         .withColumn("s", F.sum("n_events").over(fr))
+         .withColumn("ss", F.sum(F.col("n_events")
+                                 * F.col("n_events")).over(fr)))
+    mean = F.col("s").cast("double") / 7
+    var = (F.col("ss").cast("double")
+           - F.col("s").cast("double") * F.col("s") / 7) / 7
+    z = (F.col("n_events") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
+    return (w.filter(F.col("n_hist") == 7)
+            .select("day", "n_events",
+                    F.round(mean, 6).alias("trail_mean"),
+                    F.round(z, 6).alias("z_score"),
+                    F.coalesce(F.abs(z) > 3.0, F.lit(False))
+                    .alias("is_anomaly")))
 
 
 # E89: the decontamination-ladder summary — registered LAST among the
@@ -6822,7 +7016,9 @@ _CHECK_ORDER = [
     "multimodal_dhash_store", "ivf_assign_topk_bcast",
     "multimodal_video_pairs", "embedding_label_drift",
     "dq_referential_audit", "skew_key_profile",
-    "decontaminate_ladder_report",
+    "decontaminate_ladder_report", "events_daily_anomalies",
+    "text_length_percentiles", "dq_null_profile",
+    "dedup_sorted_neighborhood",
     # [b] engine path changed in round 11
     "text_ccnet_buckets", "sample_source_cap",
     "text_top_tokens_per_source", "sample_cluster_balanced",
