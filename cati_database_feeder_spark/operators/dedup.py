@@ -413,6 +413,109 @@ def sorted_neighborhood_pairs(documents: DataFrame, window: int = 4,
                     "jaccard"))
 
 
+def tfidf_cosine_pairs(documents: DataFrame, threshold: float = 0.6,
+                       max_df: int | None = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """TF-IDF cosine AllPairs similarity join (Bayardo, Ma & Srikant,
+    WWW 2007 — extension E94): document pairs whose unit-normalized
+    tf·idf vectors have cosine ≥ ``threshold``, found COMPLETELY by
+    maxweight prefix filtering — the cosine sibling of the Jaccard
+    prefix filter (:func:`jaccard_similarity_join`).
+
+    Weighting is deliberately transcendental-free so both engines
+    compute bit-identical doubles (the PPS/E64 rule): w = tf / df
+    (document-frequency reciprocal — the idf family's exact-rational
+    member), normalized by ‖w‖₂ with the squared norm accumulated in
+    DECIMAL (order-free exact) and one correctly-rounded sqrt.
+
+    Completeness argument: fix the global token order df ASC (rare
+    first; ties on token). For a doc's features sorted by that order,
+    ``suffix_bound(i) = Σ_{j≥i} w_j · maxw(token_j)`` (maxw = the
+    corpus-wide max normalized weight of the token) bounds the cosine
+    achievable using only features from position i on — against ANY
+    other vector, since every other weight is ≤ maxw and ‖other‖ = 1.
+    A doc INDEXES feature i iff suffix_bound(i) ≥ t. If two docs
+    shared only non-indexed tokens, their cosine ≤ min of their
+    suffix bounds < t — so every qualifying pair collides on an
+    indexed token. Rare-first ordering makes the non-indexed suffix
+    the COMMON tokens (large df → small maxw), so prefixes are short
+    AND built from rare tokens — few, low-collision candidates
+    (pinned ≡ brute force in tests/test_properties.py).
+
+    ``max_df`` drops tokens present in more than that many docs
+    BEFORE weighting (vectors live over the capped vocabulary, both
+    engines identically) — see the inline comment for why the cap is
+    what makes prefix filtering effective on template-heavy corpora.
+
+    Plan shape: tokenize → (doc, token, tf) counts → df join → decimal
+    norm aggregate → per-doc suffix sums via a window over the doc's
+    own features (bounded by doc length — the sessionize partition
+    argument) → prefix self-equi-join on token → candidate pairs
+    verified by ONE shared-token join with a decimal-accumulated dot.
+    No crossJoin, no corpus window; candidate volume is bounded by
+    rare-token collisions instead of O(n²)."""
+    toks = documents.select(F.col(id_col).alias("id"),
+                            F.explode(T.tokens(F.col(text_col)))
+                            .alias("token"))
+    tf = toks.groupBy("id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(df_, "token")
+    if max_df is not None:
+        # boilerplate vocabulary cap — and the prefix filter's teeth:
+        # without it, NORMALIZATION defeats the maxweight bound (a
+        # short doc dominated by one common token gives that token a
+        # normalized weight ≈ 1, so maxw('the') ≈ 1 and every doc's
+        # trailing common tokens keep suffix bounds above any useful
+        # threshold — measured 12.3M candidates on 5k template-heavy
+        # docs at t=0.9 uncapped). Capping df bounds BOTH the bound's
+        # slack and the per-token collision count: an indexed token
+        # touches ≤ max_df docs. Vectors live over the capped
+        # vocabulary; the oracle replays the identical cap.
+        w = w.filter(F.col("df") <= max_df)
+    w = w.withColumn("w", F.col("tf").cast("double") / F.col("df"))
+    norm = (w.groupBy("id")
+            .agg(F.sqrt(F.sum((F.col("w") * F.col("w"))
+                              .cast("decimal(38,30)"))
+                        .cast("double")).alias("nrm")))
+    feat = (w.join(norm, "id")
+            .withColumn("nw", F.col("w") / F.col("nrm"))
+            .select("id", "token", "df", "nw"))
+    maxw = feat.groupBy("token").agg(F.max("nw").alias("mw"))
+    # suffix bound: running sum of nw·maxw from the END of the doc's
+    # rare-first feature order = a window ordered rare-LAST (df desc)
+    # from unbounded preceding to current row
+    wspec = (Window.partitionBy("id")
+             .orderBy(F.desc("df"), F.desc("token"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    bounded = (feat.join(maxw, "token")
+               .withColumn("sfx", F.sum((F.col("nw") * F.col("mw"))
+                                        .cast("decimal(38,30)"))
+                           .over(wspec).cast("double")))
+    # 1e-9 slack: the bound itself is exact decimal, but nw/mw carry
+    # double rounding — a pair sitting exactly ON the threshold must
+    # never lose its indexed token to a last-ulp wobble (candidate
+    # over-generation is harmless; under-generation is a recall bug)
+    prefix = bounded.filter(F.col("sfx") >= threshold - 1e-9) \
+                    .select("id", "token")
+    cand = (prefix.select(F.col("id").alias("id_a"), "token")
+            .join(prefix.select(F.col("id").alias("id_b"), "token"),
+                  "token")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    fa = feat.select(F.col("id").alias("id_a"), "token",
+                     F.col("nw").alias("wa"))
+    fb = feat.select(F.col("id").alias("id_b"), "token",
+                     F.col("nw").alias("wb"))
+    dots = (cand.join(fa, "id_a").join(fb, ["id_b", "token"])
+            .groupBy("id_a", "id_b")
+            .agg(F.round(F.sum((F.col("wa") * F.col("wb"))
+                               .cast("decimal(38,30)"))
+                         .cast("double"), 6).alias("cosine")))
+    return dots.filter(F.col("cosine") >= threshold)
+
+
 def token_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
     """Exact token-set Jaccard (JVM-side). PRECONDITION: both arrays
     hold distinct elements (every caller applies ``array_distinct``

@@ -6803,6 +6803,54 @@ def dedup_sorted_neighborhood(spark, sf_dir):
         T(spark, sf_dir, "documents"), window=4, threshold=0.5)
 
 
+@register("dedup_tfidf_cosine_pairs", sql=r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+w AS (SELECT doc_id, tf.token, CAST(tf AS DOUBLE) / df AS w
+      FROM tf JOIN df USING (token) WHERE df <= 100),
+nrm AS (SELECT doc_id,
+               sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,30))) AS DOUBLE))
+               AS nrm
+        FROM w GROUP BY 1),
+f AS (SELECT doc_id, token, w / nrm AS nw
+      FROM w JOIN nrm USING (doc_id)),
+d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(SUM(CAST(a.nw * b.nw AS DECIMAL(38,30)))
+                        AS DOUBLE), 6) AS cosine
+      FROM f a JOIN f b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, cosine FROM d WHERE cosine >= 0.9
+""")
+def dedup_tfidf_cosine_pairs(spark, sf_dir):
+    """E94 TF-IDF cosine AllPairs (Bayardo/Ma/Srikant 2007): document
+    pairs with unit-normalized tf·idf cosine ≥ 0.9, found COMPLETELY
+    by maxweight prefix filtering — the cosine sibling of the Jaccard
+    prefix filter, closing the lexical-similarity family (Jaccard =
+    set overlap, cosine = weighted overlap that down-weights boiler-
+    plate tokens by 1/df). Weighting is transcendental-free (tf/df,
+    not log-idf — the E64 rule) and every accumulation is decimal, so
+    the engine's prefix-filtered join and the oracle's brute-force
+    shared-token join produce bit-identical cosines. The oracle IS the
+    non-scaling twin on purpose: it dots every shared-token pair; the
+    engine indexes only rare-first prefixes whose suffix bound clears
+    the threshold (operators/dedup.py:tfidf_cosine_pairs; completeness
+    ≡ brute force property-tested on random corpora)."""
+    from cati_database_feeder_spark.operators.dedup import (
+        tfidf_cosine_pairs)
+    # 0.9 on THIS corpus: the synthetic docs share heavy template
+    # mass (0.6 keeps 53% of all pairs — a near-dup threshold must
+    # sit above the corpus's boilerplate similarity floor; 0.9 keeps
+    # 73 of 124,750 at sf0.01). The operator takes any threshold.
+    return tfidf_cosine_pairs(T(spark, sf_dir, "documents"),
+                              threshold=0.9, max_df=100)
+
+
 _DQ_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
 _DQ_PROFILE_SQL = ("WITH t AS (SELECT COUNT(*) AS n_rows, "
@@ -7018,7 +7066,7 @@ _CHECK_ORDER = [
     "dq_referential_audit", "skew_key_profile",
     "decontaminate_ladder_report", "events_daily_anomalies",
     "text_length_percentiles", "dq_null_profile",
-    "dedup_sorted_neighborhood",
+    "dedup_sorted_neighborhood", "dedup_tfidf_cosine_pairs",
     # [b] engine path changed in round 11
     "text_ccnet_buckets", "sample_source_cap",
     "text_top_tokens_per_source", "sample_cluster_balanced",

@@ -333,3 +333,90 @@ def test_winnow_guarantee_property(spark, a_pre, a_suf, b_pre, b_suf,
     for r in winnow_fingerprints(df, k=4, w=4).collect():
         fps[r["doc_id"]].add(r["fp"])
     assert fps[1] & fps[2]
+
+
+@given(docs=st.lists(_doc, min_size=0, max_size=12),
+       window=st.integers(min_value=2, max_value=5),
+       parts=st.sampled_from([1, 3, 7]))
+@settings(**_SETTINGS)
+def test_sorted_neighborhood_equals_driver_reference(
+        spark, docs, window, parts):
+    """E93 ≡ a driver-computed reference for ANY corpus, window size
+    and partition count: rank by (16-char normalized prefix, padded
+    id), pair every record with its window-1 successors, keep pairs
+    at exact-Jaccard ≥ 0.5. Exercises empty docs (empty token sets →
+    NULL-guarded jaccard), identical prefixes (rank falls through to
+    the id tie-break), and the ordinal machinery across partition
+    counts."""
+    import re as _re
+    from cati_database_feeder_spark.operators.dedup import (
+        sorted_neighborhood_pairs)
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        if rows else spark.createDataFrame([], "doc_id long, text string")
+
+    def key(i, t):
+        norm = _re.sub(r"\s+", " ", t.strip().lower())
+        return norm[:16].ljust(16) + str(i).zfill(20)
+
+    ranked = sorted(rows, key=lambda r: key(*r))
+    want = set()
+    for a_idx, (ai, at) in enumerate(ranked):
+        for b_idx in range(a_idx + 1, min(a_idx + window, len(ranked))):
+            bi, bt = ranked[b_idx]
+            sa, sb = set(at.split()), set(bt.split())
+            union = len(sa | sb)
+            if union == 0:
+                continue
+            j = round(len(sa & sb) / union, 6)
+            if j >= 0.5:
+                want.add((min(ai, bi), max(ai, bi), j))
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in sorted_neighborhood_pairs(
+               df, window=window, threshold=0.5,
+               partitions=parts).collect()}
+    assert got == want
+
+
+@given(docs=st.lists(_doc, min_size=0, max_size=12),
+       threshold=st.sampled_from([0.55, 0.72, 0.9]),
+       max_df=st.sampled_from([None, 3, 6]))
+@settings(**_SETTINGS)
+def test_tfidf_cosine_allpairs_equals_brute_force(
+        spark, docs, threshold, max_df):
+    """E94 completeness: the maxweight-prefix-filtered join must equal
+    the brute-force tf/df-weighted cosine over every pair, for ANY
+    corpus, threshold and df cap — including all-identical docs
+    (cosine 1 clusters), empty docs (no features), and docs emptied BY
+    the cap. The reference mirrors the weighting in plain floats; the
+    round-to-6 on both sides absorbs the decimal-vs-float accumulation
+    difference."""
+    import math
+    from collections import Counter
+    from cati_database_feeder_spark.operators.dedup import (
+        tfidf_cosine_pairs)
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        if rows else spark.createDataFrame([], "doc_id long, text string")
+
+    tfs = {i: Counter(t.split()) for i, t in rows}
+    dfs = Counter(tok for c in tfs.values() for tok in c)
+    vecs = {}
+    for i, c in tfs.items():
+        w = {tok: n / dfs[tok] for tok, n in c.items()
+             if max_df is None or dfs[tok] <= max_df}
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        if nrm > 0:
+            vecs[i] = {tok: x / nrm for tok, x in w.items()}
+    want = set()
+    for i in vecs:
+        for j in vecs:
+            if i < j:
+                shared = set(vecs[i]) & set(vecs[j])
+                c = round(sum(vecs[i][s] * vecs[j][s] for s in shared), 6)
+                if c >= threshold:
+                    want.add((i, j, c))
+    got = {(r["id_a"], r["id_b"], r["cosine"])
+           for r in tfidf_cosine_pairs(df, threshold=threshold,
+                                       max_df=max_df).collect()}
+    assert got == want
