@@ -6933,8 +6933,8 @@ WITH d AS (
 w AS (
   SELECT day, n_events,
          COUNT(*) OVER fr AS n_hist,
-         SUM(n_events) OVER fr AS s,
-         SUM(n_events * n_events) OVER fr AS ss
+         CAST(SUM(n_events) OVER fr AS BIGINT) AS s,
+         CAST(SUM(n_events * n_events) OVER fr AS BIGINT) AS ss
   FROM d
   WINDOW fr AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 )
@@ -6983,6 +6983,85 @@ def events_daily_anomalies(spark, sf_dir):
                     F.round(z, 6).alias("z_score"),
                     F.coalesce(F.abs(z) > 3.0, F.lit(False))
                     .alias("is_anomaly")))
+
+
+# E95: PageRank over the near-dup graph, 3 unrolled iterations — the
+# oracle composes the edge query's registered SQL verbatim (the E89
+# pattern) and unrolls the iterations as CTEs, proving the point that
+# ITERATIVE algorithms stay hash-checkable when the iteration count is
+# part of the contract.
+_PAGERANK_ITER = 3
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    return (f"r{i} AS (SELECT e.dst AS id, 0.15 + 0.85 * "
+            f"CAST(SUM(CAST(r{i-1}.r / deg.deg AS DECIMAL(38,30))) "
+            f"AS DOUBLE) AS r "
+            f"FROM e JOIN r{i-1} ON e.src = r{i-1}.id "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst)")
+
+
+_PAGERANK_SQL = (
+    "WITH pairs AS (SELECT id_a, id_b FROM ("
+    + "{edges}"
+    + ") __edges),\n"
+    "e AS (SELECT id_a AS src, id_b AS dst FROM pairs\n"
+    "      UNION ALL SELECT id_b, id_a FROM pairs),\n"
+    "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),\n"
+    "r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS r FROM deg),\n"
+    + ",\n".join(_pagerank_iter_sql(i)
+                 for i in range(1, _PAGERANK_ITER + 1))
+    + f"\nSELECT r{_PAGERANK_ITER}.id AS doc_id, deg.deg AS degree, "
+    f"round(r{_PAGERANK_ITER}.r, 6) AS pagerank "
+    f"FROM r{_PAGERANK_ITER} JOIN deg ON r{_PAGERANK_ITER}.id = deg.src")
+
+
+@register("graph_pagerank_neardup")
+def graph_pagerank_neardup(spark, sf_dir):
+    """E95 PageRank over the verified near-dup graph (3 iterations,
+    damping 0.85, unnormalized 1.0 init): ranks the HUB duplicates —
+    the docs sitting at the center of large near-dup neighborhoods,
+    which keep-one policies should prefer as survivors (they are the
+    version most other copies derive from) and takedown impact
+    analysis reads first. The new capability CLASS here is an
+    oracle-checked ITERATIVE algorithm: each iteration is one
+    edge-join + one decimal-accumulated aggregate (map-side partials,
+    contributions r/deg are fixed-order IEEE doubles), and the oracle
+    unrolls the same three iterations as CTEs over the edge query's
+    registered SQL verbatim — iteration count is part of the
+    contract, so both engines compute bit-identical ranks. At 100 TB:
+    per-iteration cost is one shuffle on the node key; the iterate-
+    until-convergence form swaps the fixed unroll for the
+    localCheckpoint loop connected_components already uses (same
+    module), trading SQL-oracle-ability for a rows-only gate."""
+    edges = (_jaccard_pairs_stage(spark, sf_dir)
+             .select("id_a", "id_b"))
+    e = (edges.select(F.col("id_a").alias("src"),
+                      F.col("id_b").alias("dst"))
+         .unionByName(edges.select(F.col("id_b").alias("src"),
+                                   F.col("id_a").alias("dst"))))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    r = deg.select(F.col("src").alias("id"),
+                   F.lit(1.0).cast("double").alias("r"))
+    for _ in range(_PAGERANK_ITER):
+        contrib = (e.join(r, e.src == r.id).join(deg, "src")
+                   .select(F.col("dst"),
+                           (F.col("r") / F.col("deg")).alias("c")))
+        r = (contrib.groupBy("dst")
+             .agg((F.lit(0.15) + F.lit(0.85)
+                   * F.sum(F.col("c").cast("decimal(38,30)"))
+                   .cast("double")).alias("r"))
+             .select(F.col("dst").alias("id"), "r"))
+    return (r.join(deg, r.id == deg.src)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("deg").alias("degree"),
+                    F.round("r", 6).alias("pagerank")))
+
+
+# the oracle needs the edge SQL, which is registered above — attach it
+# here (register() without sql defers the ORACLES entry)
+ORACLES["graph_pagerank_neardup"] = _PAGERANK_SQL.format(
+    edges=ORACLES["dedup_token_jaccard_pairs"])
 
 
 # E89: the decontamination-ladder summary — registered LAST among the
@@ -7067,6 +7146,7 @@ _CHECK_ORDER = [
     "decontaminate_ladder_report", "events_daily_anomalies",
     "text_length_percentiles", "dq_null_profile",
     "dedup_sorted_neighborhood", "dedup_tfidf_cosine_pairs",
+    "graph_pagerank_neardup",
     # [b] engine path changed in round 11
     "text_ccnet_buckets", "sample_source_cap",
     "text_top_tokens_per_source", "sample_cluster_balanced",
