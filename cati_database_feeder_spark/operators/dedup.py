@@ -413,10 +413,51 @@ def sorted_neighborhood_pairs(documents: DataFrame, window: int = 4,
                     "jaccard"))
 
 
-def tfidf_cosine_pairs(documents: DataFrame, threshold: float = 0.6,
+def tfidf_features(documents: DataFrame, max_df: int | None = None,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The unit-normalized tf/df feature table (id, token, df, nw) —
+    E94's INDEX, split out so callers can materialize it once: four
+    consumers read it (maxweight table, suffix bounds, both verify
+    sides), and without staging each re-derives tokenize→tf→df→norm
+    from the corpus (measured 24 scans / 46 exchanges in the plan).
+    At 100 TB this is a table written at ingest, exactly like the
+    minhash banding store."""
+    toks = documents.select(F.col(id_col).alias("id"),
+                            F.explode(T.tokens(F.col(text_col)))
+                            .alias("token"))
+    tf = toks.groupBy("id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(df_, "token")
+    if max_df is not None:
+        # boilerplate vocabulary cap — and the prefix filter's teeth:
+        # without it, NORMALIZATION defeats the maxweight bound (a
+        # short doc dominated by one common token gives that token a
+        # normalized weight ≈ 1, so maxw('the') ≈ 1 and every doc's
+        # trailing common tokens keep suffix bounds above any useful
+        # threshold — measured 12.3M candidates on 5k template-heavy
+        # docs at t=0.9 uncapped). Capping df bounds BOTH the bound's
+        # slack and the per-token collision count: an indexed token
+        # touches ≤ max_df docs. Vectors live over the capped
+        # vocabulary; the oracle replays the identical cap.
+        w = w.filter(F.col("df") <= max_df)
+    w = w.withColumn("w", F.col("tf").cast("double") / F.col("df"))
+    norm = (w.groupBy("id")
+            .agg(F.sqrt(F.sum((F.col("w") * F.col("w"))
+                              .cast("decimal(38,30)"))
+                        .cast("double")).alias("nrm")))
+    return (w.join(norm, "id")
+            .withColumn("nw", F.col("w") / F.col("nrm"))
+            .select("id", "token", "df", "nw"))
+
+
+def tfidf_cosine_pairs(documents: DataFrame | None,
+                       threshold: float = 0.6,
                        max_df: int | None = None,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       features: DataFrame | None = None) -> DataFrame:
     """TF-IDF cosine AllPairs similarity join (Bayardo, Ma & Srikant,
     WWW 2007 — extension E94): document pairs whose unit-normalized
     tf·idf vectors have cosine ≥ ``threshold``, found COMPLETELY by
@@ -445,8 +486,11 @@ def tfidf_cosine_pairs(documents: DataFrame, threshold: float = 0.6,
 
     ``max_df`` drops tokens present in more than that many docs
     BEFORE weighting (vectors live over the capped vocabulary, both
-    engines identically) — see the inline comment for why the cap is
-    what makes prefix filtering effective on template-heavy corpora.
+    engines identically) — see :func:`tfidf_features` for why the cap
+    is what makes prefix filtering effective on template-heavy
+    corpora. ``features``: a pre-built (ideally MATERIALIZED)
+    :func:`tfidf_features` frame — four consumers read it, so staging
+    it is the difference between 1 corpus scan and 24.
 
     Plan shape: tokenize → (doc, token, tf) counts → df join → decimal
     norm aggregate → per-doc suffix sums via a window over the doc's
@@ -455,33 +499,8 @@ def tfidf_cosine_pairs(documents: DataFrame, threshold: float = 0.6,
     verified by ONE shared-token join with a decimal-accumulated dot.
     No crossJoin, no corpus window; candidate volume is bounded by
     rare-token collisions instead of O(n²)."""
-    toks = documents.select(F.col(id_col).alias("id"),
-                            F.explode(T.tokens(F.col(text_col)))
-                            .alias("token"))
-    tf = toks.groupBy("id", "token").agg(
-        F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    w = tf.join(df_, "token")
-    if max_df is not None:
-        # boilerplate vocabulary cap — and the prefix filter's teeth:
-        # without it, NORMALIZATION defeats the maxweight bound (a
-        # short doc dominated by one common token gives that token a
-        # normalized weight ≈ 1, so maxw('the') ≈ 1 and every doc's
-        # trailing common tokens keep suffix bounds above any useful
-        # threshold — measured 12.3M candidates on 5k template-heavy
-        # docs at t=0.9 uncapped). Capping df bounds BOTH the bound's
-        # slack and the per-token collision count: an indexed token
-        # touches ≤ max_df docs. Vectors live over the capped
-        # vocabulary; the oracle replays the identical cap.
-        w = w.filter(F.col("df") <= max_df)
-    w = w.withColumn("w", F.col("tf").cast("double") / F.col("df"))
-    norm = (w.groupBy("id")
-            .agg(F.sqrt(F.sum((F.col("w") * F.col("w"))
-                              .cast("decimal(38,30)"))
-                        .cast("double")).alias("nrm")))
-    feat = (w.join(norm, "id")
-            .withColumn("nw", F.col("w") / F.col("nrm"))
-            .select("id", "token", "df", "nw"))
+    feat = (features if features is not None
+            else tfidf_features(documents, max_df, id_col, text_col))
     maxw = feat.groupBy("token").agg(F.max("nw").alias("mw"))
     # suffix bound: running sum of nw·maxw from the END of the doc's
     # rare-first feature order = a window ordered rare-LAST (df desc)

@@ -6842,13 +6842,19 @@ def dedup_tfidf_cosine_pairs(spark, sf_dir):
     the threshold (operators/dedup.py:tfidf_cosine_pairs; completeness
     ≡ brute force property-tested on random corpora)."""
     from cati_database_feeder_spark.operators.dedup import (
-        tfidf_cosine_pairs)
+        tfidf_cosine_pairs, tfidf_features)
     # 0.9 on THIS corpus: the synthetic docs share heavy template
     # mass (0.6 keeps 53% of all pairs — a near-dup threshold must
     # sit above the corpus's boilerplate similarity floor; 0.9 keeps
-    # 73 of 124,750 at sf0.01). The operator takes any threshold.
-    return tfidf_cosine_pairs(T(spark, sf_dir, "documents"),
-                              threshold=0.9, max_df=100)
+    # 300 of 124,750 at sf0.01 under the df<=100 cap). The operator
+    # takes any threshold. The feature table is materialized once
+    # (shared_stage) — four plan branches read it, and in production
+    # it is a table written at ingest like the banding store.
+    feat = shared_stage(
+        spark, f"tfidf_features:{sf_dir}",
+        lambda: tfidf_features(T(spark, sf_dir, "documents"),
+                               max_df=100))
+    return tfidf_cosine_pairs(None, threshold=0.9, features=feat)
 
 
 _DQ_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
@@ -7036,11 +7042,20 @@ def graph_pagerank_neardup(spark, sf_dir):
     module), trading SQL-oracle-ability for a rows-only gate."""
     edges = (_jaccard_pairs_stage(spark, sf_dir)
              .select("id_a", "id_b"))
-    e = (edges.select(F.col("id_a").alias("src"),
-                      F.col("id_b").alias("dst"))
-         .unionByName(edges.select(F.col("id_b").alias("src"),
-                                   F.col("id_a").alias("dst"))))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # e and deg are read by every iteration — materialize once
+    # (shared_stage), the connected_components discipline; each
+    # iteration's rank frame is localCheckpointed so the plan stays
+    # ONE iteration deep instead of nesting all predecessors
+    # (uncheckpointed: 160 scans / 331 exchanges in the audited plan)
+    e = shared_stage(
+        spark, f"pagerank_edges:{sf_dir}",
+        lambda: edges.select(F.col("id_a").alias("src"),
+                             F.col("id_b").alias("dst"))
+        .unionByName(edges.select(F.col("id_b").alias("src"),
+                                  F.col("id_a").alias("dst"))))
+    deg = shared_stage(
+        spark, f"pagerank_deg:{sf_dir}",
+        lambda: e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     r = deg.select(F.col("src").alias("id"),
                    F.lit(1.0).cast("double").alias("r"))
     for _ in range(_PAGERANK_ITER):
@@ -7051,7 +7066,8 @@ def graph_pagerank_neardup(spark, sf_dir):
              .agg((F.lit(0.15) + F.lit(0.85)
                    * F.sum(F.col("c").cast("decimal(38,30)"))
                    .cast("double")).alias("r"))
-             .select(F.col("dst").alias("id"), "r"))
+             .select(F.col("dst").alias("id"), "r")
+             .localCheckpoint(eager=False))
     return (r.join(deg, r.id == deg.src)
             .select(F.col("id").alias("doc_id"),
                     F.col("deg").alias("degree"),
