@@ -6991,6 +6991,53 @@ def events_daily_anomalies(spark, sf_dir):
                     .alias("is_anomaly")))
 
 
+@register("text_distinct_shingles_kmv", sql=_HLL_SHINGLE_SQL_BODY + """
+, hv AS (SELECT DISTINCT
+           CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+         FROM sh),
+bk AS (SELECT h FROM hv ORDER BY h ASC LIMIT 1024),
+m AS (SELECT MAX(h) AS hk, COUNT(*) AS k FROM bk),
+x AS (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_exact FROM sh)
+SELECT x.n_exact,
+       round(CASE WHEN m.k < 1024 THEN CAST(m.k AS DOUBLE)
+             ELSE 1023.0 * 1152921504606846976.0 / m.hk END, 6)
+         AS kmv_est,
+       abs(CASE WHEN m.k < 1024 THEN CAST(m.k AS DOUBLE)
+           ELSE 1023.0 * 1152921504606846976.0 / m.hk END
+           / x.n_exact - 1.0) <= 0.1 AS within_bounds
+FROM x CROSS JOIN m
+""")
+def text_distinct_shingles_kmv(spark, sf_dir):
+    """E96 KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002) —
+    the distinct estimator whose ESTIMATE is value-checked bit-for-bit
+    (E67's HLL register states aren't SQL-expressible, so its gate is
+    a ±5% boolean; the KMV synopsis IS: the k smallest md5-hash64
+    values replay exactly on any engine, and est = (k−1)·2^60 /
+    max-of-bottom-k is one fixed-order IEEE expression — so the
+    oracle checks the estimate itself, with the ±10% accuracy bound
+    (σ ≈ 1/√(k−2) ≈ 3.1% at k=1024) carried as an additional
+    hash-checked boolean). Mergeable like HLL: union bottom-k sets,
+    re-take bottom-k. Scale shape: distinct-hash reduction with
+    map-side partials, then TakeOrderedAndProject (per-partition
+    heaps, never a global sort) for the synopsis; exact count is the
+    test-SF validator, the synopsis the production path. Exact-count
+    convention when the universe fits the synopsis (k < 1024 rows
+    kept): est = k exactly."""
+    sh = _all_doc_shingles(spark, sf_dir)
+    hv = sh.select(text.hash64(F.col("shingle")).alias("h")).distinct()
+    bk = hv.orderBy("h").limit(1024)
+    m = bk.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k"))
+    x = sh.agg(F.count_distinct("shingle").alias("n_exact"))
+    est = F.when(F.col("k") < 1024, F.col("k").cast("double")) \
+           .otherwise(F.lit(1023.0) * F.lit(1152921504606846976.0)
+                      / F.col("hk"))
+    return (x.crossJoin(m)
+            .select("n_exact",
+                    F.round(est, 6).alias("kmv_est"),
+                    (F.abs(est / F.col("n_exact") - 1.0) <= 0.1)
+                    .alias("within_bounds")))
+
+
 # E95: PageRank over the near-dup graph, 3 unrolled iterations — the
 # oracle composes the edge query's registered SQL verbatim (the E89
 # pattern) and unrolls the iterations as CTEs, proving the point that
@@ -7162,7 +7209,7 @@ _CHECK_ORDER = [
     "decontaminate_ladder_report", "events_daily_anomalies",
     "text_length_percentiles", "dq_null_profile",
     "dedup_sorted_neighborhood", "dedup_tfidf_cosine_pairs",
-    "graph_pagerank_neardup",
+    "graph_pagerank_neardup", "text_distinct_shingles_kmv",
     # [b] engine path changed in round 11
     "text_ccnet_buckets", "sample_source_cap",
     "text_top_tokens_per_source", "sample_cluster_balanced",
