@@ -7189,18 +7189,19 @@ def decontaminate_ladder_report(spark, sf_dir):
 # oracle on every pytest run (tests/test_oracle_gate.py) and by
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
-    # -- round-11 rotation, slot budget (50): [a] the five NEW
-    #    round-11 queries (never driver-checked); [b] queries whose
+    # -- round-11 rotation, slot budget (50): [a] the sixteen NEW
+    #    round-11 queries (never driver-checked — new queries always
+    #    outrank refreshes for the driver window); [b] queries whose
     #    engine path changed this round (hybrid per-group rank's
     #    one-collect literal split; quant (lo,hi) read from the
     #    embedding store; wfp pending-sidecar append; dhash store in
     #    the text-store bootstrap; NULL-safe HLL merge); [c] the
     #    r9-driver-green rotation block (round-10 verdict item 1) —
-    #    32 fit the 50 slots, the r9-greens displaced past slot 50
-    #    lead the tail for round 12's window and hold CHECKLOCAL_r11
-    #    greens meanwhile; every tail query has a recorded
-    #    tools/checklocal sf0.01 pass this round (CHECKLOCAL_r11.json,
-    #    92 rows, 0 failed).
+    #    21 fit the remaining slots, the r9-greens displaced past
+    #    slot 50 lead the tail for round 12's window and hold
+    #    CHECKLOCAL_r11 greens meanwhile; every tail query has a
+    #    recorded tools/checklocal sf0.01 pass this round
+    #    (CHECKLOCAL_r11.json, 103 rows, 0 failed).
     # [a] new round-11 queries
     "text_normalize_dedup", "multimodal_audio_pairs",
     "multimodal_dhash_store", "ivf_assign_topk_bcast",
