@@ -7038,6 +7038,48 @@ def text_distinct_shingles_kmv(spark, sf_dir):
                     .alias("within_bounds")))
 
 
+@register("dedup_threshold_sweep")
+def dedup_threshold_sweep(spark, sf_dir):
+    """E97 dedup threshold-tuning dashboard: the verified pair set
+    bucketed into 0.05-wide Jaccard bands (band floor = exact integer
+    arithmetic on jaccard·100 DIV 5, so band edges replay exactly),
+    with pair count and distinct docs touched per band — the report an
+    operator reads before moving a production dedup threshold (how
+    many pairs and how much of the corpus each increment would add or
+    spare). Pure composition over the session's materialized verified-
+    pair stage: two bounded aggregates on work the pair queries
+    already did; the oracle wraps the pair query's registered SQL
+    verbatim (the E89 pattern). Band floors are computed on the
+    ROUNDED jaccard both engines already share, so a pair sitting on
+    a band edge lands identically."""
+    pairs = _jaccard_pairs_stage(spark, sf_dir)
+    band = (F.floor(F.round(F.col("jaccard"), 6) * 100 / 5) * 5
+            ).cast("bigint")
+    docs = (pairs.select(F.col("id_a").alias("doc_id"), band.alias("band"))
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id"),
+                                      band.alias("band"))))
+    return (pairs.groupBy(band.alias("band"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .join(docs.groupBy("band")
+                  .agg(F.count_distinct("doc_id").alias("n_docs")),
+                  "band"))
+
+
+ORACLES["dedup_threshold_sweep"] = (
+    "WITH p AS (SELECT id_a, id_b, jaccard FROM ("
+    + ORACLES["dedup_token_jaccard_pairs"]
+    + ") __p),\n"
+    "b AS (SELECT id_a, id_b,\n"
+    "        CAST(floor(round(jaccard, 6) * 100 / 5) * 5 AS BIGINT)\n"
+    "        AS band FROM p),\n"
+    "d AS (SELECT band, id_a AS doc_id FROM b\n"
+    "      UNION ALL SELECT band, id_b FROM b)\n"
+    "SELECT b.band, COUNT(*) AS n_pairs, dd.n_docs\n"
+    "FROM b JOIN (SELECT band, CAST(COUNT(DISTINCT doc_id) AS BIGINT)\n"
+    "             AS n_docs FROM d GROUP BY band) dd USING (band)\n"
+    "GROUP BY b.band, dd.n_docs")
+
+
 # E95: PageRank over the near-dup graph, 3 unrolled iterations — the
 # oracle composes the edge query's registered SQL verbatim (the E89
 # pattern) and unrolls the iterations as CTEs, proving the point that
@@ -7211,6 +7253,7 @@ _CHECK_ORDER = [
     "text_length_percentiles", "dq_null_profile",
     "dedup_sorted_neighborhood", "dedup_tfidf_cosine_pairs",
     "graph_pagerank_neardup", "text_distinct_shingles_kmv",
+    "dedup_threshold_sweep",
     # [b] engine path changed in round 11
     "text_ccnet_buckets", "sample_source_cap",
     "text_top_tokens_per_source", "sample_cluster_balanced",
