@@ -6991,6 +6991,58 @@ def events_daily_anomalies(spark, sf_dir):
                     .alias("is_anomaly")))
 
 
+@register("embedding_hard_negatives", sql="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(e.v, q.qv)
+           / nullif(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0.0)
+           AS cos_raw
+  FROM e CROSS JOIN q
+  WHERE e.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored WHERE round(cos_raw, 6) < 0.9
+)
+SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+""")
+def embedding_hard_negatives(spark, sf_dir):
+    """E98 hard-negative mining — the contrastive-training data op
+    (embedding-model fine-tuning wants, per anchor, the most similar
+    vectors that are NOT duplicates): top-5 by cosine per query among
+    vectors below the near-dup ceiling 0.9 (rounded on both engines,
+    so the ceiling cuts identically) and excluding self. Ranks are
+    re-densified AFTER the exclusion — the negatives' ranks are
+    contiguous 1..5, which is what a training-pair sampler consumes.
+    Exact brute scoring here is the test-SF validator and shares the
+    brute baseline's scan class (charged once as stage:brute_topk10
+    for the top-k family; this query pays its own pass because the
+    ceiling filter needs ALL scores, not the stage's top-10); the
+    production path swaps the scorer for the IVF/JL coarse tiers with
+    a widened candidate budget — the ceiling + re-rank tail is
+    unchanged."""
+    from cati_database_feeder_spark.operators.similarity import (
+        _topk_output)
+    e = T(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec"))
+         .withColumn("__qn", vectors.norm(F.col("q_vec"))))
+    scored = (e.withColumn("__cn", vectors.norm(F.col("embedding")))
+              .crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .withColumn("cosine", vectors.cosine_from_norms(
+                  F.col("embedding"), F.col("q_vec"),
+                  F.col("__cn"), F.col("__qn")))
+              .filter(F.round("cosine", 6) < 0.9))
+    return _topk_output(scored, "q_id", "vec_id", 5)
+
+
 @register("text_distinct_shingles_kmv", sql=_HLL_SHINGLE_SQL_BODY + """
 , hv AS (SELECT DISTINCT
            CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
@@ -7253,7 +7305,7 @@ _CHECK_ORDER = [
     "text_length_percentiles", "dq_null_profile",
     "dedup_sorted_neighborhood", "dedup_tfidf_cosine_pairs",
     "graph_pagerank_neardup", "text_distinct_shingles_kmv",
-    "dedup_threshold_sweep",
+    "dedup_threshold_sweep", "embedding_hard_negatives",
     # [b] engine path changed in round 11
     "text_ccnet_buckets", "sample_source_cap",
     "text_top_tokens_per_source", "sample_cluster_balanced",
