@@ -6991,6 +6991,37 @@ def events_daily_anomalies(spark, sf_dir):
                     .alias("is_anomaly")))
 
 
+@register("split_kfold_manifest", sql=r"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 5 AS fold
+  FROM documents
+)
+SELECT fold, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM assigned GROUP BY fold
+""")
+def split_kfold_manifest(spark, sf_dir):
+    """E99 deterministic k-fold assignment (k=5) + per-fold manifest —
+    the cross-validation sibling of split_train_holdout (E16): fold =
+    md5-hash64(doc_id) mod k, the portable gate, so fold membership is
+    identical on any engine, any run, any cluster size, and fold i's
+    eval set never leaks into its own training union. Map-only gate +
+    one counted aggregate; combine with the verified-pairs quarantine
+    (split_decontaminated, E45) per fold when near-dup leakage across
+    the fold boundary matters."""
+    d = T(spark, sf_dir, "documents")
+    fold = (text.hash64(F.col("doc_id").cast("string")) % 5)
+    return (d.select(fold.alias("fold"), "doc_id", "n_chars")
+            .groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))
+
+
 @register("embedding_hard_negatives", sql="""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
            FROM embeddings),
@@ -7306,6 +7337,7 @@ _CHECK_ORDER = [
     "dedup_sorted_neighborhood", "dedup_tfidf_cosine_pairs",
     "graph_pagerank_neardup", "text_distinct_shingles_kmv",
     "dedup_threshold_sweep", "embedding_hard_negatives",
+    "split_kfold_manifest",
     # [b] engine path changed in round 11
     "text_ccnet_buckets", "sample_source_cap",
     "text_top_tokens_per_source", "sample_cluster_balanced",

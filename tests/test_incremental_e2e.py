@@ -2009,3 +2009,40 @@ def test_dhash_store_takedown_geometry_pin_and_migration(
     corpus2 = spark.read.parquet(os.path.join(state, "corpus"))
     assert sorted(map(tuple, ing.read_dhash(spark, state).collect())) \
         == _dhash_recompute(spark, corpus2)
+
+
+def test_dhash_partial_append_heals_on_redelivery(
+        spark, tmp_path, monkeypatch):
+    """The E72+ structural crash-safety claim, exercised rather than
+    argued: a crash MID-APPEND leaves whole rows for some docs and
+    nothing for the rest (one row per doc — there is no partial-doc
+    state), and the redelivered batch's id anti-join appends exactly
+    the missing docs. Simulated by an injected append that lands only
+    the first doc's row before crashing."""
+    import pytest as _pytest
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    real = ing._dhash_append_delta
+
+    def partial_then_crash(spark_, state_, delta):
+        real(spark_, state_, delta.orderBy("doc_id").limit(1))
+        raise RuntimeError("injected crash inside dhash append")
+
+    monkeypatch.setattr(ing, "_dhash_append_delta", partial_then_crash)
+    batch = spark.createDataFrame(
+        [(10, "ten eleven twelve thirteen fourteen"),
+         (11, "completely different fresh words here")],
+        ["doc_id", "text"])
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        ing.ingest_batch(spark, batch, state, batch_id=1)
+    monkeypatch.undo()
+    # crash landed doc 10's row but not doc 11's, corpus marker unwritten
+    stored = {r["doc_id"] for r in ing.read_dhash(spark, state).collect()}
+    assert 10 in stored and 11 not in stored
+    # redelivery appends exactly the missing doc; store ≡ recompute
+    ing.ingest_batch(spark, batch, state, batch_id=1)
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert sorted(map(tuple, ing.read_dhash(spark, state).collect())) \
+        == _dhash_recompute(spark, corpus)
