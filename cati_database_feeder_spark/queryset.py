@@ -6991,6 +6991,49 @@ def events_daily_anomalies(spark, sf_dir):
                     .alias("is_anomaly")))
 
 
+@register("events_transition_matrix", sql="""
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+t AS (SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n_transitions
+      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+s AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS tot
+      FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n_transitions,
+       round(CAST(t.n_transitions AS DOUBLE) / s.tot, 6) AS p
+FROM t JOIN s USING (from_type)
+""")
+def events_transition_matrix(spark, sf_dir):
+    """E100 user-journey transition matrix — the first-order Markov
+    report behavioral analytics starts from (which step follows which,
+    with what probability; the model behind next-action prediction and
+    funnel-leak hunting): per user, each event's successor under the
+    deterministic (ts, event_id) order, counted globally per
+    (from, to) pair, row-normalized per from-state with one exact
+    BIGINT division. Scale shape: ONE per-user window (the sessionize
+    bounded-partition argument) carrying only the lead — the
+    transition aggregate is map-side-partial and the normalization
+    join touches k² type-pair rows, model-sized; the unique event_id
+    tie-break makes the successor reproducible on any engine."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select("user_id", "event_type",
+                 F.lead("event_type").over(w).alias("next_type"))
+    t = (o.filter(F.col("next_type").isNotNull())
+         .groupBy(F.col("event_type").alias("from_type"),
+                  F.col("next_type").alias("to_type"))
+         .agg(F.count(F.lit(1)).alias("n_transitions")))
+    s = (t.groupBy("from_type")
+         .agg(F.sum("n_transitions").cast("bigint").alias("tot")))
+    return (t.join(s, "from_type")
+            .select("from_type", "to_type", "n_transitions",
+                    F.round(F.col("n_transitions").cast("double")
+                            / F.col("tot"), 6).alias("p")))
+
+
 @register("split_kfold_manifest", sql=r"""
 WITH assigned AS (
   SELECT doc_id, n_chars,
@@ -7337,7 +7380,7 @@ _CHECK_ORDER = [
     "dedup_sorted_neighborhood", "dedup_tfidf_cosine_pairs",
     "graph_pagerank_neardup", "text_distinct_shingles_kmv",
     "dedup_threshold_sweep", "embedding_hard_negatives",
-    "split_kfold_manifest",
+    "split_kfold_manifest", "events_transition_matrix",
     # [b] engine path changed in round 11
     "text_ccnet_buckets", "sample_source_cap",
     "text_top_tokens_per_source", "sample_cluster_balanced",
