@@ -6995,7 +6995,8 @@ def events_daily_anomalies(spark, sf_dir):
 WITH o AS (
   SELECT user_id, event_type,
          LEAD(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS next_type
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS next_type
   FROM events),
 t AS (SELECT event_type AS from_type, next_type AS to_type,
              COUNT(*) AS n_transitions
