@@ -7207,6 +7207,56 @@ ORACLES["dedup_threshold_sweep"] = (
     "GROUP BY b.band, dd.n_docs")
 
 
+@register("corpus_dataset_card")
+def corpus_dataset_card(spark, sf_dir):
+    """E101 dataset card — the one-row corpus documentation artifact
+    every published training set ships (docs, token mass, source/lang
+    spread, duplication rate): scale counts from one documents pass,
+    near-dup figures from the session's materialized verified-pair
+    stage, duplication rate = docs touched by a ≥0.6 pair / corpus
+    (one exact division, rounded). Composition at both layers — the
+    oracle wraps the pair query's registered SQL verbatim (the E89
+    pattern), so this card hash-breaks if ANY ingredient drifts."""
+    d = T(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).cast("bigint")
+        .alias("total_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"))
+    pairs = _jaccard_pairs_stage(spark, sf_dir)
+    touched = (pairs.select(F.col("id_a").alias("doc_id"))
+               .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+               .agg(F.count_distinct("doc_id").alias("n_dup_docs")))
+    np_ = pairs.agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
+    return (base.crossJoin(np_).crossJoin(touched)
+            .select("n_docs", "total_tokens", "n_sources", "n_langs",
+                    "n_near_dup_pairs", "n_dup_docs",
+                    F.round(F.col("n_dup_docs").cast("double")
+                            / F.col("n_docs"), 6).alias("dup_rate")))
+
+
+ORACLES["corpus_dataset_card"] = (
+    "WITH p AS (SELECT id_a, id_b FROM ("
+    + ORACLES["dedup_token_jaccard_pairs"]
+    + ") __p),\n"
+    "d AS (SELECT COUNT(*) AS n_docs,\n"
+    "  CAST(SUM(len(list_filter(string_split_regex(trim(text),"
+    " '\\s+'), t -> t <> ''))) AS BIGINT) AS total_tokens,\n"
+    "  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,\n"
+    "  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs\n"
+    "  FROM documents),\n"
+    "t AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_dup_docs\n"
+    "      FROM (SELECT id_a AS doc_id FROM p\n"
+    "            UNION ALL SELECT id_b FROM p)),\n"
+    "np AS (SELECT COUNT(*) AS n_near_dup_pairs FROM p)\n"
+    "SELECT d.n_docs, d.total_tokens, d.n_sources, d.n_langs,\n"
+    "       np.n_near_dup_pairs, t.n_dup_docs,\n"
+    "       round(CAST(t.n_dup_docs AS DOUBLE) / d.n_docs, 6)\n"
+    "       AS dup_rate\n"
+    "FROM d CROSS JOIN np CROSS JOIN t")
+
+
 # E95: PageRank over the near-dup graph, 3 unrolled iterations — the
 # oracle composes the edge query's registered SQL verbatim (the E89
 # pattern) and unrolls the iterations as CTEs, proving the point that
@@ -7382,6 +7432,7 @@ _CHECK_ORDER = [
     "graph_pagerank_neardup", "text_distinct_shingles_kmv",
     "dedup_threshold_sweep", "embedding_hard_negatives",
     "split_kfold_manifest", "events_transition_matrix",
+    "corpus_dataset_card",
     # [b] engine path changed in round 11
     "text_ccnet_buckets", "sample_source_cap",
     "text_top_tokens_per_source", "sample_cluster_balanced",
