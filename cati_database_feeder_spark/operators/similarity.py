@@ -1336,3 +1336,199 @@ def jl_ivf_topk(queries: DataFrame, corpus_assigned: DataFrame,
             .filter(F.col("rank") <= k)
             .select(q_id, F.col(c_id),
                     F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+# ---------------------------------------------------------------------
+# Product quantization (E102): m-subspace codebooks, ADC serving
+# ---------------------------------------------------------------------
+
+def _pq_codebook_literal(codebooks: list[list[list[float]]]):
+    """The [m][ks][dsub] codebook tensor as ONE plan literal
+    (array<array<array<double>>>) — same single-Literal-node economics
+    as :func:`_centroid_literal`. A PQ model is m·ks·dsub doubles
+    (8·16·8 = 1 KB here; 8·256·128 = 2 MB at a production 1024-dim /
+    8-bit setup) — small enough for the literal tier at test size;
+    past a few hundred KB ship it like the centroid broadcast tier."""
+    return F.lit([[[float(x) for x in code] for code in sub]
+                  for sub in codebooks])
+
+
+def pq_codebooks_from_seeds(seed_vecs: list[list[float]],
+                            m: int) -> list[list[list[float]]]:
+    """Deterministic untrained codebooks: codebook[s][j] is the j-th
+    seed vector's s-th subspace slice. With the seed set fixed (e.g.
+    the first ks corpus vectors, the _cents16 discipline) every code
+    and every ADC score is replayable in plain SQL — the value-checked
+    twin of the trained path."""
+    dim = len(seed_vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [[[float(x) for x in v[s * dsub:(s + 1) * dsub]]
+             for v in seed_vecs] for s in range(m)]
+
+
+def _pq_code_expr(sub_vec, cb_sub):
+    """Code for one subspace: argmax inner product against the
+    subspace's codebook entries, smallest index on ties — the exact
+    (-ip, j) struct-sort argmin :func:`_nearest_cells_expr` uses, so
+    a SQL oracle replays it with ROW_NUMBER(ORDER BY ip DESC, j)."""
+    pairs = F.transform(cb_sub, lambda c, j: F.struct(
+        (-V.dot(sub_vec, c)).alias("d"), j.cast("int").alias("j")))
+    return F.element_at(F.array_sort(pairs), 1)["j"]
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              out_col: str = "codes") -> DataFrame:
+    """Tag every row with its PQ code word: ``out_col[s]`` = index of
+    the s-th subspace codebook entry nearest (by inner product) to the
+    vector's s-th slice. Map-only, zero shuffle — at 100 TB this runs
+    once at write time and the m-byte codes column is stored next to
+    (or instead of) the float vectors: dim·4 bytes → m bytes, a 32×
+    cut at dim=64/m=8 (512× at production 1k dims)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb = _pq_codebook_literal(codebooks)
+    v = F.col(vec_col)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _pq_code_expr(F.slice(v, s * dsub + 1, dsub),
+                                F.element_at(cb, s + 1)))
+    return df.withColumn(out_col, codes)
+
+
+def _pq_lut_expr(q_vec, cb, m: int, dsub: int):
+    """Per-query ADC lookup table: luts[s][j] = <q_s, codebook[s][j]>
+    — m·ks doubles computed ONCE per query (map-only on the bounded
+    query frame), so scoring a candidate is m array lookups + m adds,
+    never a dim-length fold."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.element_at(cb, s + 1),
+            lambda c: V.dot(F.slice(q_vec, s * dsub + 1, dsub), c)))
+
+
+def _pq_adc_score(codes_col, luts_col):
+    """ADC score: Σ_s luts[s][codes[s]] as a fixed-order left fold
+    from 0.0 — bit-reproducible (SQL replays it as
+    CAST(0 AS DOUBLE) + t0 + ... + t{m-1})."""
+    terms = F.zip_with(codes_col, luts_col,
+                       lambda c, lut: F.element_at(lut, c + 1))
+    return F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+
+
+def pq_adc_topk(queries: DataFrame, codes: DataFrame,
+                codebooks: list[list[list[float]]], k: int = 10,
+                q_id: str = "q_id", q_vec: str = "q_vec",
+                c_id: str = "vec_id", codes_col: str = "codes",
+                budget: int | None = None,
+                corpus: DataFrame | None = None,
+                c_vec: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ code table.
+
+    The serving shape PQ buys at 100 TB: the coarse scan reads the
+    m-byte ``codes`` column ONLY (32-512× fewer bytes than floats),
+    each candidate costs m lookups into the query's precomputed LUT,
+    and ranking is the family-standard two-level top-k — no
+    corpus-length single-task sort. With ``budget`` + ``corpus`` set,
+    the ADC scan keeps a FIXED ``budget`` of candidates per query and
+    an exact float rerank (id equi-join fetch, same tail as jl_topk)
+    emits the final top-k — the compressed tier never decides the
+    final order, only the candidate set. Without them, the raw ADC
+    ranking itself is returned (the value-checked form: every score is
+    a fixed-order fold of literal-codebook dot products, so DuckDB
+    replays codes, LUTs, scores, and ranks bit-for-bit).
+
+    Compose with the IVF cell restriction for sublinearity — PQ
+    compresses the scan, IVF shrinks it; production ANN (IVFADC) is
+    exactly that composition."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb = _pq_codebook_literal(codebooks)
+    ql = queries.select(q_id, q_vec).withColumn(
+        "__luts", _pq_lut_expr(F.col(q_vec), cb, m, dsub))
+    scored = (codes.select(c_id, codes_col)
+              .crossJoin(ql.select(q_id, "__luts"))
+              .withColumn("__adc",
+                          _pq_adc_score(F.col(codes_col), F.col("__luts")))
+              .select(q_id, c_id, "__adc"))
+    if budget is None:
+        ranked = _two_level_rank(scored, q_id,
+                                 [F.desc("__adc"), F.asc(c_id)], k)
+        return ranked.select(q_id, F.col(c_id),
+                             F.round("__adc", 6).alias("adc"), "rank")
+    if corpus is None:
+        raise ValueError("budget set but no corpus to rerank from")
+    cand = _two_level_rank(scored, q_id,
+                           [F.desc("__adc"), F.asc(c_id)], budget,
+                           rank_col="__crank").select(q_id, c_id)
+    full = (cand.join(corpus.select(c_id, c_vec), c_id)
+            .join(queries.select(q_id, q_vec), q_id))
+    scored = (full.withColumn("__cn", V.norm(F.col(c_vec)))
+              .withColumn("__qn", V.norm(F.col(q_vec)))
+              .withColumn("cosine", V.cosine_from_norms(
+                  F.col(c_vec), F.col(q_vec),
+                  F.col("__cn"), F.col("__qn"))))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, F.col(c_id),
+                    F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def train_pq_codebooks(corpus: DataFrame, dim: int, m: int = 8,
+                       ks: int = 16, c_id: str = "vec_id",
+                       c_vec: str = "embedding",
+                       iterations: int = 2) -> list[list[list[float]]]:
+    """Per-subspace Lloyd training, all m subspaces in ONE distributed
+    job per iteration (the train_ivf_centroids discipline applied to
+    PQ): explode each vector into (s, subvec) rows once, assign codes
+    per row against the literal codebook tensor (map-only), re-center
+    with a single (s, code, pos) aggregate — m·ks·dsub collected rows
+    per iteration (1 KB here), re-embedded as the next iteration's
+    literals. Seeding is id % ks (deterministic); a code cell that
+    loses all members keeps its previous entry."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    subs = (corpus.select(
+        F.col(c_id).alias("__id"),
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.cast("int").alias("s"),
+                F.slice(F.col(c_vec), s * dsub + 1, dsub).alias("sv"))))
+        .alias("e"))
+        .select("__id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv")))
+
+    def _rebuild(frame: DataFrame, prev):
+        rows = (frame.select("s", "code", F.posexplode("sv").alias("pos", "x"))
+                .groupBy("s", "code", "pos")
+                .agg(F.avg("x").alias("mu"))
+                .collect())
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            acc.setdefault((int(r["s"]), int(r["code"])), {})[
+                int(r["pos"])] = float(r["mu"])
+        out = []
+        for s in range(m):
+            sub = []
+            for j in range(ks):
+                d = acc.get((s, j))
+                sub.append([d[p] for p in sorted(d)] if d
+                           else prev[s][j])
+            out.append(sub)
+        return out
+
+    seeded = subs.withColumn("code", (F.col("__id") % ks).cast("int"))
+    zero = [[[0.0] * dsub for _ in range(ks)] for _ in range(m)]
+    books = _rebuild(seeded, zero)
+    for _ in range(iterations):
+        cb = _pq_codebook_literal(books)
+        assigned = subs.withColumn(
+            "code", _pq_code_expr(F.col("sv"),
+                                  F.element_at(cb, F.col("s") + 1)))
+        books = _rebuild(assigned, books)
+    return books

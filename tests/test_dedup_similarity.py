@@ -804,3 +804,79 @@ def test_winnow_guarantee_and_boilerplate_cap(spark):
               for r in winnow_fingerprint_pairs(
                   df, k=4, w=4, min_shared=1, max_df=2).collect()}
     assert (1, 2) in capped and (10, 11) not in capped
+
+
+# ---------------------------------------------------------------------
+# E102 product quantization
+# ---------------------------------------------------------------------
+
+def test_pq_encode_codes_shape_and_range(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    seeds = [list(r["embedding"]) for r in
+             emb.filter(F.col("vec_id") < 16).collect()]
+    cbs = similarity.pq_codebooks_from_seeds(seeds, 8)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    rows = similarity.pq_encode(emb, cbs).select("codes").collect()
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_pq_adc_score_equals_reconstructed_dot(spark, sf_dir):
+    """ADC(q, v) must equal <q, reconstruct(codes(v))> — the defining
+    identity of asymmetric distance: the LUT path and the explicit
+    decode-then-dot path are the same sum grouped differently, so they
+    agree to float tolerance (not bit-exactly: different add order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = [list(r["embedding"]) for r in
+             emb.filter(F.col("vec_id") < 16).collect()]
+    cbs = similarity.pq_codebooks_from_seeds(seeds, 8)
+    coded = similarity.pq_encode(emb.limit(20), cbs).collect()
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    qdf = spark.createDataFrame([(0, q)], "q_id int, q_vec array<double>")
+    codes_df = spark.createDataFrame(
+        [(int(r["vec_id"]), [int(c) for c in r["codes"]]) for r in coded],
+        "vec_id int, codes array<int>")
+    adc = {r["vec_id"]: r["adc"] for r in
+           similarity.pq_adc_topk(qdf, codes_df, cbs, k=20).collect()}
+    for r in coded:
+        recon = [x for s, c in enumerate(r["codes"]) for x in cbs[s][c]]
+        want = sum(qi * xi for qi, xi in zip(q, recon))
+        if r["vec_id"] in adc:
+            assert abs(adc[r["vec_id"]] - want) < 1e-6
+
+
+def test_pq_trained_recall_with_rerank(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = similarity.brute_force_topk(q, emb, k=5).collect()
+    books = similarity.train_pq_codebooks(emb, 64, 8, 16, iterations=2)
+    codes = similarity.pq_encode(emb, books).select("vec_id", "codes")
+    approx = similarity.pq_adc_topk(
+        q, codes, books, k=5, budget=64, corpus=emb).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[k] & approx_sets.get(k, set())) / 5
+               for k in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.45
+
+
+def test_pq_geometry_refusals(spark):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codebooks_from_seeds([[0.0] * 10], 4)
+    df = spark.createDataFrame([(1, [0.0] * 10)],
+                               "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.train_pq_codebooks(df, 10, 4, 2)
+    qdf = spark.createDataFrame([(0, [0.0] * 8)],
+                                "q_id int, q_vec array<double>")
+    cdf = spark.createDataFrame([(1, [0, 0])],
+                                "vec_id int, codes array<int>")
+    cbs = [[[0.0] * 4] * 2] * 2
+    with pytest.raises(ValueError, match="no corpus"):
+        similarity.pq_adc_topk(qdf, cdf, cbs, k=1, budget=8)
