@@ -1259,3 +1259,43 @@ def winnow_fingerprint_pairs(documents: DataFrame, k: int = 4,
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
+
+
+def edit_distance_pairs(documents: DataFrame, max_dist: int = 8,
+                        block_len: int = 12, cmp_len: int = 60,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        lang_col: str = "lang") -> DataFrame:
+    """Edit-distance-verified near-dup pairs under equi-join blocking
+    (extension E103 — the Levenshtein rung of the dedup ladder):
+    block on (lang, first ``block_len`` chars of the lowercased
+    whitespace-collapsed text), emit within-block pairs (id_a < id_b)
+    whose ``cmp_len``-char normalized prefixes are within ``max_dist``
+    unit edits. The classic record-linkage verifier for SMALL in-place
+    edits (typo twins, re-punctuated copies) whose token/shingle sets
+    barely move — cheap where Jaccard is blunt, bounded because the
+    comparison is prefix-capped (Levenshtein is O(cmp_len²) per pair,
+    never O(doc²)).
+
+    Scale shape: the blocking join is a plain equi-join (one shuffle
+    on the block key, never a theta join), per-block pair emission is
+    O(m²) in block occupancy — the same data-dependent hazard every
+    blocked pair generator here has; profile with
+    operators/skew.py:key_occupancy_report and tighten ``block_len``
+    (longer key → smaller blocks) before running wide. Verification
+    is JVM codegen (``levenshtein``), exact on both engines, so the
+    operator is fully SQL-oracle-able."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    slim = documents.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("__lang"),
+        F.substring(norm, 1, block_len).alias("__blk"),
+        F.substring(norm, 1, cmp_len).alias("__pfx"))
+    a = slim.select(F.col("id").alias("id_a"), "__lang", "__blk",
+                    F.col("__pfx").alias("__pa"))
+    b = slim.select(F.col("id").alias("id_b"), "__lang", "__blk",
+                    F.col("__pfx").alias("__pb"))
+    return (a.join(b, ["__lang", "__blk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("lev", F.levenshtein("__pa", "__pb").cast("int"))
+            .filter(F.col("lev") <= max_dist)
+            .select("id_a", "id_b", "lev"))

@@ -7517,6 +7517,212 @@ def pq_recall_check(spark, sf_dir):
 
 
 # =====================================================================
+# E103-E106: CDC apply, edit-distance dedup, z-order layout, k-anonymity
+# =====================================================================
+
+@register("cdc_apply_changes", sql="""
+WITH tagged AS (
+  SELECT user_id, event_id, ts, value, event_type,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op
+  FROM events),
+num AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM tagged),
+agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_changes,
+               CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_deletes
+        FROM tagged GROUP BY user_id)
+SELECT n.user_id, n.op AS last_op, n.event_type AS last_event_type,
+       n.value AS last_value,
+       strftime(n.ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       a.n_changes, a.n_deletes
+FROM num n JOIN agg a USING (user_id)
+WHERE n.rn = 1 AND n.op <> 'D'
+""")
+def cdc_apply_changes(spark, sf_dir):
+    """E103 CDC changelog apply (the lakehouse MERGE/APPLY CHANGES
+    shape): fold an insert/update/delete event stream into its
+    current-state snapshot — latest change per key wins by the total
+    (ts, event_id) sequence order, a trailing delete erases the key.
+    Op mapping over the fixture stream: signup→I, error→D, rest→U.
+
+    Scale shape: per-key latest is ONE ``max_by(struct, struct)``
+    aggregate — map-side partial, no per-key window, no corpus sort;
+    the change counts ride the same aggregate. The oracle's
+    ROW_NUMBER is deliberately the non-scaling twin. At 100 TB this
+    is the per-batch state fold a foreachBatch upsert runs before the
+    keyed MERGE (sinks/jdbc.py:merge_upsert is the sink half)."""
+    ev = T(spark, sf_dir, "events")
+    op = (F.when(F.col("event_type") == "signup", F.lit("I"))
+          .when(F.col("event_type") == "error", F.lit("D"))
+          .otherwise(F.lit("U")))
+    tagged = ev.withColumn("op", op)
+    snap = (tagged.groupBy("user_id")
+            .agg(F.max_by(
+                     F.struct("op", "event_type", "value", "ts"),
+                     F.struct("ts", "event_id")).alias("last"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+                 F.sum((F.col("op") == "D").cast("int"))
+                  .cast("bigint").alias("n_deletes")))
+    return (snap.filter(F.col("last.op") != "D")
+            .select("user_id",
+                    F.col("last.op").alias("last_op"),
+                    F.col("last.event_type").alias("last_event_type"),
+                    F.col("last.value").alias("last_value"),
+                    F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss")
+                     .alias("last_ts"),
+                    "n_changes", "n_deletes"))
+
+
+@register("dedup_edit_distance_pairs", sql=r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                1, 60) AS pfx,
+         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                1, 12) AS blk
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS lev
+FROM base a JOIN base b
+  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 8
+""")
+def dedup_edit_distance_pairs(spark, sf_dir):
+    """E104 edit-distance verified near-dup pairs: equi-join blocking
+    on (lang, 12-char normalized prefix), exact Levenshtein over
+    60-char prefixes at <= 8 edits — the record-linkage rung that
+    catches typo twins and re-punctuated copies whose token sets
+    barely move (operators/dedup.py:edit_distance_pairs). Verification
+    cost is prefix-capped per pair; block occupancy is the E47-class
+    hazard, profiled with key_occupancy_report."""
+    from cati_database_feeder_spark.operators.dedup import (
+        edit_distance_pairs)
+    return edit_distance_pairs(T(spark, sf_dir, "documents"),
+                               max_dist=8, block_len=12, cmp_len=60)
+
+
+# Morton/Z-order bit-spread: 16 bits of each dimension interleaved via
+# the standard shift-or-mask ladder — plain integer ops on BOTH engines
+# (Spark: shiftleft/bitwiseAND Column ops; DuckDB: << and &), so the
+# layout is fully SQL-replayable.
+_Z_PROBE = dict(x_lo=40, x_hi=59, y_lo=10, y_hi=14)
+
+
+@register("layout_zorder_manifest", sql=f"""
+WITH pts AS (
+  SELECT user_id AS x,
+         date_diff('day', DATE '2024-01-01', ts) AS y
+  FROM events),
+m AS (SELECT x, y, (x & 65535) AS sx, (y & 65535) AS sy FROM pts),
+s1 AS (SELECT x, y, ((sx | (sx << 8)) & 16711935) AS sx,
+                    ((sy | (sy << 8)) & 16711935) AS sy FROM m),
+s2 AS (SELECT x, y, ((sx | (sx << 4)) & 252645135) AS sx,
+                    ((sy | (sy << 4)) & 252645135) AS sy FROM s1),
+s3 AS (SELECT x, y, ((sx | (sx << 2)) & 858993459) AS sx,
+                    ((sy | (sy << 2)) & 858993459) AS sy FROM s2),
+s4 AS (SELECT x, y, ((sx | (sx << 1)) & 1431655765) AS sx,
+                    ((sy | (sy << 1)) & 1431655765) AS sy FROM s3),
+z AS (SELECT x, y, (sx | (sy << 1)) AS zv FROM s4)
+SELECT CAST(zv >> 26 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+       (MIN(x) <= {_Z_PROBE['x_hi']} AND MAX(x) >= {_Z_PROBE['x_lo']}
+        AND MIN(y) <= {_Z_PROBE['y_hi']} AND MAX(y) >= {_Z_PROBE['y_lo']})
+         AS touches_probe
+FROM z GROUP BY 1
+""")
+def layout_zorder_manifest(spark, sf_dir):
+    """E105 Z-order (Morton) layout manifest — the data-skipping
+    receipt: interleave 16 bits of (user_id, event day) into a Morton
+    ordinal, bucket rows by its top bits (bucket = the file a
+    write-time Z-ORDER BY would put the row in), and emit each
+    bucket's min/max box for BOTH dimensions plus whether a fixed
+    probe rectangle (x∈[40,59], y∈[10,14]) touches it. Z-order keeps
+    both boxes tight simultaneously — a single-dim sort layout makes
+    one stat tight and leaves the other spanning the whole domain, so
+    2-D range scans prune nothing on the second predicate. At 100 TB
+    the bucket ordinal is the write-time sort key and these min/max
+    rows ARE the parquet footer stats the scan planner prunes with;
+    the bit-spread is a map-only integer ladder, the manifest one
+    64-group aggregate."""
+    ev = T(spark, sf_dir, "events")
+
+    def spread16(c):
+        x = c.cast("long").bitwiseAND(F.lit(65535))
+        for sh, mask in ((8, 16711935), (4, 252645135),
+                         (2, 858993459), (1, 1431655765)):
+            x = x.bitwiseOR(F.shiftleft(x, sh)).bitwiseAND(F.lit(mask))
+        return x
+
+    x = F.col("user_id")
+    y = F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date"))
+    zv = spread16(x).bitwiseOR(F.shiftleft(spread16(y), 1))
+    p = _Z_PROBE
+    return (ev.select(x.alias("x"), y.alias("y"), zv.alias("zv"))
+            .groupBy(F.shiftright(F.col("zv"), 26).cast("bigint")
+                     .alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.min("x").cast("bigint").alias("min_x"),
+                 F.max("x").cast("bigint").alias("max_x"),
+                 F.min("y").cast("bigint").alias("min_y"),
+                 F.max("y").cast("bigint").alias("max_y"))
+            .withColumn("touches_probe",
+                        (F.col("min_x") <= p["x_hi"])
+                        & (F.col("max_x") >= p["x_lo"])
+                        & (F.col("min_y") <= p["y_hi"])
+                        & (F.col("max_y") >= p["y_lo"])))
+
+
+@register("dq_k_anonymity", sql="""
+WITH q AS (SELECT c_nationkey, c_mktsegment,
+                  CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_band
+           FROM customer),
+cls AS (SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS sz
+        FROM q GROUP BY 1, 2, 3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(sz) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST((1000000 * SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END))
+            // SUM(sz) AS BIGINT) AS risk_ppm
+FROM cls
+""")
+def dq_k_anonymity(spark, sf_dir):
+    """E106 k-anonymity re-identification screen (privacy DQ, the
+    release-gate sibling of the PII scan E22): group the table by its
+    quasi-identifier tuple (nation, market segment, account-balance
+    thousand-band), count equivalence classes smaller than k=5 and
+    the rows inside them — those rows are re-identifiable by the
+    quasi-identifiers alone and must be generalized or suppressed
+    before release. One two-level aggregate (class sizes, then one
+    summary row), risk share in exact integer ppm — no doubles
+    anywhere. The floor-then-cast banding is the engine-portable form
+    (CAST(double AS int) truncates on Spark but rounds on DuckDB)."""
+    c = T(spark, sf_dir, "customer")
+    cls = (c.select("c_nationkey", "c_mktsegment",
+                    F.floor(F.col("c_acctbal") / 1000.0).cast("int")
+                     .alias("bal_band"))
+           .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+           .agg(F.count(F.lit(1)).alias("sz")))
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("sz").cast("bigint").alias("min_class_size"),
+        F.sum((F.col("sz") < 5).cast("int")).cast("bigint")
+         .alias("classes_below_k"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+         .cast("bigint").alias("rows_at_risk"),
+        F.expr("CAST((1000000 * SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END))"
+               " DIV SUM(sz) AS BIGINT)").alias("risk_ppm"))
+
+
+# =====================================================================
 # Registry ordering
 # =====================================================================
 # The external correctness harness checks queries in registration order
@@ -7545,6 +7751,8 @@ _CHECK_ORDER = [
     #    (CHECKLOCAL_r11.json, 103 rows, 0 failed).
     # [a] new round-11 queries
     "embedding_pq_adc_topk", "pq_recall_check",
+    "cdc_apply_changes", "dedup_edit_distance_pairs",
+    "layout_zorder_manifest", "dq_k_anonymity",
     "text_normalize_dedup", "multimodal_audio_pairs",
     "multimodal_dhash_store", "ivf_assign_topk_bcast",
     "multimodal_video_pairs", "embedding_label_drift",

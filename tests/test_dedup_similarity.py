@@ -880,3 +880,27 @@ def test_pq_geometry_refusals(spark):
     cbs = [[[0.0] * 4] * 2] * 2
     with pytest.raises(ValueError, match="no corpus"):
         similarity.pq_adc_topk(qdf, cdf, cbs, k=1, budget=8)
+
+
+def test_edit_distance_pairs_planted_typo_twin(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight", "en"),
+        (2, "the quick brown fox jumps over the lazy cat tonight", "en"),
+        # same head but different lang — blocked apart
+        (3, "the quick brown fox jumps over the lazy dog tonight", "de"),
+        # different head — different block, never compared
+        (4, "a completely different document about other things", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    got = {(r["id_a"], r["id_b"]): r["lev"]
+           for r in dedup.edit_distance_pairs(df, max_dist=8).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 3  # dog->cat = 3 edits
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_edit_distance_pairs_whitespace_case_normalized(spark):
+    rows = [(1, "Hello   World Example Text", "en"),
+            (2, "hello world example text", "en")]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    got = dedup.edit_distance_pairs(df, max_dist=0).collect()
+    assert len(got) == 1 and got[0]["lev"] == 0
