@@ -1532,3 +1532,58 @@ def train_pq_codebooks(corpus: DataFrame, dim: int, m: int = 8,
                                   F.element_at(cb, F.col("s") + 1)))
         books = _rebuild(assigned, books)
     return books
+
+
+def ivfpq_topk(queries: DataFrame, codes_assigned: DataFrame,
+               corpus: DataFrame, codebooks: list[list[list[float]]],
+               centroid_rows: list[tuple[int, list[float]]],
+               k: int = 10, nprobe: int = 4, budget: int = 64,
+               q_id: str = "q_id", q_vec: str = "q_vec",
+               c_id: str = "vec_id", codes_col: str = "codes",
+               c_vec: str = "embedding", by: str = "ip") -> DataFrame:
+    """IVFADC (E107) — the production ANN composition (Jégou et al.,
+    the faiss IVF-PQ shape): IVF cell restriction for candidate
+    GENERATION (probe ``nprobe`` cells per query, touching
+    ~nprobe/n_cells of the corpus) × PQ asymmetric-distance scoring
+    for the candidates (the m-byte codes column, 32-512× fewer bytes
+    than floats), then a FIXED ``budget`` of survivors per query and
+    an exact full-width rerank. The two compressions are orthogonal:
+    IVF shrinks the scan, PQ shrinks the bytes the surviving scan
+    reads — at 100 TB the table is partitioned by cell with the codes
+    as a sibling narrow column, the probe join prunes partitions
+    (DPP) and ADC prunes bytes.
+
+    ``codes_assigned``: (c_id, cell, codes) — the write-time layout
+    frame (cell assignment and PQ codes are both ingest-time
+    artifacts). Determinism: probes are literal-argmin, codes exact
+    argmax, ADC a fixed-order fold, both ranks id-tie-broken — fully
+    SQL-replayable under fixed codebooks/centroids; the trained form
+    holds a recall gate instead (the family discipline)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb = _pq_codebook_literal(codebooks)
+    ql = queries.select(q_id, q_vec).withColumn(
+        "__luts", _pq_lut_expr(F.col(q_vec), cb, m, dsub))
+    probes = (ql.withColumn("cell", F.explode(
+                  nearest_cells(F.col(q_vec), centroid_rows, nprobe, by)))
+              .select(q_id, "__luts", "cell"))
+    coarse = (codes_assigned.select(c_id, "cell", codes_col)
+              .join(probes, "cell")
+              .withColumn("__adc",
+                          _pq_adc_score(F.col(codes_col), F.col("__luts")))
+              .select(q_id, c_id, "__adc"))
+    cand = _two_level_rank(coarse, q_id,
+                           [F.desc("__adc"), F.asc(c_id)], budget,
+                           rank_col="__crank").select(q_id, c_id)
+    full = (cand.join(corpus.select(c_id, c_vec), c_id)
+            .join(queries.select(q_id, q_vec), q_id))
+    scored = (full.withColumn("__cn", V.norm(F.col(c_vec)))
+              .withColumn("__qn", V.norm(F.col(q_vec)))
+              .withColumn("cosine", V.cosine_from_norms(
+                  F.col(c_vec), F.col(q_vec),
+                  F.col("__cn"), F.col("__qn"))))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, F.col(c_id),
+                    F.round("cosine", 6).alias("cosine"), "rank"))

@@ -904,3 +904,32 @@ def test_edit_distance_pairs_whitespace_case_normalized(spark):
     df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
     got = dedup.edit_distance_pairs(df, max_dist=0).collect()
     assert len(got) == 1 and got[0]["lev"] == 0
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [(int(r["vec_id"]), list(r["embedding"])) for r in
+             emb.filter(F.col("vec_id") < 16).collect()]
+    cbs = similarity.pq_codebooks_from_seeds([v for _, v in cents], 8)
+    codes = (similarity.pq_encode(
+        similarity.assign_cells(emb, cents, by="ip"), cbs)
+        .select("vec_id", "cell", "codes"))
+    q = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = similarity.brute_force_topk(q, emb, k=5).collect()
+    approx = similarity.ivfpq_topk(q, codes, emb, cbs, cents, k=5,
+                                   nprobe=6, budget=128, by="ip").collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[k] & approx_sets.get(k, set())) / 5
+               for k in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.35
+    # every returned rank block is a contiguous 1..n per query
+    ranks = {}
+    for r in approx:
+        ranks.setdefault(r["q_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in ranks.values())
