@@ -7410,7 +7410,11 @@ _PQ_ADC_SUM = " + ".join(
     f"max(CASE WHEN s = {s} THEN ip END)" for s in range(_PQ_M))
 
 
-@register("embedding_pq_adc_topk", sql=f"""
+# shared by embedding_pq_adc_topk AND embedding_pq_adc_topk_store: the
+# in-plan form encodes at query time, the store form reads the
+# ingest-maintained pq column — bit-identical outputs by construction,
+# so one oracle gates both (the embedding_jl_topk_store discipline)
+_PQ_ADC_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cb AS (SELECT vec_id AS j, v FROM e WHERE vec_id < {_PQ_KS}),
 sub AS (SELECT s FROM range(0, {_PQ_M}) t(s)),
@@ -7441,7 +7445,10 @@ ranked AS (SELECT q_id, vec_id, adc_raw,
            FROM scored)
 SELECT q_id, vec_id, round(adc_raw, 6) AS adc, rank
 FROM ranked WHERE rank <= 10
-""")
+"""
+
+
+@register("embedding_pq_adc_topk", sql=_PQ_ADC_TOPK_SQL)
 def embedding_pq_adc_topk(spark, sf_dir):
     """E102 value-checked PQ serving: encode the corpus against FIXED
     seed codebooks (the first 16 vectors' subspace slices — the
@@ -7514,6 +7521,33 @@ def pq_recall_check(spark, sf_dir):
             .select("n_queries",
                     (F.col("__h") / (10.0 * F.col("n_queries")) >= 0.45)
                     .alias("recall_ok")))
+
+
+@register("embedding_pq_adc_topk_store", sql=_PQ_ADC_TOPK_SQL)
+def embedding_pq_adc_topk_store(spark, sf_dir):
+    """E102+ ADC serving off the ingest-MAINTAINED PQ code store: the
+    coarse scan reads the stored ``pq`` column (written per batch by
+    ingest_embeddings_batch under the bootstrap-pinned codebooks —
+    zero serve-time encoding, 32-512× fewer coarse-scan bytes at
+    production dims), ranked by the same per-query LUTs. Shares the
+    oracle VERBATIM with ``embedding_pq_adc_topk``: the stored codes
+    are bit-identical to in-plan encoding under the same codebooks
+    (the pinned centroids ARE the seed vectors), so the store path
+    must reproduce the in-plan top-10 exactly — a stale codebook
+    store, a drifted stored code, or a serving regression
+    hash-mismatches here
+    (streaming/ingest_embeddings.py:pq_serving_frames)."""
+    from cati_database_feeder_spark.operators.similarity import (
+        pq_adc_topk)
+    from cati_database_feeder_spark.streaming.ingest_embeddings import (
+        pq_serving_frames)
+    pq, _floats, books, _cents = pq_serving_frames(
+        spark, _emb_store_dir(spark, sf_dir))
+    q = (T(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    return pq_adc_topk(q, pq, books, k=10, codes_col="pq")
 
 
 # =====================================================================
@@ -7631,8 +7665,9 @@ FROM embeddings WHERE vec_id % 100 = 0
 def ivfpq_recall_check(spark, sf_dir):
     """E107 retrieval contract: recall@10 of the composed IVF×PQ tier
     vs exact brute force must hold >= 0.35 (the IVF-family bar) at
-    the fixed (nprobe=6, budget=128) serving budget. Measured 0.54 at
-    sf0.1 — the composition multiplies both approximations' losses
+    the fixed (nprobe=6, budget=128) serving budget. Measured
+    0.62 / 0.74 / 0.54 at sf0.001/0.01/0.1 — the composition
+    multiplies both approximations' losses
     and these near-isotropic synthetic embeddings are the worst case
     for both (the jl_ivf_recall_check argument); each component's own
     gate holds well above its bar alone."""
@@ -7644,6 +7679,113 @@ def ivfpq_recall_check(spark, sf_dir):
             .select("n_queries",
                     (F.col("h") / (10.0 * F.col("n_queries")) >= 0.35)
                     .alias("recall_ok")))
+
+
+# =====================================================================
+# E109: group-level (entity) holdout split
+# =====================================================================
+
+@register("split_grouped_holdout", sql=r"""
+WITH assigned AS (
+  SELECT user_id, event_type,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
+              THEN 'train' ELSE 'holdout' END AS split
+  FROM events)
+SELECT split,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM assigned GROUP BY split
+""")
+def split_grouped_holdout(spark, sf_dir):
+    """E109 GROUP-level holdout split (sklearn's GroupShuffleSplit
+    shape): the split key is the ENTITY (user), not the row — every
+    event of a user lands in the same fold, so per-user sequence
+    models can't leak a user's own future behavior from train into
+    holdout. The row-level split (E16) is exactly wrong for
+    behavioral data; this is its entity-safe twin, same portable md5
+    gate (identical assignment on any engine at any cluster size),
+    zero driver state, map-only before one manifest aggregate."""
+    ev = T(spark, sf_dir, "events")
+    split = F.when(
+        text.hash64(F.col("user_id").cast("string")) % 100 < 80, "train"
+    ).otherwise("holdout")
+    return (ev.select("user_id", "event_type", split.alias("split"))
+            .groupBy("split")
+            .agg(F.count_distinct("user_id").cast("bigint")
+                 .alias("n_users"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum((F.col("event_type") == "purchase").cast("int"))
+                 .cast("bigint").alias("n_purchases")))
+
+
+# =====================================================================
+# E108: directed cross-source shingle containment
+# =====================================================================
+
+@register("dedup_source_containment", sql=r"""
+WITH tk AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         unnest([array_to_string(tk[i:i+2], ' ')
+                 FOR i IN range(1, len(tk) - 1)]) AS shingle
+  FROM tk WHERE len(tk) >= 3),
+sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source <> b.source
+  GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, i.n_shared,
+       CAST(sa.sz AS BIGINT) AS size_a,
+       CAST((1000000 * i.n_shared) // sa.sz AS BIGINT)
+         AS containment_ppm
+FROM inter i JOIN sizes sa ON sa.source = i.src_a
+""")
+def dedup_source_containment(spark, sf_dir):
+    """E108 directed source-containment matrix: for every ordered
+    source pair, |shingles(A) ∩ shingles(B)| / |shingles(A)| in exact
+    integer ppm — the corpus-overlap dashboard that tells a curator
+    WHICH source is a re-host/subset of which (containment is
+    asymmetric where Jaccard is blind: a small mirror of a big crawl
+    shows ~10⁶ ppm one way, tiny the other). Complements the per-pair
+    near-dup leakage matrix (E40) at source granularity.
+
+    Scale shape: reduce to DISTINCT (source, shingle) FIRST — one
+    dedup shuffle — so a hot shingle contributes at most n_sources
+    rows; the self-join then emits ≤ n_sources² rows per shingle,
+    bounded because the source set is an enumerable catalog (domains
+    roll up to registrable-domain buckets at web scale), never
+    corpus-sized. All counts BIGINT-exact, the share an integer
+    division — no doubles anywhere."""
+    from cati_database_feeder_spark.functions import text as textfn
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("source", textfn.tokens(F.col("text")).alias("toks"))
+    sh = (toks.filter(F.size("toks") >= 3)
+          .select("source",
+                  F.explode(textfn.shingles_from_tokens(F.col("toks"), 3))
+                  .alias("shingle"))
+          .distinct())
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("src_a") != F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
+    return (inter.join(F.broadcast(
+                sizes.select(F.col("source").alias("src_a"),
+                             F.col("sz").alias("size_a"))), "src_a")
+            .select("src_a", "src_b", "n_shared",
+                    F.col("size_a").cast("bigint").alias("size_a"),
+                    F.expr("CAST((1000000 * n_shared) DIV size_a"
+                           " AS BIGINT)").alias("containment_ppm")))
 
 
 # =====================================================================
@@ -7882,6 +8024,8 @@ _CHECK_ORDER = [
     # [a] new round-11 queries
     "embedding_pq_adc_topk", "pq_recall_check",
     "embedding_ivfpq_topk", "ivfpq_recall_check",
+    "embedding_pq_adc_topk_store", "dedup_source_containment",
+    "split_grouped_holdout",
     "cdc_apply_changes", "dedup_edit_distance_pairs",
     "layout_zorder_manifest", "dq_k_anonymity",
     "text_normalize_dedup", "multimodal_audio_pairs",

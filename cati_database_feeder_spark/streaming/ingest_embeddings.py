@@ -69,7 +69,7 @@ from cati_database_feeder_spark.streaming.ingest import (
     _recover_swaps, _state_lock, _swap_write)
 
 _EMB_STORES = ("labels", "vectors", "centroids", "metrics", "deleted",
-               "quant", "planes")
+               "quant", "planes", "pqbooks")
 
 # defaults for the JL projected-vector store (E59's serving tier off
 # maintained state): projection width and the seed of the Gaussian
@@ -165,6 +165,54 @@ def _default_planes(dim: int) -> list[list[float]]:
     return gaussian_hyperplanes(dim, min(JL_PROJ_DIM, dim), seed=JL_PROJ_SEED)
 
 
+def _pq_m_for_dim(dim: int) -> int:
+    """Largest subspace count in (8, 4, 2, 1) dividing the vector
+    width — PQ requires equal-width subspaces, and m=1 (one codebook
+    over the whole vector = plain vector quantization) is the always-
+    valid floor."""
+    for m in (8, 4, 2, 1):
+        if dim % m == 0:
+            return m
+    raise AssertionError("unreachable: every dim is divisible by 1")
+
+
+def _pqbooks_from_cents(cents) -> list[list[list[float]]]:
+    """PQ codebooks derived from the pinned centroid vectors (their
+    subspace slices) — a DERIVABLE parameter store like the plane
+    matrix (regenerable from state that already exists), which is what
+    lets :func:`_heal_or_load` rebuild it after a partial write. A
+    production deployment trains its own
+    (operators/similarity.py:train_pq_codebooks) and pins the result
+    the same way."""
+    from cati_database_feeder_spark.operators.similarity import (
+        pq_codebooks_from_seeds)
+    seeds = [v for _, v in cents]
+    return pq_codebooks_from_seeds(seeds, _pq_m_for_dim(len(seeds[0])))
+
+
+def _pqbooks_frame(spark, books):
+    return spark.createDataFrame(
+        [(s, j, code) for s, sub in enumerate(books)
+         for j, code in enumerate(sub)],
+        "s int, j int, code array<double>")
+
+
+def _load_pqbooks(spark, state_dir: str):
+    rows = (spark.read.parquet(os.path.join(state_dir, "pqbooks"))
+            .collect())
+    if not rows:
+        return None
+    acc: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        acc.setdefault(int(r["s"]), {})[int(r["j"])] = list(r["code"])
+    return [[acc[s][j] for j in sorted(acc[s])] for s in sorted(acc)]
+
+
+def _with_pq(frame, books):
+    from cati_database_feeder_spark.operators.similarity import pq_encode
+    return pq_encode(frame, books, vec_col="embedding", out_col="pq")
+
+
 def _heal_or_load(spark, path: str, loader, regenerate):
     """Load a tiny pinned-parameter store, healing a partial write: a
     dir that exists but cannot be read back as committed rows is a
@@ -219,19 +267,47 @@ def _ensure_derived_stores(spark, state_dir: str, dim: int):
             [(i, p) for i, p in enumerate(_default_planes(dim))],
             "idx int, plane array<double>")
 
+    def _load_b():
+        return _load_pqbooks(spark, state_dir)
+
+    def _regen_b():
+        return _pqbooks_frame(
+            spark, _pqbooks_from_cents(_load_centroids(spark, state_dir)))
+
     lo_hi = _heal_or_load(spark, os.path.join(state_dir, "quant"),
                           _load_q, _regen_q)
     planes = _heal_or_load(spark, os.path.join(state_dir, "planes"),
                            _load_p, _regen_p)
-    missing = [c for c in ("codes", "proj") if c not in store.columns]
+    # Unlike quant (pure function of the stored data) and planes (pure
+    # function of dim + a fixed seed), regenerated pqbooks derive from
+    # the CURRENT centroids — which a retrain may have replaced since
+    # bootstrap. A healed pqbooks store is therefore only consistent
+    # with pq codes recomputed under it: detect the regeneration and
+    # force the column rewrite below, or a post-retrain heal would
+    # silently serve old codes against new books.
+    books_were_valid = False
+    if os.path.exists(os.path.join(state_dir, "pqbooks")):
+        try:
+            books_were_valid = _load_b() is not None
+        except Exception:
+            books_were_valid = False
+    books = _heal_or_load(spark, os.path.join(state_dir, "pqbooks"),
+                          _load_b, _regen_b)
+    missing = [c for c in ("codes", "proj", "pq")
+               if c not in store.columns]
+    if not books_were_valid and "pq" in store.columns:
+        store = store.drop("pq")
+        missing.append("pq")
     if missing:
         out = store
         if "codes" in missing:
             out = _with_codes(out, *lo_hi)
         if "proj" in missing:
             out = _with_proj(out, planes)
+        if "pq" in missing:
+            out = _with_pq(out, books)
         _swap_write_by_cell(out.repartition("cell"), vec_dir)
-    return lo_hi, planes
+    return lo_hi, planes, books
 
 
 
@@ -290,18 +366,26 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
             "idx int, plane array<double>") \
             .coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(state_dir, "planes"))
+        # the PQ codebooks are pinned at bootstrap like the planes —
+        # derived from the pinned centroid vectors' subspace slices, so
+        # a crash-window re-entry overwrites with identical values
+        books = _pqbooks_from_cents(cents)
+        _pqbooks_frame(spark, books).coalesce(1) \
+            .write.mode("overwrite").parquet(
+                os.path.join(state_dir, "pqbooks"))
         n = batch.count()
         _append_metrics(spark, state_dir, batch_id, n, n,
                         pairs.count(), False, True)
-        (_with_proj(_with_codes(
-            assign_cells(batch, cents, "embedding", by), lo, hi), planes)
+        (_with_pq(_with_proj(_with_codes(
+            assign_cells(batch, cents, "embedding", by), lo, hi), planes),
+            books)
          .write.partitionBy("cell").mode("overwrite").parquet(vec_dir))
         pairs.unpersist()
         return
 
     cents = _load_centroids(spark, state_dir)
-    (lo, hi), planes = _ensure_derived_stores(spark, state_dir,
-                                              dim=len(cents[0][1]))
+    (lo, hi), planes, books = _ensure_derived_stores(
+        spark, state_dir, dim=len(cents[0][1]))
     store = spark.read.parquet(vec_dir)
     delta = batch.join(store.select("vec_id"), "vec_id", "left_anti")
     deleted_dir = os.path.join(state_dir, "deleted")
@@ -337,9 +421,9 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
             # vectors append LAST — the commit marker: a crash before
             # this line replays the whole batch (delta still absent
             # from the store), after it the replay dedups to empty
-            (_with_proj(_with_codes(
+            (_with_pq(_with_proj(_with_codes(
                 assign_cells(delta, cents, "embedding", by), lo, hi),
-                planes)
+                planes), books)
              .write.partitionBy("cell").mode("append").parquet(vec_dir))
         finally:
             pairs.unpersist()
@@ -518,6 +602,32 @@ def projected_serving_frames(spark, state_dir: str):
     return (store.select("vec_id", "proj", "cell"),
             store.select("vec_id", "embedding"),
             _load_planes(spark, state_dir))
+
+
+def pq_serving_frames(spark, state_dir: str):
+    """The :func:`operators.similarity.pq_adc_topk` /
+    :func:`operators.similarity.ivfpq_topk` inputs straight off the
+    maintained store: ``(pq_frame, float_frame, codebooks,
+    centroid_rows)`` — the ADC coarse tier scans only (vec_id, pq,
+    cell), the m-byte code column written at ingest under the
+    bootstrap-pinned codebooks (32-512× fewer bytes than the float
+    column at production dims), floats fetched by id for the exact
+    rerank. Read-only: no lock, no migration — a pre-pq store raises
+    with the recipe (any ingest batch migrates it) instead of silently
+    encoding at serve time."""
+    _check_no_pending_migration(state_dir, "pq_serving_frames")
+    vec_dir = os.path.join(state_dir, "vectors")
+    store = spark.read.parquet(vec_dir)
+    if "pq" not in store.columns or not os.path.exists(
+            os.path.join(state_dir, "pqbooks")):
+        raise ValueError(
+            f"pq_serving_frames: {state_dir!r} predates the PQ code "
+            f"store — run one ingest_embeddings_batch (the "
+            f"_ensure_derived_stores migration) before serving ADC")
+    return (store.select("vec_id", "pq", "cell"),
+            store.select("vec_id", "embedding"),
+            _load_pqbooks(spark, state_dir),
+            _load_centroids(spark, state_dir))
 
 
 def start_embedding_ingest(stream: DataFrame, state_dir: str,

@@ -2046,3 +2046,86 @@ def test_dhash_partial_append_heals_on_redelivery(
     corpus = spark.read.parquet(os.path.join(state, "corpus"))
     assert sorted(map(tuple, ing.read_dhash(spark, state).collect())) \
         == _dhash_recompute(spark, corpus)
+
+
+def test_embedding_ingest_maintains_pq_codes(spark, tmp_path):
+    """The vector store carries PQ codes under BOOTSTRAP-pinned
+    codebooks (E102+, the store sibling of the int8/JL columns): every
+    stored code word equals a fresh pq_encode of the stored vector
+    under the pinned books, across batches; the serving accessor feeds
+    pq_adc_topk a pre-encoded coarse tier that returns BIT-IDENTICAL
+    results to in-plan encoding."""
+    from cati_database_feeder_spark.operators.similarity import (
+        pq_adc_topk, pq_encode)
+    from cati_database_feeder_spark.streaming import (
+        ingest_embeddings as ie)
+    cents = [(0, [1.0, 0.0, 0.25, -0.5]), (1, [0.0, 1.0, -0.25, 0.5])]
+    b1 = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 2), 0.5 - i]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    b2 = spark.createDataFrame(
+        [(10, [0.3, -0.4, 1.0, 0.2]), (11, [0.5, 0.5, 0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    state = str(tmp_path / "emb_pq")
+    ie.ingest_embeddings_batch(spark, b1, state, centroid_rows=cents,
+                               threshold=0.8, batch_id=0)
+    books = ie._load_pqbooks(spark, state)
+    # dim 4 → m=4 subspaces of width 1, ks = 2 seed centroids
+    assert len(books) == 4 and len(books[0]) == 2 and len(books[0][0]) == 1
+    ie.ingest_embeddings_batch(spark, b2, state, threshold=0.8, batch_id=1)
+    assert ie._load_pqbooks(spark, state) == books     # pinned
+    store = spark.read.parquet(os.path.join(state, "vectors"))
+    fresh = pq_encode(store.select("vec_id", "embedding", "pq"),
+                      books, out_col="want")
+    assert fresh.filter(F.col("pq") != F.col("want")).count() == 0
+    pq_f, float_f, got_books, got_cents = ie.pq_serving_frames(spark, state)
+    assert got_books == books and got_cents == cents
+    q = b1.limit(2).select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec"))
+    served = sorted(map(tuple, pq_adc_topk(
+        q, pq_f, books, k=3, codes_col="pq").collect()))
+    inplan = sorted(map(tuple, pq_adc_topk(
+        q, pq_encode(store.select("vec_id", "embedding"), books,
+                     out_col="codes"),
+        books, k=3).collect()))
+    assert served == inplan
+
+
+def test_embedding_ingest_migrates_legacy_store_to_pq(spark, tmp_path):
+    """A pre-PQ store (simulated by dropping pqbooks/ and the pq
+    column) migrates on the next ingest: books pinned from the stored
+    centroids, vectors rewritten once, stored codes ≡ fresh encoding;
+    pre-migration serving refuses with the recipe. A healed pqbooks
+    store also forces the code-column rewrite (the post-retrain
+    consistency rule in _ensure_derived_stores)."""
+    import pytest as _pytest
+    from cati_database_feeder_spark.operators.similarity import pq_encode
+    from cati_database_feeder_spark.streaming import (
+        ingest_embeddings as ie)
+    cents = [(0, [1.0, 0.0, 0.0, 0.1]), (1, [0.0, 1.0, 0.0, -0.1])]
+    b1 = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 2), 0.25]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    state = str(tmp_path / "emb_pqleg")
+    ie.ingest_embeddings_batch(spark, b1, state, centroid_rows=cents,
+                               threshold=0.8, batch_id=0)
+    vec_dir = os.path.join(state, "vectors")
+    legacy = (spark.read.parquet(vec_dir)
+              .select("vec_id", "embedding", "codes", "proj", "cell")
+              .repartition("cell").persist())
+    legacy.count()
+    shutil.rmtree(os.path.join(state, "pqbooks"))
+    shutil.rmtree(vec_dir)
+    legacy.write.partitionBy("cell").mode("overwrite").parquet(vec_dir)
+    legacy.unpersist()
+    with _pytest.raises(ValueError, match="predates the PQ code store"):
+        ie.pq_serving_frames(spark, state)
+    b2 = spark.createDataFrame(
+        [(20, [0.2, 0.9, 0.1, 0.0])], "vec_id long, embedding array<double>")
+    ie.ingest_embeddings_batch(spark, b2, state, threshold=0.8, batch_id=1)
+    books = ie._load_pqbooks(spark, state)
+    store = spark.read.parquet(vec_dir)
+    assert store.count() == 6 and "pq" in store.columns
+    fresh = pq_encode(store.select("vec_id", "embedding", "pq"),
+                      books, out_col="want")
+    assert fresh.filter(F.col("pq") != F.col("want")).count() == 0
