@@ -1672,7 +1672,9 @@ def dedup_shingle_jaccard_pairs(spark, sf_dir):
 # Similarity-search pack — north-star E7 (operators/similarity.py)
 # =====================================================================
 
-@register("embedding_cosine_topk", sql="""
+# standalone brute-force top-10 SQL — shared: the embedding_cosine_topk
+# oracle, and (as a nested derived table) the rank-displacement eval
+_COSINE_TOPK_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
            FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
@@ -1690,7 +1692,10 @@ ranked AS (
 )
 SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
 FROM ranked WHERE rank <= 10
-""")
+"""
+
+
+@register("embedding_cosine_topk", sql=_COSINE_TOPK_SQL)
 def embedding_cosine_topk(spark, sf_dir):
     """E7 exact baseline: brute-force cosine top-k, query side broadcast.
     Raw doubles are bit-identical across engines (sequential fold in
@@ -7577,7 +7582,10 @@ def _ivfpq_topk10_stage(spark, sf_dir):
     return shared_stage(spark, f"ivfpq_topk10:{sf_dir}", build)
 
 
-@register("embedding_ivfpq_topk", sql=f"""
+# shared by embedding_ivfpq_topk AND embedding_ivfpq_topk_store (the
+# store reads ingest-written cell + pq columns; bit-equal outputs, one
+# oracle gates both — the jl/int8 store-twin discipline)
+_IVFPQ_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid
           FROM e WHERE vec_id < 16),
@@ -7642,7 +7650,10 @@ ranked AS (
   FROM rr)
 SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
 FROM ranked WHERE rank <= 10
-""")
+"""
+
+
+@register("embedding_ivfpq_topk", sql=_IVFPQ_TOPK_SQL)
 def embedding_ivfpq_topk(spark, sf_dir):
     """E107 IVFADC, value-checked end to end: the production ANN
     composition (faiss IVF-PQ shape) under the fixed seed model — IVF
@@ -7679,6 +7690,129 @@ def ivfpq_recall_check(spark, sf_dir):
             .select("n_queries",
                     (F.col("h") / (10.0 * F.col("n_queries")) >= 0.35)
                     .alias("recall_ok")))
+
+
+@register("embedding_ivfpq_topk_store", sql=_IVFPQ_TOPK_SQL)
+def embedding_ivfpq_topk_store(spark, sf_dir):
+    """E107+ IVFADC off the ingest-MAINTAINED store: BOTH layout
+    artifacts — the cell partition key AND the m-byte pq codes — are
+    read straight from the vectors table as written by
+    ingest_embeddings_batch (zero serve-time assignment or encoding);
+    floats fetched from the same store for the exact rerank. Shares
+    the oracle VERBATIM with ``embedding_ivfpq_topk``: pinned
+    centroids and codebooks make the store path bit-equal to the
+    in-plan form, so centroid drift, code drift, or a serving
+    regression hash-mismatches here
+    (streaming/ingest_embeddings.py:pq_serving_frames)."""
+    from cati_database_feeder_spark.operators.similarity import ivfpq_topk
+    from cati_database_feeder_spark.streaming.ingest_embeddings import (
+        pq_serving_frames)
+    pq, floats, books, cents = pq_serving_frames(
+        spark, _emb_store_dir(spark, sf_dir))
+    q = (T(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    return ivfpq_topk(q, pq, floats, books, cents, k=10, nprobe=6,
+                      budget=128, codes_col="pq", by="ip")
+
+
+# =====================================================================
+# E110-E111: rank-displacement eval + PQ distortion profile
+# =====================================================================
+
+@register("search_rank_displacement", sql=f"""
+SELECT a.q_id,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(SUM(ABS(a.rank - e.rank)) AS BIGINT) AS rank_displacement
+FROM ({_PQ_ADC_TOPK_SQL}) a
+JOIN ({_COSINE_TOPK_SQL}) e
+  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+GROUP BY a.q_id
+""")
+def search_rank_displacement(spark, sf_dir):
+    """E110 ranking-quality eval beyond recall: per query, how many of
+    the PQ-ADC top-10 are also in the exact top-10 (n_common) and the
+    total |rank_adc − rank_exact| displacement over that overlap —
+    exact integers, so the eval itself is value-checked, not just
+    gated. Recall says WHETHER the right items surface; displacement
+    says whether they surface in the right ORDER — the metric that
+    decides if a compressed tier can serve final rankings or only
+    candidate sets. Composes two already-oracled stages (the ADC
+    top-10 and the brute top-10) with one inner join + one bounded
+    aggregate; the oracle nests the two stages' SQL verbatim as
+    derived tables."""
+    adc = (embedding_pq_adc_topk(spark, sf_dir)
+           .select("q_id", "vec_id", F.col("rank").alias("__ra")))
+    ex = (_brute_topk10_stage(spark, sf_dir)
+          .select("q_id", "vec_id", F.col("rank").alias("__re")))
+    return (adc.join(ex, ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"),
+                 F.sum(F.abs(F.col("__ra") - F.col("__re")))
+                 .cast("bigint").alias("rank_displacement")))
+
+
+@register("embedding_pq_distortion", sql=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id AS j, v FROM e WHERE vec_id < {_PQ_KS}),
+sub AS (SELECT s FROM range(0, {_PQ_M}) t(s)),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT e.vec_id, sub.s, cb.j,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, sub.s
+             ORDER BY list_dot_product(e.v[{_PQ_SUB_SLICE}],
+                                       cb.v[{_PQ_SUB_SLICE}]) DESC,
+                      cb.j ASC) AS rn
+    FROM e CROSS JOIN sub CROSS JOIN cb)
+  WHERE rn = 1),
+err AS (
+  SELECT s, sqrt(list_dot_product(d, d)) AS err FROM (
+    SELECT c.s,
+           [e.v[c.s*{_PQ_DSUB}+i] - cb.v[c.s*{_PQ_DSUB}+i]
+            FOR i IN range(1, {_PQ_DSUB} + 1)] AS d
+    FROM codes c
+    JOIN e ON e.vec_id = c.vec_id
+    JOIN cb ON cb.j = c.code))
+SELECT s, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round({{davg}}, 6) AS mean_err,
+       round(MAX(err), 6) AS max_err
+FROM err GROUP BY s
+""".replace("{davg}", "CAST(SUM(CAST(err AS DECIMAL(28,6))) AS DOUBLE)"
+                      " / COUNT(err)"))
+def embedding_pq_distortion(spark, sf_dir):
+    """E111 per-subspace PQ distortion profile — the codebook-health
+    dashboard (the E74 cell-profile idea applied to the quantizer
+    itself): for each subspace, the count, mean, and max euclidean
+    distance between stored sub-vectors and their assigned codebook
+    entry. A subspace whose error dwarfs the others is where the
+    codebook under-fits (retrain candidate, or give that subspace more
+    codes — the product-quantizer tuning loop). Mean over doubles goes
+    through the exact-decimal accumulate (operators/aggregates.dsum)
+    so partial-agg order can't move the hash; per-row errors are
+    sequential-fold IEEE, replayed exactly by the oracle. One
+    corpus-linear map stage, one 8-group aggregate."""
+    from cati_database_feeder_spark.functions import vectors as V
+    from cati_database_feeder_spark.operators.similarity import (
+        _pq_codebook_literal, pq_codebooks_from_seeds)
+    e = T(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks_from_seeds(
+        [v for _, v in _cents16(spark, sf_dir)], _PQ_M)
+    cb = _pq_codebook_literal(cbs)
+    coded = _pq_codes_stage(spark, sf_dir).join(e, "vec_id")
+    errs = coded.select(F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            V.l2_distance(
+                F.slice(F.col("embedding"), s * _PQ_DSUB + 1, _PQ_DSUB),
+                F.element_at(F.element_at(cb, s + 1),
+                             F.element_at(F.col("codes"), s + 1) + 1))
+            .alias("err")))).alias("x")).select("x.s", "x.err")
+    return (errs.groupBy("s")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 F.round(davg(F.col("err")), 6).alias("mean_err"),
+                 F.round(F.max("err"), 6).alias("max_err")))
 
 
 # =====================================================================
@@ -8025,7 +8159,8 @@ _CHECK_ORDER = [
     "embedding_pq_adc_topk", "pq_recall_check",
     "embedding_ivfpq_topk", "ivfpq_recall_check",
     "embedding_pq_adc_topk_store", "dedup_source_containment",
-    "split_grouped_holdout",
+    "split_grouped_holdout", "embedding_ivfpq_topk_store",
+    "search_rank_displacement", "embedding_pq_distortion",
     "cdc_apply_changes", "dedup_edit_distance_pairs",
     "layout_zorder_manifest", "dq_k_anonymity",
     "text_normalize_dedup", "multimodal_audio_pairs",
