@@ -7718,6 +7718,99 @@ def embedding_ivfpq_topk_store(spark, sf_dir):
 
 
 # =====================================================================
+# E112-E113: last-touch attribution + per-entity rank pack
+# =====================================================================
+
+@register("events_last_touch_attribution", sql="""
+WITH p AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+t AS (SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('click', 'view')),
+m AS (
+  SELECT p.user_id, p.event_id,
+         t.event_type AS ttype,
+         epoch_us(p.ts) - epoch_us(t.ts) AS gap_us,
+         ROW_NUMBER() OVER (PARTITION BY p.user_id, p.event_id
+           ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts)
+SELECT coalesce(ttype, 'none') AS attributed,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(gap_us) // (COUNT(gap_us) * 1000) AS BIGINT)
+         AS avg_gap_ms
+FROM m WHERE rn = 1
+GROUP BY 1
+""")
+def events_last_touch_attribution(spark, sf_dir):
+    """E112 last-touch marketing attribution: each purchase is
+    credited to the user's most recent click/view at-or-before it
+    (none → 'none'), summarized as purchases and exact integer mean
+    time-to-convert per attributed channel. Rides the E13 as-of join
+    — ONE shuffle on the user key and a running last() window, never
+    the per-purchase×per-touch range join the oracle deliberately
+    writes as its non-scaling twin (every touch-pair candidate
+    materializes there; hot users make it quadratic). Gap arithmetic
+    in integer microseconds end to end, the mean an integer DIV —
+    divide-by-zero for the 'none' channel is NULL on both engines
+    (operators/joins.py:asof_join_backward)."""
+    from cati_database_feeder_spark.operators.joins import (
+        asof_join_backward)
+    ev = T(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id"))
+    touches = (ev.filter(F.col("event_type").isin("click", "view"))
+               .select("user_id", "ts", "event_id",
+                       F.col("event_type").alias("ttype"),
+                       F.col("ts").alias("tts")))
+    j = asof_join_backward(purchases, touches, on="user_id",
+                           ts_col="ts", tie_col="event_id",
+                           carry_cols=["ttype", "tts"])
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_tts"))
+    return (j.select(F.coalesce(F.col("asof_ttype"), F.lit("none"))
+                     .alias("attributed"), gap.alias("gap_us"))
+            .groupBy("attributed")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+                 F.expr("CAST(SUM(gap_us) DIV (COUNT(gap_us) * 1000)"
+                        " AS BIGINT)").alias("avg_gap_ms")))
+
+
+@register("window_rank_pack", sql="""
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+         NTILE(4) OVER w AS price_quartile,
+         PERCENT_RANK() OVER w AS pr,
+         CUME_DIST() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC))
+SELECT o_custkey, o_orderkey, price_quartile,
+       round(pr, 6) AS pct_rank, round(cd, 6) AS cume_dist
+FROM r
+""")
+def window_rank_pack(spark, sf_dir):
+    """E113 distribution-rank window pack (§2.6 breadth): ntile /
+    percent_rank / cume_dist of each order's price within its
+    CUSTOMER — quartile labels, percentile position, and distribution
+    mass in one window pass. The partition key is deliberately the
+    bounded-cardinality entity (orders per customer are tens, never
+    corpus-shaped), so the plain window is the scale-correct plan —
+    the engine-wide rule that giant groups ride the hybrid rank
+    (E55/E77) and bounded groups ride windows. Total tie-break
+    (price desc, orderkey asc) makes all three functions' doubles
+    exact rationals both engines compute identically."""
+    o = T(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (o.select("o_custkey", "o_orderkey",
+                     F.ntile(4).over(w).alias("price_quartile"),
+                     F.round(F.percent_rank().over(w), 6)
+                     .alias("pct_rank"),
+                     F.round(F.cume_dist().over(w), 6)
+                     .alias("cume_dist")))
+
+
+# =====================================================================
 # E110-E111: rank-displacement eval + PQ distortion profile
 # =====================================================================
 
@@ -8161,6 +8254,7 @@ _CHECK_ORDER = [
     "embedding_pq_adc_topk_store", "dedup_source_containment",
     "split_grouped_holdout", "embedding_ivfpq_topk_store",
     "search_rank_displacement", "embedding_pq_distortion",
+    "events_last_touch_attribution", "window_rank_pack",
     "cdc_apply_changes", "dedup_edit_distance_pairs",
     "layout_zorder_manifest", "dq_k_anonymity",
     "text_normalize_dedup", "multimodal_audio_pairs",

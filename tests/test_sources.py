@@ -131,3 +131,67 @@ def test_poll_export_job_streams_log_tail():
                          download=lambda u: u, poll_interval_s=0.0,
                          on_log=seen.append)
     assert seen == ["started", "validating", "done"]
+
+
+# ---------------------------------------------------------------------
+# E114 JSONL source: declared schema, corrupt-record quarantine
+# ---------------------------------------------------------------------
+
+def _jsonl_fixture(tmp_path):
+    good = ['{"doc_id": 1, "text": "alpha beta", "n": 3}',
+            '{"doc_id": 2, "text": "gamma", "n": 5}']
+    bad = ['{"doc_id": 3, "text": "unterminated',
+           'not json at all']
+    p1 = tmp_path / "shard-000.jsonl"
+    p1.write_text("\n".join(good[:1] + bad[:1]) + "\n")
+    p2 = tmp_path / "shard-001.jsonl"
+    p2.write_text("\n".join(good[1:] + bad[1:]) + "\n")
+    return str(tmp_path / "shard-*.jsonl")
+
+
+def test_jsonl_declared_schema_and_quarantine(spark, tmp_path):
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+    from cati_database_feeder_spark.sources import jsonl
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType()),
+                         StructField("n", IntegerType())])
+    raw = jsonl.read_jsonl(spark, _jsonl_fixture(tmp_path), schema)
+    try:
+        good = jsonl.jsonl_good_rows(raw)
+        assert sorted((r["doc_id"], r["text"], r["n"])
+                      for r in good.collect()) == [
+            (1, "alpha beta", 3), (2, "gamma", 5)]
+        assert good.schema.fieldNames() == ["doc_id", "text", "n"]
+        quarantined = {r["raw_line"] for r in
+                       jsonl.jsonl_quarantine(raw).collect()}
+        assert quarantined == {'{"doc_id": 3, "text": "unterminated',
+                               'not json at all'}
+        assert jsonl.jsonl_scan_report(raw) == {"good": 2, "corrupt": 2}
+    finally:
+        raw.unpersist()
+
+
+def test_jsonl_type_mismatch_quarantines_line(spark, tmp_path):
+    """A line that IS valid JSON but violates the declared schema
+    (string where a long is declared) lands in quarantine, not as a
+    silently-nulled row — the schema-drift guard."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from cati_database_feeder_spark.sources import jsonl
+    p = tmp_path / "drift.jsonl"
+    p.write_text('{"doc_id": 7}\n{"doc_id": "seven"}\n')
+    raw = jsonl.read_jsonl(
+        spark, str(p), StructType([StructField("doc_id", LongType())]))
+    try:
+        assert jsonl.jsonl_scan_report(raw) == {"good": 1, "corrupt": 1}
+    finally:
+        raw.unpersist()
+
+
+def test_jsonl_rejects_reserved_column(spark):
+    import pytest as _pytest
+    from pyspark.sql.types import StringType, StructField, StructType
+    from cati_database_feeder_spark.sources import jsonl
+    with _pytest.raises(ValueError, match="corrupt column is appended"):
+        jsonl.read_jsonl(spark, "/nonexistent", StructType(
+            [StructField(jsonl.CORRUPT_COL, StringType())]))
