@@ -110,6 +110,17 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     queryset._ivf_quantized_topk_stage(spark, sf_dir).count()
     timings["stage:ivf_qz_topk"] = round(time.time() - t0, 3)
+    # PQ codes of the corpus under the fixed seed codebooks (write-time
+    # layout) — consumed by the ADC query, the distortion profile, and
+    # the IVFADC composition
+    t0 = time.time()
+    queryset._pq_codes_stage(spark, sf_dir).count()
+    timings["stage:pq_codes"] = round(time.time() - t0, 3)
+    # composed IVF×PQ top-10 — the hash-checked serving query and its
+    # recall gate read one compute
+    t0 = time.time()
+    queryset._ivfpq_topk10_stage(spark, sf_dir).count()
+    timings["stage:ivfpq_topk"] = round(time.time() - t0, 3)
     # One-time state BOOTSTRAPS, tagged "boot:" — distinct from the
     # shared "stage:" compute so cross-round like-for-like math never
     # has to hand-exclude them (round-10 verdict item 9). These build

@@ -2129,3 +2129,95 @@ def test_embedding_ingest_migrates_legacy_store_to_pq(spark, tmp_path):
     fresh = pq_encode(store.select("vec_id", "embedding", "pq"),
                       books, out_col="want")
     assert fresh.filter(F.col("pq") != F.col("want")).count() == 0
+
+
+# ---------------------------------------------------------------------
+# E115 CDC snapshot store
+# ---------------------------------------------------------------------
+
+_CDC_SCHEMA = "user_id long, seq long, op string, val double"
+
+
+def _cdc_apply_all(spark, rows, state):
+    from cati_database_feeder_spark.streaming import cdc
+    for batch_rows in rows:
+        cdc.apply_changes_batch(
+            spark, spark.createDataFrame(batch_rows, _CDC_SCHEMA),
+            state, key_col="user_id", seq_cols=("seq",))
+
+
+def _cdc_state(spark, state):
+    from cati_database_feeder_spark.streaming import cdc
+    return sorted(map(tuple, cdc.read_snapshot(spark, state).collect()))
+
+
+def test_cdc_incremental_equals_single_fold(spark, tmp_path):
+    """Folding batch-by-batch must equal folding the concatenated
+    changelog in one shot — the recompute-equivalence property every
+    ingest store here pins."""
+    b1 = [(1, 10, "I", 1.0), (2, 11, "I", 2.0), (1, 12, "U", 1.5)]
+    b2 = [(2, 13, "D", 0.0), (3, 14, "I", 3.0)]
+    b3 = [(1, 15, "U", 1.9), (4, 16, "I", 4.0), (4, 17, "D", 0.0)]
+    s_inc, s_one = str(tmp_path / "inc"), str(tmp_path / "one")
+    _cdc_apply_all(spark, [b1, b2, b3], s_inc)
+    _cdc_apply_all(spark, [b1 + b2 + b3], s_one)
+    got = _cdc_state(spark, s_inc)
+    assert got == _cdc_state(spark, s_one)
+    assert got == [(1, 15, "U", 1.9), (3, 14, "I", 3.0)]
+
+
+def test_cdc_redelivery_is_fixed_point(spark, tmp_path):
+    b1 = [(1, 10, "I", 1.0), (2, 11, "I", 2.0)]
+    b2 = [(1, 12, "U", 1.5), (2, 13, "D", 0.0)]
+    state = str(tmp_path / "redeliver")
+    _cdc_apply_all(spark, [b1, b2], state)
+    before = _cdc_state(spark, state)
+    _cdc_apply_all(spark, [b2, b1, b2], state)  # replay, any order
+    assert _cdc_state(spark, state) == before
+
+
+def test_cdc_tombstone_beats_late_older_update(spark, tmp_path):
+    """The out-of-order hazard: an update with an OLDER sequence than
+    the delete arrives after it — the key must stay deleted. A
+    genuinely NEWER insert resurrects it."""
+    state = str(tmp_path / "late")
+    _cdc_apply_all(spark, [[(1, 20, "D", 0.0)]], state)
+    _cdc_apply_all(spark, [[(1, 15, "U", 9.9)]], state)  # late, older
+    assert _cdc_state(spark, state) == []
+    _cdc_apply_all(spark, [[(1, 25, "I", 5.0)]], state)  # newer insert
+    assert _cdc_state(spark, state) == [(1, 25, "I", 5.0)]
+
+
+def test_cdc_streaming_foreach_batch_matches_batch_fold(spark, tmp_path):
+    """The foreachBatch wiring replays the file-shard stream into the
+    same snapshot the one-shot fold produces."""
+    from cati_database_feeder_spark.streaming import cdc
+    rows = ([(i % 7, i, "I" if i % 3 else "U", float(i)) for i in range(40)]
+            + [(3, 100, "D", 0.0)])
+    src = spark.createDataFrame(rows, _CDC_SCHEMA)
+    in_dir = str(tmp_path / "cdc_in")
+    src.repartition(4).write.parquet(in_dir)
+    stream = spark.readStream.schema(src.schema).parquet(in_dir)
+    s_stream = str(tmp_path / "cdc_stream_state")
+
+    def _apply(batch_df, _bid):
+        cdc.apply_changes_batch(batch_df.sparkSession, batch_df,
+                                s_stream, key_col="user_id",
+                                seq_cols=("seq",))
+    q = (stream.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    s_batch = str(tmp_path / "cdc_batch_state")
+    _cdc_apply_all(spark, [rows], s_batch)
+    assert _cdc_state(spark, s_stream) == _cdc_state(spark, s_batch)
+
+
+def test_cdc_missing_op_column_refuses(spark, tmp_path):
+    import pytest as _pytest
+    from cati_database_feeder_spark.streaming import cdc
+    df = spark.createDataFrame([(1, 2, 3.0)], "user_id long, seq long, val double")
+    with _pytest.raises(ValueError, match="missing op column"):
+        cdc.apply_changes_batch(spark, df, str(tmp_path / "x"),
+                                key_col="user_id", seq_cols=("seq",))
