@@ -7718,6 +7718,32 @@ def embedding_ivfpq_topk_store(spark, sf_dir):
 
 
 # =====================================================================
+# E83+: audio-fingerprint serving twin off the maintained store
+# =====================================================================
+
+@register("multimodal_audio_store", sql="""
+SELECT doc_id,
+       CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS ahash
+FROM documents WHERE doc_id % 40 != 0
+""")
+def multimodal_audio_store(spark, sf_dir):
+    """E83+ store-backed serving twin — the audio sibling of
+    multimodal_dhash_store, completing the modality-generic
+    fingerprint-store discipline (text winnowing / image dHash /
+    audio envelope all maintain the same id-keyed one-row-per-doc
+    shape): the fingerprint table read from the MAINTAINED ``afp/``
+    store, NO payload bytes touched at query time. The oracle REPLAYS
+    the fingerprint from the payloads themselves (text bytes ride the
+    deterministic fake tier = the engine's hash64 convention) over
+    the store's corpus slice, so store CONTENT drift — a stale row
+    after takedown, a missed batch — hash-mismatches, not just row
+    counts (streaming/ingest.py:read_afp)."""
+    from cati_database_feeder_spark.streaming.ingest import read_afp
+    return (read_afp(spark, _text_store_dir(spark, sf_dir))
+            .select("doc_id", "ahash"))
+
+
+# =====================================================================
 # E112-E113: last-touch attribution + per-entity rank pack
 # =====================================================================
 
@@ -8255,6 +8281,7 @@ _CHECK_ORDER = [
     "split_grouped_holdout", "embedding_ivfpq_topk_store",
     "search_rank_displacement", "embedding_pq_distortion",
     "events_last_touch_attribution", "window_rank_pack",
+    "multimodal_audio_store",
     "cdc_apply_changes", "dedup_edit_distance_pairs",
     "layout_zorder_manifest", "dq_k_anonymity",
     "text_normalize_dedup", "multimodal_audio_pairs",

@@ -119,7 +119,8 @@ from cati_database_feeder_spark.operators.graph import (
 
 _STORES = ("labels", "corpus", "buckets", "members", "reps", "metrics",
            "pairs", "deleted", "cms", "cbloom", "cms_pending",
-           "cbloom_pending", "hll", "wfp", "wfp_pending", "dhash")
+           "cbloom_pending", "hll", "wfp", "wfp_pending", "dhash",
+           "afp")
 
 _LOCK_NAME = "_LOCK"
 _DELETE_PENDING = "_DELETE_PENDING"
@@ -773,6 +774,91 @@ def _dhash_append_delta(spark, state_dir: str, delta: DataFrame) -> None:
      .write.mode("append").parquet(dhash_dir))
 
 
+# afp/ store: maintained audio fingerprints (E83+) — the third
+# modality's id-keyed fingerprint table, structurally IDENTICAL to
+# dhash/: one (doc_id, ahash, real) row per document, plain append
+# crash-safe behind the id anti-join (one row per doc — no
+# half-fingerprinted doc is possible), takedown an exact row delete,
+# hash geometry pinned at bootstrap via a negative-id sentinel. The
+# modality-generic store discipline: winnowing fps (text), dHash
+# (image), envelope hash (audio) all maintain the same shape, and
+# hamming_near_dup_pairs serves any of them.
+_AFP_DIMS_ID = -2  # sentinel row: ahash = fingerprint bit width
+
+
+def _afp_geometry() -> int:
+    from cati_database_feeder_spark.sources import multimodal as mm
+    return mm.AUDIO_HASH_BITS
+
+
+def _afp_frame(spark, docs: DataFrame) -> DataFrame:
+    """(doc_id, ahash, real) envelope fingerprints of the docs'
+    payload bytes (text cast to binary — the test-adapter payload; a
+    real audio corpus feeds its binary column through the same
+    kernel) via the three-tier decode ladder
+    (sources/multimodal.py:audio_fingerprint), plus the geometry
+    sentinel row."""
+    from cati_database_feeder_spark.sources import multimodal as mm
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("audio").alias("media_type"),
+        F.lit(None).cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int>")
+        .alias("meta"))
+    hashes = (mm.audio_fingerprint(media)
+              .select(F.col("media_id").alias("doc_id"), "ahash", "real"))
+    dims = spark.createDataFrame(
+        [(_AFP_DIMS_ID, _afp_geometry(), False)],
+        "doc_id long, ahash long, real boolean")
+    return hashes.unionByName(dims)
+
+
+def read_afp(spark, state_dir: str) -> DataFrame:
+    """The maintained audio-fingerprint table, sentinel stripped."""
+    return (spark.read.parquet(os.path.join(state_dir, "afp"))
+            .filter(F.col("doc_id") != _AFP_DIMS_ID))
+
+
+def _ensure_afp_store(spark, state_dir: str) -> None:
+    """One-time migration for pre-afp state dirs (one corpus decode
+    pass); on maintained dirs verifies the BOOTSTRAP-PINNED bit width
+    — mixed-width fingerprints never compare, so a mismatch refuses.
+    A sentinel-less dir is a partial write → rebuild."""
+    afp_dir = os.path.join(state_dir, "afp")
+    geom = _afp_geometry()
+    if os.path.exists(afp_dir):
+        rows = (spark.read.parquet(afp_dir)
+                .filter(F.col("doc_id") == _AFP_DIMS_ID)
+                .select("ahash").collect())
+        if rows and int(rows[0]["ahash"]) != geom:
+            raise StateLockError(
+                f"afp store at {afp_dir!r} was bootstrapped with a "
+                f"{int(rows[0]['ahash'])}-bit fingerprint but this "
+                f"ingest is configured for {geom} bits — the geometry "
+                f"is pinned at bootstrap (mixed-width fingerprints are "
+                f"silently incomparable); use the stored width or "
+                f"rebuild the store.")
+        if rows:
+            return
+        shutil.rmtree(afp_dir)
+    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
+    _swap_write(_afp_frame(spark, corpus), afp_dir)
+
+
+def _afp_append_delta(spark, state_dir: str, delta: DataFrame) -> None:
+    """Append the delta's fingerprints behind the id anti-join replay
+    guard — one row per doc, crash-safe plain append (the dhash
+    argument)."""
+    afp_dir = os.path.join(state_dir, "afp")
+    existing = (spark.read.parquet(afp_dir).select("doc_id")
+                .distinct())
+    (_afp_frame(spark, delta)
+     .filter(F.col("doc_id") != _AFP_DIMS_ID)
+     .join(existing, "doc_id", "left_anti")
+     .write.mode("append").parquet(afp_dir))
+
+
 def _sk_ensure_store(spark, state_dir: str, name: str, cells_of,
                      d1: int, d2: int) -> None:
     """One-time migration for state dirs predating the ``name`` sketch
@@ -1128,6 +1214,8 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
          .parquet(os.path.join(state_dir, "wfp")))
         (_dhash_frame(spark, batch).write.mode("overwrite")
          .parquet(os.path.join(state_dir, "dhash")))
+        (_afp_frame(spark, batch).write.mode("overwrite")
+         .parquet(os.path.join(state_dir, "afp")))
         # metrics BEFORE the corpus commit marker: a crash between the
         # two replays the whole bootstrap (corpus absent) and appends a
         # duplicate row with the same batch_id — at-least-once, which
@@ -1149,6 +1237,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
     _ensure_hll_store(spark, state_dir)
     _ensure_wfp_store(spark, state_dir)
     _ensure_dhash_store(spark, state_dir)
+    _ensure_afp_store(spark, state_dir)
     fr = _incremental_frames(spark, state_dir, batch, threshold,
                              num_hashes, bands)
     # persist the per-batch frames every downstream branch consumes;
@@ -1222,6 +1311,8 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # only dhash/ + the delta); one row per doc makes the plain
         # append crash-safe without a sidecar
         _dhash_append_delta(spark, state_dir, delta)
+        # afp append: the third modality, same argument
+        _afp_append_delta(spark, state_dir, delta)
         # metrics BEFORE the corpus commit marker (same argument as the
         # bootstrap branch): a crash in between replays the batch and
         # appends a duplicate batch_id row — at-least-once — where the
@@ -1346,7 +1437,7 @@ def _compact_state_locked(spark, state_dir: str,
     # one row per batch → one file, not n near-empty ones
     for name, parts in (("members", n), ("reps", n), ("metrics", 1),
                         ("pairs", n), ("deleted", 1), ("hll", 1),
-                        ("wfp", n), ("dhash", n)):
+                        ("wfp", n), ("dhash", n), ("afp", n)):
         d = os.path.join(state_dir, name)
         if os.path.exists(d):
             _swap_write(spark.read.parquet(d).repartition(parts), d)
@@ -1609,6 +1700,11 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
         if os.path.exists(dhash_dir):
             _swap_write(spark.read.parquet(dhash_dir)
                         .join(tomb, "doc_id", "left_anti"), dhash_dir)
+        # afp takedown: identical exact row delete
+        afp_dir = os.path.join(state_dir, "afp")
+        if os.path.exists(afp_dir):
+            _swap_write(spark.read.parquet(afp_dir)
+                        .join(tomb, "doc_id", "left_anti"), afp_dir)
         _swap_write(corpus.join(tomb, "doc_id", "left_anti"), corpus_dir)
     except BaseException:
         raise  # marker stays: the refusal gate routes to a retry

@@ -2221,3 +2221,63 @@ def test_cdc_missing_op_column_refuses(spark, tmp_path):
     with _pytest.raises(ValueError, match="missing op column"):
         cdc.apply_changes_batch(spark, df, str(tmp_path / "x"),
                                 key_col="user_id", seq_cols=("seq",))
+
+
+# ---------------------------------------------------------------------
+# E83+ audio-fingerprint store (the dhash sibling)
+# ---------------------------------------------------------------------
+
+def _afp_recompute(spark, docs):
+    from cati_database_feeder_spark.streaming import ingest as ing
+    return sorted(map(tuple, (ing._afp_frame(spark, docs)
+                              .filter(F.col("doc_id")
+                                      != ing._AFP_DIMS_ID)
+                              .collect())))
+
+
+def test_afp_store_multi_batch_equals_recompute_and_replays(
+        spark, tmp_path):
+    """The maintained audio-fingerprint store (E83+): across
+    bootstrap + a batch (with an exact-dup replay inside it) the store
+    equals a from-scratch fingerprint pass over the final corpus;
+    re-ingesting the identical batch changes nothing. One row per doc
+    — the dhash structural crash-safety property."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS1, ["doc_id", "text"]), state, batch_id=1)
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    stored = sorted(map(tuple, ing.read_afp(spark, state).collect()))
+    assert stored == _afp_recompute(spark, corpus)
+    assert len(stored) == corpus.count()
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS1, ["doc_id", "text"]), state, batch_id=1)
+    assert sorted(map(tuple, ing.read_afp(spark, state).collect())) \
+        == stored
+
+
+def test_afp_store_takedown_geometry_pin_and_migration(
+        spark, tmp_path, monkeypatch):
+    """Takedown = exact row delete; width mismatch refuses on the
+    pinned sentinel; a legacy dir (no afp/) migrates once from the
+    corpus on the next batch."""
+    from cati_database_feeder_spark.streaming import ingest as ing
+    state = str(tmp_path / "state")
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS0, ["doc_id", "text"]), state, batch_id=0)
+    ing.delete_docs(spark, state, [2])
+    corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert sorted(map(tuple, ing.read_afp(spark, state).collect())) \
+        == _afp_recompute(spark, corpus)
+    with pytest.raises(ing.StateLockError, match="pinned at bootstrap"):
+        monkeypatch.setattr(ing, "_afp_geometry", lambda: 48)
+        ing._ensure_afp_store(spark, state)
+    monkeypatch.undo()
+    shutil.rmtree(os.path.join(state, "afp"))
+    ing.ingest_batch(spark, spark.createDataFrame(
+        _WFP_DOCS1, ["doc_id", "text"]), state, batch_id=1)
+    corpus2 = spark.read.parquet(os.path.join(state, "corpus"))
+    assert sorted(map(tuple, ing.read_afp(spark, state).collect())) \
+        == _afp_recompute(spark, corpus2)
