@@ -7935,6 +7935,109 @@ def embedding_pq_distortion(spark, sf_dir):
 
 
 # =====================================================================
+# E116-E117: KLL quantile sketch + theta-sketch containment
+# =====================================================================
+
+@register("events_value_quantiles_kll", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+FROM events
+""")
+def events_value_quantiles_kll(spark, sf_dir):
+    """E116 mergeable quantile sketch (Datasketches KLL via built-in
+    JVM aggregates — the quantile sibling of the E67 HLL tier): one
+    KLL sketch PER EVENT TYPE, merged with ``kll_merge_agg`` into the
+    global sketch, quantile estimates read off the merged sketch —
+    the shard-union shape a 100 TB deployment uses (per-partition
+    sketches merged at read, never a global sort; exact percentiles
+    at that scale cost a full shuffle per query). Gated the E67 way:
+    the EXACT rank of each estimate (one count-aggregate per bound)
+    must sit within ±0.02 of its target quantile — measured deviation
+    ≤ 0.0025 at sf0.01 vs KLL's ~1.65% design bound at k=200 — so a
+    sketch regression flips a boolean and hash-mismatches. KLL
+    compaction is randomized, so the ESTIMATE cannot be value-pinned;
+    the rank CONTRACT can (the ivf_recall_check argument applied to
+    quantiles)."""
+    e = T(spark, sf_dir, "events")
+    merged = (e.groupBy("event_type")
+              .agg(F.kll_sketch_agg_double("value").alias("sk"))
+              .agg(F.kll_merge_agg_double("sk").alias("sk")))
+    ests = merged.select(*[
+        F.kll_sketch_get_quantile_double("sk", F.lit(p)).alias(f"__q{i}")
+        for i, p in enumerate((0.5, 0.9, 0.99))])
+    j = e.crossJoin(F.broadcast(ests))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.sum((F.col("value") <= F.col(f"__q{i}")).cast("long"))
+          .alias(f"__r{i}") for i in range(3)])
+    out = agg.select(
+        "n",
+        *[(F.abs(F.col(f"__r{i}") / F.col("n") - F.lit(p)) <= 0.02)
+          .alias(f"ok_p{int(p * 100)}")
+          for i, p in enumerate((0.5, 0.9, 0.99))])
+    return out
+
+
+@register("dedup_source_containment_theta", sql=r"""
+WITH tk AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         unnest([array_to_string(tk[i:i+2], ' ')
+                 FOR i IN range(1, len(tk) - 1)]) AS shingle
+  FROM tk WHERE len(tk) >= 3),
+sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source <> b.source
+  GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, i.n_shared, TRUE AS theta_ok
+FROM inter i
+""")
+def dedup_source_containment_theta(spark, sf_dir):
+    """E117 the SCALABLE twin of E108: per-source THETA sketches of
+    the shingle sets (Datasketches theta via built-in JVM aggregates
+    — the one sketch family with set ALGEBRA: union / intersection /
+    difference), pairwise intersection estimates against the exact
+    intersection counts. At 100 TB the exact E108 join touches every
+    (source, shingle) row per run; the theta path reduces each source
+    to a ≤4 KB sketch ONCE, and every pairwise overlap question
+    afterwards is driver-side sketch algebra — the corpus-overlap
+    dashboard at catalog cost. Exact n_shared is value-checked; the
+    sketch estimate is gated within max(15%, 32) of it per pair
+    (exact below the sketch's 4096-entry sampling threshold — the
+    gate is what keeps the claim checked when the corpus outgrows
+    it)."""
+    sh = _source_shingles_stage(spark, sf_dir)
+    sk = sh.groupBy("source").agg(F.theta_sketch_agg("shingle").alias("sk"))
+    a = sk.select(F.col("source").alias("src_a"), F.col("sk").alias("__ska"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("sk").alias("__skb"))
+    est = (a.crossJoin(b)
+           .filter(F.col("src_a") != F.col("src_b"))
+           .select("src_a", "src_b",
+                   F.theta_sketch_estimate(
+                       F.theta_intersection(F.col("__ska"),
+                                            F.col("__skb")))
+                   .alias("__est")))
+    ex = (sh.select(F.col("source").alias("src_a"), "shingle")
+          .join(sh.select(F.col("source").alias("src_b"), "shingle"),
+                "shingle")
+          .filter(F.col("src_a") != F.col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
+    tol = F.greatest(F.col("n_shared") * 0.15, F.lit(32.0))
+    return (ex.join(est, ["src_a", "src_b"])
+            .select("src_a", "src_b", "n_shared",
+                    (F.abs(F.col("__est") - F.col("n_shared")) <= tol)
+                    .alias("theta_ok")))
+
+
+# =====================================================================
 # E109: group-level (entity) holdout split
 # =====================================================================
 
@@ -7977,6 +8080,24 @@ def split_grouped_holdout(spark, sf_dir):
 # E108: directed cross-source shingle containment
 # =====================================================================
 
+def _source_shingles_stage(spark, sf_dir):
+    """DISTINCT (source, shingle) — the one dedup shuffle both
+    containment queries (exact E108, theta-sketch E117) read; at
+    100 TB this is a materialized per-source shingle table."""
+    from cati_database_feeder_spark.functions import text as textfn
+
+    def build():
+        d = T(spark, sf_dir, "documents")
+        toks = d.select("source",
+                        textfn.tokens(F.col("text")).alias("toks"))
+        return (toks.filter(F.size("toks") >= 3)
+                .select("source",
+                        F.explode(textfn.shingles_from_tokens(
+                            F.col("toks"), 3)).alias("shingle"))
+                .distinct())
+    return shared_stage(spark, f"source_shingles:{sf_dir}", build)
+
+
 @register("dedup_source_containment", sql=r"""
 WITH tk AS (
   SELECT source,
@@ -8017,14 +8138,7 @@ def dedup_source_containment(spark, sf_dir):
     roll up to registrable-domain buckets at web scale), never
     corpus-sized. All counts BIGINT-exact, the share an integer
     division — no doubles anywhere."""
-    from cati_database_feeder_spark.functions import text as textfn
-    d = T(spark, sf_dir, "documents")
-    toks = d.select("source", textfn.tokens(F.col("text")).alias("toks"))
-    sh = (toks.filter(F.size("toks") >= 3)
-          .select("source",
-                  F.explode(textfn.shingles_from_tokens(F.col("toks"), 3))
-                  .alias("shingle"))
-          .distinct())
+    sh = _source_shingles_stage(spark, sf_dir)
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("source").alias("src_a"), "shingle")
     b = sh.select(F.col("source").alias("src_b"), "shingle")
@@ -8282,6 +8396,7 @@ _CHECK_ORDER = [
     "search_rank_displacement", "embedding_pq_distortion",
     "events_last_touch_attribution", "window_rank_pack",
     "multimodal_audio_store",
+    "events_value_quantiles_kll", "dedup_source_containment_theta",
     "cdc_apply_changes", "dedup_edit_distance_pairs",
     "layout_zorder_manifest", "dq_k_anonymity",
     "text_normalize_dedup", "multimodal_audio_pairs",
