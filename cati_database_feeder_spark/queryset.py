@@ -8117,6 +8117,57 @@ def text_novel_shingles_theta(spark, sf_dir):
                     .alias("theta_ok")))
 
 
+@register("join_cardinality_estimate", sql="""
+WITH o AS (SELECT COUNT(DISTINCT o_custkey) AS d_orders FROM orders),
+c AS (SELECT COUNT(DISTINCT c_custkey) AS d_cust FROM customer),
+m AS (SELECT COUNT(DISTINCT o.o_custkey) AS d_match
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+SELECT CAST(o.d_orders AS BIGINT) AS d_orders,
+       CAST(c.d_cust AS BIGINT) AS d_cust,
+       CAST(m.d_match AS BIGINT) AS d_match,
+       TRUE AS theta_ok
+FROM o, c, m
+""")
+def join_cardinality_estimate(spark, sf_dir):
+    """E119 pre-flight join sizing — the planner question ("how many
+    keys actually match?") answered WITHOUT running the join: theta
+    sketches of the two key columns, their intersection estimate vs
+    the exact matching-key count, one oracled row. At 100 TB the two
+    sketches are per-table maintenance artifacts (built at write
+    time, merged per partition), so any join's key overlap — and
+    therefore whether it is worth bucketing, broadcasting, or
+    pre-filtering with a Bloom gate — is a driver-side algebra lookup
+    instead of a dry-run shuffle. Exact distincts value-checked; the
+    estimate gated at 3 standard errors of the union (the E118
+    rule)."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k"))
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"))
+    sko = o.agg(F.theta_sketch_agg("k").alias("sk"),
+                F.count_distinct("k").alias("d_orders"))
+    skc = c.agg(F.theta_sketch_agg("k").alias("sk"),
+                F.count_distinct("k").alias("d_cust"))
+    m = (o.join(c.distinct(), "k", "left_semi")
+         .agg(F.count_distinct("k").alias("d_match")))
+    est = (sko.crossJoin(skc.withColumnRenamed("sk", "__skc"))
+           .select("d_orders", "d_cust",
+                   F.theta_sketch_estimate(
+                       F.theta_intersection(F.col("sk"),
+                                            F.col("__skc")))
+                   .alias("__est"),
+                   (F.theta_sketch_estimate(
+                       F.theta_union(F.col("sk"), F.col("__skc")))
+                    * (3.0 / 64.0)).alias("__tol")))
+    return (est.crossJoin(m)
+            .select(F.col("d_orders").cast("bigint").alias("d_orders"),
+                    F.col("d_cust").cast("bigint").alias("d_cust"),
+                    F.col("d_match").cast("bigint").alias("d_match"),
+                    (F.abs(F.col("__est") - F.col("d_match"))
+                     <= F.greatest(F.col("__tol"), F.lit(32.0)))
+                    .alias("theta_ok")))
+
+
 # =====================================================================
 # E109: group-level (entity) holdout split
 # =====================================================================
@@ -8477,7 +8528,7 @@ _CHECK_ORDER = [
     "events_last_touch_attribution", "window_rank_pack",
     "multimodal_audio_store",
     "events_value_quantiles_kll", "dedup_source_containment_theta",
-    "text_novel_shingles_theta",
+    "text_novel_shingles_theta", "join_cardinality_estimate",
     "cdc_apply_changes", "dedup_edit_distance_pairs",
     "layout_zorder_manifest", "dq_k_anonymity",
     "text_normalize_dedup", "multimodal_audio_pairs",
