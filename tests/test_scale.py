@@ -639,3 +639,76 @@ def test_jl_planes_broadcast_tier_bit_equal(spark):
     assert "BroadcastExchange" in plan
     assert "Exchange hashpartitioning" not in plan
     assert len(plan) * 5 < len(_plan(lit_df))
+
+
+def test_zorder_bucket_partition_pruning(spark, sf_dir, tmp_path):
+    """The E105 write-time-layout claim made concrete (the IVF
+    cell-pruning argument applied to Z-order): events parquet
+    partitioned by the Morton bucket; a 2-D probe rectangle restricted
+    to the buckets its manifest flags reads ONLY those partitions
+    (PartitionFilters in the plan, numFiles < total), so a range scan
+    touches the flagged fraction of the corpus bytes."""
+    import re
+
+    from cati_database_feeder_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # probe rectangle derived from the data so the test holds at any
+    # SF (the registered query's fixed probe and fixed 16-bit bucket
+    # shift assume the sf0.01+ domain): middle half of the user
+    # domain × days 10-14
+    hi_u = ev.agg(F.max("user_id")).collect()[0][0]
+    x_lo, x_hi = hi_u // 4, hi_u // 2
+
+    def spread16(c):
+        x = c.cast("long").bitwiseAND(F.lit(65535))
+        for sh, mask in ((8, 16711935), (4, 252645135),
+                         (2, 858993459), (1, 1431655765)):
+            x = x.bitwiseOR(F.shiftleft(x, sh)).bitwiseAND(F.lit(mask))
+        return x
+
+    y = F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date"))
+    zv = spread16(F.col("user_id")).bitwiseOR(F.shiftleft(spread16(y), 1))
+    # data-adaptive bucket width: top-4-ish bits of the OCCUPIED
+    # z-range (the fixed 26 of the registered query needs the full
+    # 16-bit domains) → ~16 non-empty buckets at any SF
+    zmax = ev.select(zv.alias("z")).agg(F.max("z")).collect()[0][0]
+    shift = max(int(zmax).bit_length() - 4, 1)
+    out = str(tmp_path / "z_events")
+    (ev.withColumn("zbucket", F.shiftright(zv, shift).cast("int"))
+     .write.partitionBy("zbucket").parquet(out))
+    man = (ev.select(F.col("user_id").alias("x"), y.alias("yy"),
+                     F.shiftright(zv, shift).cast("int").alias("bucket"))
+           .groupBy("bucket")
+           .agg(F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                F.min("yy").alias("min_y"), F.max("yy").alias("max_y"))
+           .collect())
+    flagged = [int(r["bucket"]) for r in man
+               if r["min_x"] <= x_hi and r["max_x"] >= x_lo
+               and r["min_y"] <= 14 and r["max_y"] >= 10]
+    all_buckets = len(man)
+    assert 0 < len(flagged) < all_buckets  # the probe must PRUNE
+    laid = spark.read.parquet(out)
+    probe = laid.filter(F.col("zbucket").isin(flagged))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "zbucket" in m.group(1), plan
+    got = len(probe.collect())  # drives THIS df's own QueryExecution
+    leaves = probe._jdf.queryExecution().executedPlan().collectLeaves()
+    num_files = None
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            num_files = node.metrics().apply("numFiles").value()
+    total_files = len(laid.inputFiles())
+    assert num_files is not None and 0 < num_files < total_files
+    # and the flagged buckets really contain every probe-rectangle row
+    in_rect = ev.filter(F.col("user_id").between(x_lo, x_hi)
+                        & y.between(10, 14)).count()
+    rect_in_flagged = probe.filter(
+        F.col("user_id").between(x_lo, x_hi)
+        & F.datediff(F.col("ts").cast("date"),
+                     F.lit("2024-01-01").cast("date")).between(10, 14)
+    ).count()
+    assert in_rect == rect_in_flagged and got > 0
