@@ -8506,19 +8506,17 @@ def dq_k_anonymity(spark, sf_dir):
 # oracle on every pytest run (tests/test_oracle_gate.py) and by
 # tools/check.py at sf0.01.
 _CHECK_ORDER = [
-    # -- round-11 rotation, slot budget (50): [a] the sixteen NEW
+    # -- round-11 rotation, slot budget (50): [a] the forty-two NEW
     #    round-11 queries (never driver-checked — new queries always
-    #    outrank refreshes for the driver window); [b] queries whose
-    #    engine path changed this round (hybrid per-group rank's
-    #    one-collect literal split; quant (lo,hi) read from the
-    #    embedding store; wfp pending-sidecar append; dhash store in
-    #    the text-store bootstrap; NULL-safe HLL merge); [c] the
-    #    r9-driver-green rotation block (round-10 verdict item 1) —
-    #    21 fit the remaining slots, the r9-greens displaced past
-    #    slot 50 lead the tail for round 12's window and hold
-    #    CHECKLOCAL_r11 greens meanwhile; every tail query has a
-    #    recorded tools/checklocal sf0.01 pass this round
-    #    (CHECKLOCAL_r11.json, 103 rows, 0 failed).
+    #    outrank refreshes for the driver window; the late wave
+    #    E102-E119 leads, the early wave E82-E101 follows); [b] the
+    #    queries whose engine path changed this round that still fit
+    #    (hybrid per-group rank's one-collect literal split; the
+    #    quantized tiers whose (lo,hi) now reads from the embedding
+    #    store; the winnow store's pending-sidecar append) — the
+    #    displaced [b]/[c] refreshes hold recorded CHECKLOCAL_r11
+    #    greens (129 rows, 0 failed, sf0.01, the driver's identical
+    #    comparator) and lead the tail for round 12's window.
     # [a] new round-11 queries
     "embedding_pq_adc_topk", "pq_recall_check",
     "embedding_ivfpq_topk", "ivfpq_recall_check",
