@@ -64,63 +64,67 @@ def run_bench(sf_dir: str) -> dict[str, float]:
 
     # Build + time shared pipeline stages first (see module docstring):
     # the total charges each stage once; queries then time incremental.
-    t0 = time.time()
-    queryset._jaccard_pairs_stage(spark, sf_dir).count()
-    timings["stage:jaccard_pairs"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    queryset._tokset_groups_stage(spark, sf_dir).count()
-    timings["stage:tokset_groups"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    queryset._band_buckets_stage(spark, sf_dir).count()
-    timings["stage:band_buckets"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    queryset._minhash_rep_cands_stage(spark, sf_dir).count()
-    timings["stage:minhash_rep_cands"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    queryset._cluster_base_labels_stage(spark, sf_dir).count()
-    timings["stage:cluster_base_labels"] = round(time.time() - t0, 3)
-    # the corpus-side membership + banding stores of the store-backed
-    # incremental path (near_dup_incremental_store): in production both
-    # are parquet tables maintained by ingest_batch — built once per
-    # corpus snapshot, probed by every batch — so their build is a
-    # stage, not a per-query cost
-    t0 = time.time()
-    queryset._corpus_store_stage(spark, sf_dir).count()
-    queryset._corpus_store_buckets_stage(spark, sf_dir).count()
-    timings["stage:corpus_store"] = round(time.time() - t0, 3)
-    # the verified member-pair set at 0.7 — the materialized pairs
-    # table the pairs query, the cross-source matrix, and downstream
-    # closure consumers all read
-    t0 = time.time()
-    queryset._verified_pairs_stage(spark, sf_dir).count()
-    timings["stage:verified_pairs"] = round(time.time() - t0, 3)
-    # exact brute-force top-10 — the embedding ground-truth table: the
-    # cosine query's output AND the bar of all three recall contracts
-    t0 = time.time()
-    queryset._brute_topk10_stage(spark, sf_dir).count()
-    timings["stage:brute_topk10"] = round(time.time() - t0, 3)
-    # full-corpus cell assignment against the fixed 16-seed centroids —
-    # the write-time partition-by-cell layout every SemDeDup/IVF
-    # consumer reads
-    t0 = time.time()
-    queryset._cell_assign_stage(spark, sf_dir).count()
-    timings["stage:cell_assign"] = round(time.time() - t0, 3)
-    # in-plan quantized-IVF top-10 — consumed by the recall gate and
-    # the store-serving agreement twin
-    t0 = time.time()
-    queryset._ivf_quantized_topk_stage(spark, sf_dir).count()
-    timings["stage:ivf_qz_topk"] = round(time.time() - t0, 3)
-    # PQ codes of the corpus under the fixed seed codebooks (write-time
-    # layout) — consumed by the ADC query, the distortion profile, and
-    # the IVFADC composition
-    t0 = time.time()
-    queryset._pq_codes_stage(spark, sf_dir).count()
-    timings["stage:pq_codes"] = round(time.time() - t0, 3)
-    # composed IVF×PQ top-10 — the hash-checked serving query and its
-    # recall gate read one compute
-    t0 = time.time()
-    queryset._ivfpq_topk10_stage(spark, sf_dir).count()
-    timings["stage:ivfpq_topk"] = round(time.time() - t0, 3)
+    # Stage timings are MIN OF TWO BUILDS like the per-query numbers
+    # (round 11: the single-shot stage timings swung 3x with the same
+    # code — first-build JIT/compile noise): pass 1 builds + persists,
+    # the cache is cleared, pass 2 rebuilds — and leaves the stages
+    # persisted for the query passes below. Dependency order within
+    # the list keeps each stage's own timing incremental.
+    stage_specs = [
+        ("stage:jaccard_pairs",
+         lambda: queryset._jaccard_pairs_stage(spark, sf_dir).count()),
+        ("stage:tokset_groups",
+         lambda: queryset._tokset_groups_stage(spark, sf_dir).count()),
+        ("stage:band_buckets",
+         lambda: queryset._band_buckets_stage(spark, sf_dir).count()),
+        ("stage:minhash_rep_cands",
+         lambda: queryset._minhash_rep_cands_stage(spark, sf_dir).count()),
+        ("stage:cluster_base_labels",
+         lambda: queryset._cluster_base_labels_stage(spark, sf_dir).count()),
+        # the corpus-side membership + banding stores of the
+        # store-backed incremental path: in production both are
+        # parquet tables maintained by ingest_batch — built once per
+        # corpus snapshot, probed by every batch — a stage, not a
+        # per-query cost
+        ("stage:corpus_store",
+         lambda: (queryset._corpus_store_stage(spark, sf_dir).count(),
+                  queryset._corpus_store_buckets_stage(spark, sf_dir)
+                  .count())),
+        # the verified member-pair set at 0.7 — the materialized pairs
+        # table the pairs query, the cross-source matrix, and
+        # downstream closure consumers all read
+        ("stage:verified_pairs",
+         lambda: queryset._verified_pairs_stage(spark, sf_dir).count()),
+        # exact brute-force top-10 — the embedding ground-truth table:
+        # the cosine query's output AND the bar of the recall contracts
+        ("stage:brute_topk10",
+         lambda: queryset._brute_topk10_stage(spark, sf_dir).count()),
+        # full-corpus cell assignment against the fixed 16-seed
+        # centroids — the write-time partition-by-cell layout every
+        # SemDeDup/IVF consumer reads
+        ("stage:cell_assign",
+         lambda: queryset._cell_assign_stage(spark, sf_dir).count()),
+        # in-plan quantized-IVF top-10 — the recall gate + store twin
+        ("stage:ivf_qz_topk",
+         lambda: queryset._ivf_quantized_topk_stage(spark, sf_dir)
+         .count()),
+        # PQ codes of the corpus under the fixed seed codebooks
+        ("stage:pq_codes",
+         lambda: queryset._pq_codes_stage(spark, sf_dir).count()),
+        # composed IVF×PQ top-10 — hash-checked query + recall gate
+        ("stage:ivfpq_topk",
+         lambda: queryset._ivfpq_topk10_stage(spark, sf_dir).count()),
+    ]
+    for _pass in range(2):
+        if _pass:
+            queryset.clear_stage_cache()
+        for name, build in stage_specs:
+            t0 = time.time()
+            build()
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+
     # One-time state BOOTSTRAPS, tagged "boot:" — distinct from the
     # shared "stage:" compute so cross-round like-for-like math never
     # has to hand-exclude them (round-10 verdict item 9). These build

@@ -53,5 +53,18 @@ def get_session(app_name: str = "cati-feeder-spark", master: str | None = None,
         # local-mode niceties; harmless on a cluster
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # --- JIT code cache sized for a LONG session compiling
+        # hundreds of distinct whole-stage-codegen classes (the bench
+        # runs the full 179-query registry in one JVM): the JVM
+        # default (240 MB) fills, the JIT compiler shuts off, and
+        # every later plan runs interpreted — a uniform 1.3-3x
+        # slowdown measured on the round-11 board before this flag.
+        # Flushing lets cold compiled methods be evicted instead of
+        # wedging the cache. Applies at JVM launch, so it only takes
+        # effect when THIS process creates the session (bench, tests,
+        # the driver harness) — exactly the long-registry sessions
+        # that need it.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing")
     )
     return builder.getOrCreate()
