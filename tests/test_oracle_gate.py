@@ -41,6 +41,10 @@ def oracle_con():
 _BARE_SUM_ALLOWED = {
     # HAVING comparison — never reaches the output schema
     "q18_large_volume_customers": 1,
+    # both SUMs sit inside ONE outer CAST((1e6*SUM(..)) // SUM(..) AS
+    # BIGINT) — the output type is pinned one level out, the reviewed
+    # pack_training_sequences pattern
+    "dq_k_anonymity": 2,
     # CTE-internal signature arithmetic, consumed before the output
     "dedup_simhash_pairs": 2,
     # CTE-internal session counter feeding a later GROUP BY key
