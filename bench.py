@@ -141,6 +141,13 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     queryset._text_store_dir(spark, sf_dir)
     timings["boot:text_serving_store"] = round(time.time() - t0, 3)
 
+    # every stage key built so far is already charged through the
+    # explicit entries above (names don't always equal keys —
+    # cell_assign vs cell_assign16 — so name-matching can't dedupe);
+    # the auto-charge below only takes keys FIRST built by the query
+    # passes, i.e. stages the explicit list forgot
+    charged_stage_keys = set(queryset.STAGE_BUILD_SECONDS)
+
     def run_once(name, fn):
         t0 = time.time()
         df = fn(spark, sf_dir)
@@ -162,6 +169,19 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     for name, fn in queryset.QUERIES.items():
         if timings[name] > 1.5:
             run_once(name, fn)
+
+    # Auto-charge any shared stage the explicit list above missed:
+    # shared_stage records every build's wall time (queryset.
+    # STAGE_BUILD_SECONDS), so a stage introduced WITHOUT a matching
+    # bench entry still lands on the headline total as
+    # "stage:<key>" instead of hiding in a discarded pass-1. Explicit
+    # (min-of-two) timings win where both exist.
+    for key, secs in queryset.STAGE_BUILD_SECONDS.items():
+        if key in charged_stage_keys:
+            continue
+        name = f"stage:{key}"
+        if name not in timings:
+            timings[name] = secs
 
     spark.stop()
     return timings
