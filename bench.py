@@ -48,6 +48,13 @@ def run_bench(sf_dir: str) -> dict[str, float]:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # STAGE_BUILD_SECONDS keys strip the sf_dir suffix; a stale entry
+    # from a prior run_bench (or another sf_dir in the same process)
+    # would mask a stage first built under THIS run and re-open the
+    # hidden-pass-1 accounting hole the auto-charge closes — start the
+    # ledger clean
+    queryset.STAGE_BUILD_SECONDS.clear()
+
     # Warm the IO path (file listing, parquet footers, codegen of a
     # trivial plan) so the first timed query measures its own plan, not
     # session spin-up. Standard benchmarking hygiene; the per-query

@@ -101,10 +101,15 @@ def _cents16(spark: SparkSession, sf_dir: str):
     key = (app_id, sf_dir)
     if key not in _CENTS_CACHE:
         e = T(spark, sf_dir, "embeddings")
-        _CENTS_CACHE[key] = [
+        # sorted by vec_id: collect() order is scan order, which any
+        # parquet re-layout can permute — every consumer that indexes
+        # the list positionally (PQ codebook j, IVF cell id) pins
+        # position == vec_id, matching the oracles and the store twins
+        # (_load_centroids sorts by cell)
+        _CENTS_CACHE[key] = sorted(
             (int(r["vec_id"]), list(r["embedding"]))
             for r in e.filter(F.col("vec_id") < 16)
-                      .select("vec_id", "embedding").collect()]
+                      .select("vec_id", "embedding").collect())
     return _CENTS_CACHE[key]
 
 
@@ -8028,10 +8033,11 @@ def dedup_source_containment_theta(spark, sf_dir):
     to a ≤4 KB sketch ONCE, and every pairwise overlap question
     afterwards is driver-side sketch algebra — the corpus-overlap
     dashboard at catalog cost. Exact n_shared is value-checked; the
-    sketch estimate is gated within max(15%, 32) of it per pair
-    (exact below the sketch's 4096-entry sampling threshold — the
-    gate is what keeps the claim checked when the corpus outgrows
-    it)."""
+    sketch estimate is gated at 3 standard errors OF THE UNION
+    estimate, floored at 32 (intersection noise scales with the union
+    cardinality, not the intersection — the E118 discipline; exact
+    below the sketch's 4096-entry sampling threshold — the gate is
+    what keeps the claim checked when the corpus outgrows it)."""
     sh = _source_shingles_stage(spark, sf_dir)
     sk = sh.groupBy("source").agg(F.theta_sketch_agg("shingle").alias("sk"))
     a = sk.select(F.col("source").alias("src_a"), F.col("sk").alias("__ska"))
@@ -8042,18 +8048,31 @@ def dedup_source_containment_theta(spark, sf_dir):
                    F.theta_sketch_estimate(
                        F.theta_intersection(F.col("__ska"),
                                             F.col("__skb")))
-                   .alias("__est")))
+                   .alias("__est"),
+                   # intersection error is referenced to the UNION
+                   # cardinality (both operands' sampling noise lands
+                   # in the estimate — the E118 discipline), so the
+                   # gate is 3 standard errors of the a∪b estimate at
+                   # the default lgk=12 sketch (RSE = 1/64), floored
+                   # at 32; an intersection-referenced fraction would
+                   # flap on small overlaps of large sources once the
+                   # 4096-entry exact threshold is exceeded
+                   F.greatest(
+                       F.theta_sketch_estimate(
+                           F.theta_union(F.col("__ska"),
+                                         F.col("__skb")))
+                       * (3.0 / 64.0),
+                       F.lit(32.0)).alias("__tol")))
     ex = (sh.select(F.col("source").alias("src_a"), "shingle")
           .join(sh.select(F.col("source").alias("src_b"), "shingle"),
                 "shingle")
           .filter(F.col("src_a") != F.col("src_b"))
           .groupBy("src_a", "src_b")
           .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
-    tol = F.greatest(F.col("n_shared") * 0.15, F.lit(32.0))
     return (ex.join(est, ["src_a", "src_b"])
             .select("src_a", "src_b", "n_shared",
-                    (F.abs(F.col("__est") - F.col("n_shared")) <= tol)
-                    .alias("theta_ok")))
+                    (F.abs(F.col("__est") - F.col("n_shared"))
+                     <= F.col("__tol")).alias("theta_ok")))
 
 
 @register("text_novel_shingles_theta", sql=r"""

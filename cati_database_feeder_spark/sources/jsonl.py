@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -39,7 +39,12 @@ def read_jsonl(spark: SparkSession, path, schema: StructType,
         raise ValueError(
             f"schema already contains {CORRUPT_COL!r} — pass the "
             f"payload schema only; the corrupt column is appended here")
-    full = schema.add(CORRUPT_COL, StringType())
+    # build a COPY — StructType.add mutates in place and returns self,
+    # which would poison a caller-held schema reused across shard
+    # batches (the second call would see the corrupt column already
+    # present and refuse)
+    full = StructType(list(schema.fields)
+                      + [StructField(CORRUPT_COL, StringType())])
     df = (spark.read.schema(full)
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", CORRUPT_COL)
