@@ -7338,19 +7338,24 @@ def graph_pagerank_neardup(spark, sf_dir):
     edges = (_jaccard_pairs_stage(spark, sf_dir)
              .select("id_a", "id_b"))
     # e and deg are read by every iteration — materialize once
-    # (shared_stage), the connected_components discipline; each
-    # iteration's rank frame is localCheckpointed so the plan stays
-    # ONE iteration deep instead of nesting all predecessors
-    # (uncheckpointed: 160 scans / 331 exchanges in the audited plan)
+    # (shared_stage), the connected_components discipline, and EAGERLY
+    # localCheckpoint inside the build so the lineage is truncated at
+    # the source: a lazy checkpoint left the standalone-session plan
+    # dump nesting the full pair pipeline under every iteration (104
+    # scans / 266 exchanges audited in round 11 even though runtime
+    # read the cache); with eager truncation the dumped plan IS the
+    # executed plan — one iteration deep over checkpointed base frames
     e = shared_stage(
         spark, f"pagerank_edges:{sf_dir}",
         lambda: edges.select(F.col("id_a").alias("src"),
                              F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"),
-                                  F.col("id_a").alias("dst"))))
+                                  F.col("id_a").alias("dst")))
+        .localCheckpoint(eager=True))
     deg = shared_stage(
         spark, f"pagerank_deg:{sf_dir}",
-        lambda: e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+        lambda: e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True))
     r = deg.select(F.col("src").alias("id"),
                    F.lit(1.0).cast("double").alias("r"))
     for _ in range(_PAGERANK_ITER):
@@ -7362,7 +7367,7 @@ def graph_pagerank_neardup(spark, sf_dir):
                    * F.sum(F.col("c").cast("decimal(38,30)"))
                    .cast("double")).alias("r"))
              .select(F.col("dst").alias("id"), "r")
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     return (r.join(deg, r.id == deg.src)
             .select(F.col("id").alias("doc_id"),
                     F.col("deg").alias("degree"),
