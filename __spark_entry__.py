@@ -32,4 +32,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents, keyed like ``queries()``."""
+    # the jsonl_scan oracle reads a repo-written fixture file; write it
+    # now so the SQL is runnable even if the oracle lane executes
+    # before the Spark lane ever ran
+    queryset.ensure_jsonl_fixture()
     return dict(queryset.ORACLES)

@@ -74,3 +74,82 @@ def jsonl_scan_report(raw: DataFrame) -> dict:
         F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("bad")
     ).collect()[0]
     return {"good": int(row["good"] or 0), "corrupt": int(row["bad"] or 0)}
+
+
+# ---------------------------------------------------------------------------
+# Deterministic ingest fixture for the registered `jsonl_scan` query.
+#
+# The parquet fixtures under /root/testdata are read-only and hold no
+# JSONL, so the one source row that CAN carry a DuckDB oracle writes
+# its own input: a fixed shard of good lines (all five corpus
+# languages, null/missing/negative/int64-edge ids, missing and null
+# texts, unknown extra fields, non-ASCII payloads) interleaved with
+# the corrupt classes a crawl actually produces (syntactic junk,
+# non-object JSON, and doc_id type drift: string / float / boolean).
+# Content is pinned byte-for-byte (no timestamps, no randomness) so
+# the Spark scan and the DuckDB oracle replay identical accounting.
+#
+# Cross-type string coercions ({"text": 42}, {"lang": {...}}) are
+# deliberately NOT in the fixture: Spark PERMISSIVE coerces them to
+# strings while a type-faithful reader calls them drift — an
+# engine-specific judgment the contract should not depend on.
+
+_LANGS = ("en", "zh", "es", "de", "fr")
+
+_CORRUPT_LINES = (
+    'not json at all {{{',
+    '["an", "array", "not", "an", "object"]',
+    '{"doc_id": "str-7", "text": "string id drift", "lang": "en"}',
+    '{"doc_id": 8.25, "text": "float id drift", "lang": "fr"}',
+    '{"doc_id": true, "text": "bool id drift", "lang": "en"}',
+    '{"doc_id": 99, "text": "unterminated', )
+
+
+def fixture_lines() -> list[str]:
+    """The pinned shard: 40 good lines + 2 id-edge lines + 1
+    missing-id line, with the corrupt classes interleaved every 8
+    lines (position matters only for the quarantine min — also
+    pinned)."""
+    good = []
+    for i in range(1, 41):
+        lang = _LANGS[i % len(_LANGS)]
+        if i % 11 == 0:
+            good.append(f'{{"doc_id": {i}, "lang": "{lang}"}}')
+        elif i % 7 == 0:
+            good.append(
+                f'{{"doc_id": {i}, "text": null, "lang": "{lang}"}}')
+        elif i % 13 == 0:
+            good.append(f'{{"doc_id": {i}, "text": "doc {i} body", '
+                        f'"lang": "{lang}", "bonus": {i * 3}}}')
+        else:
+            good.append(f'{{"doc_id": {i}, "text": "doc {i} körpus '
+                        f'текст 文本", "lang": "{lang}"}}')
+    good.append('{"doc_id": -7, "text": "negative id", "lang": "de"}')
+    good.append('{"doc_id": 9007199254740993, "text": "past float53", '
+                '"lang": "zh"}')
+    good.append('{"doc_id": null, "text": "null id", "lang": "es"}')
+    good.append('{"text": "missing id", "lang": "en"}')
+    lines, ci = [], 0
+    for n, g in enumerate(good):
+        if n % 8 == 4 and ci < len(_CORRUPT_LINES):
+            lines.append(_CORRUPT_LINES[ci])
+            ci += 1
+        lines.append(g)
+    lines.extend(_CORRUPT_LINES[ci:])
+    return lines
+
+
+def ensure_fixture(path: str) -> str:
+    """Write the pinned shard to ``path`` if absent (atomic rename so
+    concurrent Spark/oracle lanes never see a half-written file);
+    returns ``path``."""
+    import os
+    data = ("\n".join(fixture_lines()) + "\n").encode("utf-8")
+    if os.path.exists(path) and os.path.getsize(path) == len(data):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
