@@ -8558,7 +8558,7 @@ _LANGID_BUCKETS = 16384  # 2^14: model <= n_langs * 16384 rows,
 _LANGID_GATE_PPM = 210000
 
 
-_LANGID_SQL = rf"""
+_LANGID_PRED_CTES = rf"""
 WITH nt AS (
   SELECT doc_id, lang,
          array_to_string(list_filter(string_split_regex(trim(text),
@@ -8592,7 +8592,11 @@ pred AS (
   SELECT doc_id, lang, model_lang AS pred
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
           ORDER BY s DESC, model_lang ASC) AS rn FROM sc)
-  WHERE rn = 1),
+  WHERE rn = 1)
+"""
+
+
+_LANGID_SQL = (_LANGID_PRED_CTES + rf""",
 per AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
@@ -8605,7 +8609,46 @@ ov AS (
 SELECT p.lang, p.n_docs, p.n_correct, ov.overall_ppm,
        ov.overall_ppm >= {_LANGID_GATE_PPM} AS agree_ok
 FROM per p CROSS JOIN ov
-"""
+""")
+
+
+def _langid_pred_stage(spark, sf_dir):
+    """Per-document (true lang, predicted lang) under the E120 scorer,
+    persisted once per session: the summary query and the confusion
+    matrix both read it — one row per doc, corpus-bounded. Training
+    and scoring live in the build (see text_lang_id for the scale
+    argument)."""
+    def build():
+        d = T(spark, sf_dir, "documents")
+        tk = d.select("doc_id", "lang",
+                      text.tokens(F.col("text")).alias("tk"))
+        bk = (tk.select(
+                "doc_id", "lang",
+                F.explode(text.char_ngrams_from_tokens(F.col("tk"), 3, 1))
+                .alias("g"))
+              .select("doc_id", "lang",
+                      (text.hash64(F.col("g")) % _LANGID_BUCKETS)
+                      .alias("b")))
+        bk = shared_stage(spark, f"langid_buckets:{sf_dir}", lambda: bk)
+        docb = (bk.groupBy("doc_id", "lang", "b")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("m")))
+        cnt = (bk.groupBy(F.col("lang").alias("model_lang"), F.col("b"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+        tot = (bk.groupBy(F.col("lang").alias("model_lang"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("tot")))
+        model = (cnt.join(tot, "model_lang")
+                 .select("model_lang", "b",
+                         F.expr("CAST((c * 1000000) DIV tot AS BIGINT)")
+                         .alias("w")))
+        sc = (docb.join(F.broadcast(model), "b")
+              .groupBy("doc_id", "lang", "model_lang")
+              .agg(F.sum(F.col("m") * F.col("w")).alias("s")))
+        return (sc.groupBy("doc_id", "lang")
+                .agg(F.min(F.struct((-F.col("s")).alias("ns"),
+                                    F.col("model_lang").alias("ml")))
+                     .alias("top"))
+                .select("doc_id", "lang", F.col("top.ml").alias("pred")))
+    return shared_stage(spark, f"langid_pred:{sf_dir}", build)
 
 
 @register("text_lang_id", sql=_LANGID_SQL)
@@ -8634,33 +8677,7 @@ def text_lang_id(spark, sf_dir):
     Python anywhere. Oracle replays hashing, weights, scores, argmax
     and the gate bit-for-bit (md5-prefix bucket hash, the portable
     hash64 both engines agree on)."""
-    d = T(spark, sf_dir, "documents")
-    tk = d.select("doc_id", "lang", text.tokens(F.col("text")).alias("tk"))
-    bk = (tk.select(
-            "doc_id", "lang",
-            F.explode(text.char_ngrams_from_tokens(F.col("tk"), 3, 1))
-            .alias("g"))
-          .select("doc_id", "lang",
-                  (text.hash64(F.col("g")) % _LANGID_BUCKETS).alias("b")))
-    bk = shared_stage(spark, f"langid_buckets:{sf_dir}", lambda: bk)
-    docb = (bk.groupBy("doc_id", "lang", "b")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("m")))
-    cnt = (bk.groupBy(F.col("lang").alias("model_lang"), F.col("b"))
-           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
-    tot = (bk.groupBy(F.col("lang").alias("model_lang"))
-           .agg(F.count(F.lit(1)).cast("bigint").alias("tot")))
-    model = (cnt.join(tot, "model_lang")
-             .select("model_lang", "b",
-                     F.expr("CAST((c * 1000000) DIV tot AS BIGINT)")
-                     .alias("w")))
-    sc = (docb.join(F.broadcast(model), "b")
-          .groupBy("doc_id", "lang", "model_lang")
-          .agg(F.sum(F.col("m") * F.col("w")).alias("s")))
-    pred = (sc.groupBy("doc_id", "lang")
-            .agg(F.min(F.struct((-F.col("s")).alias("ns"),
-                                F.col("model_lang").alias("ml")))
-                 .alias("top"))
-            .select("doc_id", "lang", F.col("top.ml").alias("pred")))
+    pred = _langid_pred_stage(spark, sf_dir)
     per = (pred.groupBy("lang")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                 F.sum((F.col("pred") == F.col("lang")).cast("int"))
@@ -8672,6 +8689,27 @@ def text_lang_id(spark, sf_dir):
             .select("lang", "n_docs", "n_correct", "overall_ppm",
                     (F.col("overall_ppm") >= _LANGID_GATE_PPM)
                     .alias("agree_ok")))
+
+
+_LANGID_CONF_SQL = (_LANGID_PRED_CTES + rf"""
+SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+""")
+
+
+@register("text_lang_confusion", sql=_LANGID_CONF_SQL)
+def text_lang_confusion(spark, sf_dir):
+    """E120c the full confusion matrix of the E120 scorer — (true
+    lang, predicted lang, count), the diagnostic behind the summary
+    row: WHICH labels absorb the misclassifications (on this fixture,
+    roughly uniformly — the label-noise signature; a real corpus shows
+    block structure along script/family lines). One bounded aggregate
+    over the session's materialized per-doc prediction stage; the
+    oracle shares the prediction CTEs with text_lang_id verbatim, so
+    scorer drift mismatches both queries together."""
+    pred = _langid_pred_stage(spark, sf_dir)
+    return (pred.groupBy("lang", "pred")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
 
 
 # E120b: the capability gate for the lang-ID scorer — a pinned,
@@ -9048,6 +9086,7 @@ _CHECK_ORDER = [
     "jsonl_scan",
     "text_lang_id",
     "text_lang_id_probe",
+    "text_lang_confusion",
     "corpus_release_e2e",
     # expiring r10 greens
     "decontaminate_bloom_gate", "decontaminate_semantic",

@@ -95,3 +95,42 @@ def test_check_window_covers_every_query_without_recent_evidence():
         f"checklocal) is missing or older than round {upcoming - 2}: "
         f"{stale} — rotate them into _CHECK_ORDER (queryset.py) or "
         f"re-verify them with tools/checklocal.py")
+
+
+def test_canary_payload_survives_elision():
+    """The canary block is protocol, not workload: fit_line may elide
+    cheap queries but never the canary fields or the total."""
+    total, payload = _payload()
+    payload["canary"] = {n: 1.0 for n in bench.CANARY}
+    payload["canary_vs_prev"] = 1.07
+    line = bench.fit_line(payload)
+    parsed = json.loads(line)
+    assert parsed["value"] == total
+    assert set(parsed["canary"]) == set(bench.CANARY)
+    assert parsed["canary_vs_prev"] == 1.07
+
+
+def test_canary_queries_are_registered():
+    for name in bench.CANARY:
+        assert name in queryset.QUERIES, name
+
+
+def test_prior_canary_refuses_cross_sf_baseline(tmp_path):
+    """A prior board at a different scale factor is no baseline: the
+    sf0.001 smoke run must not 'regress' against the sf0.1 record."""
+    p = tmp_path / "BENCH_FULL.json"
+    p.write_text(json.dumps({"sf": 0.1, "canary": {"a": 1.0}}))
+    vals, kind = bench.prior_canary(str(tmp_path), 0.001)
+    assert vals is None and kind == "sf-mismatch"
+    vals, kind = bench.prior_canary(str(tmp_path), 0.1)
+    assert vals == {"a": 1.0} and kind == "canary"
+
+
+def test_prior_canary_falls_back_to_queries_then_none(tmp_path):
+    p = tmp_path / "BENCH_FULL.json"
+    p.write_text(json.dumps(
+        {"sf": 0.1, "queries": {bench.CANARY[0]: 2.5, "unrelated": 9.0}}))
+    vals, kind = bench.prior_canary(str(tmp_path), 0.1)
+    assert kind == "queries" and vals == {bench.CANARY[0]: 2.5}
+    vals, kind = bench.prior_canary(str(tmp_path / "missing"), 0.1)
+    assert vals is None and kind == "none"

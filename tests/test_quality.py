@@ -505,3 +505,64 @@ def test_nfc_normalized_dedup_catches_unicode_twins(spark):
             r"regexp_replace(trim(?), '\s+', ' ', 'g'))))",
             [t]).fetchone()[0]
         assert got == norm[doc_id], f"engine divergence on doc {doc_id}"
+
+
+def test_lang_id_probe_separates_real_languages(spark, sf_dir):
+    """The capability claim behind E120b: on genuinely multilingual
+    text the trigram scorer classifies every held-out probe sentence
+    correctly (10/10 — 2 eval sentences x 5 languages)."""
+    from cati_database_feeder_spark import queryset
+    rows = queryset.QUERIES["text_lang_id_probe"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["probe_ok"] for r in rows)
+    assert all(r["n_correct"] == r["n_docs"] == 2 for r in rows)
+    assert rows[0]["overall_ppm"] == 1000000
+
+
+def test_lang_id_fixture_labels_are_noise_but_above_random(spark, sf_dir):
+    """E120 on the fixture corpus: agreement must clear the mechanism
+    floor (above the 200000-ppm five-class random baseline) yet stay
+    far below a real-language ceiling — the documents.lang column is
+    label noise, which is exactly what the operator should report."""
+    from cati_database_feeder_spark import queryset
+    rows = queryset.QUERIES["text_lang_id"](spark, sf_dir).collect()
+    ppm = rows[0]["overall_ppm"]
+    assert all(r["agree_ok"] for r in rows)
+    assert 210000 <= ppm < 600000, ppm
+    assert {r["lang"] for r in rows} == {"en", "zh", "es", "de", "fr"}
+
+
+def test_corpus_release_composition_accounting(spark, sf_dir):
+    """E121 invariants: survivors + (deleted ∪ quarantined) partition
+    the corpus; both splits present; governance counts constant on
+    every row and strictly positive on this fixture."""
+    from cati_database_feeder_spark import queryset
+    rows = queryset.QUERIES["corpus_release_e2e"](spark, sf_dir).collect()
+    n_corpus = queryset.T(spark, sf_dir, "documents").count()
+    n_surv = sum(r["n_docs"] for r in rows)
+    nd = {r["n_deleted"] for r in rows}
+    nq = {r["n_quarantined"] for r in rows}
+    assert len(nd) == 1 and len(nq) == 1  # constant across rows
+    nd, nq = nd.pop(), nq.pop()
+    assert nd > 0 and nq > 0
+    # deleted/quarantined may overlap, so the union bound brackets it
+    assert n_corpus - nd - nq <= n_surv < n_corpus
+    assert {r["split"] for r in rows} == {"train", "holdout"}
+
+
+def test_lang_confusion_matrix_consistent_with_summary(spark, sf_dir):
+    """E120c row sums per true lang equal E120's per-lang doc counts,
+    and the diagonal equals its n_correct — the two queries must tell
+    one story (they share the prediction stage AND the oracle CTEs)."""
+    from cati_database_feeder_spark import queryset
+    conf = queryset.QUERIES["text_lang_confusion"](spark, sf_dir).collect()
+    summ = queryset.QUERIES["text_lang_id"](spark, sf_dir).collect()
+    by_lang = {}
+    diag = {}
+    for r in conf:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_docs"]
+        if r["lang"] == r["pred"]:
+            diag[r["lang"]] = r["n_docs"]
+    for r in summ:
+        assert by_lang[r["lang"]] == r["n_docs"]
+        assert diag.get(r["lang"], 0) == r["n_correct"]

@@ -195,3 +195,42 @@ def test_jsonl_rejects_reserved_column(spark):
     with _pytest.raises(ValueError, match="corrupt column is appended"):
         jsonl.read_jsonl(spark, "/nonexistent", StructType(
             [StructField(jsonl.CORRUPT_COL, StringType())]))
+
+
+def test_jsonl_schema_object_reusable_across_batches(spark, tmp_path):
+    """read_jsonl must not mutate the caller's schema: the per-shard-
+    batch pattern reuses one declared StructType across calls, and
+    StructType.add() mutates in place — a second call on the same
+    object used to raise the reserved-column ValueError."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from cati_database_feeder_spark.sources import jsonl
+    p = tmp_path / "batch.jsonl"
+    p.write_text('{"doc_id": 1}\n')
+    schema = StructType([StructField("doc_id", LongType())])
+    for _ in range(2):  # second call failed before the copy fix
+        raw = jsonl.read_jsonl(spark, str(p), schema, persist=False)
+        assert raw.count() == 1
+    assert schema.fieldNames() == ["doc_id"]  # caller's object untouched
+
+
+def test_jsonl_pinned_fixture_accounting(spark):
+    """The registered jsonl_scan shard: 44 good / 6 corrupt lines,
+    PERMISSIVE partial retention counted per bucket (the corrupt rows
+    keep the fields that parsed), and the quarantine column holds the
+    raw lines verbatim."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    from cati_database_feeder_spark import queryset
+    from cati_database_feeder_spark.sources import jsonl
+    path = queryset.ensure_jsonl_fixture()
+    sch = StructType([StructField("doc_id", LongType()),
+                      StructField("text", StringType()),
+                      StructField("lang", StringType())])
+    raw = jsonl.read_jsonl(spark, path, sch)
+    try:
+        assert jsonl.jsonl_scan_report(raw) == {"good": 44, "corrupt": 6}
+        quarantined = {r["raw_line"] for r in
+                       jsonl.jsonl_quarantine(raw).collect()}
+        assert quarantined == set(jsonl._CORRUPT_LINES)
+    finally:
+        raw.unpersist()
