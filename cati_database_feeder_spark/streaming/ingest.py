@@ -401,6 +401,21 @@ _SKETCH_STORES = (("cms", _cms_of, (CMS_DEPTH, CMS_WIDTH)),
                   ("cbloom", _cbloom_of, (CBLOOM_M, CBLOOM_K)))
 
 
+# Per-sub-store wall seconds of the LAST bootstrap in this process —
+# purely observational; bench.py reads it to attribute the one opaque
+# "boot:text_serving_store" number per store (round-11 verdict,
+# missing #4), so a store addition that doubles bootstrap shows up on
+# the board instead of hiding in SCALING.md's hand breakdown.
+BOOT_PHASE_SECONDS: dict[str, float] = {}
+
+
+def _boot_lap(marks: list, name: str) -> None:
+    import time
+    now = time.time()
+    BOOT_PHASE_SECONDS[name] = round(now - marks[0], 3)
+    marks[0] = now
+
+
 def _cms_fp(delta: DataFrame) -> tuple[int, int]:
     """Replay fingerprint of a delta: (row count, sum of 60-bit doc-id
     hashes mod P) — deterministic and order-free, so the at-least-once
@@ -1180,6 +1195,9 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # corpus written first, the retry would take the incremental
         # path, see an empty delta, and return with the stores missing
         # forever.
+        import time as _time
+        BOOT_PHASE_SECONDS.clear()
+        _marks = [_time.time()]
         memb = dedup.tokset_groups(batch)
         # persisted: consumed by the closure AND the metrics count
         pairs = dedup.near_dup_pairs(batch, threshold=threshold,
@@ -1197,6 +1215,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # the edge store takedown repairs labels from (delete_docs)
         pairs.select("id_a", "id_b").write.mode("overwrite") \
             .parquet(pairs_dir)
+        _boot_lap(_marks, "membership")
         # linear-sketch stores of the bootstrap corpus (count-min token
         # table + counting-Bloom shingle gate); a bootstrap retry redoes
         # these overwrites with identical content (idempotent), and the
@@ -1208,14 +1227,19 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
                               boot_fp, sd1, sd2)
              .write.mode("overwrite")
              .parquet(os.path.join(state_dir, sk_name)))
+            _boot_lap(_marks, sk_name)
         (_hll_frame(spark, batch).coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(state_dir, "hll")))
+        _boot_lap(_marks, "hll")
         (_wfp_frame(spark, batch, WFP_K, WFP_W).write.mode("overwrite")
          .parquet(os.path.join(state_dir, "wfp")))
+        _boot_lap(_marks, "wfp")
         (_dhash_frame(spark, batch).write.mode("overwrite")
          .parquet(os.path.join(state_dir, "dhash")))
+        _boot_lap(_marks, "dhash")
         (_afp_frame(spark, batch).write.mode("overwrite")
          .parquet(os.path.join(state_dir, "afp")))
+        _boot_lap(_marks, "afp")
         # metrics BEFORE the corpus commit marker: a crash between the
         # two replays the whole bootstrap (corpus absent) and appends a
         # duplicate row with the same batch_id — at-least-once, which
@@ -1227,6 +1251,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         _append_metrics(spark, state_dir, batch_id, n, n,
                         pairs.count(), False, True)
         batch.write.mode("overwrite").parquet(corpus_dir)
+        _boot_lap(_marks, "corpus")
         pairs.unpersist()
         return
 

@@ -71,6 +71,19 @@ from cati_database_feeder_spark.streaming.ingest import (
 _EMB_STORES = ("labels", "vectors", "centroids", "metrics", "deleted",
                "quant", "planes", "pqbooks")
 
+
+# Per-sub-store wall seconds of the LAST bootstrap in this process —
+# the embeddings twin of streaming/ingest.py:BOOT_PHASE_SECONDS;
+# bench.py reads it to split "boot:emb_serving_store" per store.
+BOOT_PHASE_SECONDS: dict[str, float] = {}
+
+
+def _boot_lap(marks: list, name: str) -> None:
+    import time
+    now = time.time()
+    BOOT_PHASE_SECONDS[name] = round(now - marks[0], 3)
+    marks[0] = now
+
 # defaults for the JL projected-vector store (E59's serving tier off
 # maintained state): projection width and the seed of the Gaussian
 # plane matrix. Pinned at bootstrap like the centroids/quant range —
@@ -333,11 +346,15 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
                 "ingest_embeddings_batch: centroid_rows is required on "
                 "the bootstrap call (cell assignment must be pinned "
                 "before any vector is stored)")
+        import time as _time
+        BOOT_PHASE_SECONDS.clear()
+        _marks = [_time.time()]
         cents = [(int(c), [float(x) for x in v]) for c, v in centroid_rows]
         pairs = semdedup_pairs(batch, cents, threshold=threshold,
                                by=by).persist()
         labels = connected_components(pairs.select("id_a", "id_b"))
         _swap_write(labels, lab_dir)
+        _boot_lap(_marks, "closure")
         spark.createDataFrame(cents, "cell int, centroid array<double>") \
             .coalesce(1).write.mode("overwrite").parquet(cen_dir)
         # metrics BEFORE the vectors commit marker (the text path's
@@ -373,6 +390,7 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
         _pqbooks_frame(spark, books).coalesce(1) \
             .write.mode("overwrite").parquet(
                 os.path.join(state_dir, "pqbooks"))
+        _boot_lap(_marks, "params")
         n = batch.count()
         _append_metrics(spark, state_dir, batch_id, n, n,
                         pairs.count(), False, True)
@@ -380,6 +398,7 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
             assign_cells(batch, cents, "embedding", by), lo, hi), planes),
             books)
          .write.partitionBy("cell").mode("overwrite").parquet(vec_dir))
+        _boot_lap(_marks, "vectors")
         pairs.unpersist()
         return
 
