@@ -8536,6 +8536,103 @@ def dq_k_anonymity(spark, sf_dir):
                " DIV SUM(sz) AS BIGINT)").alias("risk_ppm"))
 
 
+# E122: truncated-dimension retrieval ladder (the Matryoshka/MRL
+# serving question, Kusupati et al. 2022): if the coarse scan reads
+# only the first d dimensions, what recall@10 survives? At 100 TB
+# truncation cuts coarse-scan bytes LINEARLY with d with zero index
+# structure — the cheapest compression tier there is — and the ladder
+# is the measurement that says which d can serve. Exact arithmetic
+# end-to-end: sliced fixed-order dot products, integer-ppm recall.
+_TRUNC_DIMS = (32, 16, 8)
+
+
+def _trunc_sql() -> str:
+    def rung(d):
+        return f"""sd{d} AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(e.v[1:{d}], q.qv[1:{d}])
+           / nullif(sqrt(list_dot_product(e.v[1:{d}], e.v[1:{d}]))
+                    * sqrt(list_dot_product(q.qv[1:{d}], q.qv[1:{d}])),
+                    0.0) AS cos_raw
+  FROM e CROSS JOIN q),
+rk{d} AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM sd{d}) WHERE rank <= 10),
+h{d} AS (
+  SELECT CAST({d} AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM rk{d} JOIN gt USING (q_id, vec_id))"""
+
+    selects = "\nUNION ALL\n".join(
+        f"SELECT h{d}.dim, nqc.n_queries, h{d}.n_hits,"
+        f" CAST((1000000 * h{d}.n_hits) // (10 * nqc.n_queries)"
+        f" AS BIGINT) AS recall_ppm FROM h{d} CROSS JOIN nqc"
+        for d in _TRUNC_DIMS)
+    return ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+gt AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY list_dot_product(e.v, q.qv)
+               / nullif(sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv)), 0.0) DESC,
+               e.vec_id ASC) AS rank
+    FROM e CROSS JOIN q) WHERE rank <= 10),
+nqc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q),
+"""
+            + ",\n".join(rung(d) for d in _TRUNC_DIMS) + "\n"
+            + selects)
+
+
+@register("embedding_truncation_ladder", sql=_trunc_sql())
+def embedding_truncation_ladder(spark, sf_dir):
+    """E122 truncated-dimension recall ladder: exact cosine top-10
+    over the FIRST d dimensions only (d = 32/16/8 of 64) scored
+    against the session's full-dimension ground-truth stage, recall
+    reported in exact integer ppm per rung. The MRL serving question:
+    embeddings trained Matryoshka-style front-load information, so a
+    d-prefix scan — a LINEAR byte cut with no index, no training, no
+    quantizer — can serve the coarse tier; the ladder is the
+    regression gate that says which d holds (on this fixture's
+    untrained random-ish vectors the ladder decays fast — the NEGATIVE
+    control: prefix truncation without MRL training is not free, which
+    is exactly what the measurement should show). Every rung is one
+    sliced fixed-order dot-product scan + one top-k aggregate — at
+    100 TB the d-prefix column is a write-time layout (store the first
+    d dims as their own column, the E102 codes-column discipline) and
+    each rung reads d/64 of the float bytes. All values exact: the
+    oracle replays slicing, ranking and the integer-ppm recall
+    bit-for-bit."""
+    from cati_database_feeder_spark.operators.similarity import (
+        brute_force_topk)
+    e = T(spark, sf_dir, "embeddings")
+    gt = _brute_topk10_stage(spark, sf_dir).select("q_id", "vec_id")
+    nq = (e.filter(F.col("vec_id") % 100 == 0)
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_queries")))
+    out = None
+    for d in _TRUNC_DIMS:
+        ed = e.select("vec_id", F.slice("embedding", 1, d)
+                      .alias("embedding"))
+        qd = (e.filter(F.col("vec_id") % 100 == 0)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.slice("embedding", 1, d).alias("q_vec")))
+        top = brute_force_topk(qd, ed, k=10).select("q_id", "vec_id")
+        hits = (gt.join(top, ["q_id", "vec_id"])
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+        row = (hits.crossJoin(F.broadcast(nq))
+               .select(F.lit(d).cast("bigint").alias("dim"),
+                       "n_queries", "n_hits",
+                       F.expr("CAST((1000000 * n_hits) DIV "
+                              "(10 * n_queries) AS BIGINT)")
+                       .alias("recall_ppm")))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # E120: language identification. documents.lang is consumed as trusted
 # input everywhere downstream (quality filter, tempered mixing,
 # edit-distance blocking) — this derives it, the real pipeline's first
@@ -9088,6 +9185,7 @@ _CHECK_ORDER = [
     "text_lang_id_probe",
     "text_lang_confusion",
     "corpus_release_e2e",
+    "embedding_truncation_ladder",
     # expiring r10 greens
     "decontaminate_bloom_gate", "decontaminate_semantic",
     "decontaminate_cbloom_store", "embedding_lsh_multiprobe_topk",

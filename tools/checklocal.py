@@ -55,6 +55,23 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     if args and args[0] == "--all":
         chosen = list(queries)
+    elif args and args[0] == "--missing":
+        # only queries without a green row in THIS round's artifact —
+        # the resume flag for a full-registry refresh that got
+        # interrupted (writes are incremental, so nothing is lost)
+        out = os.path.join(REPO,
+                           f"CHECKLOCAL_r{building_round():02d}.json")
+        done = {}
+        if os.path.exists(out):
+            done = json.load(open(out))
+        chosen = [n for n in queries
+                  if not (done.get(n, {}).get("rows_match")
+                          and done[n].get("schema_match")
+                          and done[n].get("hash_match"))]
+        if not chosen:
+            print("nothing missing — every registered query has a "
+                  "green row this round")
+            return 0
     elif args:
         unknown = [a for a in args if a not in queries]
         if unknown:
@@ -88,12 +105,18 @@ def main() -> int:
         rec["lane"] = "checklocal"
         results[name] = rec
         ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
-        print(f"{'PASS' if ok else 'FAIL'} {name} [{time.time()-t0:.1f}s]")
+        print(f"{'PASS' if ok else 'FAIL'} {name} [{time.time()-t0:.1f}s]",
+              flush=True)
         if not ok:
             failed += 1
+        # write INCREMENTALLY (atomic replace): a long full-registry
+        # run interrupted by anything keeps every verdict it produced,
+        # and --missing resumes from exactly here
+        tmp = f"{out_path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(results, fh, indent=2)
+        os.replace(tmp, out_path)
 
-    with open(out_path, "w") as fh:
-        json.dump(results, fh, indent=2)
     print(f"\nwrote {out_path}: {len(results)} rows, {failed} failed")
     return 1 if failed else 0
 
