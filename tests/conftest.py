@@ -9,14 +9,20 @@ from cati_database_feeder_spark.session import get_session
 SF_DIR = "/root/testdata/sf0.001"
 
 # Fast/slow lanes (round-10 verdict item 8): the full suite is ~30 min
-# and grows with every e2e/crash/streaming test, which degrades the
-# per-commit feedback loop — not the tests. The SLOW lane is the
-# modules dominated by multi-batch ingest e2e, streaming micro-batch
-# twins and crash/concurrency fences; everything else (oracle gate at
-# sf0.001, units, properties, plan pins) is FAST. Run `pytest -m fast`
-# per commit (<10 min), the full suite before a round close. Every
-# test is in exactly one lane; `pytest` with no marker runs both.
-_SLOW_MODULES = {"test_incremental_e2e", "test_streaming"}
+# on a builder-class box and grows with every e2e/crash/streaming
+# test, which degrades the per-commit feedback loop — not the tests.
+# The SLOW lane is the modules dominated by multi-batch ingest e2e,
+# streaming micro-batch twins, crash/concurrency fences — and, since
+# round 12, the dual-SF scaling measurements and the heavy dedup
+# property sweeps (measured r12 on a mid-speed shared box: fast lane
+# 25m45s with them, test_dedup_similarity 4m24 + test_scale 2m12
+# standalone; the remaining fast lane is dominated by the 185-query
+# oracle gate at 6m39, which IS the per-commit correctness value and
+# stays). Run `pytest -m fast` per commit, the full suite before a
+# round close. Every test is in exactly one lane; `pytest` with no
+# marker runs both.
+_SLOW_MODULES = {"test_incremental_e2e", "test_streaming",
+                 "test_scale", "test_dedup_similarity"}
 
 
 def pytest_configure(config):

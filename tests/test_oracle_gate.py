@@ -41,6 +41,14 @@ def oracle_con():
 _BARE_SUM_ALLOWED = {
     # HAVING comparison — never reaches the output schema
     "q18_large_volume_customers": 1,
+    # one CTE-internal score SUM(m*w) consumed only by ROW_NUMBER's
+    # ORDER BY, plus the reviewed dq_k_anonymity ppm pattern: both
+    # SUMs inside ONE outer CAST((1e6*SUM(..)) // SUM(..) AS BIGINT)
+    "text_lang_id": 3,
+    "text_lang_id_probe": 3,
+    # the shared prediction CTEs only: the score SUM consumed by
+    # ROW_NUMBER — the confusion output itself is COUNT(*) cast
+    "text_lang_confusion": 1,
     # both SUMs sit inside ONE outer CAST((1e6*SUM(..)) // SUM(..) AS
     # BIGINT) — the output type is pinned one level out, the reviewed
     # pack_training_sequences pattern
