@@ -30,6 +30,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cati_database_feeder_spark.session import local_frame
+
 _warned_rdd_ids = False
 
 
@@ -236,7 +238,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                  StructField("component", id_type)])
             rows = sorted(comp.items())
             e.unpersist()
-            return pairs.sparkSession.createDataFrame(rows, schema)
+            return local_frame(pairs.sparkSession, rows, schema)
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()

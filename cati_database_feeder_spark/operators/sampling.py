@@ -26,6 +26,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cati_database_feeder_spark.session import local_frame
+
 # gate granularity: fractions are exact multiples of 1/GRAIN, so every
 # threshold is an integer compare (no float-vs-decimal drift between
 # engines)
@@ -189,7 +191,7 @@ def global_shuffle_ordinals(df: DataFrame, key: Column,
         acc += cnt
     if not offsets:  # empty input: no offsets — empty result
         offsets = [(0, 0)]
-    off = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    off = local_frame(df.sparkSession, offsets, "__pid int, __off long")
     w = Window.partitionBy("__pid").orderBy("__key", *tie_cols)
     return (keyed.withColumn("__pid", pid)
             .join(F.broadcast(off), "__pid")
@@ -362,7 +364,7 @@ def pack_sequences(df: DataFrame, key: Column, tie_cols: list[str],
         acc += vs
     if not offsets:
         offsets = [(0, 0)]
-    off = df.sparkSession.createDataFrame(offsets, "__pid int, __toff long")
+    off = local_frame(df.sparkSession, offsets, "__pid int, __toff long")
     w = (Window.partitionBy("__pid").orderBy("__key", *tie_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     # null-safe token count: a null counts as 0 tokens (matches the
@@ -433,7 +435,7 @@ def token_budget_prefix(df: DataFrame, key: Column, tie_cols: list[str],
         acc += vs
     if not offsets:
         offsets = [(0, 0)]
-    off = df.sparkSession.createDataFrame(offsets, "__pid int, __toff long")
+    off = local_frame(df.sparkSession, offsets, "__pid int, __toff long")
     w = (Window.partitionBy("__pid").orderBy("__key", *tie_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     tok = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
@@ -641,7 +643,7 @@ def pps_systematic_sample(df: DataFrame, key: Column, tie_cols: list[str],
             f"pps_systematic_sample: k*total = {k * total} risks BIGINT "
             f"overflow in the ticket arithmetic; reduce k or rescale "
             f"the weights")
-    off = df.sparkSession.createDataFrame(offsets, "__pid int, __woff long")
+    off = local_frame(df.sparkSession, offsets, "__pid int, __woff long")
     w = (Window.partitionBy("__pid").orderBy("__key", *tie_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wv = F.when(

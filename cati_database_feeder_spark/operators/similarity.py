@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cati_database_feeder_spark.session import local_frame
+
 from cati_database_feeder_spark.functions import vectors as V
 
 
@@ -475,8 +477,8 @@ def centroid_frame(spark, centroid_rows: list[tuple[int, list[float]]]) -> DataF
     array<double>) DataFrame — the model-as-data form the broadcast
     tier joins. In production this is simply the trained-centroid
     table read from storage; no driver literal ever holds it."""
-    return spark.createDataFrame(
-        [(int(c), [float(x) for x in vec]) for c, vec in centroid_rows],
+    return local_frame(
+        spark, [(int(c), [float(x) for x in vec]) for c, vec in centroid_rows],
         "cell int, centroid array<double>")
 
 
@@ -1087,8 +1089,8 @@ def planes_frame(spark, planes: list[list[float]]) -> DataFrame:
     array<double>) DataFrame — the EXACT schema the ingest store's
     ``planes/`` table uses (streaming/ingest_embeddings.py), so a
     store-backed pipeline passes its planes table here directly."""
-    return spark.createDataFrame(
-        [(i, [float(x) for x in p]) for i, p in enumerate(planes)],
+    return local_frame(
+        spark, [(i, [float(x) for x in p]) for i, p in enumerate(planes)],
         "idx int, plane array<double>")
 
 

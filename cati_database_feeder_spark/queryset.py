@@ -8931,7 +8931,8 @@ def text_lang_id_probe(spark, sf_dir):
     Model and probe are both bounded plan literals; the oracle replays
     training, scoring, argmax and the gate bit-for-bit from the same
     VALUES rows."""
-    probe = spark.createDataFrame(_PROBE_ROWS, ["pid", "lang", "s"])
+    from cati_database_feeder_spark.session import local_frame
+    probe = local_frame(spark, _PROBE_ROWS, ["pid", "lang", "s"])
     g = (probe.filter(F.length("s") >= 3)
          .select("pid", "lang",
                  F.explode(F.transform(
@@ -9262,14 +9263,14 @@ _CHECK_ORDER = [
     "dedup_embedding_cosine_pairs", "decontaminate_against_benchmark",
     "backfill_month_repair_per_file", "multimodal_binary_features",
     "q5_local_supplier_volume",
-    # ---- tail (past slot 50). Sustainability arithmetic unchanged
-    # (queryset round-10 note): 140 registered queries, a 50-slot
-    # driver window, 2-round green lifetime — the overflow lane is
-    # CHECKLOCAL_r{N}.json via tools/checklocal.py (the IDENTICAL
-    # comparison, three outcomes + independent oracle rows recorded
-    # since round 11). Tail order: the 10 r9-greens not fitted above
-    # lead (they are round 12's mandatory window block), then the
-    # round-10 driver-green block, then the rest.
+    # ---- tail (past slot 50). Sustainability arithmetic (round-12
+    # note): 185 registered queries, a 50-slot driver window, 2-round
+    # green lifetime — the overflow lane is CHECKLOCAL_r{N}.json via
+    # tools/checklocal.py (the IDENTICAL comparison, three outcomes +
+    # independent oracle rows recorded since round 11); round 12
+    # refreshed the ENTIRE registry there (185/185 at the time of the
+    # run, plus the late E122 row), so nothing on the board is older
+    # than r12 and the window is pure priority, not survival.
     "skew_salted_agg", "skew_replicate_salt_join", "text_pii_redact",
     "join_asof_backward", "events_tumbling_window",
     "events_session_window", "events_daily_gap_fill",

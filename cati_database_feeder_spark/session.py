@@ -68,3 +68,23 @@ def get_session(app_name: str = "cati-feeder-spark", master: str | None = None,
                 "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing")
     )
     return builder.getOrCreate()
+
+
+def local_frame(spark: SparkSession, rows, schema):
+    """Single-partition DataFrame from driver-local rows.
+
+    A plain ``createDataFrame(list)`` slices even ONE row across
+    ``defaultParallelism`` pickled partitions; a later ``coalesce(1)``
+    (the usual small-table write shape) then streams ALL of them
+    through one sequential Python worker — measured ~5-6 s per tiny
+    frame at local[32], which dominated the embedding-store bootstrap
+    (boot:emb:params 22 s for four one-to-128-row writes) and taxed
+    every metrics append and literal-offset join. Driver-local
+    model/offset/sentinel frames are small BY CONSTRUCTION, so one
+    slice is the only sensible layout — one Python task, ~0.3 s.
+    On a cluster the same argument holds: these frames broadcast or
+    coalesce anyway, so parallelism was never buying anything."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)

@@ -112,6 +112,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cati_database_feeder_spark.functions import sketches
+from cati_database_feeder_spark.session import local_frame
 from cati_database_feeder_spark.functions import text as text_fns
 from cati_database_feeder_spark.operators import dedup
 from cati_database_feeder_spark.operators.graph import (
@@ -445,8 +446,8 @@ def _cms_store_frame(spark, table: DataFrame, fp: tuple[int, int],
     the takedown ledger in the main store, the delta id-hashes in a
     sidecar), ONE frame so one swap commits all of it — fp, dims and
     ledgers must never drift from the cells they describe."""
-    sent = spark.createDataFrame(
-        [(_CMS_FP_ROW, fp[1], fp[0]), (_CMS_DIMS_ROW, d1, d2)],
+    sent = local_frame(
+        spark, [(_CMS_FP_ROW, fp[1], fp[0]), (_CMS_DIMS_ROW, d1, d2)],
         "r INT, bucket BIGINT, cnt BIGINT")
     out = (table.select(F.col("r").cast("int"),
                         F.col("bucket").cast("bigint"),
@@ -594,8 +595,8 @@ _WFP_DIMS_ID = -2  # sentinel row: fp = k*1000 + w
 
 def _wfp_frame(spark, docs: DataFrame, k: int, w: int) -> DataFrame:
     fps = dedup.winnow_fingerprints(docs, k=k, w=w)
-    dims = spark.createDataFrame(
-        [(_WFP_DIMS_ID, k * 1000 + w)], "doc_id long, fp long")
+    dims = local_frame(
+        spark, [(_WFP_DIMS_ID, k * 1000 + w)], "doc_id long, fp long")
     return fps.unionByName(dims)
 
 
@@ -736,8 +737,8 @@ def _dhash_frame(spark, docs: DataFrame) -> DataFrame:
         .alias("meta"))
     hashes = (mm.image_dhash(media)
               .select(F.col("media_id").alias("doc_id"), "dhash", "real"))
-    dims = spark.createDataFrame(
-        [(_DHASH_DIMS_ID, _dhash_geometry(), False)],
+    dims = local_frame(
+        spark, [(_DHASH_DIMS_ID, _dhash_geometry(), False)],
         "doc_id long, dhash long, real boolean")
     return hashes.unionByName(dims)
 
@@ -823,8 +824,8 @@ def _afp_frame(spark, docs: DataFrame) -> DataFrame:
         .alias("meta"))
     hashes = (mm.audio_fingerprint(media)
               .select(F.col("media_id").alias("doc_id"), "ahash", "real"))
-    dims = spark.createDataFrame(
-        [(_AFP_DIMS_ID, _afp_geometry(), False)],
+    dims = local_frame(
+        spark, [(_AFP_DIMS_ID, _afp_geometry(), False)],
         "doc_id long, ahash long, real boolean")
     return hashes.unionByName(dims)
 
@@ -1163,8 +1164,8 @@ def _append_metrics(spark, state_dir: str, batch_id, rows_in: int,
                     bootstrap: bool) -> None:
     row = [(None if batch_id is None else int(batch_id), int(rows_in),
             int(delta_rows), int(new_pairs), bool(quiet), bool(bootstrap))]
-    (spark.createDataFrame(
-        row, "batch_id long, rows_in long, delta_rows long, "
+    (local_frame(
+        spark, row, "batch_id long, rows_in long, delta_rows long, "
              "new_pairs long, quiet boolean, bootstrap boolean")
      .coalesce(1).write.mode("append")
      .parquet(os.path.join(state_dir, "metrics")))
@@ -1594,10 +1595,8 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
             # tombstone rows to the append-only ledger (the anti-join
             # below filters only PREVIOUSLY-stored ids) — review finding
             ids = sorted(set(doc_ids))
-            dd = (spark.createDataFrame(
-                [(i,) for i in ids], corpus.select("doc_id").schema)
-                if ids else
-                spark.createDataFrame([], corpus.select("doc_id").schema))
+            dd = local_frame(spark, [(i,) for i in ids],
+                             corpus.select("doc_id").schema)
         # tombstones first (append, redelivery-guarded); then every
         # store is rewritten against the FULL tombstone set, which is
         # what makes a retry after any crash complete the job

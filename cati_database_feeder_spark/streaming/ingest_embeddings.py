@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 from cati_database_feeder_spark.operators.graph import (
     connected_components, incremental_components)
 from cati_database_feeder_spark.functions import vectors as V
+from cati_database_feeder_spark.session import local_frame
 from cati_database_feeder_spark.operators.similarity import (
     assign_cells, incremental_semdedup_pairs, semdedup_pairs)
 from cati_database_feeder_spark.streaming.ingest import (
@@ -204,9 +205,9 @@ def _pqbooks_from_cents(cents) -> list[list[list[float]]]:
 
 
 def _pqbooks_frame(spark, books):
-    return spark.createDataFrame(
-        [(s, j, code) for s, sub in enumerate(books)
-         for j, code in enumerate(sub)],
+    return local_frame(
+        spark, [(s, j, code) for s, sub in enumerate(books)
+                for j, code in enumerate(sub)],
         "s int, j int, code array<double>")
 
 
@@ -267,7 +268,7 @@ def _ensure_derived_stores(spark, state_dir: str, dim: int):
 
     def _regen_q():
         lo, hi = _corpus_range(store)
-        return spark.createDataFrame([(lo, hi)], "lo double, hi double")
+        return local_frame(spark, [(lo, hi)], "lo double, hi double")
 
     def _load_p():
         rows = spark.read.parquet(os.path.join(state_dir, "planes")).collect()
@@ -276,8 +277,8 @@ def _ensure_derived_stores(spark, state_dir: str, dim: int):
                 if rows else None)
 
     def _regen_p():
-        return spark.createDataFrame(
-            [(i, p) for i, p in enumerate(_default_planes(dim))],
+        return local_frame(
+            spark, [(i, p) for i, p in enumerate(_default_planes(dim))],
             "idx int, plane array<double>")
 
     def _load_b():
@@ -355,7 +356,7 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
         labels = connected_components(pairs.select("id_a", "id_b"))
         _swap_write(labels, lab_dir)
         _boot_lap(_marks, "closure")
-        spark.createDataFrame(cents, "cell int, centroid array<double>") \
+        local_frame(spark, cents, "cell int, centroid array<double>") \
             .coalesce(1).write.mode("overwrite").parquet(cen_dir)
         # metrics BEFORE the vectors commit marker (the text path's
         # argument, streaming/ingest.py): crash in between → the replay
@@ -369,7 +370,7 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
         # before the vectors commit marker: a crash in between
         # re-enters bootstrap and overwrites it with the same values.
         lo, hi = _corpus_range(batch)
-        spark.createDataFrame([(lo, hi)], "lo double, hi double") \
+        local_frame(spark, [(lo, hi)], "lo double, hi double") \
             .coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(state_dir, "quant"))
         # the JL plane matrix is pinned at bootstrap like the quant
@@ -378,8 +379,8 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
         # before the vectors marker re-enters and overwrites with the
         # identical seeded matrix
         planes = _default_planes(len(cents[0][1]))
-        spark.createDataFrame(
-            [(i, p) for i, p in enumerate(planes)],
+        local_frame(
+            spark, [(i, p) for i, p in enumerate(planes)],
             "idx int, plane array<double>") \
             .coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(state_dir, "planes"))
@@ -534,8 +535,7 @@ def _delete_embeddings_locked(spark, state_dir: str, vec_ids,
             # duplicate tombstone rows (same rule as delete_docs)
             ids = sorted(set(vec_ids))
             schema = store.select("vec_id").schema
-            dd = (spark.createDataFrame([(i,) for i in ids], schema)
-                  if ids else spark.createDataFrame([], schema))
+            dd = local_frame(spark, [(i,) for i in ids], schema)
         if os.path.exists(deleted_dir):
             (dd.join(spark.read.parquet(deleted_dir), "vec_id",
                      "left_anti")
@@ -778,8 +778,8 @@ def retrain_embeddings_centroids(spark, state_dir: str,
         cents = train_ivf_centroids(corpus, n_cells=k,
                                     iterations=iterations,
                                     max_share=max_share)
-        spark.createDataFrame(
-            [(int(c), [float(x) for x in v]) for c, v in cents],
+        local_frame(
+            spark, [(int(c), [float(x) for x in v]) for c, v in cents],
             "cell int, centroid array<double>") \
             .coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(state_dir, _CENTS_NEXT))
