@@ -1199,7 +1199,12 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         import time as _time
         BOOT_PHASE_SECONDS.clear()
         _marks = [_time.time()]
-        memb = dedup.tokset_groups(batch)
+        # persisted: FOUR consumers in this branch (the pair build via
+        # groups=, and the reps/members/buckets writes) — unpersisted,
+        # each write recomputed the tokenize + corpus window from
+        # scratch; the boot attribution put the whole membership lap at
+        # 71 s at sf0.1 with this as the dominant term
+        memb = dedup.tokset_groups(batch).persist()
         # persisted: consumed by the closure AND the metrics count
         pairs = dedup.near_dup_pairs(batch, threshold=threshold,
                                      num_hashes=num_hashes, bands=bands,
@@ -1254,6 +1259,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         batch.write.mode("overwrite").parquet(corpus_dir)
         _boot_lap(_marks, "corpus")
         pairs.unpersist()
+        memb.unpersist()
         return
 
     _ensure_membership_stores(spark, state_dir)
