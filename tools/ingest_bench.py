@@ -27,7 +27,7 @@ incremental path probes the materialized cell-assigned store (one
 cell equi-join on the delta) and re-labels only touched components,
 so per-batch cost must not grow a corpus-proportional term — the
 number a 100 TB operator prices batches with, which the one-time
-bench bootstrap (boot:emb_serving_store) says nothing about.
+bench bootstrap (the boot:emb:* entries) says nothing about.
 
 Usage: python tools/ingest_bench.py [out_json] [--embeddings]
 """
