@@ -8536,6 +8536,126 @@ def dq_k_anonymity(spark, sf_dir):
                " DIV SUM(sz) AS BIGINT)").alias("risk_ppm"))
 
 
+# E123: tokenizer-fertility profile. Corpus cost models and mixing
+# budgets are set in TOKENS, but storage/transfer happen in BYTES and
+# subword tokenizers "fertilize" differently per language (a fixed
+# BPE inflates non-Latin text's piece count) — this is the per-lang
+# exchange-rate table between the three units, exact integer milli
+# ratios only (the E52/E58 transcendental-free discipline).
+@register("text_tokenizer_fertility", sql=r"""
+WITH m AS (
+  SELECT lang,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_ws,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+              AS BIGINT) AS n_bpe
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_pieces,
+       CAST((1000 * SUM(n_bytes)) // SUM(n_ws) AS BIGINT)
+         AS bytes_per_ws_milli,
+       CAST((1000 * SUM(n_bpe)) // SUM(n_ws) AS BIGINT)
+         AS pieces_per_ws_milli
+FROM m GROUP BY lang
+""")
+def text_tokenizer_fertility(spark, sf_dir):
+    """E123 per-language tokenizer-fertility table: bytes, whitespace
+    tokens and BPE-ish word pieces per language, with the two
+    exchange rates every corpus budget conversion needs (bytes per
+    token, pieces per token) as exact integer milli ratios — the
+    dashboard that catches a tokenizer whose fertility explodes on
+    one language (piece count >> token count means that language
+    burns sequence budget disproportionately; zh at ~1 char per piece
+    is the canonical case). One scan, one aggregate, map-side
+    partials, one integer division per output cell — nothing here
+    changes shape at 100 TB."""
+    d = T(spark, sf_dir, "documents")
+    m = d.select(
+        "lang",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        text.token_count(F.col("text")).alias("n_ws"),
+        text.bpe_ish_token_count(F.col("text")).alias("n_bpe"))
+    return (m.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+                 F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+                 F.sum("n_bpe").cast("bigint").alias("bpe_pieces"))
+            .select("lang", "n_docs", "total_bytes", "ws_tokens",
+                    "bpe_pieces",
+                    F.expr("CAST((1000 * total_bytes) DIV ws_tokens "
+                           "AS BIGINT)").alias("bytes_per_ws_milli"),
+                    F.expr("CAST((1000 * bpe_pieces) DIV ws_tokens "
+                           "AS BIGINT)").alias("pieces_per_ws_milli")))
+
+
+# E124: packing-efficiency report — the composition row over E30
+# (pack_training_sequences): how much sequence budget concat-and-chunk
+# packing actually saves vs naive one-doc-per-sequence padding. The
+# oracle wraps the packing query's registered SQL verbatim (the E89
+# pattern), so a drift in the packing itself breaks this row too.
+@register("pack_efficiency_report")
+def pack_efficiency_report(spark, sf_dir):
+    """E124 packing-efficiency accounting, all exact integers: from
+    the packed index — doc count, total token mass, packed sequence
+    count ceil(total/4096) (concat-and-chunk wastes only the final
+    tail) — against the naive padding shape (each doc alone in
+    ceil(n/4096) sequences, empty docs pinned to 1, the packing
+    query's own convention): padded waste, packed waste, and the
+    savings in exact ppm of the naive waste. This is the number that
+    justifies the packing stage's existence in a training-data
+    pipeline: sequence-budget burn is GPU-hours at training time.
+    Bounded aggregate over the already-registered packing output."""
+    packed = pack_training_sequences(spark, sf_dir)
+    agg = packed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.expr("CASE WHEN n_tokens = 0 THEN 1 "
+                     "ELSE CAST((n_tokens + 4095) DIV 4096 AS BIGINT) "
+                     "END")).cast("bigint").alias("naive_seqs"))
+    return agg.select(
+        "n_docs", "total_tokens",
+        F.expr("CAST((total_tokens + 4095) DIV 4096 AS BIGINT)")
+        .alias("packed_seqs"),
+        "naive_seqs",
+        F.expr("CAST(((total_tokens + 4095) DIV 4096) * 4096 "
+               "- total_tokens AS BIGINT)").alias("packed_waste"),
+        F.expr("CAST(naive_seqs * 4096 - total_tokens AS BIGINT)")
+        .alias("naive_waste"),
+        F.expr("CAST((1000000 * (naive_seqs * 4096 - total_tokens "
+               "- (((total_tokens + 4095) DIV 4096) * 4096 "
+               "- total_tokens))) DIV (naive_seqs * 4096 "
+               "- total_tokens) AS BIGINT)").alias("savings_ppm"))
+
+
+ORACLES["pack_efficiency_report"] = (
+    "WITH p AS (" + ORACLES["pack_training_sequences"] + ")\n"
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+    "       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,\n"
+    "       CAST((SUM(n_tokens) + 4095) // 4096 AS BIGINT)\n"
+    "         AS packed_seqs,\n"
+    "       CAST(SUM(CASE WHEN n_tokens = 0 THEN 1\n"
+    "                ELSE (n_tokens + 4095) // 4096 END) AS BIGINT)\n"
+    "         AS naive_seqs,\n"
+    "       CAST(((SUM(n_tokens) + 4095) // 4096) * 4096\n"
+    "            - SUM(n_tokens) AS BIGINT) AS packed_waste,\n"
+    "       CAST(SUM(CASE WHEN n_tokens = 0 THEN 1\n"
+    "                ELSE (n_tokens + 4095) // 4096 END) * 4096\n"
+    "            - SUM(n_tokens) AS BIGINT) AS naive_waste,\n"
+    "       CAST((1000000 * (SUM(CASE WHEN n_tokens = 0 THEN 1\n"
+    "                ELSE (n_tokens + 4095) // 4096 END) * 4096\n"
+    "            - SUM(n_tokens)\n"
+    "            - (((SUM(n_tokens) + 4095) // 4096) * 4096\n"
+    "               - SUM(n_tokens))))\n"
+    "            // (SUM(CASE WHEN n_tokens = 0 THEN 1\n"
+    "                ELSE (n_tokens + 4095) // 4096 END) * 4096\n"
+    "                - SUM(n_tokens)) AS BIGINT) AS savings_ppm\n"
+    "FROM p")
+
+
 # E122: truncated-dimension retrieval ladder (the Matryoshka/MRL
 # serving question, Kusupati et al. 2022): if the coarse scan reads
 # only the first d dimensions, what recall@10 survives? At 100 TB
@@ -9187,6 +9307,8 @@ _CHECK_ORDER = [
     "text_lang_confusion",
     "corpus_release_e2e",
     "embedding_truncation_ladder",
+    "text_tokenizer_fertility",
+    "pack_efficiency_report",
     # expiring r10 greens
     "decontaminate_bloom_gate", "decontaminate_semantic",
     "decontaminate_cbloom_store", "embedding_lsh_multiprobe_topk",

@@ -49,6 +49,14 @@ _BARE_SUM_ALLOWED = {
     # the shared prediction CTEs only: the score SUM consumed by
     # ROW_NUMBER — the confusion output itself is COUNT(*) cast
     "text_lang_confusion": 1,
+    # the two milli ratios: SUMs inside ONE outer CAST((1000*SUM(..))
+    # // SUM(..) AS BIGINT) each — the reviewed dq_k_anonymity pattern
+    "text_tokenizer_fertility": 4,
+    # every SUM term sits inside an outer CAST(... AS BIGINT) arith
+    # expression (packed/naive sequence counts and wastes, savings
+    # ppm) — all integer arithmetic over BIGINT SUMs, output types
+    # pinned one level out; same reviewed pattern
+    "pack_efficiency_report": 11,
     # both SUMs sit inside ONE outer CAST((1e6*SUM(..)) // SUM(..) AS
     # BIGINT) — the output type is pinned one level out, the reviewed
     # pack_training_sequences pattern
