@@ -9110,11 +9110,19 @@ _JSONL_FIXTURE = os.path.join(
     "spark-warehouse", "fixtures", "jsonl_scan.jsonl")
 
 
+_EVOLUTION_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse", "fixtures", "parquet_evolution")
+
+
 def ensure_jsonl_fixture() -> str:
-    """Write the pinned JSONL shard if absent; both the Spark query
-    and ``__spark_entry__.oracle_sql()`` call this, so whichever lane
-    the driver runs first finds the file on disk."""
-    from cati_database_feeder_spark.sources.jsonl import ensure_fixture
+    """Write the pinned source fixtures (JSONL shard + schema-evolution
+    parquet generations) if absent; both the Spark queries and
+    ``__spark_entry__.oracle_sql()`` call this, so whichever lane the
+    driver runs first finds the files on disk."""
+    from cati_database_feeder_spark.sources.jsonl import (
+        ensure_evolution_fixture, ensure_fixture)
+    ensure_evolution_fixture(_EVOLUTION_DIR)
     return ensure_fixture(_JSONL_FIXTURE)
 
 
@@ -9279,6 +9287,47 @@ FROM per CROSS JOIN nd CROSS JOIN nc
 ORACLES["corpus_release_e2e"] = _RELEASE_SQL
 
 
+# E125: schema-evolution scan. Columnar lake tables EVOLVE — new
+# shards gain columns old shards lack — and the reader must widen,
+# not fail or silently drop. The accounting below is the per-
+# generation report a lake ingest logs after a merged-schema scan.
+@register("parquet_evolution", sql=f"""
+SELECT lang IS NOT NULL AS has_lang,
+       quality IS NOT NULL AS has_quality,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(quality) AS BIGINT) AS sum_quality
+FROM read_parquet('{_EVOLUTION_DIR}/part-g*.parquet',
+                  union_by_name=true)
+GROUP BY 1, 2
+""")
+def parquet_evolution(spark, sf_dir):
+    """E125 merged-schema scan over three pinned parquet generations
+    ((doc_id,text) -> +lang -> +quality): Spark's mergeSchema widens
+    the scan schema to the union and back-fills missing columns with
+    NULL — grouping on column presence recovers the per-generation
+    accounting (row counts, exact id mass, per-generation distincts
+    and sums) that tells an operator how much of the table predates
+    each schema change. The fixture has no explicit nulls, so NULL ⇔
+    column-absent-in-that-file, which is what makes presence
+    groupable. DuckDB replays via read_parquet(union_by_name). At
+    100 TB this is the everyday shape of a long-lived lake table:
+    schema unions come from parquet footers (no data pass), per-file
+    pruning still applies, and the presence groups are exactly the
+    file generations — the query reads each footer once and each
+    column only where it exists."""
+    ensure_jsonl_fixture()
+    df = (spark.read.option("mergeSchema", "true")
+          .parquet(f"{_EVOLUTION_DIR}/part-g*.parquet"))
+    return (df.groupBy(F.col("lang").isNotNull().alias("has_lang"),
+                       F.col("quality").isNotNull().alias("has_quality"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+                 F.count_distinct("lang").alias("n_langs"),
+                 F.sum("quality").cast("bigint").alias("sum_quality")))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -9309,6 +9358,7 @@ _CHECK_ORDER = [
     "embedding_truncation_ladder",
     "text_tokenizer_fertility",
     "pack_efficiency_report",
+    "parquet_evolution",
     # expiring r10 greens
     "decontaminate_bloom_gate", "decontaminate_semantic",
     "decontaminate_cbloom_store", "embedding_lsh_multiprobe_topk",

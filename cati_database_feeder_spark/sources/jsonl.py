@@ -153,3 +153,49 @@ def ensure_fixture(path: str) -> str:
         f.write(data)
     os.replace(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution parquet fixture (E125, registered as `parquet_evolution`).
+# Columnar lake tables evolve: new shards gain columns old shards lack.
+# Three pinned generations written as separate parquet files:
+#   gen 0: (doc_id, text)                       — the original shard
+#   gen 1: (doc_id, text, lang)                 — lang added
+#   gen 2: (doc_id, text, lang, quality)        — quality added
+# Deterministic content (pyarrow, fixed rows, no timestamps) so the
+# merged-schema scan's accounting replays bit-for-bit in DuckDB
+# (read_parquet(..., union_by_name=true)).
+
+def evolution_generations():
+    gens = []
+    g0 = [(i, f"gen zero doc {i}") for i in range(1, 11)]
+    gens.append((["doc_id", "text"], g0))
+    g1 = [(i, f"gen one doc {i}", ["en", "fr", "de"][i % 3])
+          for i in range(11, 26)]
+    gens.append((["doc_id", "text", "lang"], g1))
+    g2 = [(i, f"gen two doc {i}", ["es", "zh"][i % 2], (i * 37) % 100)
+          for i in range(26, 41)]
+    gens.append((["doc_id", "text", "lang", "quality"], g2))
+    return gens
+
+
+def ensure_evolution_fixture(dirpath: str) -> str:
+    """Write the three generations as part-g{n}.parquet under
+    ``dirpath`` if absent; atomic per-file (tmp + rename)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    types = {"doc_id": pa.int64(), "text": pa.string(),
+             "lang": pa.string(), "quality": pa.int64()}
+    os.makedirs(dirpath, exist_ok=True)
+    for n, (cols, rows) in enumerate(evolution_generations()):
+        path = os.path.join(dirpath, f"part-g{n}.parquet")
+        if os.path.exists(path):
+            continue
+        arrays = [pa.array([r[i] for r in rows], type=types[c])
+                  for i, c in enumerate(cols)]
+        table = pa.table(dict(zip(cols, arrays)))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return dirpath
