@@ -234,3 +234,21 @@ def test_jsonl_pinned_fixture_accounting(spark):
         assert quarantined == set(jsonl._CORRUPT_LINES)
     finally:
         raw.unpersist()
+
+
+def test_parquet_evolution_generation_accounting(spark):
+    """E125: the merged-schema scan recovers the three pinned
+    generations exactly — 10 rows with neither added column, 15 with
+    lang only, 15 with both; NULL backfill never leaks across files
+    (the fixture has no explicit nulls, so presence == generation)."""
+    from cati_database_feeder_spark import queryset
+    queryset.ensure_jsonl_fixture()
+    rows = {(r["has_lang"], r["has_quality"]): r for r in
+            queryset.QUERIES["parquet_evolution"](spark, "unused")
+            .collect()}
+    assert set(rows) == {(False, False), (True, False), (True, True)}
+    assert rows[(False, False)]["n_rows"] == 10
+    assert rows[(True, False)]["n_rows"] == 15
+    assert rows[(True, True)]["n_rows"] == 15
+    assert rows[(False, False)]["n_langs"] == 0
+    assert rows[(True, False)]["sum_quality"] is None
