@@ -83,8 +83,17 @@ def local_frame(spark: SparkSession, rows, schema):
     model/offset/sentinel frames are small BY CONSTRUCTION, so one
     slice is the only sensible layout — one Python task, ~0.3 s.
     On a cluster the same argument holds: these frames broadcast or
-    coalesce anyway, so parallelism was never buying anything."""
+    coalesce anyway, so parallelism was never buying anything.
+
+    ``schema`` must be a DDL string or ``StructType`` whenever
+    ``rows`` may be empty: ``createDataFrame([], [names])`` has no
+    types to infer from and raises. The assert below turns that
+    latent confusing failure (round-12 advice) into a named one."""
     if not rows:
+        assert not isinstance(schema, (list, tuple)), (
+            "local_frame with empty rows needs a typed schema (DDL "
+            "string or StructType) — a bare column-name list leaves "
+            "Spark nothing to infer types from")
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)

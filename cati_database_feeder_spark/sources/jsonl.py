@@ -108,8 +108,10 @@ _CORRUPT_LINES = (
 def fixture_lines() -> list[str]:
     """The pinned shard: 40 good lines + 2 id-edge lines + 1
     missing-id line, with the corrupt classes interleaved every 8
-    lines (position matters only for the quarantine min — also
-    pinned)."""
+    lines. The registered query's ``first_bad_line`` is the
+    LEXICOGRAPHIC min of the corrupt lines (both engines compute
+    MIN(), not a positional first) — interleaving only proves the
+    classifier handles corrupt lines anywhere in the shard."""
     good = []
     for i in range(1, 41):
         lang = _LANGS[i % len(_LANGS)]
@@ -140,13 +142,21 @@ def fixture_lines() -> list[str]:
 
 
 def ensure_fixture(path: str) -> str:
-    """Write the pinned shard to ``path`` if absent (atomic rename so
-    concurrent Spark/oracle lanes never see a half-written file);
-    returns ``path``."""
+    """Write the pinned shard to ``path`` if absent or stale (atomic
+    rename so concurrent Spark/oracle lanes never see a half-written
+    file); returns ``path``. Staleness is decided by CONTENT, not
+    size (round-12 advice): a byte-equal-length edit of
+    :func:`fixture_lines` must invalidate the on-disk shard, or both
+    engines silently replay old data."""
     import os
     data = ("\n".join(fixture_lines()) + "\n").encode("utf-8")
-    if os.path.exists(path) and os.path.getsize(path) == len(data):
-        return path
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                if f.read() == data:
+                    return path
+        except OSError:
+            pass
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:

@@ -1,6 +1,7 @@
 """Sources: Excel/zip decode via binaryFile+mapInPandas, paginated REST
 via mapInPandas with a hermetic fake fetch, export-job polling."""
 
+import os
 import io
 import json
 import zipfile
@@ -252,3 +253,59 @@ def test_parquet_evolution_generation_accounting(spark):
     assert rows[(True, True)]["n_rows"] == 15
     assert rows[(False, False)]["n_langs"] == 0
     assert rows[(True, False)]["sum_quality"] is None
+
+
+def test_excel_fixture_writer_round_trip():
+    """The OOXML writer and the dependency-free reader are exact
+    inverses on the pinned fixture (typed numeric cells back as
+    canonical strings, blanks as missing, Cyrillic/dotted headers
+    intact), and the bytes are deterministic."""
+    import pandas as pd
+    got = {}
+    for fname, rows in excel.excel_fixture_rows().items():
+        b = excel.write_xlsx_bytes(excel.EXCEL_WAVE_COLUMNS, rows)
+        assert b == excel.write_xlsx_bytes(excel.EXCEL_WAVE_COLUMNS, rows)
+        frame = excel._read_xlsx_minimal(b)
+        assert list(frame.columns) == excel.EXCEL_WAVE_COLUMNS
+        got[fname] = [tuple(None if pd.isna(v) else v for v in r)
+                      for r in frame.itertuples(index=False)]
+    assert got == excel.excel_fixture_rows()
+
+
+def test_excel_fixture_stale_content_rewritten(tmp_path):
+    """ensure_excel_fixture byte-compares (the jsonl ensure_fixture
+    discipline): a corrupted same-length file is rewritten, a
+    pristine one is left alone (same mtime)."""
+    d = excel.ensure_excel_fixture(str(tmp_path / "xl"))
+    p = os.path.join(d, "wave1.xlsx")
+    with open(p, "rb") as f:
+        data = f.read()
+    with open(p, "wb") as f:
+        f.write(b"\0" * len(data))
+    excel.ensure_excel_fixture(d)
+    with open(p, "rb") as f:
+        assert f.read() == data
+
+
+def test_excel_scan_registered_query(spark):
+    """The registered excel_scan: glob over one bare .xlsx + one
+    zip-wrapped .xlsx, decoded through the real mapInPandas ladder,
+    pivoted and renamed — every pinned cell recovered, blanks NULL,
+    zero decode errors in the accounting twin."""
+    from cati_database_feeder_spark import queryset
+    wide = queryset.QUERIES["excel_scan"](spark, "unused").collect()
+    by_key = {(r["file"], r["row_idx"]): r for r in wide}
+    assert len(by_key) == 7
+    r = by_key[("wave1.xlsx", 2)]
+    assert (r["respondent_code"], r["status"], r["quota"]) == \
+        ("103", "Комплит", "8.25")
+    assert by_key[("wave1.xlsx", 1)]["comment"] is None
+    assert by_key[("wave2.zip", 0)]["comment"] == "строка из архива"
+    rep = {r["file"]: r for r in
+           queryset.QUERIES["excel_scan_report"](spark, "unused")
+           .collect()}
+    assert rep["wave1.xlsx"]["n_rows"] == 4
+    assert rep["wave2.zip"]["n_rows"] == 3
+    assert all(r["n_errors"] == 0 and r["n_cols"] == 5
+               for r in rep.values())
+    assert rep["wave1.xlsx"]["n_blank"] == 1
