@@ -97,7 +97,9 @@ def prior_canary(repo_dir: str, sf) -> tuple[dict[str, float] | None, str]:
         return {k: float(v) for k, v in prev["canary"].items()}, "canary"
     q = prev.get("queries", {})
     vals = {k: float(q[k]) for k in CANARY if k in q}
-    return (vals or None), "queries"
+    # no overlapping keys → no baseline: say so instead of returning
+    # kind "queries" with nothing behind it (round-12 advice)
+    return (vals, "queries") if vals else (None, "none")
 
 
 def run_bench(sf_dir: str) -> tuple[dict[str, float], dict]:
@@ -131,9 +133,25 @@ def run_bench(sf_dir: str) -> tuple[dict[str, float], dict]:
     canary_info: dict = {"canary": canary_vals}
     if prev_vals:
         common = [k for k in canary_vals if k in prev_vals]
+        # canary v2 (round-12 verdict, missing #3): the SUM ratio is
+        # dominated by whichever query holds the canary mass (one
+        # query's cold dispatch swings the whole adjudication), so
+        # publish the per-query ratio vector and adjudicate from the
+        # MEDIAN of ratios — robust to a single-query outlier. The sum
+        # ratio is kept beside it for cross-round comparability.
+        ratios = {k: round(canary_vals[k] / prev_vals[k], 3)
+                  for k in common if prev_vals[k] > 0}
+        if ratios:
+            srt = sorted(ratios.values())
+            mid = len(srt) // 2
+            med = (srt[mid] if len(srt) % 2
+                   else (srt[mid - 1] + srt[mid]) / 2)
+            canary_info["canary_ratios"] = ratios
+            canary_info["canary_median_vs_prev"] = round(med, 3)
         cur, prv = (sum(canary_vals[k] for k in common),
                     sum(prev_vals[k] for k in common))
-        canary_info["canary_vs_prev"] = round(cur / prv, 3) if prv else None
+        if prv:  # omit (not null) when there is nothing to divide by
+            canary_info["canary_vs_prev"] = round(cur / prv, 3)
         canary_info["canary_prev_source"] = prev_kind
     queryset.clear_stage_cache()
     queryset.STAGE_BUILD_SECONDS.clear()
@@ -339,8 +357,10 @@ def main() -> None:
         "canary": {k: round(v, 2) for k, v in
                    canary_info["canary"].items()},
     }
-    if "canary_vs_prev" in canary_info:
-        payload["canary_vs_prev"] = canary_info["canary_vs_prev"]
+    for key in ("canary_vs_prev", "canary_median_vs_prev",
+                "canary_ratios"):
+        if key in canary_info:
+            payload[key] = canary_info[key]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
         # same shape as the per-round BENCH files (metric/value/unit/

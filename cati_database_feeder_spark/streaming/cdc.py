@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cati_database_feeder_spark.streaming.ingest import (
-    _recover_swaps, _state_lock, _swap_write)
+    _recover_swaps, _state_lock, _swap_write, live_store, store_exists)
 
 _CDC_STORES = ("snapshot",)
 N_BUCKETS = 64
@@ -85,10 +85,10 @@ def apply_changes_batch(spark: SparkSession, batch: DataFrame,
         _recover_swaps(state_dir, _CDC_STORES)
         snap_dir = os.path.join(state_dir, "snapshot")
         folded = _with_bucket(_fold(batch, key_col, seq_cols), key_col)
-        if not os.path.exists(snap_dir):
+        if not store_exists(snap_dir):
             _swap_write(folded.repartition("__bucket"), snap_dir)
             return
-        snap = spark.read.parquet(snap_dir)
+        snap = spark.read.parquet(live_store(snap_dir))
         touched = [int(r["__bucket"]) for r in
                    folded.select("__bucket").distinct().collect()]
         merged = _fold(
@@ -103,7 +103,8 @@ def read_snapshot(spark: SparkSession, state_dir: str,
                   op_col: str = "op", delete_op: str = "D") -> DataFrame:
     """The current state: tombstoned keys excluded, bucket column
     stripped."""
-    return (spark.read.parquet(os.path.join(state_dir, "snapshot"))
+    return (spark.read.parquet(
+        live_store(os.path.join(state_dir, "snapshot")))
             .filter(F.col(op_col) != delete_op)
             .drop("__bucket"))
 

@@ -22,7 +22,16 @@ continuously-deduped corpus with a maintained near-dup labeling:
 
 State lives in parquet directories under ``state_dir`` — the
 local stand-in for lakehouse tables, chosen so every maintenance write
-is either APPEND-ONLY or an atomic directory swap:
+is either APPEND-ONLY or an atomic EPOCH COMMIT (round-13: the
+round-12 serve-during-swap reader race is closed): a replaced store
+is written to a fresh epoch dir ``<store>__e{N}`` and committed by
+atomically replacing the pointer file ``<store>.ptr``; readers
+resolve the pointer once at plan time (:func:`live_store`) and the
+epoch their plan lists is retained as grace until a FULL further
+swap, so a serving query racing an ingest batch executes cleanly
+instead of hitting deleted files. This is the local miniature of a
+Delta/Iceberg manifest commit (new files → one atomic pointer flip →
+late GC); production maps it onto the table format's own commit:
 
 - ``corpus/``  — (doc_id, text), append-only. The RAW store: the
   incremental path reads only its doc_id column (exact-dedup
@@ -125,6 +134,11 @@ _STORES = ("labels", "corpus", "buckets", "members", "reps", "metrics",
 
 _LOCK_NAME = "_LOCK"
 _DELETE_PENDING = "_DELETE_PENDING"
+# Swap-replaced stores live in epoch dirs (<store>__e{N}) selected by
+# an atomically-replaced pointer file (<store>.ptr) — see live_store /
+# _swap_write. The pointer flip is the commit point; one old epoch is
+# retained as reader grace.
+_PTR_SUFFIX = ".ptr"
 
 
 class StateLockError(RuntimeError):
@@ -266,44 +280,175 @@ def _state_lock(state_dir: str, op: str):
             os.unlink(path)
 
 
-def _swap_write(df: DataFrame, target: str) -> None:
-    """Replace the parquet dir at ``target`` with ``df`` atomically-ish:
-    write to a sibling temp dir, move the old dir aside, rename the new
-    one in, THEN delete the old. The target is absent only between the
-    two renames; a crash in that window is healed by
-    :func:`_recover_swaps` at the top of the next state operation (the
-    old dir is renamed back), so a retried batch always finds either
-    the old or the new state readable at the target path. The writing
-    plan may READ the old ``target`` (the labels update does), so an
-    in-place overwrite would corrupt its own input."""
-    tmp = target.rstrip("/") + "__tmp"
-    old = target.rstrip("/") + "__old"
-    df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(target):
-        os.rename(target, old)
-    os.rename(tmp, target)
-    shutil.rmtree(old, ignore_errors=True)
+def live_store(target: str) -> str:
+    """Resolve a logical store path to the physical dir a reader (or
+    appender) should use RIGHT NOW. Swap-replaced stores live in
+    epoch-suffixed dirs (``<target>__e000007``) selected by an
+    atomically-replaced pointer file (``<target>.ptr``); stores that
+    have never been swap-replaced (append-only stores, pre-epoch
+    legacy dirs, sidecars) have no pointer and resolve to the plain
+    path. EVERY store access goes through this resolver — readers
+    resolve ONCE at plan time and the epoch dir their plan lists is
+    never renamed or deleted until a full swap later (grace = one
+    epoch), which is what closes the round-12 serve-during-swap
+    reader race (the miniature of a Delta/Iceberg manifest commit:
+    new files, then one atomic pointer flip, late GC)."""
+    target = target.rstrip("/")
+    try:
+        with open(target + _PTR_SUFFIX) as fh:
+            name = fh.read().strip()
+    except OSError:
+        return target
+    if not name:
+        return target
+    return os.path.join(os.path.dirname(target), name)
+
+
+def store_exists(target: str) -> bool:
+    """Does the logical store exist (pointer committed, or a plain /
+    legacy dir on disk)?"""
+    target = target.rstrip("/")
+    return os.path.exists(target + _PTR_SUFFIX) or os.path.exists(target)
+
+
+def _epoch_num(path: str) -> int:
+    """``.../labels__e000007`` → 7; plain (pre-epoch) dirs → 0."""
+    base = os.path.basename(path.rstrip("/"))
+    if "__e" not in base:
+        return 0
+    try:
+        return int(base.rsplit("__e", 1)[1])
+    except ValueError:
+        return 0
+
+
+def _gc_epochs(target: str, keep: set[str]) -> None:
+    """Remove every epoch dir of ``target`` whose basename is not in
+    ``keep`` — and the legacy plain dir once it has aged out of the
+    grace set. Runs AFTER a pointer commit, so everything removed is
+    at least one full swap old: the only reader that can lose files
+    planned before the PREVIOUS swap and is still executing — the
+    documented grace bound (production: time-based GC)."""
+    d = os.path.dirname(target) or "."
+    base = os.path.basename(target)
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return
+    for name in names:
+        if name.startswith(base + "__e") and name not in keep:
+            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+    if base not in keep and os.path.isdir(target):
+        shutil.rmtree(target, ignore_errors=True)
+
+
+def _drop_store(target: str) -> None:
+    """Remove EVERY physical artifact of a logical store: the legacy
+    plain dir, all epoch dirs, and the pointer (+ pointer tmps). The
+    inverse of _swap_write — used for sidecar GC and
+    rebuild-from-scratch heals; plain rmtree(target) would leave a
+    pointered store resurrectable."""
+    target = target.rstrip("/")
+    shutil.rmtree(target, ignore_errors=True)
+    d = os.path.dirname(target) or "."
+    base = os.path.basename(target)
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return
+    for n in names:
+        if n.startswith(base + "__e"):
+            shutil.rmtree(os.path.join(d, n), ignore_errors=True)
+        elif n.startswith(base + _PTR_SUFFIX):
+            with contextlib.suppress(OSError):
+                os.unlink(os.path.join(d, n))
+
+
+def _swap_write(df: DataFrame, target: str, writer=None) -> None:
+    """Replace the store at logical path ``target`` with ``df``
+    without ever disturbing a concurrent or in-flight reader:
+
+    1. write the new state to a FRESH epoch dir ``target__e{N+1}``
+       (the writing plan may read the current epoch — the labels
+       update does — which is safe because it is a different dir);
+    2. commit by atomically replacing the pointer file
+       ``target.ptr`` (write sidecar tmp + ``os.replace``) — the
+       single commit point: readers resolving before see epoch N,
+       after see N+1, and there is NO window where the store is
+       absent;
+    3. GC epochs older than N (grace = one epoch): a reader that
+       resolved epoch N before the commit still has every file of
+       its planned scan on disk until the NEXT swap.
+
+    A crash before (2) leaves an orphan epoch dir — dropped by
+    :func:`_recover_swaps`; a crash between (2) and (3) leaves an
+    extra old epoch — dropped by the next swap's GC. ``writer``
+    overrides the physical write (the by-cell partitioned store
+    passes its own)."""
+    target = target.rstrip("/")
+    cur = live_store(target)
+    new = f"{target}__e{_epoch_num(cur) + 1:06d}"
+    if writer is None:
+        df.write.mode("overwrite").parquet(new)
+    else:
+        writer(df, new)
+    ptr = target + _PTR_SUFFIX
+    tmp = f"{ptr}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(os.path.basename(new))
+    os.replace(tmp, ptr)
+    _gc_epochs(target, keep={os.path.basename(new),
+                             os.path.basename(cur)})
 
 
 def _recover_swaps(state_dir: str, stores: tuple[str, ...] = _STORES) -> None:
-    """Heal a crash inside :func:`_swap_write` before reading state.
-    Crash taxonomy: (a) tmp written, target untouched — drop the tmp;
-    (b) target renamed aside, tmp not yet renamed in — rename the old
-    dir back (restoring pre-batch state; the batch retry redoes the
-    swap); (c) new state in place, old not yet deleted — drop the old.
-    Restoring OLD in case (b) — even though the tmp write completed —
-    keeps one invariant: state only ever advances via a completed
-    ``ingest_batch``/``compact_state`` call, never half of one."""
+    """Heal crash leftovers before reading state.
+
+    Epoch scheme (current :func:`_swap_write`): the pointer flip is
+    the single commit point, so the only crash artifacts are (a) an
+    epoch dir NEWER than the pointed one (written, never committed —
+    the batch retry rewrites it) and (b) a stale ``.ptr.tmp.*``
+    sidecar — both dropped here. Committed epochs at or below the
+    pointer are left alone (the newest-but-one is the reader grace;
+    older ones are trimmed by the next swap's GC).
+
+    Legacy scheme (pre-epoch ``__tmp``/``__old`` rename dance, still
+    found in state dirs written by older code): (a) tmp written,
+    target untouched — drop the tmp; (b) target renamed aside, tmp
+    not yet renamed in — rename the old dir back (restoring
+    pre-batch state; the retry redoes the swap); (c) swap complete,
+    old not yet deleted — drop the old. Restoring OLD in (b) keeps
+    the invariant that state only advances via a COMPLETED state
+    operation."""
     for name in stores:
         target = os.path.join(state_dir, name)
+        # --- legacy __tmp/__old windows (pointer-less dirs only) ---
         old, tmp = target + "__old", target + "__tmp"
-        if not os.path.exists(target) and os.path.exists(old):
+        ptr = target + _PTR_SUFFIX
+        if (not os.path.exists(ptr) and not os.path.exists(target)
+                and os.path.exists(old)):
             os.rename(old, target)
         shutil.rmtree(tmp, ignore_errors=True)
-        if os.path.exists(target):
+        if os.path.exists(target) or os.path.exists(ptr):
             shutil.rmtree(old, ignore_errors=True)
+        # --- epoch windows ---
+        d = os.path.dirname(target)
+        base = os.path.basename(target)
+        try:
+            names = os.listdir(d)
+        except OSError:
+            continue
+        for n in names:
+            if n.startswith(base + _PTR_SUFFIX + ".tmp"):
+                with contextlib.suppress(OSError):
+                    os.unlink(os.path.join(d, n))
+        if os.path.exists(ptr):
+            pointed = _epoch_num(live_store(target))
+            for n in names:
+                if (n.startswith(base + "__e")
+                        and _epoch_num(n) > pointed):
+                    shutil.rmtree(os.path.join(d, n),
+                                  ignore_errors=True)
 
 
 def _ensure_membership_stores(spark, state_dir: str) -> None:
@@ -314,14 +459,15 @@ def _ensure_membership_stores(spark, state_dir: str) -> None:
     dir, never per batch."""
     members_dir = os.path.join(state_dir, "members")
     reps_dir = os.path.join(state_dir, "reps")
-    if os.path.exists(members_dir) and os.path.exists(reps_dir):
+    if store_exists(members_dir) and store_exists(reps_dir):
         return
     memb = dedup.tokset_groups(spark.read.parquet(
-        os.path.join(state_dir, "corpus")))
-    (memb.filter(F.col("id") == F.col("gid"))
-     .select("gid", "toks", dedup.tokset_key(F.col("toks")).alias("key"))
-     .write.mode("overwrite").parquet(reps_dir))
-    memb.select("id", "gid").write.mode("overwrite").parquet(members_dir)
+        live_store(os.path.join(state_dir, "corpus"))))
+    _swap_write(memb.filter(F.col("id") == F.col("gid"))
+                .select("gid", "toks",
+                        dedup.tokset_key(F.col("toks")).alias("key")),
+                reps_dir)
+    _swap_write(memb.select("id", "gid"), members_dir)
 
 
 def _ensure_pairs_store(spark, state_dir: str, threshold: float,
@@ -336,13 +482,12 @@ def _ensure_pairs_store(spark, state_dir: str, threshold: float,
     :func:`_ensure_membership_stores`); on maintained dirs every
     batch appends its own new pairs and this is a no-op."""
     pairs_dir = os.path.join(state_dir, "pairs")
-    if os.path.exists(pairs_dir):
+    if store_exists(pairs_dir):
         return
-    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
-    (dedup.near_dup_pairs(corpus, threshold=threshold,
-                          num_hashes=num_hashes, bands=bands)
-     .select("id_a", "id_b")
-     .write.mode("overwrite").parquet(pairs_dir))
+    corpus = spark.read.parquet(live_store(os.path.join(state_dir, "corpus")))
+    _swap_write(dedup.near_dup_pairs(corpus, threshold=threshold,
+                                     num_hashes=num_hashes, bands=bands)
+                .select("id_a", "id_b"), pairs_dir)
 
 
 CMS_DEPTH = 4
@@ -466,14 +611,14 @@ def read_cms(spark, state_dir: str) -> DataFrame:
     corpus, sentinel bookkeeping rows stripped — feed it to
     :func:`functions.sketches.cms_estimate` for point-frequency
     estimates without any corpus scan."""
-    return (spark.read.parquet(os.path.join(state_dir, "cms"))
+    return (spark.read.parquet(live_store(os.path.join(state_dir, "cms")))
             .filter(F.col("r") >= 0))
 
 
 def read_cbloom(spark, state_dir: str) -> DataFrame:
     """The maintained counting-Bloom cells (cell, cnt) of the live
     corpus's 5-token shingles, sentinels stripped."""
-    return (spark.read.parquet(os.path.join(state_dir, "cbloom"))
+    return (spark.read.parquet(live_store(os.path.join(state_dir, "cbloom")))
             .filter(F.col("r") >= 0)
             .select(F.col("bucket").alias("cell"), "cnt"))
 
@@ -487,7 +632,7 @@ def cbloom_gate(spark, state_dir: str):
     negatives for surviving documents' shingles (the counting cells
     subtract exactly on takedown); false positives go to the usual
     exact verify join. Dims come from the bootstrap-pinned sentinel."""
-    stored = spark.read.parquet(os.path.join(state_dir, "cbloom"))
+    stored = spark.read.parquet(live_store(os.path.join(state_dir, "cbloom")))
     dims = stored.filter(F.col("r") == _CMS_DIMS_ROW).collect()
     m, k = ((int(dims[0]["bucket"]), int(dims[0]["cnt"])) if dims
             else (CBLOOM_M, CBLOOM_K))
@@ -530,7 +675,7 @@ def read_hll(spark, state_dir: str) -> tuple[int, int]:
     shorter than the shingle width aggregates ZERO rows, so
     hll_sketch_agg yields NULL) estimates 0, not a crash — the empty
     corpus genuinely has zero distinct shingles (round-10 advice)."""
-    row = (spark.read.parquet(os.path.join(state_dir, "hll"))
+    row = (spark.read.parquet(live_store(os.path.join(state_dir, "hll")))
            .select(F.hll_sketch_estimate("sk").alias("est"), "lgk")
            .collect())[0]
     return (0 if row["est"] is None else int(row["est"])), int(row["lgk"])
@@ -542,8 +687,8 @@ def _ensure_hll_store(spark, state_dir: str) -> None:
     unioning sketches of different lgk silently degrades to the
     smaller, so a mismatch refuses."""
     hll_dir = os.path.join(state_dir, "hll")
-    if os.path.exists(hll_dir):
-        rows = spark.read.parquet(hll_dir).select("lgk").collect()
+    if store_exists(hll_dir):
+        rows = spark.read.parquet(live_store(hll_dir)).select("lgk").collect()
         if rows and int(rows[0]["lgk"]) != HLL_LGK:
             raise StateLockError(
                 f"hll store at {hll_dir!r} was bootstrapped with "
@@ -553,8 +698,8 @@ def _ensure_hll_store(spark, state_dir: str) -> None:
                 f"stored lgk or rebuild the store.")
         if rows:
             return
-        shutil.rmtree(hll_dir)
-    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
+        _drop_store(hll_dir)
+    corpus = spark.read.parquet(live_store(os.path.join(state_dir, "corpus")))
     _swap_write(_hll_frame(spark, corpus).coalesce(1), hll_dir)
 
 
@@ -565,7 +710,7 @@ def _hll_merge_delta(spark, state_dir: str, delta: DataFrame) -> None:
     a no-op by algebra — the idempotence the counting sketches have to
     buy with sentinels comes free here."""
     hll_dir = os.path.join(state_dir, "hll")
-    stored = spark.read.parquet(hll_dir).select("sk")
+    stored = spark.read.parquet(live_store(hll_dir)).select("sk")
     # NULL sketches (all-short-doc bootstrap or delta — zero shingle
     # rows aggregate to a NULL hll_sketch_agg) are dropped before the
     # union: hll_union_agg(NULL-bearing input) is NULL, which would
@@ -607,11 +752,11 @@ def read_wfp(spark, state_dir: str) -> DataFrame:
     rows for its doc_ids come from the sidecar, not from the possibly
     partial append — so serving never observes incomplete fingerprints
     even before the next state-mutating op runs :func:`_wfp_recover`."""
-    wfp = (spark.read.parquet(os.path.join(state_dir, "wfp"))
+    wfp = (spark.read.parquet(live_store(os.path.join(state_dir, "wfp")))
            .filter(F.col("doc_id") != _WFP_DIMS_ID))
     pending = os.path.join(state_dir, "wfp_pending")
-    if os.path.exists(pending):
-        pend = spark.read.parquet(pending)
+    if store_exists(pending):
+        pend = spark.read.parquet(live_store(pending))
         wfp = (wfp.join(pend.select("doc_id").distinct(), "doc_id",
                         "left_anti")
                .unionByName(pend))
@@ -628,16 +773,16 @@ def _wfp_recover(spark, state_dir: str) -> None:
     Called by every state-mutating op right after
     :func:`_recover_swaps`, before anything reads or appends wfp/."""
     pending = os.path.join(state_dir, "wfp_pending")
-    if not os.path.exists(pending):
+    if not store_exists(pending):
         return
     wfp_dir = os.path.join(state_dir, "wfp")
-    if os.path.exists(wfp_dir):
-        pend = spark.read.parquet(pending)
-        _swap_write(spark.read.parquet(wfp_dir)
+    if store_exists(wfp_dir):
+        pend = spark.read.parquet(live_store(pending))
+        _swap_write(spark.read.parquet(live_store(wfp_dir))
                     .join(pend.select("doc_id").distinct(), "doc_id",
                           "left_anti")
                     .unionByName(pend), wfp_dir)
-    shutil.rmtree(pending, ignore_errors=True)
+    _drop_store(pending)
 
 
 def _ensure_wfp_store(spark, state_dir: str, k: int = WFP_K,
@@ -649,8 +794,8 @@ def _ensure_wfp_store(spark, state_dir: str, k: int = WFP_K,
     sentinel-less dir is a partial write → rebuild (same policy as
     the sketch stores)."""
     wfp_dir = os.path.join(state_dir, "wfp")
-    if os.path.exists(wfp_dir):
-        rows = (spark.read.parquet(wfp_dir)
+    if store_exists(wfp_dir):
+        rows = (spark.read.parquet(live_store(wfp_dir))
                 .filter(F.col("doc_id") == _WFP_DIMS_ID)
                 .select("fp").collect())
         if rows and int(rows[0]["fp"]) != k * 1000 + w:
@@ -664,8 +809,8 @@ def _ensure_wfp_store(spark, state_dir: str, k: int = WFP_K,
                 f"stored geometry or rebuild the store.")
         if rows:
             return
-        shutil.rmtree(wfp_dir)
-    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
+        _drop_store(wfp_dir)
+    corpus = spark.read.parquet(live_store(os.path.join(state_dir, "corpus")))
     _swap_write(_wfp_frame(spark, corpus, k, w), wfp_dir)
 
 
@@ -693,12 +838,13 @@ def _wfp_append_delta(spark, state_dir: str, delta: DataFrame,
     so."""
     wfp_dir = os.path.join(state_dir, "wfp")
     pending = os.path.join(state_dir, "wfp_pending")
-    existing = (spark.read.parquet(wfp_dir).select("doc_id")
+    existing = (spark.read.parquet(live_store(wfp_dir)).select("doc_id")
                 .distinct())
     _swap_write(dedup.winnow_fingerprints(delta, k=k, w=w)
                 .join(existing, "doc_id", "left_anti"), pending)
-    spark.read.parquet(pending).write.mode("append").parquet(wfp_dir)
-    shutil.rmtree(pending, ignore_errors=True)
+    (spark.read.parquet(live_store(pending))
+     .write.mode("append").parquet(live_store(wfp_dir)))
+    _drop_store(pending)
 
 
 # dhash/ store: maintained perceptual image fingerprints (extension
@@ -745,7 +891,7 @@ def _dhash_frame(spark, docs: DataFrame) -> DataFrame:
 
 def read_dhash(spark, state_dir: str) -> DataFrame:
     """The maintained perceptual-hash table, sentinel stripped."""
-    return (spark.read.parquet(os.path.join(state_dir, "dhash"))
+    return (spark.read.parquet(live_store(os.path.join(state_dir, "dhash")))
             .filter(F.col("doc_id") != _DHASH_DIMS_ID))
 
 
@@ -757,8 +903,8 @@ def _ensure_dhash_store(spark, state_dir: str) -> None:
     partial write → rebuild (the sketch-store policy)."""
     dhash_dir = os.path.join(state_dir, "dhash")
     geom = _dhash_geometry()
-    if os.path.exists(dhash_dir):
-        rows = (spark.read.parquet(dhash_dir)
+    if store_exists(dhash_dir):
+        rows = (spark.read.parquet(live_store(dhash_dir))
                 .filter(F.col("doc_id") == _DHASH_DIMS_ID)
                 .select("dhash").collect())
         if rows and int(rows[0]["dhash"]) != geom:
@@ -772,8 +918,8 @@ def _ensure_dhash_store(spark, state_dir: str) -> None:
                 f"grid or rebuild the store.")
         if rows:
             return
-        shutil.rmtree(dhash_dir)
-    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
+        _drop_store(dhash_dir)
+    corpus = spark.read.parquet(live_store(os.path.join(state_dir, "corpus")))
     _swap_write(_dhash_frame(spark, corpus), dhash_dir)
 
 
@@ -782,12 +928,12 @@ def _dhash_append_delta(spark, state_dir: str, delta: DataFrame) -> None:
     One row per doc, so the plain append IS crash-safe (see the store
     comment above) — no pending sidecar needed."""
     dhash_dir = os.path.join(state_dir, "dhash")
-    existing = (spark.read.parquet(dhash_dir).select("doc_id")
+    existing = (spark.read.parquet(live_store(dhash_dir)).select("doc_id")
                 .distinct())
     (_dhash_frame(spark, delta)
      .filter(F.col("doc_id") != _DHASH_DIMS_ID)
      .join(existing, "doc_id", "left_anti")
-     .write.mode("append").parquet(dhash_dir))
+     .write.mode("append").parquet(live_store(dhash_dir)))
 
 
 # afp/ store: maintained audio fingerprints (E83+) — the third
@@ -832,7 +978,7 @@ def _afp_frame(spark, docs: DataFrame) -> DataFrame:
 
 def read_afp(spark, state_dir: str) -> DataFrame:
     """The maintained audio-fingerprint table, sentinel stripped."""
-    return (spark.read.parquet(os.path.join(state_dir, "afp"))
+    return (spark.read.parquet(live_store(os.path.join(state_dir, "afp")))
             .filter(F.col("doc_id") != _AFP_DIMS_ID))
 
 
@@ -843,8 +989,8 @@ def _ensure_afp_store(spark, state_dir: str) -> None:
     A sentinel-less dir is a partial write → rebuild."""
     afp_dir = os.path.join(state_dir, "afp")
     geom = _afp_geometry()
-    if os.path.exists(afp_dir):
-        rows = (spark.read.parquet(afp_dir)
+    if store_exists(afp_dir):
+        rows = (spark.read.parquet(live_store(afp_dir))
                 .filter(F.col("doc_id") == _AFP_DIMS_ID)
                 .select("ahash").collect())
         if rows and int(rows[0]["ahash"]) != geom:
@@ -857,8 +1003,8 @@ def _ensure_afp_store(spark, state_dir: str) -> None:
                 f"rebuild the store.")
         if rows:
             return
-        shutil.rmtree(afp_dir)
-    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
+        _drop_store(afp_dir)
+    corpus = spark.read.parquet(live_store(os.path.join(state_dir, "corpus")))
     _swap_write(_afp_frame(spark, corpus), afp_dir)
 
 
@@ -867,12 +1013,12 @@ def _afp_append_delta(spark, state_dir: str, delta: DataFrame) -> None:
     guard — one row per doc, crash-safe plain append (the dhash
     argument)."""
     afp_dir = os.path.join(state_dir, "afp")
-    existing = (spark.read.parquet(afp_dir).select("doc_id")
+    existing = (spark.read.parquet(live_store(afp_dir)).select("doc_id")
                 .distinct())
     (_afp_frame(spark, delta)
      .filter(F.col("doc_id") != _AFP_DIMS_ID)
      .join(existing, "doc_id", "left_anti")
-     .write.mode("append").parquet(afp_dir))
+     .write.mode("append").parquet(live_store(afp_dir)))
 
 
 def _sk_ensure_store(spark, state_dir: str, name: str, cells_of,
@@ -884,8 +1030,8 @@ def _sk_ensure_store(spark, state_dir: str, name: str, cells_of,
     every cell, so a mismatch is a descriptive refusal, not a
     rebuild."""
     sk_dir = os.path.join(state_dir, name)
-    if os.path.exists(sk_dir):
-        dims = (spark.read.parquet(sk_dir)
+    if store_exists(sk_dir):
+        dims = (spark.read.parquet(live_store(sk_dir))
                 .filter(F.col("r") == _CMS_DIMS_ROW).collect())
         if dims and (int(dims[0]["bucket"]), int(dims[0]["cnt"])) \
                 != (d1, d2):
@@ -906,8 +1052,8 @@ def _sk_ensure_store(spark, state_dir: str, name: str, cells_of,
         # w.r.t. a crashed in-flight batch because the corpus marker
         # for that batch is unwritten, so its redelivered delta merges
         # against this rebuild normally.
-        shutil.rmtree(sk_dir)
-    corpus = spark.read.parquet(os.path.join(state_dir, "corpus"))
+        _drop_store(sk_dir)
+    corpus = spark.read.parquet(live_store(os.path.join(state_dir, "corpus")))
     # _swap_write (not a plain overwrite): a crash mid-migration must
     # leave either no sketch dir (retry re-enters here) or a complete
     # one — never a sentinel-less partial (review finding)
@@ -948,7 +1094,7 @@ def _sk_merge_delta(spark, state_dir: str, name: str, delta: DataFrame,
     recacheByPath-safe anywhere before the corpus append."""
     sk_dir = os.path.join(state_dir, name)
     pend_dir = os.path.join(state_dir, name + "_pending")
-    stored = spark.read.parquet(sk_dir)
+    stored = spark.read.parquet(live_store(sk_dir))
     fp = _cms_fp(delta)
     prev = stored.filter(F.col("r") == _CMS_FP_ROW).collect()
     if prev and (int(prev[0]["cnt"]), int(prev[0]["bucket"])) == fp:
@@ -962,7 +1108,7 @@ def _sk_merge_delta(spark, state_dir: str, name: str, delta: DataFrame,
     # aggregation was paid by the sidecar write, so the merge itself
     # is one bounded-cardinality union + groupBy; the takedown ledger
     # rows (r=-3) are carried over verbatim
-    pend_cells = (spark.read.parquet(pend_dir)
+    pend_cells = (spark.read.parquet(live_store(pend_dir))
                   .filter(F.col("r") >= 0))
     ledger = stored.filter(F.col("r") == _CMS_SUBT_ROW)
     merged = (stored.filter(F.col("r") >= 0)
@@ -988,8 +1134,7 @@ def _sk_gc_pending(state_dir: str, name: str) -> None:
     delta is now corpus-true, so takedown no longer needs it (the
     ids⊆corpus check would classify it committed anyway — this is
     hygiene, not correctness)."""
-    shutil.rmtree(os.path.join(state_dir, name + "_pending"),
-                  ignore_errors=True)
+    _drop_store(os.path.join(state_dir, name + "_pending"))
 
 
 def _sk_takedown(spark, state_dir: str, name: str, cells_of,
@@ -1029,10 +1174,10 @@ def _sk_takedown(spark, state_dir: str, name: str, cells_of,
     the store was hand-edited — are a descriptive refusal pointing at
     the rebuild mode."""
     sk_dir = os.path.join(state_dir, name)
-    if not os.path.exists(sk_dir):
+    if not store_exists(sk_dir):
         return
     pend_dir = os.path.join(state_dir, name + "_pending")
-    stored = spark.read.parquet(sk_dir)
+    stored = spark.read.parquet(live_store(sk_dir))
     dims = stored.filter(F.col("r") == _CMS_DIMS_ROW).collect()
     d1, d2 = ((int(dims[0]["bucket"]), int(dims[0]["cnt"])) if dims
               else (d1_default, d2_default))
@@ -1063,8 +1208,8 @@ def _sk_takedown(spark, state_dir: str, name: str, cells_of,
     prev_fp = stored.filter(F.col("r") == _CMS_FP_ROW).collect()
     store_fp = ((int(prev_fp[0]["cnt"]), int(prev_fp[0]["bucket"]))
                 if prev_fp else _CMS_NO_FP)
-    if os.path.exists(pend_dir):
-        pend = spark.read.parquet(pend_dir)
+    if store_exists(pend_dir):
+        pend = spark.read.parquet(live_store(pend_dir))
         pfp_rows = pend.filter(F.col("r") == _CMS_FP_ROW).collect()
         pend_fp = ((int(pfp_rows[0]["cnt"]), int(pfp_rows[0]["bucket"]))
                    if pfp_rows else _CMS_NO_FP)
@@ -1168,7 +1313,7 @@ def _append_metrics(spark, state_dir: str, batch_id, rows_in: int,
         spark, row, "batch_id long, rows_in long, delta_rows long, "
              "new_pairs long, quiet boolean, bootstrap boolean")
      .coalesce(1).write.mode("append")
-     .parquet(os.path.join(state_dir, "metrics")))
+     .parquet(live_store(os.path.join(state_dir, "metrics"))))
 
 
 def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
@@ -1188,7 +1333,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
                           F.col(text_col).alias("text"))
              .dropDuplicates(["doc_id"]))
 
-    if not os.path.exists(corpus_dir):
+    if not store_exists(corpus_dir):
         # bootstrap: the first batch IS the corpus snapshot. The corpus
         # write goes LAST as the commit marker: a retry of a partially
         # committed bootstrap (foreachBatch is at-least-once) must
@@ -1212,15 +1357,15 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         labels = connected_components(
             pairs.select("id_a", "id_b"))
         _swap_write(labels, labels_dir)
-        (memb.filter(F.col("id") == F.col("gid"))
-         .select("gid", "toks", dedup.tokset_key(F.col("toks")).alias("key"))
-         .write.mode("overwrite").parquet(reps_dir))
-        memb.select("id", "gid").write.mode("overwrite").parquet(members_dir)
-        (dedup.rep_band_buckets(memb, num_hashes, bands)
-         .write.mode("overwrite").parquet(buckets_dir))
+        _swap_write(memb.filter(F.col("id") == F.col("gid"))
+                    .select("gid", "toks",
+                            dedup.tokset_key(F.col("toks")).alias("key")),
+                    reps_dir)
+        _swap_write(memb.select("id", "gid"), members_dir)
+        _swap_write(dedup.rep_band_buckets(memb, num_hashes, bands),
+                    buckets_dir)
         # the edge store takedown repairs labels from (delete_docs)
-        pairs.select("id_a", "id_b").write.mode("overwrite") \
-            .parquet(pairs_dir)
+        _swap_write(pairs.select("id_a", "id_b"), pairs_dir)
         _boot_lap(_marks, "membership")
         # linear-sketch stores of the bootstrap corpus (count-min token
         # table + counting-Bloom shingle gate); a bootstrap retry redoes
@@ -1229,22 +1374,21 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # that somehow reaches the incremental path still skips
         boot_fp = _cms_fp(batch)
         for sk_name, sk_cells, (sd1, sd2) in _SKETCH_STORES:
-            (_cms_store_frame(spark, sk_cells(batch, sd1, sd2),
-                              boot_fp, sd1, sd2)
-             .write.mode("overwrite")
-             .parquet(os.path.join(state_dir, sk_name)))
+            _swap_write(_cms_store_frame(spark, sk_cells(batch, sd1, sd2),
+                                         boot_fp, sd1, sd2),
+                        os.path.join(state_dir, sk_name))
             _boot_lap(_marks, sk_name)
-        (_hll_frame(spark, batch).coalesce(1).write.mode("overwrite")
-         .parquet(os.path.join(state_dir, "hll")))
+        _swap_write(_hll_frame(spark, batch).coalesce(1),
+                    os.path.join(state_dir, "hll"))
         _boot_lap(_marks, "hll")
-        (_wfp_frame(spark, batch, WFP_K, WFP_W).write.mode("overwrite")
-         .parquet(os.path.join(state_dir, "wfp")))
+        _swap_write(_wfp_frame(spark, batch, WFP_K, WFP_W),
+                    os.path.join(state_dir, "wfp"))
         _boot_lap(_marks, "wfp")
-        (_dhash_frame(spark, batch).write.mode("overwrite")
-         .parquet(os.path.join(state_dir, "dhash")))
+        _swap_write(_dhash_frame(spark, batch),
+                    os.path.join(state_dir, "dhash"))
         _boot_lap(_marks, "dhash")
-        (_afp_frame(spark, batch).write.mode("overwrite")
-         .parquet(os.path.join(state_dir, "afp")))
+        _swap_write(_afp_frame(spark, batch),
+                    os.path.join(state_dir, "afp"))
         _boot_lap(_marks, "afp")
         # metrics BEFORE the corpus commit marker: a crash between the
         # two replays the whole bootstrap (corpus absent) and appends a
@@ -1256,7 +1400,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         n = batch.count()
         _append_metrics(spark, state_dir, batch_id, n, n,
                         pairs.count(), False, True)
-        batch.write.mode("overwrite").parquet(corpus_dir)
+        _swap_write(batch, corpus_dir)
         _boot_lap(_marks, "corpus")
         pairs.unpersist()
         memb.unpersist()
@@ -1321,10 +1465,10 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # them first would rebuild new_pairs over the already-appended
         # state. Nothing else reads pairs/, so this slot is safe.
         if not quiet:
-            fr["pairs_append"].write.mode("append").parquet(pairs_dir)
-        fr["buckets_append"].write.mode("append").parquet(buckets_dir)
-        fr["members_append"].write.mode("append").parquet(members_dir)
-        fr["reps_append"].write.mode("append").parquet(reps_dir)
+            fr["pairs_append"].write.mode("append").parquet(live_store(pairs_dir))
+        fr["buckets_append"].write.mode("append").parquet(live_store(buckets_dir))
+        fr["members_append"].write.mode("append").parquet(live_store(members_dir))
+        fr["reps_append"].write.mode("append").parquet(live_store(reps_dir))
         # sketch merges BEFORE the corpus commit marker (their replay
         # guard assumes a crash here redelivers the identical delta,
         # which holds only while the marker is unwritten); each reads
@@ -1354,7 +1498,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # recacheByPath-safe at this position.
         _append_metrics(spark, state_dir, batch_id, m_rows_in, m_delta,
                         m_pairs, quiet, False)
-        delta.write.mode("append").parquet(corpus_dir)
+        delta.write.mode("append").parquet(live_store(corpus_dir))
         # past the commit marker: the sidecars' deltas are corpus-true
         for sk_name, _, _ in _SKETCH_STORES:
             _sk_gc_pending(state_dir, sk_name)
@@ -1376,21 +1520,21 @@ def _incremental_frames(spark, state_dir: str, batch: DataFrame,
     reads the doc_id column alone (tests/test_incremental_e2e.py).
     The batch tokenize inside ``delta_membership`` and the store
     probes are the only non-driver work here."""
-    corpus_ids = (spark.read.parquet(os.path.join(state_dir, "corpus"))
+    corpus_ids = (spark.read.parquet(live_store(os.path.join(state_dir, "corpus")))
                   .select("doc_id"))
-    members = spark.read.parquet(os.path.join(state_dir, "members"))
-    reps = spark.read.parquet(os.path.join(state_dir, "reps"))
-    buckets = spark.read.parquet(os.path.join(state_dir, "buckets"))
-    labels = spark.read.parquet(os.path.join(state_dir, "labels"))
-    pairs_store = spark.read.parquet(os.path.join(state_dir, "pairs"))
+    members = spark.read.parquet(live_store(os.path.join(state_dir, "members")))
+    reps = spark.read.parquet(live_store(os.path.join(state_dir, "reps")))
+    buckets = spark.read.parquet(live_store(os.path.join(state_dir, "buckets")))
+    labels = spark.read.parquet(live_store(os.path.join(state_dir, "labels")))
+    pairs_store = spark.read.parquet(live_store(os.path.join(state_dir, "pairs")))
     delta = batch.join(corpus_ids, "doc_id", "left_anti")
     deleted_dir = os.path.join(state_dir, "deleted")
-    if os.path.exists(deleted_dir):
+    if store_exists(deleted_dir):
         # tombstones win: a redelivered DELETED doc must not re-enter
         # the corpus (takedown contract, delete_docs) — the corpus
         # anti-join alone would re-admit it, since deletion removed
         # its corpus row
-        delta = delta.join(spark.read.parquet(deleted_dir)
+        delta = delta.join(spark.read.parquet(live_store(deleted_dir))
                            .select("doc_id"), "doc_id", "left_anti")
     dmemb = dedup.delta_membership(delta, reps)
     new_pairs, dmemb, new_reps = dedup.incremental_near_dup_pairs_from_store(
@@ -1460,8 +1604,8 @@ def _compact_state_locked(spark, state_dir: str,
     corpus_dir = os.path.join(state_dir, "corpus")
     buckets_dir = os.path.join(state_dir, "buckets")
     n = target_files or spark.sparkContext.defaultParallelism
-    if os.path.exists(corpus_dir):
-        _swap_write(spark.read.parquet(corpus_dir).repartition(n),
+    if store_exists(corpus_dir):
+        _swap_write(spark.read.parquet(live_store(corpus_dir)).repartition(n),
                     corpus_dir)
         _ensure_membership_stores(spark, state_dir)
     # metrics/ grows one tiny file per batch like the id stores —
@@ -1471,8 +1615,9 @@ def _compact_state_locked(spark, state_dir: str,
                         ("pairs", n), ("deleted", 1), ("hll", 1),
                         ("wfp", n), ("dhash", n), ("afp", n)):
         d = os.path.join(state_dir, name)
-        if os.path.exists(d):
-            _swap_write(spark.read.parquet(d).repartition(parts), d)
+        if store_exists(d):
+            _swap_write(spark.read.parquet(live_store(d))
+                        .repartition(parts), d)
     # linear-sketch stores: compact to one file AND prune the r=-3
     # takedown-reflection ledger (SURVEY.md open thread: ledger
     # compaction). A ledger row exists solely so a retried/extended
@@ -1491,25 +1636,25 @@ def _compact_state_locked(spark, state_dir: str,
     tomb_dir = os.path.join(state_dir, "deleted")
     for name in ("cms", "cbloom"):
         d = os.path.join(state_dir, name)
-        if not os.path.exists(d):
+        if not store_exists(d):
             continue
-        stored = spark.read.parquet(d)
+        stored = spark.read.parquet(live_store(d))
         ledger = stored.filter(F.col("r") == _CMS_SUBT_ROW)
-        if os.path.exists(corpus_dir) and os.path.exists(tomb_dir):
+        if store_exists(corpus_dir) and store_exists(tomb_dir):
             live = _doc_id_hashes(
-                spark.read.parquet(corpus_dir).join(
-                    spark.read.parquet(tomb_dir).select("doc_id"),
+                spark.read.parquet(live_store(corpus_dir)).join(
+                    spark.read.parquet(live_store(tomb_dir)).select("doc_id"),
                     "doc_id", "left_semi"))
             ledger = ledger.join(live, "bucket", "left_semi")
         else:
             ledger = ledger.limit(0)
         _swap_write(stored.filter(F.col("r") != _CMS_SUBT_ROW)
                     .unionByName(ledger).repartition(1), d)
-    if os.path.exists(buckets_dir):
-        buckets = spark.read.parquet(buckets_dir)
+    if store_exists(buckets_dir):
+        buckets = spark.read.parquet(live_store(buckets_dir))
         reps_dir = os.path.join(state_dir, "reps")
-        if prune_buckets and os.path.exists(reps_dir):
-            cur = (spark.read.parquet(reps_dir)
+        if prune_buckets and store_exists(reps_dir):
+            cur = (spark.read.parquet(live_store(reps_dir))
                    .select(F.col("gid").alias("id")))
             buckets = buckets.join(cur, "id", "left_semi")
         _swap_write(buckets.repartition(n), buckets_dir)
@@ -1580,7 +1725,7 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
     _recover_swaps(state_dir)
     _wfp_recover(spark, state_dir)
     corpus_dir = os.path.join(state_dir, "corpus")
-    if not os.path.exists(corpus_dir):
+    if not store_exists(corpus_dir):
         raise ValueError(
             f"delete_docs: {state_dir!r} has no corpus store — nothing "
             f"to delete from (bootstrap a corpus with ingest_batch "
@@ -1592,7 +1737,7 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
     with open(marker, "w") as fh:
         fh.write("delete_docs in progress")
     try:
-        corpus = spark.read.parquet(corpus_dir)
+        corpus = spark.read.parquet(live_store(corpus_dir))
         if isinstance(doc_ids, DataFrame):
             dd = doc_ids.select(
                 F.col(doc_ids.columns[0]).alias("doc_id")).distinct()
@@ -1606,13 +1751,13 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
         # tombstones first (append, redelivery-guarded); then every
         # store is rewritten against the FULL tombstone set, which is
         # what makes a retry after any crash complete the job
-        if os.path.exists(deleted_dir):
-            (dd.join(spark.read.parquet(deleted_dir), "doc_id",
+        if store_exists(deleted_dir):
+            (dd.join(spark.read.parquet(live_store(deleted_dir)), "doc_id",
                      "left_anti")
-             .write.mode("append").parquet(deleted_dir))
+             .write.mode("append").parquet(live_store(deleted_dir)))
         else:
-            dd.write.mode("overwrite").parquet(deleted_dir)
-        tomb = spark.read.parquet(deleted_dir).select("doc_id")
+            _swap_write(dd, deleted_dir)
+        tomb = spark.read.parquet(live_store(deleted_dir)).select("doc_id")
 
         members_dir = os.path.join(state_dir, "members")
         reps_dir = os.path.join(state_dir, "reps")
@@ -1620,7 +1765,7 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
         pairs_dir = os.path.join(state_dir, "pairs")
         labels_dir = os.path.join(state_dir, "labels")
 
-        members = spark.read.parquet(members_dir)
+        members = spark.read.parquet(live_store(members_dir))
         tomb_id = tomb.withColumnRenamed("doc_id", "id")
         surv_members = members.join(tomb_id, "id", "left_anti")
         # groups whose REP is tombstoned promote the min surviving id
@@ -1647,12 +1792,12 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
         alive = (alive_old.join(promo, "gid", "left")
                  .select(F.coalesce("__new_gid", "gid").alias("gid"))
                  .unionByName(alive_old).distinct())
-        reps = spark.read.parquet(reps_dir)
+        reps = spark.read.parquet(live_store(reps_dir))
         new_reps = (reps.join(alive, "gid", "left_semi")
                     .join(promo, "gid", "left")
                     .select(F.coalesce("__new_gid", "gid").alias("gid"),
                             "toks", "key"))
-        buckets = spark.read.parquet(buckets_dir)
+        buckets = spark.read.parquet(live_store(buckets_dir))
         new_buckets = (buckets
                        .join(alive.withColumnRenamed("gid", "id"),
                              "id", "left_semi")
@@ -1661,14 +1806,14 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
                        .select(F.coalesce("__new_gid", "id").alias("id"),
                                "band", "bucket"))
 
-        pairs = spark.read.parquet(pairs_dir)
+        pairs = spark.read.parquet(live_store(pairs_dir))
         surv_pairs = (pairs
                       .join(tomb.withColumnRenamed("doc_id", "id_a"),
                             "id_a", "left_anti")
                       .join(tomb.withColumnRenamed("doc_id", "id_b"),
                             "id_b", "left_anti"))
 
-        labels = spark.read.parquet(labels_dir)
+        labels = spark.read.parquet(live_store(labels_dir))
         aff_c = (labels.join(tomb_id, "id", "left_semi")
                  .select("component").distinct())
         # components partition nodes, so an edge of an affected
@@ -1713,7 +1858,7 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
                          corpus, tomb, sketch_takedown)
         # hll takedown is ALWAYS a rebuild from survivors — register-max
         # state cannot be subtracted (the price of the fp-free merge)
-        if os.path.exists(os.path.join(state_dir, "hll")):
+        if store_exists(os.path.join(state_dir, "hll")):
             _swap_write(_hll_frame(
                 spark, corpus.join(tomb, "doc_id", "left_anti"))
                 .coalesce(1), os.path.join(state_dir, "hll"))
@@ -1721,19 +1866,19 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
         # needs no subtraction algebra and no ledger (the sentinel's
         # negative id can never match a tombstone)
         wfp_dir = os.path.join(state_dir, "wfp")
-        if os.path.exists(wfp_dir):
-            _swap_write(spark.read.parquet(wfp_dir)
+        if store_exists(wfp_dir):
+            _swap_write(spark.read.parquet(live_store(wfp_dir))
                         .join(tomb, "doc_id", "left_anti"), wfp_dir)
         # dhash takedown: the same exact row delete (id-keyed table;
         # the sentinel's negative id can never match a tombstone)
         dhash_dir = os.path.join(state_dir, "dhash")
-        if os.path.exists(dhash_dir):
-            _swap_write(spark.read.parquet(dhash_dir)
+        if store_exists(dhash_dir):
+            _swap_write(spark.read.parquet(live_store(dhash_dir))
                         .join(tomb, "doc_id", "left_anti"), dhash_dir)
         # afp takedown: identical exact row delete
         afp_dir = os.path.join(state_dir, "afp")
-        if os.path.exists(afp_dir):
-            _swap_write(spark.read.parquet(afp_dir)
+        if store_exists(afp_dir):
+            _swap_write(spark.read.parquet(live_store(afp_dir))
                         .join(tomb, "doc_id", "left_anti"), afp_dir)
         _swap_write(corpus.join(tomb, "doc_id", "left_anti"), corpus_dir)
     except BaseException:

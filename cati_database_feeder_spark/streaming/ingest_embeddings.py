@@ -67,7 +67,8 @@ from cati_database_feeder_spark.operators.similarity import (
     assign_cells, incremental_semdedup_pairs, semdedup_pairs)
 from cati_database_feeder_spark.streaming.ingest import (
     _DELETE_PENDING, _append_metrics, _check_no_pending_delete,
-    _recover_swaps, _state_lock, _swap_write)
+    _drop_store, _recover_swaps, _state_lock, _swap_write, live_store,
+    store_exists)
 
 _EMB_STORES = ("labels", "vectors", "centroids", "metrics", "deleted",
                "quant", "planes", "pqbooks")
@@ -94,23 +95,14 @@ JL_PROJ_SEED = 11
 
 
 def _swap_write_by_cell(frame, vec_dir: str) -> None:
-    """Atomic cell-partitioned replacement of the vector store: write
-    __tmp, rename the live dir to __old, rename __tmp in, drop __old.
-    ONE copy of the crash-sensitive rename sequence (compaction and
-    deletion both rewrite the store; two hand-rolled copies would have
-    to stay byte-consistent with _recover_swaps' __tmp/__old naming
-    contract — review finding). Crash windows heal exactly like
-    _swap_write's: __tmp alone is garbage to remove, missing live dir
-    with __old present is rolled forward/back by _recover_swaps."""
-    import shutil
-    tmp = vec_dir.rstrip("/") + "__tmp"
-    old = vec_dir.rstrip("/") + "__old"
-    frame.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(vec_dir, old)
-    os.rename(tmp, vec_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    """Cell-partitioned replacement of the vector store through the
+    SAME epoch+pointer commit as _swap_write (one copy of the
+    crash-sensitive sequence — review finding): only the physical
+    write differs (partitionBy("cell") so cell-pruned serving reads
+    stay pruned)."""
+    _swap_write(frame, vec_dir,
+                writer=lambda df, path: df.write.mode("overwrite")
+                .partitionBy("cell").parquet(path))
 
 
 def ingest_embeddings_batch(spark, batch: DataFrame, state_dir: str,
@@ -133,7 +125,7 @@ def ingest_embeddings_batch(spark, batch: DataFrame, state_dir: str,
 
 
 def _load_centroids(spark, state_dir: str):
-    rows = (spark.read.parquet(os.path.join(state_dir, "centroids"))
+    rows = (spark.read.parquet(live_store(os.path.join(state_dir, "centroids")))
             .collect())
     return sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
 
@@ -152,7 +144,7 @@ def _corpus_range(frame, vec_col: str = "embedding") -> tuple[float, float]:
 
 
 def _load_quant(spark, state_dir: str) -> tuple[float, float]:
-    r = spark.read.parquet(os.path.join(state_dir, "quant")).collect()[0]
+    r = spark.read.parquet(live_store(os.path.join(state_dir, "quant"))).collect()[0]
     return float(r["lo"]), float(r["hi"])
 
 
@@ -162,7 +154,7 @@ def _with_codes(frame, lo: float, hi: float):
 
 
 def _load_planes(spark, state_dir: str) -> list[list[float]]:
-    rows = (spark.read.parquet(os.path.join(state_dir, "planes"))
+    rows = (spark.read.parquet(live_store(os.path.join(state_dir, "planes")))
             .collect())
     return [list(r["plane"]) for r in
             sorted(rows, key=lambda r: int(r["idx"]))]
@@ -212,7 +204,7 @@ def _pqbooks_frame(spark, books):
 
 
 def _load_pqbooks(spark, state_dir: str):
-    rows = (spark.read.parquet(os.path.join(state_dir, "pqbooks"))
+    rows = (spark.read.parquet(live_store(os.path.join(state_dir, "pqbooks")))
             .collect())
     if not rows:
         return None
@@ -236,14 +228,17 @@ def _heal_or_load(spark, path: str, loader, regenerate):
     and swap-written so the heal itself cannot recreate the wound
     (review finding: os.path.exists alone wedged the store forever)."""
     import shutil as _sh
-    if os.path.exists(path):
+    if store_exists(path):
         try:
             got = loader()
             if got is not None:
                 return got
         except Exception:
             pass
-        _sh.rmtree(path)
+        # drop EVERY physical artifact of the wounded store (plain
+        # dir, epoch dirs, pointer) — the rebuild below recreates it
+        # via a clean epoch commit
+        _drop_store(path)
     frame = regenerate()
     _swap_write(frame.coalesce(1), path)
     return loader()
@@ -260,10 +255,10 @@ def _ensure_derived_stores(spark, state_dir: str, dim: int):
     absence. Returns ``((lo, hi), planes)`` so the caller pays no
     second read of the parameter stores."""
     vec_dir = os.path.join(state_dir, "vectors")
-    store = spark.read.parquet(vec_dir)
+    store = spark.read.parquet(live_store(vec_dir))
 
     def _load_q():
-        rows = spark.read.parquet(os.path.join(state_dir, "quant")).collect()
+        rows = spark.read.parquet(live_store(os.path.join(state_dir, "quant"))).collect()
         return (float(rows[0]["lo"]), float(rows[0]["hi"])) if rows else None
 
     def _regen_q():
@@ -271,7 +266,7 @@ def _ensure_derived_stores(spark, state_dir: str, dim: int):
         return local_frame(spark, [(lo, hi)], "lo double, hi double")
 
     def _load_p():
-        rows = spark.read.parquet(os.path.join(state_dir, "planes")).collect()
+        rows = spark.read.parquet(live_store(os.path.join(state_dir, "planes"))).collect()
         return ([list(r["plane"]) for r in
                  sorted(rows, key=lambda r: int(r["idx"]))]
                 if rows else None)
@@ -300,7 +295,7 @@ def _ensure_derived_stores(spark, state_dir: str, dim: int):
     # force the column rewrite below, or a post-retrain heal would
     # silently serve old codes against new books.
     books_were_valid = False
-    if os.path.exists(os.path.join(state_dir, "pqbooks")):
+    if store_exists(os.path.join(state_dir, "pqbooks")):
         try:
             books_were_valid = _load_b() is not None
         except Exception:
@@ -338,7 +333,7 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
                           F.col(vec_col).alias("embedding"))
              .dropDuplicates(["vec_id"]))
 
-    if not os.path.exists(vec_dir):
+    if not store_exists(vec_dir):
         # bootstrap — the vectors write goes LAST as the commit marker
         # (same argument as the text path: a retried partial bootstrap
         # must re-enter this branch, not probe half-built state)
@@ -356,8 +351,9 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
         labels = connected_components(pairs.select("id_a", "id_b"))
         _swap_write(labels, lab_dir)
         _boot_lap(_marks, "closure")
-        local_frame(spark, cents, "cell int, centroid array<double>") \
-            .coalesce(1).write.mode("overwrite").parquet(cen_dir)
+        _swap_write(local_frame(
+            spark, cents, "cell int, centroid array<double>")
+            .coalesce(1), cen_dir)
         # metrics BEFORE the vectors commit marker (the text path's
         # argument, streaming/ingest.py): crash in between → the replay
         # re-enters bootstrap and appends a duplicate batch_id row
@@ -370,35 +366,31 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
         # before the vectors commit marker: a crash in between
         # re-enters bootstrap and overwrites it with the same values.
         lo, hi = _corpus_range(batch)
-        local_frame(spark, [(lo, hi)], "lo double, hi double") \
-            .coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(state_dir, "quant"))
+        _swap_write(local_frame(spark, [(lo, hi)], "lo double, hi double")
+                    .coalesce(1), os.path.join(state_dir, "quant"))
         # the JL plane matrix is pinned at bootstrap like the quant
         # range (dim comes from the centroids — required at bootstrap
         # and dimension-equal to the vectors by assignment); a crash
         # before the vectors marker re-enters and overwrites with the
         # identical seeded matrix
         planes = _default_planes(len(cents[0][1]))
-        local_frame(
+        _swap_write(local_frame(
             spark, [(i, p) for i, p in enumerate(planes)],
-            "idx int, plane array<double>") \
-            .coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(state_dir, "planes"))
+            "idx int, plane array<double>").coalesce(1),
+            os.path.join(state_dir, "planes"))
         # the PQ codebooks are pinned at bootstrap like the planes —
         # derived from the pinned centroid vectors' subspace slices, so
         # a crash-window re-entry overwrites with identical values
         books = _pqbooks_from_cents(cents)
-        _pqbooks_frame(spark, books).coalesce(1) \
-            .write.mode("overwrite").parquet(
-                os.path.join(state_dir, "pqbooks"))
+        _swap_write(_pqbooks_frame(spark, books).coalesce(1),
+                    os.path.join(state_dir, "pqbooks"))
         _boot_lap(_marks, "params")
         n = batch.count()
         _append_metrics(spark, state_dir, batch_id, n, n,
                         pairs.count(), False, True)
-        (_with_pq(_with_proj(_with_codes(
+        _swap_write_by_cell(_with_pq(_with_proj(_with_codes(
             assign_cells(batch, cents, "embedding", by), lo, hi), planes),
-            books)
-         .write.partitionBy("cell").mode("overwrite").parquet(vec_dir))
+            books), vec_dir)
         _boot_lap(_marks, "vectors")
         pairs.unpersist()
         return
@@ -406,14 +398,14 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
     cents = _load_centroids(spark, state_dir)
     (lo, hi), planes, books = _ensure_derived_stores(
         spark, state_dir, dim=len(cents[0][1]))
-    store = spark.read.parquet(vec_dir)
+    store = spark.read.parquet(live_store(vec_dir))
     delta = batch.join(store.select("vec_id"), "vec_id", "left_anti")
     deleted_dir = os.path.join(state_dir, "deleted")
-    if os.path.exists(deleted_dir):
+    if store_exists(deleted_dir):
         # tombstones win: a redelivered DELETED vector must not
         # re-enter the store (delete_embeddings) — the store anti-join
         # alone would re-admit it once its row is gone
-        delta = delta.join(spark.read.parquet(deleted_dir)
+        delta = delta.join(spark.read.parquet(live_store(deleted_dir))
                            .select("vec_id"), "vec_id", "left_anti")
     delta = delta.persist()
     try:
@@ -429,7 +421,7 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
             m_delta = delta.count()
             m_pairs = 0 if quiet else pairs.count()
             if not quiet:
-                labels = spark.read.parquet(lab_dir)
+                labels = spark.read.parquet(live_store(lab_dir))
                 _swap_write(incremental_components(
                     labels, pairs.select("id_a", "id_b")), lab_dir)
             # metrics BEFORE the vectors commit marker: a crash in
@@ -444,7 +436,7 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
             (_with_pq(_with_proj(_with_codes(
                 assign_cells(delta, cents, "embedding", by), lo, hi),
                 planes), books)
-             .write.partitionBy("cell").mode("append").parquet(vec_dir))
+             .write.partitionBy("cell").mode("append").parquet(live_store(vec_dir)))
         finally:
             pairs.unpersist()
     finally:
@@ -467,9 +459,9 @@ def compact_embeddings_state(spark, state_dir: str,
         _check_no_pending_delete(state_dir, "compact_embeddings_state")
         _check_no_pending_migration(state_dir, "compact_embeddings_state")
         vec_dir = os.path.join(state_dir, "vectors")
-        if not os.path.exists(vec_dir):
+        if not store_exists(vec_dir):
             return
-        vectors = spark.read.parquet(vec_dir)
+        vectors = spark.read.parquet(live_store(vec_dir))
         if target_files_per_cell <= 1:
             # hash by cell: every cell lands in exactly one task → one
             # file per cell partition
@@ -516,7 +508,7 @@ def _delete_embeddings_locked(spark, state_dir: str, vec_ids,
     _recover_swaps(state_dir, _EMB_STORES)
     _check_no_pending_migration(state_dir, "delete_embeddings")
     vec_dir = os.path.join(state_dir, "vectors")
-    if not os.path.exists(vec_dir):
+    if not store_exists(vec_dir):
         raise ValueError(
             f"delete_embeddings: {state_dir!r} has no vector store — "
             f"bootstrap with ingest_embeddings_batch first")
@@ -526,7 +518,7 @@ def _delete_embeddings_locked(spark, state_dir: str, vec_ids,
     with open(marker, "w") as fh:
         fh.write("delete_embeddings in progress")
     try:
-        store = spark.read.parquet(vec_dir)
+        store = spark.read.parquet(live_store(vec_dir))
         if isinstance(vec_ids, DataFrame):
             dd = vec_ids.select(
                 F.col(vec_ids.columns[0]).alias("vec_id")).distinct()
@@ -536,16 +528,16 @@ def _delete_embeddings_locked(spark, state_dir: str, vec_ids,
             ids = sorted(set(vec_ids))
             schema = store.select("vec_id").schema
             dd = local_frame(spark, [(i,) for i in ids], schema)
-        if os.path.exists(deleted_dir):
-            (dd.join(spark.read.parquet(deleted_dir), "vec_id",
+        if store_exists(deleted_dir):
+            (dd.join(spark.read.parquet(live_store(deleted_dir)), "vec_id",
                      "left_anti")
-             .write.mode("append").parquet(deleted_dir))
+             .write.mode("append").parquet(live_store(deleted_dir)))
         else:
-            dd.write.mode("overwrite").parquet(deleted_dir)
-        tomb = spark.read.parquet(deleted_dir).select("vec_id")
+            _swap_write(dd, deleted_dir)
+        tomb = spark.read.parquet(live_store(deleted_dir)).select("vec_id")
 
         cents = _load_centroids(spark, state_dir)
-        labels = spark.read.parquet(lab_dir)
+        labels = spark.read.parquet(live_store(lab_dir))
         aff_c = (labels.join(tomb.withColumnRenamed("vec_id", "id"),
                              "id", "left_semi")
                  .select("component").distinct())
@@ -586,8 +578,8 @@ def quantized_serving_frames(spark, state_dir: str):
     batch migrates it) instead of silently serving floats."""
     _check_no_pending_migration(state_dir, "quantized_serving_frames")
     vec_dir = os.path.join(state_dir, "vectors")
-    store = spark.read.parquet(vec_dir)
-    if "codes" not in store.columns or not os.path.exists(
+    store = spark.read.parquet(live_store(vec_dir))
+    if "codes" not in store.columns or not store_exists(
             os.path.join(state_dir, "quant")):
         raise ValueError(
             f"quantized_serving_frames: {state_dir!r} predates the "
@@ -610,8 +602,8 @@ def projected_serving_frames(spark, state_dir: str):
     instead of silently projecting at serve time."""
     _check_no_pending_migration(state_dir, "projected_serving_frames")
     vec_dir = os.path.join(state_dir, "vectors")
-    store = spark.read.parquet(vec_dir)
-    if "proj" not in store.columns or not os.path.exists(
+    store = spark.read.parquet(live_store(vec_dir))
+    if "proj" not in store.columns or not store_exists(
             os.path.join(state_dir, "planes")):
         raise ValueError(
             f"projected_serving_frames: {state_dir!r} predates the "
@@ -636,8 +628,8 @@ def pq_serving_frames(spark, state_dir: str):
     encoding at serve time."""
     _check_no_pending_migration(state_dir, "pq_serving_frames")
     vec_dir = os.path.join(state_dir, "vectors")
-    store = spark.read.parquet(vec_dir)
-    if "pq" not in store.columns or not os.path.exists(
+    store = spark.read.parquet(live_store(vec_dir))
+    if "pq" not in store.columns or not store_exists(
             os.path.join(state_dir, "pqbooks")):
         raise ValueError(
             f"pq_serving_frames: {state_dir!r} predates the PQ code "
@@ -708,20 +700,20 @@ def _complete_migration(spark, state_dir: str, by: str) -> None:
     cen_dir = os.path.join(state_dir, "centroids")
     next_dir = os.path.join(state_dir, _CENTS_NEXT)
     marker = os.path.join(state_dir, _MIGRATE_PENDING)
-    if not os.path.exists(next_dir):
+    if not store_exists(next_dir):
         # marker without staging: the migration never got past the
         # marker write — nothing moved, just clear it
         if os.path.exists(marker):
             os.unlink(marker)
         return
     cents = sorted((int(r["cell"]), list(r["centroid"])) for r in
-                   spark.read.parquet(next_dir).collect())
-    store = spark.read.parquet(vec_dir)
+                   spark.read.parquet(live_store(next_dir)).collect())
+    store = spark.read.parquet(live_store(vec_dir))
     keep = [c for c in store.columns if c != "cell"]
     _swap_write_by_cell(
         assign_cells(store.select(*keep), cents, "embedding", by),
         vec_dir)
-    _swap_write(spark.read.parquet(next_dir).coalesce(1), cen_dir)
+    _swap_write(spark.read.parquet(live_store(next_dir)).coalesce(1), cen_dir)
     os.unlink(marker)
     import shutil
     shutil.rmtree(next_dir, ignore_errors=True)
@@ -767,14 +759,14 @@ def retrain_embeddings_centroids(spark, state_dir: str,
             _complete_migration(spark, state_dir, by)
             return
         vec_dir = os.path.join(state_dir, "vectors")
-        if not os.path.exists(vec_dir):
+        if not store_exists(vec_dir):
             raise ValueError(
                 f"retrain_embeddings_centroids: {state_dir!r} has no "
                 f"vector store — bootstrap with "
                 f"ingest_embeddings_batch first")
         old = _load_centroids(spark, state_dir)
         k = n_cells or len(old)
-        corpus = spark.read.parquet(vec_dir).select("vec_id", "embedding")
+        corpus = spark.read.parquet(live_store(vec_dir)).select("vec_id", "embedding")
         cents = train_ivf_centroids(corpus, n_cells=k,
                                     iterations=iterations,
                                     max_share=max_share)

@@ -134,3 +134,29 @@ def test_prior_canary_falls_back_to_queries_then_none(tmp_path):
     assert kind == "queries" and vals == {bench.CANARY[0]: 2.5}
     vals, kind = bench.prior_canary(str(tmp_path / "missing"), 0.1)
     assert vals is None and kind == "none"
+
+
+def test_prior_canary_no_overlap_is_none(tmp_path):
+    """A prior board whose queries share no key with the canary set is
+    no baseline at all — kind 'none', not 'queries' with an empty
+    dict behind it (round-12 advice)."""
+    p = tmp_path / "BENCH_FULL.json"
+    p.write_text(json.dumps({"sf": 0.1, "queries": {"unrelated": 9.0}}))
+    vals, kind = bench.prior_canary(str(tmp_path), 0.1)
+    assert vals is None and kind == "none"
+
+
+def test_canary_v2_median_survives_elision():
+    """Canary v2 (round-12 verdict, missing #3): the per-query ratio
+    vector and its median ride the compact line un-elided — the sum
+    ratio alone is one cold dispatch away from misleading."""
+    total, payload = _payload()
+    payload["canary"] = {n: 1.0 for n in bench.CANARY}
+    payload["canary_vs_prev"] = 1.30           # sum: skewed by one query
+    payload["canary_ratios"] = {n: 1.0 for n in bench.CANARY}
+    payload["canary_median_vs_prev"] = 0.98    # median: the honest read
+    line = bench.fit_line(payload)
+    parsed = json.loads(line)
+    assert parsed["canary_median_vs_prev"] == 0.98
+    assert set(parsed["canary_ratios"]) == set(bench.CANARY)
+    assert parsed["value"] == total

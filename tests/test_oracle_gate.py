@@ -110,7 +110,56 @@ def test_every_integer_sum_in_oracle_output_is_cast():
         f"with the reason the DuckDB result type cannot diverge from Spark's")
 
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+# Fast-lane budget (round-12 verdict, next #7): the full 190-query
+# gate dominates the fast lane (~7 min and growing with the registry).
+# Queries that ALREADY hold a green row from the driver-identical
+# comparator for the round being built (CHECKLOCAL_r{N}.json ∪
+# CORRECTNESS_r{N}.json — the freshest artifacts) are demoted to the
+# slow lane: the per-commit `pytest -m fast` run re-checks exactly
+# the queries not yet re-verified this round (new queries, changed
+# paths, anything checklocal has not reached), while the full sweep
+# still runs every query in the slow lane / at round close.
+def _green_this_round() -> set:
+    import glob
+    import json
+    import os
+    import re
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = {}
+    for path in (glob.glob(os.path.join(here, "CHECKLOCAL_r*.json"))
+                 + glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m:
+            rounds.setdefault(int(m.group(1)), []).append(path)
+    if not rounds:
+        return set()
+    # the round being built = the newest CHECKLOCAL round if one
+    # exists beyond the newest CORRECTNESS round, else nothing is
+    # "this round" yet and the whole gate stays fast
+    newest_corr = max((r for r, ps in rounds.items()
+                       if any("CORRECTNESS" in p for p in ps)),
+                      default=0)
+    building = newest_corr + 1
+    green = set()
+    for path in rounds.get(building, []):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("rows_match") \
+                    and row.get("schema_match") and row.get("hash_match"):
+                green.add(name)
+    return green
+
+
+_GREEN_NOW = _green_this_round()
+
+
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=pytest.mark.slow) if n in _GREEN_NOW
+    else n for n in sorted(_QUERIES)])
 def test_query_matches_oracle(spark, oracle_con, name):
     status, detail = compare_query(
         spark, oracle_con, SF_DIR, name, _QUERIES[name], _ORACLES.get(name))
