@@ -9455,6 +9455,191 @@ def excel_scan_report(spark, sf_dir):
                  .cast("bigint").alias("n_errors")))
 
 
+_CSV_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse", "fixtures", "csv_scan.csv")
+
+
+@register("csv_scan", sql="""
+WITH rows(respondent_code, status, survey_date, quota, score,
+          comment, quarantined_line) AS (VALUES
+  (CAST(101 AS BIGINT), 'complete',    DATE '2024-03-05', 12,
+   4.5,  'plain text',            CAST(NULL AS VARCHAR)),
+  (CAST(102 AS BIGINT), 'interrupted', DATE '2024-03-06', 7,
+   3.25, 'has, comma',            CAST(NULL AS VARCHAR)),
+  (CAST(103 AS BIGINT), 'complete',    DATE '2024-03-07',
+   CAST(NULL AS INT), 2.0, 'quoted "word" inside',
+   CAST(NULL AS VARCHAR)),
+  (CAST(104 AS BIGINT), 'refused',     DATE '2024-03-08', 9,
+   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR)),
+  (CAST(105 AS BIGINT), 'complete',    DATE '2024-03-09',
+   CAST(NULL AS INT), 1.5, 'trailing',
+   '105,complete,09.03.2024,not_a_number,1.5,trailing'),
+  (CAST(106 AS BIGINT), 'complete',    DATE '2024-03-10', 3,
+   6.75, '  padded  ',            CAST(NULL AS VARCHAR)))
+SELECT respondent_code, status, survey_date, quota, score, comment,
+       quarantined_line
+FROM rows
+""")
+def csv_scan(spark, sf_dir):
+    """E126 CSV source, value-checked end-to-end: PERMISSIVE scan of
+    the pinned shard under a DECLARED schema (JVM parser, splittable —
+    sources/csvfile.py), RFC 4180 quoting (escape='"' — Spark's
+    backslash default would leave doubled quotes raw in the value,
+    empirically probed), dd.MM.yyyy parse to DATE (op #22 semantics,
+    reference feeder.py date handling), bare empty fields as NULL, and
+    the type-corrupt row QUARANTINED verbatim in the corrupt column
+    with its parseable cells retained — never silently zeroed, the
+    reject-row-report contract (ops #12/#15). The oracle is the
+    fixture generator's pinned rows as VALUES: every cell — quoting,
+    nulls, the quarantine line — value-checked against what Spark
+    recovered from real CSV bytes. At 100 TB: one declared schema, no
+    inferSchema double-read; a plain-text shard splits inside the
+    file, gzip shards parallelize per file; the DATE reformat and the
+    quarantine flag are codegen expressions on the scan."""
+    from cati_database_feeder_spark.sources.csvfile import (
+        CORRUPT_COL, ensure_csv_fixture, read_csv_report)
+    path = ensure_csv_fixture(_CSV_FIXTURE)
+    df = read_csv_report(spark, path)
+    return df.select(
+        "respondent_code", "status",
+        F.to_date("survey_date", "dd.MM.yyyy").alias("survey_date"),
+        "quota", "score", "comment",
+        F.col(CORRUPT_COL).alias("quarantined_line"))
+
+
+_BENFORD_SHARES = [
+    (1, 0.3010299956639812), (2, 0.17609125905568124),
+    (3, 0.12493873660829992), (4, 0.09691001300805642),
+    (5, 0.07918124604762482), (6, 0.06694678963061322),
+    (7, 0.05799194697768673), (8, 0.05115252244738129),
+    (9, 0.04575749056067514)]
+
+_BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM digits),
+obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM digits GROUP BY digit),
+bf(digit, benford_share) AS (VALUES {vals})
+SELECT bf.digit,
+       COALESCE(obs.n_obs, CAST(0 AS BIGINT)) AS n_obs,
+       CAST(COALESCE(obs.n_obs, CAST(0 AS BIGINT)) AS DOUBLE)
+         / CAST(n.total AS DOUBLE) AS obs_share,
+       bf.benford_share,
+       ABS(CAST(COALESCE(obs.n_obs, CAST(0 AS BIGINT)) AS DOUBLE)
+             / CAST(n.total AS DOUBLE)
+           - bf.benford_share) AS abs_dev
+FROM bf LEFT JOIN obs ON bf.digit = obs.digit, n
+""".format(vals=", ".join(f"({d}, CAST({s!r} AS DOUBLE))"
+                          for d, s in _BENFORD_SHARES))
+
+
+@register("dq_benford_screen", sql=_BENFORD_SQL)
+def dq_benford_screen(spark, sf_dir):
+    """E127 Benford first-digit screen (Newcomb 1881 / Benford 1938;
+    standard forensic-accounting data-quality test): the distribution
+    of leading significant digits of a naturally-spanning amount
+    column vs the log-law expectation log10(1+1/d) — fabricated or
+    truncated feeds bend the curve. First digit extracted by exact
+    integer-string arithmetic (floor -> bigint -> first char), never
+    float log10, so both engines classify every row identically;
+    the nine expected shares are pinned double literals shared with
+    the oracle (bitwise-equal floats, tools/check.py contract). At
+    100 TB: one map-side partial groupBy on a 9-value key, the
+    constants a broadcast local frame — no skew possible, one
+    exchange of 9 rows."""
+    from cati_database_feeder_spark.session import local_frame
+    li = T(spark, sf_dir, "lineitem")
+    digits = (li.filter(F.col("l_extendedprice") >= 1)
+              .select(F.substring(F.floor("l_extendedprice")
+                                  .cast("bigint").cast("string"), 1, 1)
+                      .cast("int").alias("digit")))
+    total = digits.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    obs = (digits.groupBy("digit")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs")))
+    bf = local_frame(spark, _BENFORD_SHARES,
+                     "digit int, benford_share double")
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0).cast("bigint"))
+    share = n_obs.cast("double") / F.col("total").cast("double")
+    return (bf.join(obs, "digit", "left")
+            .crossJoin(F.broadcast(total))
+            .select(F.col("digit"), n_obs.alias("n_obs"),
+                    share.alias("obs_share"), F.col("benford_share"),
+                    F.abs(share - F.col("benford_share"))
+                    .alias("abs_dev")))
+
+
+@register("orders_market_basket", sql="""
+WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+               FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
+      FROM items),
+supp AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_part
+         FROM items GROUP BY part),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY a.part, b.part
+  HAVING COUNT(*) >= 2)
+SELECT part_a, part_b, n_pair, sa.n_part AS n_a, sb.n_part AS n_b,
+       CAST(n_pair AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+         / (CAST(sa.n_part AS DOUBLE) * CAST(sb.n_part AS DOUBLE))
+         AS lift
+FROM pairs
+JOIN supp sa ON pairs.part_a = sa.part
+JOIN supp sb ON pairs.part_b = sb.part, n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 20
+""")
+def orders_market_basket(spark, sf_dir):
+    """E128 market-basket affinity (Agrawal & Srikant 1994 association
+    mining, the pair tier): parts co-purchased in one order, pair
+    support >= 2, ranked by lift = P(a,b)/(P(a)P(b)) with the exact
+    order count as the universe. The pair join is an equi-join on the
+    order key of the DISTINCT (order, part) item set — fanout bounded
+    by basket size (TPC-H <= 7 items/order; a retail feed caps baskets
+    upstream), so candidate pairs are |orders| * C(basket, 2), never
+    |parts|^2. Lift arithmetic is shape-identical in both engines
+    (bitwise-equal doubles). At 100 TB: distinct-items and the
+    self-join share one hash partitioning on the order key (one
+    shuffle each side, co-partitioned join), the pair groupBy is
+    map-side partial, the part-support table broadcasts, and top-20
+    is a TakeOrdered, never a full sort."""
+    items = (T(spark, sf_dir, "lineitem")
+             .select(F.col("l_orderkey").alias("okey"),
+                     F.col("l_partkey").alias("part")).distinct())
+    n = items.agg(F.count_distinct("okey").alias("n_orders"))
+    supp = (items.groupBy("part")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_part")))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (a.join(b, (F.col("a.okey") == F.col("b.okey"))
+                    & (F.col("a.part") < F.col("b.part")))
+             .groupBy(F.col("a.part").alias("part_a"),
+                      F.col("b.part").alias("part_b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+             .filter(F.col("n_pair") >= 2))
+    sa = supp.select(F.col("part").alias("part_a"),
+                     F.col("n_part").alias("n_a"))
+    sb = supp.select(F.col("part").alias("part_b"),
+                     F.col("n_part").alias("n_b"))
+    lift = (F.col("n_pair").cast("double")
+            * F.col("n_orders").cast("double")
+            / (F.col("n_a").cast("double")
+               * F.col("n_b").cast("double")))
+    return (pairs.join(F.broadcast(sa), "part_a")
+            .join(F.broadcast(sb), "part_b")
+            .crossJoin(F.broadcast(n))
+            .select("part_a", "part_b", "n_pair", "n_a", "n_b",
+                    lift.alias("lift"))
+            .orderBy(F.desc("lift"), "part_a", "part_b")
+            .limit(20))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -9482,6 +9667,9 @@ _CHECK_ORDER = [
     #    pointer on the CDC snapshot store). Everything else holds a
     #    round-12 green and is refreshed via CHECKLOCAL_r13
     #    (tools/checklocal.py --all this session).
+    "csv_scan",
+    "dq_benford_screen",
+    "orders_market_basket",
     "excel_scan",
     "excel_scan_report",
     "jsonl_scan",
