@@ -364,6 +364,103 @@ def _drop_store(target: str) -> None:
                 os.unlink(os.path.join(d, n))
 
 
+# id-keyed store bucketing (round-12 verdict, missing #4): the
+# fingerprint/membership tables (members/, wfp/, dhash/, afp/) are
+# written hash-bucketed on their id — bucket = pmod(hash64(id),
+# N_ID_BUCKETS), partitionBy("bucket") — so takedown's tombstone
+# anti-join prunes to the buckets a deletion actually touches: the
+# untouched buckets pass through as a partition-pruned scan with no
+# join and no store-side Exchange, and the join input shrinks from
+# |store| to |touched buckets|. At 100 TB, size N_ID_BUCKETS so a
+# typical takedown touches a small fraction. Readers drop the column
+# (df.drop is a no-op on legacy unbucketed dirs, which keep working
+# and are re-bucketed on their next full rewrite).
+N_ID_BUCKETS = 64
+
+
+def _with_id_bucket(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return df.withColumn("bucket", F.pmod(
+        text_fns.hash64(F.col(id_col).cast("string")),
+        F.lit(N_ID_BUCKETS)).cast("int"))
+
+
+def _bucketed_writer(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def _swap_write_bucketed(df: DataFrame, target: str,
+                         id_col: str = "doc_id") -> None:
+    _swap_write(_with_id_bucket(df.drop("bucket"), id_col), target,
+                writer=_bucketed_writer)
+
+
+def _append_id_store(frame: DataFrame, store_dir: str,
+                     id_col: str = "doc_id") -> None:
+    """Append rows to an id-keyed store, matching the LIVE layout: a
+    bucketed store gets a partitioned append (the new files land in
+    their bucket=N dirs), a legacy flat dir gets a plain append (a
+    mixed layout would break partition discovery) until its next full
+    rewrite re-buckets it."""
+    live = live_store(store_dir)
+    try:
+        bucketed = any(n.startswith("bucket=") for n in os.listdir(live))
+    except OSError:
+        bucketed = False
+    if bucketed:
+        (_with_id_bucket(frame.drop("bucket"), id_col)
+         .write.mode("append").partitionBy("bucket").parquet(live))
+    else:
+        frame.write.mode("append").parquet(live)
+
+
+def _tomb_pruned_rewrite(spark, store_dir: str, tomb: DataFrame,
+                         id_col: str = "doc_id") -> None:
+    """Takedown rewrite of a bucketed id-keyed store with cost
+    proportional to the TOUCHED buckets, not the store: the
+    tombstones' bucket set (≤ N_ID_BUCKETS values) prunes the
+    anti-join scan to the touched partitions, only those buckets are
+    rewritten into the new epoch, and every untouched bucket's files
+    are re-manifested by hardlink from the current epoch — same
+    inodes, zero bytes copied, and epoch GC of the old dir cannot
+    strand them (link count). The local miniature of how a
+    Delta/Iceberg DELETE commits: rewrite the files a predicate
+    touches, carry every other file into the new snapshot by
+    reference. Legacy flat dirs fall back to the whole-store
+    anti-join (and come out bucketed)."""
+    store = spark.read.parquet(live_store(store_dir))
+    tomb = tomb.select(F.col(tomb.columns[0]).alias(id_col))
+    if "bucket" not in store.columns:
+        _swap_write_bucketed(store.join(tomb, id_col, "left_anti"),
+                             store_dir, id_col)
+        return
+    touched = {int(r["bucket"]) for r in
+               _with_id_bucket(tomb, id_col)
+               .select("bucket").distinct().collect()}
+    cur = live_store(store_dir)
+    pruned = (store.filter(F.col("bucket").isin(sorted(touched)))
+              .join(tomb, id_col, "left_anti"))
+
+    def relink_writer(df: DataFrame, new_dir: str) -> None:
+        df.write.mode("overwrite").partitionBy("bucket").parquet(new_dir)
+        for name in os.listdir(cur):
+            if not name.startswith("bucket="):
+                continue
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b in touched:
+                continue
+            src = os.path.join(cur, name)
+            dst = os.path.join(new_dir, name)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                with contextlib.suppress(FileExistsError):
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+
+    _swap_write(pruned, store_dir, writer=relink_writer)
+
+
 def _swap_write(df: DataFrame, target: str, writer=None) -> None:
     """Replace the store at logical path ``target`` with ``df``
     without ever disturbing a concurrent or in-flight reader:
@@ -467,7 +564,7 @@ def _ensure_membership_stores(spark, state_dir: str) -> None:
                 .select("gid", "toks",
                         dedup.tokset_key(F.col("toks")).alias("key")),
                 reps_dir)
-    _swap_write(memb.select("id", "gid"), members_dir)
+    _swap_write_bucketed(memb.select("id", "gid"), members_dir, "id")
 
 
 def _ensure_pairs_store(spark, state_dir: str, threshold: float,
@@ -753,10 +850,11 @@ def read_wfp(spark, state_dir: str) -> DataFrame:
     partial append — so serving never observes incomplete fingerprints
     even before the next state-mutating op runs :func:`_wfp_recover`."""
     wfp = (spark.read.parquet(live_store(os.path.join(state_dir, "wfp")))
+           .drop("bucket")
            .filter(F.col("doc_id") != _WFP_DIMS_ID))
     pending = os.path.join(state_dir, "wfp_pending")
     if store_exists(pending):
-        pend = spark.read.parquet(live_store(pending))
+        pend = spark.read.parquet(live_store(pending)).drop("bucket")
         wfp = (wfp.join(pend.select("doc_id").distinct(), "doc_id",
                         "left_anti")
                .unionByName(pend))
@@ -777,11 +875,12 @@ def _wfp_recover(spark, state_dir: str) -> None:
         return
     wfp_dir = os.path.join(state_dir, "wfp")
     if store_exists(wfp_dir):
-        pend = spark.read.parquet(live_store(pending))
-        _swap_write(spark.read.parquet(live_store(wfp_dir))
-                    .join(pend.select("doc_id").distinct(), "doc_id",
-                          "left_anti")
-                    .unionByName(pend), wfp_dir)
+        pend = spark.read.parquet(live_store(pending)).drop("bucket")
+        _swap_write_bucketed(
+            spark.read.parquet(live_store(wfp_dir)).drop("bucket")
+            .join(pend.select("doc_id").distinct(), "doc_id",
+                  "left_anti")
+            .unionByName(pend), wfp_dir)
     _drop_store(pending)
 
 
@@ -811,7 +910,7 @@ def _ensure_wfp_store(spark, state_dir: str, k: int = WFP_K,
             return
         _drop_store(wfp_dir)
     corpus = spark.read.parquet(live_store(os.path.join(state_dir, "corpus")))
-    _swap_write(_wfp_frame(spark, corpus, k, w), wfp_dir)
+    _swap_write_bucketed(_wfp_frame(spark, corpus, k, w), wfp_dir)
 
 
 def _wfp_append_delta(spark, state_dir: str, delta: DataFrame,
@@ -842,8 +941,7 @@ def _wfp_append_delta(spark, state_dir: str, delta: DataFrame,
                 .distinct())
     _swap_write(dedup.winnow_fingerprints(delta, k=k, w=w)
                 .join(existing, "doc_id", "left_anti"), pending)
-    (spark.read.parquet(live_store(pending))
-     .write.mode("append").parquet(live_store(wfp_dir)))
+    _append_id_store(spark.read.parquet(live_store(pending)), wfp_dir)
     _drop_store(pending)
 
 
@@ -892,6 +990,7 @@ def _dhash_frame(spark, docs: DataFrame) -> DataFrame:
 def read_dhash(spark, state_dir: str) -> DataFrame:
     """The maintained perceptual-hash table, sentinel stripped."""
     return (spark.read.parquet(live_store(os.path.join(state_dir, "dhash")))
+            .drop("bucket")
             .filter(F.col("doc_id") != _DHASH_DIMS_ID))
 
 
@@ -920,7 +1019,7 @@ def _ensure_dhash_store(spark, state_dir: str) -> None:
             return
         _drop_store(dhash_dir)
     corpus = spark.read.parquet(live_store(os.path.join(state_dir, "corpus")))
-    _swap_write(_dhash_frame(spark, corpus), dhash_dir)
+    _swap_write_bucketed(_dhash_frame(spark, corpus), dhash_dir)
 
 
 def _dhash_append_delta(spark, state_dir: str, delta: DataFrame) -> None:
@@ -930,10 +1029,9 @@ def _dhash_append_delta(spark, state_dir: str, delta: DataFrame) -> None:
     dhash_dir = os.path.join(state_dir, "dhash")
     existing = (spark.read.parquet(live_store(dhash_dir)).select("doc_id")
                 .distinct())
-    (_dhash_frame(spark, delta)
-     .filter(F.col("doc_id") != _DHASH_DIMS_ID)
-     .join(existing, "doc_id", "left_anti")
-     .write.mode("append").parquet(live_store(dhash_dir)))
+    _append_id_store(_dhash_frame(spark, delta)
+                     .filter(F.col("doc_id") != _DHASH_DIMS_ID)
+                     .join(existing, "doc_id", "left_anti"), dhash_dir)
 
 
 # afp/ store: maintained audio fingerprints (E83+) — the third
@@ -979,6 +1077,7 @@ def _afp_frame(spark, docs: DataFrame) -> DataFrame:
 def read_afp(spark, state_dir: str) -> DataFrame:
     """The maintained audio-fingerprint table, sentinel stripped."""
     return (spark.read.parquet(live_store(os.path.join(state_dir, "afp")))
+            .drop("bucket")
             .filter(F.col("doc_id") != _AFP_DIMS_ID))
 
 
@@ -1005,7 +1104,7 @@ def _ensure_afp_store(spark, state_dir: str) -> None:
             return
         _drop_store(afp_dir)
     corpus = spark.read.parquet(live_store(os.path.join(state_dir, "corpus")))
-    _swap_write(_afp_frame(spark, corpus), afp_dir)
+    _swap_write_bucketed(_afp_frame(spark, corpus), afp_dir)
 
 
 def _afp_append_delta(spark, state_dir: str, delta: DataFrame) -> None:
@@ -1015,10 +1114,9 @@ def _afp_append_delta(spark, state_dir: str, delta: DataFrame) -> None:
     afp_dir = os.path.join(state_dir, "afp")
     existing = (spark.read.parquet(live_store(afp_dir)).select("doc_id")
                 .distinct())
-    (_afp_frame(spark, delta)
-     .filter(F.col("doc_id") != _AFP_DIMS_ID)
-     .join(existing, "doc_id", "left_anti")
-     .write.mode("append").parquet(live_store(afp_dir)))
+    _append_id_store(_afp_frame(spark, delta)
+                     .filter(F.col("doc_id") != _AFP_DIMS_ID)
+                     .join(existing, "doc_id", "left_anti"), afp_dir)
 
 
 def _sk_ensure_store(spark, state_dir: str, name: str, cells_of,
@@ -1361,7 +1459,8 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
                     .select("gid", "toks",
                             dedup.tokset_key(F.col("toks")).alias("key")),
                     reps_dir)
-        _swap_write(memb.select("id", "gid"), members_dir)
+        _swap_write_bucketed(memb.select("id", "gid"),
+                             members_dir, "id")
         _swap_write(dedup.rep_band_buckets(memb, num_hashes, bands),
                     buckets_dir)
         # the edge store takedown repairs labels from (delete_docs)
@@ -1381,14 +1480,14 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         _swap_write(_hll_frame(spark, batch).coalesce(1),
                     os.path.join(state_dir, "hll"))
         _boot_lap(_marks, "hll")
-        _swap_write(_wfp_frame(spark, batch, WFP_K, WFP_W),
-                    os.path.join(state_dir, "wfp"))
+        _swap_write_bucketed(_wfp_frame(spark, batch, WFP_K, WFP_W),
+                             os.path.join(state_dir, "wfp"))
         _boot_lap(_marks, "wfp")
-        _swap_write(_dhash_frame(spark, batch),
-                    os.path.join(state_dir, "dhash"))
+        _swap_write_bucketed(_dhash_frame(spark, batch),
+                             os.path.join(state_dir, "dhash"))
         _boot_lap(_marks, "dhash")
-        _swap_write(_afp_frame(spark, batch),
-                    os.path.join(state_dir, "afp"))
+        _swap_write_bucketed(_afp_frame(spark, batch),
+                             os.path.join(state_dir, "afp"))
         _boot_lap(_marks, "afp")
         # metrics BEFORE the corpus commit marker: a crash between the
         # two replays the whole bootstrap (corpus absent) and appends a
@@ -1467,7 +1566,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         if not quiet:
             fr["pairs_append"].write.mode("append").parquet(live_store(pairs_dir))
         fr["buckets_append"].write.mode("append").parquet(live_store(buckets_dir))
-        fr["members_append"].write.mode("append").parquet(live_store(members_dir))
+        _append_id_store(fr["members_append"], members_dir, "id")
         fr["reps_append"].write.mode("append").parquet(live_store(reps_dir))
         # sketch merges BEFORE the corpus commit marker (their replay
         # guard assumes a crash here redelivers the identical delta,
@@ -1522,7 +1621,8 @@ def _incremental_frames(spark, state_dir: str, batch: DataFrame,
     probes are the only non-driver work here."""
     corpus_ids = (spark.read.parquet(live_store(os.path.join(state_dir, "corpus")))
                   .select("doc_id"))
-    members = spark.read.parquet(live_store(os.path.join(state_dir, "members")))
+    members = (spark.read.parquet(
+        live_store(os.path.join(state_dir, "members"))).drop("bucket"))
     reps = spark.read.parquet(live_store(os.path.join(state_dir, "reps")))
     buckets = spark.read.parquet(live_store(os.path.join(state_dir, "buckets")))
     labels = spark.read.parquet(live_store(os.path.join(state_dir, "labels")))
@@ -1611,13 +1711,24 @@ def _compact_state_locked(spark, state_dir: str,
     # metrics/ grows one tiny file per batch like the id stores —
     # compact it with them (append-only, so the swap discipline holds);
     # one row per batch → one file, not n near-empty ones
+    id_bucketed = {"members": "id", "wfp": "doc_id",
+                   "dhash": "doc_id", "afp": "doc_id"}
     for name, parts in (("members", n), ("reps", n), ("metrics", 1),
                         ("pairs", n), ("deleted", 1), ("hll", 1),
                         ("wfp", n), ("dhash", n), ("afp", n)):
         d = os.path.join(state_dir, name)
-        if store_exists(d):
-            _swap_write(spark.read.parquet(live_store(d))
-                        .repartition(parts), d)
+        if not store_exists(d):
+            continue
+        df = spark.read.parquet(live_store(d))
+        if name in id_bucketed:
+            # preserve (or adopt) the bucketed layout; repartition by
+            # bucket → one file per bucket partition
+            _swap_write(_with_id_bucket(df.drop("bucket"),
+                                        id_bucketed[name])
+                        .repartition("bucket"), d,
+                        writer=_bucketed_writer)
+        else:
+            _swap_write(df.repartition(parts), d)
     # linear-sketch stores: compact to one file AND prune the r=-3
     # takedown-reflection ledger (SURVEY.md open thread: ledger
     # compaction). A ledger row exists solely so a retried/extended
@@ -1765,7 +1876,8 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
         pairs_dir = os.path.join(state_dir, "pairs")
         labels_dir = os.path.join(state_dir, "labels")
 
-        members = spark.read.parquet(live_store(members_dir))
+        members = (spark.read.parquet(live_store(members_dir))
+                   .drop("bucket"))
         tomb_id = tomb.withColumnRenamed("doc_id", "id")
         surv_members = members.join(tomb_id, "id", "left_anti")
         # groups whose REP is tombstoned promote the min surviving id
@@ -1843,7 +1955,7 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
         _swap_write(new_reps, reps_dir)
         _swap_write(new_buckets, buckets_dir)
         _swap_write(surv_pairs, pairs_dir)
-        _swap_write(new_members, members_dir)
+        _swap_write_bucketed(new_members, members_dir, "id")
         # linear-sketch stores reflect the full tombstone set (reads
         # the old corpus/ + deleted/, so both modes must run before
         # the corpus swap). Default is the round-10 SUBTRACT path —
@@ -1867,19 +1979,16 @@ def _delete_docs_locked(spark, state_dir: str, doc_ids,
         # negative id can never match a tombstone)
         wfp_dir = os.path.join(state_dir, "wfp")
         if store_exists(wfp_dir):
-            _swap_write(spark.read.parquet(live_store(wfp_dir))
-                        .join(tomb, "doc_id", "left_anti"), wfp_dir)
+            _tomb_pruned_rewrite(spark, wfp_dir, tomb)
         # dhash takedown: the same exact row delete (id-keyed table;
         # the sentinel's negative id can never match a tombstone)
         dhash_dir = os.path.join(state_dir, "dhash")
         if store_exists(dhash_dir):
-            _swap_write(spark.read.parquet(live_store(dhash_dir))
-                        .join(tomb, "doc_id", "left_anti"), dhash_dir)
+            _tomb_pruned_rewrite(spark, dhash_dir, tomb)
         # afp takedown: identical exact row delete
         afp_dir = os.path.join(state_dir, "afp")
         if store_exists(afp_dir):
-            _swap_write(spark.read.parquet(live_store(afp_dir))
-                        .join(tomb, "doc_id", "left_anti"), afp_dir)
+            _tomb_pruned_rewrite(spark, afp_dir, tomb)
         _swap_write(corpus.join(tomb, "doc_id", "left_anti"), corpus_dir)
     except BaseException:
         raise  # marker stays: the refusal gate routes to a retry
