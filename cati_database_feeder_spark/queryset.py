@@ -7381,6 +7381,93 @@ ORACLES["graph_pagerank_neardup"] = _PAGERANK_SQL.format(
     edges=ORACLES["dedup_token_jaccard_pairs"])
 
 
+_TRIANGLE_SQL = (
+    "WITH pairs AS (SELECT id_a, id_b FROM ("
+    + "{edges}"
+    + ") __edges),\n"
+    """e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e GROUP BY 1),
+tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.id_b = e2.id_a
+        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+pern AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+         FROM (SELECT a AS id FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri) __m GROUP BY 1)
+SELECT deg.id AS doc_id, deg.degree,
+       COALESCE(pern.triangles, CAST(0 AS BIGINT)) AS triangles,
+       CASE WHEN deg.degree >= 2
+            THEN CAST(2 * COALESCE(pern.triangles, CAST(0 AS BIGINT))
+                      AS DOUBLE)
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS clustering
+FROM deg LEFT JOIN pern ON deg.id = pern.id
+""")
+
+
+@register("graph_triangle_census")
+def graph_triangle_census(spark, sf_dir):
+    """E129 exact triangle census over the verified near-dup graph:
+    per-node degree, triangle participation, and local clustering
+    coefficient 2T/(d(d-1)) — the diagnostic that separates a CHAIN of
+    pairwise near-dups (clustering ~0: A~B~C but A is not C's near
+    dup, so keep-one over the transitive closure is dropping
+    non-duplicates) from a true duplicate CLIQUE (clustering ~1:
+    every member matches every other, closure is safe). Runs the
+    node-iterator shape on the canonically-oriented edge list (id_a <
+    id_b — every triangle counted exactly once as a<b<c): one
+    self-join on the shared endpoint + one closing equi-join, then a
+    9-line aggregate; the clustering division is two exact BIGINTs
+    into one IEEE divide (bitwise-equal cross-engine). The oracle
+    composes the edge query's registered SQL verbatim, so edge drift
+    mismatches here too. At 100 TB: the classic mitigation when hubs
+    appear is re-orienting edges low-degree -> high-degree (each
+    wedge then forms at its lowest-degree vertex, bounding the
+    self-join fanout at sqrt(|E|)); the pair stage is materialized
+    once per session — the same frame pagerank and the cluster
+    closure read."""
+    edges = shared_stage(
+        spark, f"triangle_edges:{sf_dir}",
+        lambda: _jaccard_pairs_stage(spark, sf_dir)
+        .select("id_a", "id_b").localCheckpoint(eager=True))
+    e = (edges.select(F.col("id_a").alias("src"),
+                      F.col("id_b").alias("dst"))
+         .unionByName(edges.select(F.col("id_b").alias("src"),
+                                   F.col("id_a").alias("dst"))))
+    deg = (e.groupBy(F.col("src").alias("id"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
+    tri = (edges.alias("e1")
+           .join(edges.alias("e2"),
+                 F.col("e1.id_b") == F.col("e2.id_a"))
+           .join(edges.alias("e3"),
+                 (F.col("e3.id_a") == F.col("e1.id_a"))
+                 & (F.col("e3.id_b") == F.col("e2.id_b")))
+           .select(F.col("e1.id_a").alias("a"),
+                   F.col("e1.id_b").alias("b"),
+                   F.col("e2.id_b").alias("c")))
+    pern = (tri.select(F.col("a").alias("id"))
+            .unionByName(tri.select(F.col("b").alias("id")))
+            .unionByName(tri.select(F.col("c").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("triangles")))
+    t = F.coalesce(F.col("triangles"), F.lit(0).cast("bigint"))
+    return (deg.join(pern, "id", "left")
+            .select(F.col("id").alias("doc_id"), F.col("degree"),
+                    t.alias("triangles"),
+                    F.when(F.col("degree") >= 2,
+                           (t * 2).cast("double")
+                           / (F.col("degree")
+                              * (F.col("degree") - 1)).cast("double"))
+                    .otherwise(F.lit(0.0)).alias("clustering")))
+
+
+ORACLES["graph_triangle_census"] = _TRIANGLE_SQL.format(
+    edges=ORACLES["dedup_token_jaccard_pairs"])
+
+
 # E89: the decontamination-ladder summary — registered LAST among the
 # rungs so the oracle can be composed from their already-registered
 # SQL verbatim (a wrapper aggregate per rung, unioned): the Spark side
@@ -9670,6 +9757,7 @@ _CHECK_ORDER = [
     "csv_scan",
     "dq_benford_screen",
     "orders_market_basket",
+    "graph_triangle_census",
     "excel_scan",
     "excel_scan_report",
     "jsonl_scan",
