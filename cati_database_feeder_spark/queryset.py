@@ -7468,6 +7468,159 @@ ORACLES["graph_triangle_census"] = _TRIANGLE_SQL.format(
     edges=ORACLES["dedup_token_jaccard_pairs"])
 
 
+@register("join_asof_nearest", sql="""
+WITH base AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+                     value FROM events),
+u AS (
+  SELECT event_id, user_id, t, 1 AS side,
+         NULL::BIGINT AS c_eid, NULL::BIGINT AS c_t,
+         NULL::DOUBLE AS c_val
+  FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, user_id, t, 0, event_id, t, value
+  FROM base WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT *,
+         last_value(c_eid IGNORE NULLS) OVER wb AS b_eid,
+         last_value(c_t   IGNORE NULLS) OVER wb AS b_t,
+         last_value(c_val IGNORE NULLS) OVER wb AS b_val,
+         first_value(c_eid IGNORE NULLS) OVER wf AS f_eid,
+         first_value(c_t   IGNORE NULLS) OVER wf AS f_t,
+         first_value(c_val IGNORE NULLS) OVER wf AS f_val
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY t, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY t, side, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, t,
+       CASE WHEN b_t IS NOT NULL
+                 AND (f_t IS NULL OR t - b_t <= f_t - t)
+            THEN b_eid ELSE f_eid END AS asof_event_id,
+       CASE WHEN b_t IS NOT NULL
+                 AND (f_t IS NULL OR t - b_t <= f_t - t)
+            THEN b_val ELSE f_val END AS asof_value,
+       CASE WHEN b_t IS NOT NULL
+                 AND (f_t IS NULL OR t - b_t <= f_t - t)
+            THEN t - b_t ELSE f_t - t END AS gap_us,
+       CASE WHEN b_t IS NOT NULL
+                 AND (f_t IS NULL OR t - b_t <= f_t - t)
+            THEN 'backward' ELSE 'forward' END AS direction
+FROM m WHERE side = 1
+""")
+def join_asof_nearest_query(spark, sf_dir):
+    """E130 completes the as-of family (backward E13, forward E13+):
+    each click matched to the user's NEAREST purchase in time, ties
+    and equal timestamps resolving to the backward side (purchases
+    sort before clicks at equal t, so an equal-t purchase is visible
+    to the backward frame and chosen at gap 0). ONE shuffle: both
+    directional carries are windows over the SAME partition order
+    (Spark plans one Exchange+Sort, two Window passes), then the pick
+    is a row-local CASE on exact integer microsecond gaps — never the
+    click×purchase range join. The merge-ordered union shape is the
+    distributed form of pandas merge_asof(direction='nearest')."""
+    e = T(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id", "event_type",
+                    F.unix_micros("ts").alias("t"), "value")
+    clicks = (base.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "t", F.lit(1).alias("side"),
+                      F.lit(None).cast("bigint").alias("c_eid"),
+                      F.lit(None).cast("bigint").alias("c_t"),
+                      F.lit(None).cast("double").alias("c_val")))
+    purchases = (base.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "t",
+                         F.lit(0).alias("side"),
+                         F.col("event_id").alias("c_eid"),
+                         F.col("t").alias("c_t"),
+                         F.col("value").alias("c_val")))
+    u = clicks.unionByName(purchases)
+    order = [F.col("t"), F.col("side"), F.col("event_id")]
+    wb = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    m = u.select(
+        "event_id", "user_id", "t", "side",
+        F.last("c_eid", ignorenulls=True).over(wb).alias("b_eid"),
+        F.last("c_t", ignorenulls=True).over(wb).alias("b_t"),
+        F.last("c_val", ignorenulls=True).over(wb).alias("b_val"),
+        F.first("c_eid", ignorenulls=True).over(wf).alias("f_eid"),
+        F.first("c_t", ignorenulls=True).over(wf).alias("f_t"),
+        F.first("c_val", ignorenulls=True).over(wf).alias("f_val"))
+    back = (F.col("b_t").isNotNull()
+            & (F.col("f_t").isNull()
+               | (F.col("t") - F.col("b_t")
+                  <= F.col("f_t") - F.col("t"))))
+    return (m.filter(F.col("side") == 1)
+            .select("event_id", "user_id", "t",
+                    F.when(back, F.col("b_eid")).otherwise(F.col("f_eid"))
+                    .alias("asof_event_id"),
+                    F.when(back, F.col("b_val")).otherwise(F.col("f_val"))
+                    .alias("asof_value"),
+                    F.when(back, F.col("t") - F.col("b_t"))
+                    .otherwise(F.col("f_t") - F.col("t")).alias("gap_us"),
+                    F.when(back, F.lit("backward"))
+                    .otherwise(F.lit("forward")).alias("direction")))
+
+
+@register("events_interval_islands", sql="""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+ord AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > 300000000
+              THEN 1 ELSE 0 END AS brk
+  FROM ev),
+isl AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS island
+  FROM ord),
+spans AS (
+  SELECT user_id, island,
+         MIN(t) AS start_t, MAX(t) + 300000000 AS end_t
+  FROM isl GROUP BY user_id, island)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(end_t - start_t) AS BIGINT) AS covered_us,
+       CAST(MAX(end_t - start_t) AS BIGINT) AS longest_us
+FROM spans GROUP BY user_id
+""")
+def events_interval_islands(spark, sf_dir):
+    """E131 gaps-and-islands interval merge: each event opens a
+    5-minute activity interval; overlapping intervals per user merge
+    into islands (break when the gap to the previous event exceeds
+    the interval length — exact for equal-length intervals), and the
+    report is per-user island count, total covered time and longest
+    island, all exact BIGINT microseconds. The classic coverage
+    question (machine uptime, ad exposure, session stitching) solved
+    with ONE shuffle on the user key: lag -> running-sum island ids
+    -> two aggregates ride the same partitioning; at 100 TB this is
+    the window-function replacement for the quadratic
+    self-join-overlap formulation."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"))
+    w = Window.partitionBy("user_id").orderBy("t")
+    brk = F.when(
+        F.col("t") - F.lag("t").over(w) > 300000000, 1).otherwise(0)
+    isl = (ev.withColumn("brk", brk)
+           .withColumn("island",
+                       F.sum("brk").over(
+                           w.rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow))))
+    spans = (isl.groupBy("user_id", "island")
+             .agg(F.min("t").alias("start_t"),
+                  (F.max("t") + F.lit(300000000)).alias("end_t")))
+    return (spans.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+                 F.sum(F.col("end_t") - F.col("start_t"))
+                 .cast("bigint").alias("covered_us"),
+                 F.max(F.col("end_t") - F.col("start_t"))
+                 .cast("bigint").alias("longest_us")))
+
+
 # E89: the decontamination-ladder summary — registered LAST among the
 # rungs so the oracle can be composed from their already-registered
 # SQL verbatim (a wrapper aggregate per rung, unioned): the Spark side
@@ -9758,6 +9911,8 @@ _CHECK_ORDER = [
     "dq_benford_screen",
     "orders_market_basket",
     "graph_triangle_census",
+    "join_asof_nearest",
+    "events_interval_islands",
     "excel_scan",
     "excel_scan_report",
     "jsonl_scan",

@@ -385,7 +385,12 @@ def _with_id_bucket(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _bucketed_writer(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # repartition on the bucket key first: partitionBy alone splits
+    # EVERY task's output by value (tasks x buckets small files — at
+    # 1000 executors a file-count explosion); hashed on bucket, each
+    # bucket's rows land in one task -> one file per bucket dir
+    df.repartition("bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(path)
 
 
 def _swap_write_bucketed(df: DataFrame, target: str,
@@ -408,6 +413,7 @@ def _append_id_store(frame: DataFrame, store_dir: str,
         bucketed = False
     if bucketed:
         (_with_id_bucket(frame.drop("bucket"), id_col)
+         .repartition("bucket")
          .write.mode("append").partitionBy("bucket").parquet(live))
     else:
         frame.write.mode("append").parquet(live)
@@ -441,7 +447,8 @@ def _tomb_pruned_rewrite(spark, store_dir: str, tomb: DataFrame,
               .join(tomb, id_col, "left_anti"))
 
     def relink_writer(df: DataFrame, new_dir: str) -> None:
-        df.write.mode("overwrite").partitionBy("bucket").parquet(new_dir)
+        (df.repartition("bucket").write.mode("overwrite")
+         .partitionBy("bucket").parquet(new_dir))
         for name in os.listdir(cur):
             if not name.startswith("bucket="):
                 continue
@@ -1721,11 +1728,10 @@ def _compact_state_locked(spark, state_dir: str,
             continue
         df = spark.read.parquet(live_store(d))
         if name in id_bucketed:
-            # preserve (or adopt) the bucketed layout; repartition by
-            # bucket → one file per bucket partition
+            # preserve (or adopt) the bucketed layout; the bucketed
+            # writer repartitions on the key -> one file per bucket
             _swap_write(_with_id_bucket(df.drop("bucket"),
-                                        id_bucketed[name])
-                        .repartition("bucket"), d,
+                                        id_bucketed[name]), d,
                         writer=_bucketed_writer)
         else:
             _swap_write(df.repartition(parts), d)

@@ -309,3 +309,45 @@ def test_excel_scan_registered_query(spark):
     assert all(r["n_errors"] == 0 and r["n_cols"] == 5
                for r in rep.values())
     assert rep["wave1.xlsx"]["n_blank"] == 1
+
+
+# ---------------------------------------------------------------------
+# CSV source (E126): pinned fixture + PERMISSIVE declared-schema scan
+# ---------------------------------------------------------------------
+
+def test_csv_fixture_stale_content_rewritten(tmp_path):
+    """ensure_csv_fixture compares BYTES, not size: a same-length
+    corruption is rewritten (the ADVICE class the jsonl fixture fixed
+    in round 13)."""
+    from cati_database_feeder_spark.sources import csvfile
+    p = str(tmp_path / "f" / "csv_scan.csv")
+    csvfile.ensure_csv_fixture(p)
+    with open(p, "rb") as f:
+        data = f.read()
+    with open(p, "wb") as f:
+        f.write(b"\0" * len(data))
+    csvfile.ensure_csv_fixture(p)
+    with open(p, "rb") as f:
+        assert f.read() == data
+
+
+def test_csv_scan_reader_contract(spark, tmp_path):
+    """The PERMISSIVE CSV reader pins: RFC 4180 doubled quotes decode
+    (escape='\"'), embedded delimiter survives quoting, bare empty ->
+    NULL, and a type-corrupt cell quarantines the raw line while the
+    row's parseable cells are retained — never a silent zero-out."""
+    from cati_database_feeder_spark.sources.csvfile import (
+        CORRUPT_COL, ensure_csv_fixture, read_csv_report)
+    p = ensure_csv_fixture(str(tmp_path / "csv_scan.csv"))
+    rows = {r["respondent_code"]: r
+            for r in read_csv_report(spark, p).collect()}
+    assert rows[102]["comment"] == "has, comma"
+    assert rows[103]["comment"] == 'quoted "word" inside'
+    assert rows[103]["quota"] is None
+    assert rows[104]["score"] is None and rows[104]["comment"] is None
+    bad = rows[105]
+    assert bad[CORRUPT_COL] == (
+        "105,complete,09.03.2024,not_a_number,1.5,trailing")
+    assert bad["quota"] is None and bad["score"] == 1.5
+    assert rows[106]["comment"] == "  padded  "
+    assert sum(r[CORRUPT_COL] is not None for r in rows.values()) == 1
