@@ -7574,9 +7574,9 @@ ord AS (
   FROM ev),
 isl AS (
   SELECT user_id, t,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND CURRENT ROW) AS island
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS island
   FROM ord),
 spans AS (
   SELECT user_id, island,
