@@ -9850,10 +9850,28 @@ def orders_market_basket(spark, sf_dir):
     shuffle each side, co-partitioned join), the pair groupBy is
     map-side partial, the part-support table broadcasts, and top-20
     is a TakeOrdered, never a full sort."""
-    items = (T(spark, sf_dir, "lineitem")
-             .select(F.col("l_orderkey").alias("okey"),
-                     F.col("l_partkey").alias("part")).distinct())
-    n = items.agg(F.count_distinct("okey").alias("n_orders"))
+    # ONE shuffle of lineitem builds the per-order basket (bounded
+    # collect_set, map-side partial); the exploded item set inherits
+    # the order-key partitioning, so the pair self-join needs no
+    # further exchange — sorts only. Cached once per session: baskets
+    # feed the item set, the order count and (re-grouped) the part
+    # supports. Support joins are NOT hint-forced: |parts| scales, so
+    # the planner picks broadcast only while the stats say it fits
+    # (AQE demotes to shuffled join past that); the one-row order
+    # count is the only forced broadcast.
+    # eagerly checkpointed (the pagerank discipline): the basket
+    # frame is read by four consumers, and eager truncation keeps the
+    # dumped plan == the executed plan (one lineitem scan total, not
+    # one per reference)
+    baskets = shared_stage(
+        spark, f"basket_items:{sf_dir}",
+        lambda: T(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"),
+                F.col("l_partkey").alias("part"))
+        .groupBy("okey").agg(F.collect_set("part").alias("parts"))
+        .localCheckpoint(eager=True))
+    items = baskets.select("okey", F.explode("parts").alias("part"))
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     supp = (items.groupBy("part")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_part")))
     a, b = items.alias("a"), items.alias("b")
@@ -9871,8 +9889,8 @@ def orders_market_basket(spark, sf_dir):
             * F.col("n_orders").cast("double")
             / (F.col("n_a").cast("double")
                * F.col("n_b").cast("double")))
-    return (pairs.join(F.broadcast(sa), "part_a")
-            .join(F.broadcast(sb), "part_b")
+    return (pairs.join(sa, "part_a")
+            .join(sb, "part_b")
             .crossJoin(F.broadcast(n))
             .select("part_a", "part_b", "n_pair", "n_a", "n_b",
                     lift.alias("lift"))
