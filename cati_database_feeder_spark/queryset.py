@@ -7621,6 +7621,50 @@ def events_interval_islands(spark, sf_dir):
                  .cast("bigint").alias("longest_us")))
 
 
+@register("events_top_paths", sql="""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS t,
+                   event_id, event_type FROM events),
+paths AS (
+  SELECT user_id, day,
+         string_agg(event_type, '>' ORDER BY t, event_id) AS path
+  FROM ev GROUP BY user_id, day)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""")
+def events_top_paths(spark, sf_dir):
+    """E132 event-sequence mining: the most common full journey paths
+    per user-day (the report behind funnel DESIGN — E24/E76 check a
+    hypothesized path, this one surfaces which paths exist), ordered
+    deterministically inside the group by (t, event_id) and joined
+    into a '>' string. Spark has no ordered string_agg, so the exact
+    equivalent is collect_list(struct(t, event_id, event_type)) →
+    array_sort (lexicographic on the struct fields = the oracle's
+    ORDER BY) → transform → concat_ws — all codegen expressions, no
+    Python. At 100 TB: two shuffles, both benign — the user-day group
+    is bounded by daily activity (collect_list is safe the same way
+    the basket collect_set is), the path groupBy is map-side partial,
+    and top-20 is a TakeOrdered, never a global sort."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("t"), "event_id", "event_type")
+    paths = (ev.groupBy("user_id", "day")
+             .agg(F.concat_ws(
+                 ">",
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("t", "event_id", "event_type"))),
+                     lambda s: s.event_type)).alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 F.count_distinct("user_id").alias("n_users"))
+            .orderBy(F.desc("n_sessions"), "path")
+            .limit(20))
+
+
 # E89: the decontamination-ladder summary — registered LAST among the
 # rungs so the oracle can be composed from their already-registered
 # SQL verbatim (a wrapper aggregate per rung, unioned): the Spark side
@@ -9931,6 +9975,7 @@ _CHECK_ORDER = [
     "graph_triangle_census",
     "join_asof_nearest",
     "events_interval_islands",
+    "events_top_paths",
     "excel_scan",
     "excel_scan_report",
     "jsonl_scan",
