@@ -992,11 +992,11 @@ def test_delete_docs_crash_midway_fences_and_retry_completes(
     real_swap = ing._swap_write
     calls = []
 
-    def crashing_swap(frame, target):
+    def crashing_swap(frame, target, writer=None):
         calls.append(target)
         if len(calls) == 3:
             raise RuntimeError("injected crash mid-delete")
-        real_swap(frame, target)
+        real_swap(frame, target, writer)
 
     monkeypatch.setattr(ing, "_swap_write", crashing_swap)
     with pytest.raises(RuntimeError, match="injected crash"):
@@ -1110,8 +1110,9 @@ def test_delete_embeddings_crash_fences_and_retry_completes(
 
     real_swap = ie._swap_write
 
-    def swap_then_crash(frame, target):
-        real_swap(frame, target)  # labels land, vectors rewrite never runs
+    def swap_then_crash(frame, target, writer=None):
+        # labels land, vectors rewrite never runs
+        real_swap(frame, target, writer)
         raise RuntimeError("injected crash mid-delete")
 
     monkeypatch.setattr(ie, "_swap_write", swap_then_crash)
@@ -1570,11 +1571,11 @@ def test_sketch_subtract_mid_delete_crash_no_double_subtract(
     real_swap = ing._swap_write
     crashed = []
 
-    def crash_at_corpus_swap(df, target):
+    def crash_at_corpus_swap(df, target, writer=None):
         if target.rstrip("/") == corpus_dir.rstrip("/") and not crashed:
             crashed.append(True)
             raise RuntimeError("injected crash before corpus swap")
-        real_swap(df, target)
+        real_swap(df, target, writer)
 
     ing._swap_write = crash_at_corpus_swap
     try:
