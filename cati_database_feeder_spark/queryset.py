@@ -7665,6 +7665,160 @@ def events_top_paths(spark, sf_dir):
             .limit(20))
 
 
+@register("orders_rfm_segmentation", sql="""
+WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_diff('day', MAX(o_orderdate), mx.maxd) AS BIGINT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+           AS monetary
+  FROM orders, mx GROUP BY o_custkey, mx.maxd),
+scored AS (
+  SELECT *,
+    CAST(6 - ntile(5) OVER (ORDER BY recency_days, custkey) AS BIGINT)
+      AS r_score,
+    CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS BIGINT)
+      AS f_score,
+    CAST(ntile(5) OVER (ORDER BY monetary, custkey) AS BIGINT)
+      AS m_score
+  FROM cust)
+SELECT custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+         AS rfm_cell
+FROM scored
+""")
+def orders_rfm_segmentation(spark, sf_dir):
+    """E133 RFM segmentation (Hughes 1994, the standard behavioral
+    customer model): per customer recency (days since last order vs
+    the corpus max date, exact integer), frequency (order count) and
+    monetary (decimal-accumulated spend, dsum — order-insensitive
+    double), quintile-scored with ntile(5) under a TOTAL order
+    (metric, custkey) so both engines tile identically, recency
+    inverted (recent = 5). One shuffle for the per-customer rollup;
+    the three ntiles are global sorts of the CUSTOMER dim — fine
+    while customers fit a sort (they are the small dim vs the order
+    fact); at 100 TB swap the ntiles for broadcast quantile
+    thresholds computed once (the E116 KLL tier) and score map-side.
+    rfm_cell = r*100+f*10+m is the standard 555-cell key marketing
+    activates on."""
+    o = T(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (o.crossJoin(F.broadcast(mx))
+            .groupBy(F.col("o_custkey").alias("custkey"), "maxd")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("frequency"),
+                 dsum(F.col("o_totalprice")).alias("monetary"),
+                 F.max("o_orderdate").alias("lastd"))
+            .select("custkey",
+                    F.datediff(F.col("maxd"), F.col("lastd"))
+                    .cast("bigint").alias("recency_days"),
+                    "frequency", "monetary"))
+    wr = Window.orderBy("recency_days", "custkey")
+    wf = Window.orderBy("frequency", "custkey")
+    wm = Window.orderBy("monetary", "custkey")
+    scored = cust.select(
+        "*",
+        (F.lit(6) - F.ntile(5).over(wr)).cast("bigint").alias("r_score"),
+        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(5).over(wm).cast("bigint").alias("m_score"))
+    return scored.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10
+         + F.col("m_score")).cast("bigint").alias("rfm_cell"))
+
+
+@register("events_velocity_flags", sql="""
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+c AS (
+  SELECT user_id, event_id, t,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+                             RANGE BETWEEN 86400000000 PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n_24h
+  FROM ev)
+SELECT user_id, event_id, t, n_24h
+FROM c WHERE n_24h >= 8
+""")
+def events_velocity_flags(spark, sf_dir):
+    """E134 sliding-window velocity rule (the standard fraud/abuse
+    rate screen): flag every event whose trailing 24 h window holds
+    >= 8 same-user events. The RANGE frame on exact integer
+    microseconds makes the window VALUE-based — equal-timestamp
+    events enter the frame together in both engines — and the whole
+    screen is one shuffle on the user key + a codegen window count,
+    never the events x events interval self-join. At 100 TB the same
+    plan serves with the threshold externalized; the streaming twin
+    is the watermarked sliding-window count in streaming/events.py
+    (same semantics, applyInPandasWithState for custom carry-over)."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t"))
+    w = (Window.partitionBy("user_id").orderBy("t")
+         .rangeBetween(-86400000000, 0))
+    return (ev.withColumn("n_24h",
+                          F.count(F.lit(1)).over(w).cast("bigint"))
+            .filter(F.col("n_24h") >= 8))
+
+
+@register("text_keyword_rarity_topk", sql="""
+WITH toks AS (
+  SELECT doc_id, t.token AS tok
+  FROM documents,
+       unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                          x -> x <> '')) AS t(token)),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         (CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+           / CAST(df.df AS DOUBLE) AS score
+  FROM tf JOIN df ON tf.tok = df.tok, n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tok) AS rk
+  FROM scored)
+SELECT doc_id, tok AS term, tf, df, score
+FROM ranked WHERE rk <= 3
+""")
+def text_keyword_rarity_topk(spark, sf_dir):
+    """E135 per-document keyword extraction: top-3 terms by
+    tf x (N/df) — TF-IDF with the RAW inverse document frequency
+    (transcendental-free, the E52/E58 discipline: one multiply and
+    one divide on exact BIGINTs gives bit-identical doubles, where
+    log-IDF would gamble on libm vs JVM ulps; the ranking it induces
+    per document is the same monotone order as log-scaled IDF). The
+    shape is the sparse half of the E94 TF-IDF machinery serving a
+    reporting need: per-doc headline terms for corpus browsing /
+    cluster naming. One shuffle to (doc, tok) counts, df derived
+    FROM tf (map-side partial), join on tok planner-chosen
+    (broadcast while the vocab fits), per-doc top-3 a bounded-group
+    window."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                           lambda x: x != "")).alias("tok"))
+    tf = (toks.groupBy("doc_id", "tok")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (tf.join(df, "tok").crossJoin(F.broadcast(n))
+              .select("doc_id", "tok", "tf", "df",
+                      ((F.col("tf").cast("double")
+                        * F.col("n_docs").cast("double"))
+                       / F.col("df").cast("double")).alias("score")))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.desc("score"), "tok"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", F.col("tok").alias("term"),
+                    "tf", "df", "score"))
+
+
 # E89: the decontamination-ladder summary — registered LAST among the
 # rungs so the oracle can be composed from their already-registered
 # SQL verbatim (a wrapper aggregate per rung, unioned): the Spark side
@@ -9976,6 +10130,9 @@ _CHECK_ORDER = [
     "join_asof_nearest",
     "events_interval_islands",
     "events_top_paths",
+    "orders_rfm_segmentation",
+    "events_velocity_flags",
+    "text_keyword_rarity_topk",
     "excel_scan",
     "excel_scan_report",
     "jsonl_scan",
