@@ -7819,6 +7819,183 @@ def text_keyword_rarity_topk(spark, sf_dir):
                     "tf", "df", "score"))
 
 
+@register("events_dau_wau_mau", sql="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+days AS (SELECT DISTINCT day FROM du),
+j AS (
+  SELECT d.day AS day, du.day AS uday, du.user_id
+  FROM days d JOIN du
+    ON du.day BETWEEN d.day - 29 AND d.day)
+SELECT day,
+       CAST(COUNT(DISTINCT CASE WHEN uday = day THEN user_id END)
+            AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT CASE WHEN uday >= day - 6 THEN user_id END)
+            AS BIGINT) AS wau,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau,
+       CAST(COUNT(DISTINCT CASE WHEN uday = day THEN user_id END)
+            AS DOUBLE)
+         / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS stickiness
+FROM j GROUP BY day
+""")
+def events_dau_wau_mau(spark, sf_dir):
+    """E136 rolling active-user report (DAU/WAU/MAU + DAU/MAU
+    stickiness, the growth dashboard's first page): EXACT rolling
+    distinct counts — which a window function cannot express (no
+    COUNT(DISTINCT) over frames in either engine) — via the day-grain
+    trick: distinct (day, user) pairs once (one shuffle), then a
+    range join against the DAY dimension, which is broadcast-trivial
+    forever (a century is 36,525 rows) regardless of fact scale, and
+    one conditional distinct aggregate per horizon. Cost is bounded
+    by |users| x 30 pair-day rows per report day — the exact-count
+    price; the sketch alternative at extreme scale is the E67 HLL
+    tier over the same pairs. Stickiness is one IEEE divide of exact
+    BIGINTs (bit-identical cross-engine)."""
+    ev = T(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    j = (F.broadcast(days.select(F.col("day").alias("d")))
+         .join(du, (F.col("day") >= F.date_sub(F.col("d"), 29))
+               & (F.col("day") <= F.col("d"))))
+    dau = F.count_distinct(
+        F.when(F.col("day") == F.col("d"), F.col("user_id")))
+    wau = F.count_distinct(
+        F.when(F.col("day") >= F.date_sub(F.col("d"), 6),
+               F.col("user_id")))
+    mau = F.count_distinct("user_id")
+    return (j.groupBy(F.col("d").alias("day"))
+            .agg(dau.cast("bigint").alias("dau"),
+                 wau.cast("bigint").alias("wau"),
+                 mau.cast("bigint").alias("mau"),
+                 (dau.cast("double") / mau.cast("double"))
+                 .alias("stickiness")))
+
+
+@register("orders_cohort_ltv", sql="""
+WITH firsts AS (
+  SELECT o_custkey AS custkey, MIN(o_orderdate) AS first_d
+  FROM orders GROUP BY o_custkey),
+cohorts AS (
+  SELECT custkey,
+         strftime(first_d, '%Y-%m') AS cohort,
+         year(first_d) * 12 + month(first_d) AS c_m
+  FROM firsts),
+sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_customers
+          FROM cohorts GROUP BY cohort),
+rev AS (
+  SELECT c.cohort,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - c.c_m
+              AS BIGINT) AS months_since,
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+           AS revenue
+  FROM orders o JOIN cohorts c ON o.o_custkey = c.custkey
+  GROUP BY c.cohort, months_since)
+SELECT r.cohort, r.months_since, s.cohort_customers,
+       r.active_customers, r.revenue,
+       CAST(SUM(CAST(r.revenue AS DECIMAL(28,6)))
+              OVER (PARTITION BY r.cohort ORDER BY r.months_since
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE)
+         / CAST(s.cohort_customers AS DOUBLE) AS ltv_per_customer
+FROM rev r JOIN sizes s ON r.cohort = s.cohort
+""")
+def orders_cohort_ltv(spark, sf_dir):
+    """E137 cohort lifetime-value curves (the acquisition-quality
+    report subscription/commerce analytics lives on): customers
+    cohorted by first-order month, then per (cohort, months-since)
+    active counts, decimal-accumulated revenue, and running LTV per
+    cohort customer. Month distance is exact integer arithmetic
+    (y*12+m), never fractional months_between; the running LTV
+    accumulates DECIMAL in the deterministic (cohort, months_since)
+    order and divides by the exact cohort size, so the doubles match
+    bit-for-bit. Two shuffles (first-order rollup; cohort-month
+    rollup) + one bounded per-cohort window; the cohort dim
+    broadcasts. At 100 TB this is the canonical pre-aggregated mart
+    no BI tool can derive cheaply from raw facts."""
+    o = T(spark, sf_dir, "orders")
+    firsts = (o.groupBy(F.col("o_custkey").alias("custkey"))
+              .agg(F.min("o_orderdate").alias("first_d")))
+    cohorts = firsts.select(
+        "custkey",
+        F.date_format("first_d", "yyyy-MM").alias("cohort"),
+        (F.year("first_d") * 12 + F.month("first_d")).alias("c_m"))
+    sizes = (cohorts.groupBy("cohort")
+             .agg(F.count(F.lit(1)).cast("bigint")
+                  .alias("cohort_customers")))
+    rev = (o.join(cohorts, o.o_custkey == cohorts.custkey)
+           .groupBy("cohort",
+                    (F.year("o_orderdate") * 12 + F.month("o_orderdate")
+                     - F.col("c_m")).cast("bigint").alias("months_since"))
+           .agg(F.count_distinct("o_custkey").alias("active_customers"),
+                dsum(F.col("o_totalprice")).alias("revenue")))
+    w = (Window.partitionBy("cohort").orderBy("months_since")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (rev.join(F.broadcast(sizes), "cohort")
+            .select("cohort", "months_since", "cohort_customers",
+                    "active_customers", "revenue",
+                    (F.sum(F.col("revenue").cast("decimal(28,6)"))
+                     .over(w).cast("double")
+                     / F.col("cohort_customers").cast("double"))
+                    .alias("ltv_per_customer")))
+
+
+@register("supplier_pareto", sql="""
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+           AS revenue
+  FROM lineitem GROUP BY l_suppkey),
+tot AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(28,6))) AS DOUBLE)
+          AS total FROM rev),
+ranked AS (
+  SELECT suppkey, revenue,
+         CAST(row_number() OVER (ORDER BY revenue DESC, suppkey)
+              AS BIGINT) AS rnk,
+         CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
+                OVER (ORDER BY revenue DESC, suppkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS cum_revenue
+  FROM rev)
+SELECT r.suppkey, r.revenue, r.rnk,
+       r.cum_revenue / t.total AS cum_share,
+       CASE WHEN r.cum_revenue / t.total <= 0.8 THEN 'A'
+            WHEN r.cum_revenue / t.total <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked r, tot t
+""")
+def supplier_pareto(spark, sf_dir):
+    """E138 Pareto / ABC analysis over supplier revenue (the 80-20
+    concentration report procurement and risk read first): exact
+    decimal revenue rollup, a TOTAL order (revenue DESC, suppkey), a
+    deterministic running decimal sum — same accumulation order both
+    engines, so cum_share and the A/B/C boundary comparisons are
+    bit-identical doubles. One shuffle for the rollup; the ranked
+    running sum is a single-partition window over the SUPPLIER dim
+    (always tiny vs the fact table — the same dim-sized-sort argument
+    as E133's ntiles; at extreme dim cardinality the running sum
+    distributes via range-partitioned prefix sums)."""
+    li = T(spark, sf_dir, "lineitem")
+    rev = (li.groupBy(F.col("l_suppkey").alias("suppkey"))
+           .agg(dsum(F.col("l_extendedprice")).alias("revenue")))
+    tot = rev.agg(dsum(F.col("revenue")).alias("total"))
+    w = Window.orderBy(F.desc("revenue"), "suppkey")
+    ranked = rev.select(
+        "suppkey", "revenue",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum(F.col("revenue").cast("decimal(28,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))
+        .cast("double").alias("cum_revenue"))
+    share = F.col("cum_revenue") / F.col("total")
+    return (ranked.crossJoin(F.broadcast(tot))
+            .select("suppkey", "revenue", "rnk",
+                    share.alias("cum_share"),
+                    F.when(share <= 0.8, "A")
+                    .when(share <= 0.95, "B")
+                    .otherwise("C").alias("abc_class")))
+
+
 # E89: the decontamination-ladder summary — registered LAST among the
 # rungs so the oracle can be composed from their already-registered
 # SQL verbatim (a wrapper aggregate per rung, unioned): the Spark side
@@ -10133,6 +10310,9 @@ _CHECK_ORDER = [
     "orders_rfm_segmentation",
     "events_velocity_flags",
     "text_keyword_rarity_topk",
+    "events_dau_wau_mau",
+    "orders_cohort_ltv",
+    "supplier_pareto",
     "excel_scan",
     "excel_scan_report",
     "jsonl_scan",
