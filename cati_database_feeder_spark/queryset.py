@@ -10273,6 +10273,193 @@ def orders_market_basket(spark, sf_dir):
             .limit(20))
 
 
+@register("cdc_scd2_history", sql="""
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+chg AS (
+  SELECT user_id, event_type, t, event_id FROM (
+    SELECT user_id, event_type, t, event_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id) AS prev
+    FROM base) d
+  WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type AS status, t AS valid_from_us,
+       lead(t) OVER w AS valid_to_us,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       lead(t) OVER w IS NULL AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+""")
+def cdc_scd2_history(spark, sf_dir):
+    """E139 SCD Type-2 dimension build from a change stream: each
+    user's event_type sequence collapses consecutive duplicates (no
+    new version when the status did not change), then every surviving
+    transition becomes a versioned validity interval — valid_from /
+    valid_to in exact integer µs (the E131 convention), version
+    number, and an is_current flag on the open interval. The order
+    within a user is total ((t, event_id) tie-break) so both engines
+    collapse and number identically. One shuffle on the entity key;
+    the lag-collapse and the lead/row_number passes share the same
+    (user_id, t, event_id) sort, so Spark plans a single
+    Exchange+Sort with stacked Window operators — never the
+    change×change self-join. At 100 TB this is the canonical
+    warehouse dimension-history build (CDC feed → SCD2 table) and
+    stays one shuffle regardless of history depth."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros("ts").alias("t"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    chg = (e.withColumn("prev", F.lag("event_type").over(w))
+           .filter(F.col("prev").isNull()
+                   | (F.col("prev") != F.col("event_type")))
+           .drop("prev"))
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("t").alias("valid_from_us"),
+        F.lead("t").over(w).alias("valid_to_us"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("t").over(w).isNull().alias("is_current"))
+
+
+@register("dq_order_reconciliation", sql="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS computed
+  FROM lineitem GROUP BY l_orderkey),
+dev AS (
+  SELECT o.o_orderkey,
+         abs(o.o_totalprice - li.computed) / li.computed AS rel_dev,
+         abs(o.o_totalprice - li.computed) AS abs_dev
+  FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey)
+SELECT CASE WHEN rel_dev < 0.01 THEN 'a_under_1pct'
+            WHEN rel_dev < 0.05 THEN 'b_1_to_5pct'
+            WHEN rel_dev < 0.25 THEN 'c_5_to_25pct'
+            WHEN rel_dev < 1.0  THEN 'd_25_to_100pct'
+            ELSE 'e_over_100pct' END AS dev_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(abs_dev AS DECIMAL(28,6))) AS DOUBLE)
+         AS total_abs_dev
+FROM dev GROUP BY dev_bucket ORDER BY dev_bucket
+""")
+def dq_order_reconciliation(spark, sf_dir):
+    """E140 fact-vs-rollup reconciliation screen (the closing-the-
+    books DQ control every finance pipeline runs): recompute each
+    order's total from its line items with the TPC-H price formula
+    extendedprice*(1-discount)*(1+tax), compare against the stored
+    o_totalprice, and report the relative-deviation distribution in
+    five comparison-only buckets (no logs — bucket edges are plain
+    double comparisons, bit-identical in both engines). The per-row
+    product is row-local IEEE arithmetic; per-order and per-bucket
+    sums are decimal-accumulated (dsum) so partial-agg order never
+    moves the hash. On the synthetic data the stored total is
+    independent of the lines, so the screen reports 100% mismatch —
+    which is exactly what the control is FOR. Two shuffles (per-order
+    rollup on l_orderkey, tiny bucket rollup); the orders join is
+    key-colocated with the first rollup's partitioning. At 100 TB
+    both sides partition on orderkey and the report stays 5 rows."""
+    li = (T(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(dsum(F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                    * (F.lit(1) + F.col("l_tax"))).alias("computed")))
+    o = T(spark, sf_dir, "orders")
+    dev = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .select((F.abs(F.col("o_totalprice") - F.col("computed"))
+                    / F.col("computed")).alias("rel_dev"),
+                   F.abs(F.col("o_totalprice")
+                         - F.col("computed")).alias("abs_dev")))
+    bucket = (F.when(F.col("rel_dev") < 0.01, "a_under_1pct")
+              .when(F.col("rel_dev") < 0.05, "b_1_to_5pct")
+              .when(F.col("rel_dev") < 0.25, "c_5_to_25pct")
+              .when(F.col("rel_dev") < 1.0, "d_25_to_100pct")
+              .otherwise("e_over_100pct"))
+    return (dev.groupBy(bucket.alias("dev_bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 dsum(F.col("abs_dev")).alias("total_abs_dev"))
+            .orderBy("dev_bucket"))
+
+
+@register("lineitem_ols_by_brand", sql="""
+WITH m AS (
+  SELECT p.p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS sy,
+         -- one operand widened to DECIMAL(19,4): DuckDB executes an
+         -- 18x18 product in int64 and overflows; 18x19 goes int128
+         -- with the same exact DECIMAL(37,8) value Spark computes.
+         -- The VARCHAR hop on the way to DOUBLE: DuckDB's direct
+         -- decimal->double cast double-rounds (int128->double, then
+         -- *1e-8) and can land 1 ULP off Spark's correctly-rounded
+         -- BigDecimal conversion once the sum exceeds 2^53; strtod
+         -- on the exact decimal string is correctly rounded.
+         CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))
+                       * CAST(l.l_extendedprice AS DECIMAL(19,4)))
+                   AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))
+                       * CAST(l.l_quantity AS DECIMAL(19,4)))
+                   AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * CAST(l.l_extendedprice AS DECIMAL(19,4)))
+                   AS VARCHAR) AS DOUBLE) AS syy
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand)
+SELECT p_brand, n,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+       (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+         / CAST(n AS DOUBLE) AS intercept,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr
+FROM m ORDER BY p_brand
+""")
+def lineitem_ols_by_brand(spark, sf_dir):
+    """E141 grouped OLS regression (price-on-quantity slope per part
+    brand — the elasticity-style fit BI layers push into the
+    warehouse): one aggregation pass collects the exact raw moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) with DECIMAL accumulation — products
+    of two DECIMAL(18,4) casts are exact DECIMAL(37,8), immune to
+    partial-agg order — then slope/intercept/Pearson r are closed-
+    form scalar double arithmetic on the exact sums (one IEEE sqrt,
+    which is correctly-rounded by definition, so bit-identical).
+    Equivalent to regr_slope/regr_intercept/corr but with a
+    deterministic float contract neither engine's native streaming
+    implementations give. One shuffle on the brand key with map-side
+    partial moments; the part dim join is planner-chosen (broadcast
+    at any realistic dim size). At 100 TB: moments are 6 numbers per
+    group — the reduce side is trivially small no matter the fact
+    row count."""
+    dec = "decimal(18,4)"
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qx = F.col("l_quantity").cast(dec)
+    qy = F.col("l_extendedprice").cast(dec)
+    m = (l.join(p, l.l_partkey == p.p_partkey)
+         .groupBy("p_brand")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum(qx).cast("double").alias("sx"),
+              F.sum(qy).cast("double").alias("sy"),
+              F.sum(qx * qy).cast("double").alias("sxy"),
+              F.sum(qx * qx).cast("double").alias("sxx"),
+              F.sum(qy * qy).cast("double").alias("syy")))
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return m.select(
+        "p_brand", "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+        (num / F.sqrt(den * (nd * F.col("syy")
+                             - F.col("sy") * F.col("sy"))))
+        .alias("corr")).orderBy("p_brand")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10290,6 +10477,9 @@ def orders_market_basket(spark, sf_dir):
 # tail, is additionally value-checked on every pytest run
 # (tests/test_oracle_gate.py) and by tools/check.py at sf0.01.
 _CHECK_ORDER = [
+    "cdc_scd2_history",
+    "dq_order_reconciliation",
+    "lineitem_ols_by_brand",
     # -- round-13 rotation: new round-13 queries lead (excel_scan —
     #    the last §2.1 source row without a value-checked oracle —
     #    and its accounting twin), then queries whose ENGINE PATH
