@@ -10460,6 +10460,211 @@ def lineitem_ols_by_brand(spark, sf_dir):
         .alias("corr")).orderBy("p_brand")
 
 
+@register("events_ab_test", sql="""
+WITH b AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS first_t
+  FROM events),
+u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND t - first_t < 86400000000
+                  THEN 1 ELSE 0 END) AS converted,
+         CASE WHEN CAST(concat('0x',
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM b GROUP BY user_id),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+              AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+              AS BIGINT) AS conv_b
+  FROM u),
+r AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+         CAST(conv_a + conv_b AS DOUBLE)
+           / CAST(n_a + n_b AS DOUBLE) AS pooled
+  FROM s)
+SELECT n_a, conv_a, rate_a, n_b, conv_b, rate_b, pooled,
+       (rate_a - rate_b)
+         / sqrt(pooled * (1 - pooled)
+                * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+         AS z_score
+FROM r
+""")
+def events_ab_test(spark, sf_dir):
+    """E142 two-proportion A/B significance test (the experimentation
+    readout every growth team runs): users deterministically
+    hash-split into arms (portable md5-prefix hash —
+    functions/text.py:hash64 — so the SAME user lands in the SAME arm
+    in any engine, any run, any cluster size; never rand()),
+    conversion = 24h ACTIVATION (a purchase within 24h of the user's
+    first event, exact integer-µs arithmetic — "ever purchased"
+    saturates to 100% on any long-lived cohort and degenerates the
+    z denominator to 0), then the pooled two-proportion z-score.
+    Counts are exact BIGINTs; rates / pooled rate / z are scalar IEEE
+    arithmetic on those exact integers (one correctly-rounded sqrt),
+    so the doubles match bit-for-bit. ONE data shuffle: the
+    first-event window and the per-user rollup share the user_id
+    partitioning, and the global conditional aggregate's map-side
+    partials reduce to 4 numbers per task. At 100 TB the reduce side
+    is still 4 numbers — the canonical one-pass experiment readout."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"))
+    wu = Window.partitionBy("user_id")
+    act = ((F.col("event_type") == "purchase")
+           & (F.col("t") - F.min("t").over(wu)
+              < F.lit(86400000000))).cast("int")
+    u = (e.select("user_id", act.alias("c"))
+         .groupBy("user_id")
+         .agg(F.max("c").alias("converted"))
+         .select((text.hash64(F.col("user_id").cast("string")) % 2 == 0)
+                 .alias("is_a"), "converted"))
+    s = u.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("bigint").alias("conv_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("bigint").alias("conv_b"))
+    r = s.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        (F.col("conv_a").cast("double") / F.col("n_a").cast("double"))
+        .alias("rate_a"),
+        (F.col("conv_b").cast("double") / F.col("n_b").cast("double"))
+        .alias("rate_b"),
+        ((F.col("conv_a") + F.col("conv_b")).cast("double")
+         / (F.col("n_a") + F.col("n_b")).cast("double")).alias("pooled"))
+    z = ((F.col("rate_a") - F.col("rate_b"))
+         / F.sqrt(F.col("pooled") * (F.lit(1) - F.col("pooled"))
+                  * (F.lit(1).cast("double") / F.col("n_a").cast("double")
+                     + F.lit(1).cast("double")
+                     / F.col("n_b").cast("double"))))
+    return r.select("n_a", "conv_a", "rate_a", "n_b", "conv_b",
+                    "rate_b", "pooled", z.alias("z_score"))
+
+
+@register("events_cusum_changepoint", sql="""
+WITH d AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY day),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n_events) AS BIGINT) AS total FROM d),
+c AS (
+  SELECT d.day, d.n_events,
+         CAST(SUM(t.n_days * d.n_events - t.total)
+                OVER (ORDER BY d.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s_scaled
+  FROM d CROSS JOIN t)
+SELECT day, n_events, s_scaled,
+       abs(s_scaled) = MAX(abs(s_scaled)) OVER () AS is_peak
+FROM c
+""")
+def events_cusum_changepoint(spark, sf_dir):
+    """E143 CUSUM changepoint detection on the daily event series —
+    the level-shift monitor behind volume alerting. Entirely
+    TRANSCENDENTAL-FREE integer arithmetic: instead of cumsum(x_i -
+    mean) with a float mean, accumulate the n-scaled walk S*_t =
+    Σ(n·x_i − total) — exact BIGINTs, identical in any engine — whose
+    argmax |S*| is the same changepoint (scaling by n>0 preserves the
+    argmax). The peak day is flagged with a whole-frame window max.
+    One shuffle to the day grain; the totals frame is one broadcast
+    row; the cumulative and peak windows run on a DAY-grain frame
+    (bounded by the calendar — a century is 36,525 rows), so the
+    single-partition window is deliberate and safe at any fact
+    scale."""
+    d = (T(spark, sf_dir, "events")
+         .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    t = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+              F.sum("n_events").cast("bigint").alias("total"))
+    wc = (Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = (Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    c = (d.crossJoin(F.broadcast(t))
+         .select("day", "n_events",
+                 F.sum(F.col("n_days") * F.col("n_events")
+                       - F.col("total")).over(wc).cast("bigint")
+                 .alias("s_scaled")))
+    return c.select(
+        "day", "n_events", "s_scaled",
+        (F.abs(F.col("s_scaled"))
+         == F.max(F.abs(F.col("s_scaled"))).over(wall)).alias("is_peak"))
+
+
+@register("text_lexical_diversity", sql=r"""
+WITH base AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+per AS (
+  SELECT source,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+  FROM base WHERE len(toks) > 0),
+b AS (
+  SELECT source, n_tok,
+         CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr
+  FROM per)
+SELECT source,
+       CASE WHEN ttr < 0.40 THEN 'a_low'
+            WHEN ttr < 0.55 THEN 'b_mid'
+            WHEN ttr < 0.70 THEN 'c_high'
+            ELSE 'd_very_high' END AS ttr_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(ttr AS DECIMAL(28,6))) AS DOUBLE) AS sum_ttr
+FROM b GROUP BY source, ttr_bucket ORDER BY source, ttr_bucket
+""")
+def text_lexical_diversity(spark, sf_dir):
+    """E144 lexical-diversity (type-token ratio) screen per source —
+    the corpus-quality signal that separates template/boilerplate
+    sources (low TTR) from diverse prose BEFORE training mixes are
+    drawn; complements E15's length/stopword filters, which cannot
+    see repetitiveness at the vocabulary level. Per doc: exact token
+    and distinct-token counts off the shared whitespace tokenizer
+    (functions/text.py:tokens), TTR as one IEEE divide of exact
+    BIGINTs, then comparison-only buckets rolled up per source with a
+    decimal-accumulated TTR sum. Map-only per-doc work (no Python —
+    split/array_distinct/size are codegen), one shuffle to the
+    (source, bucket) grain whose map-side partials are tiny. At
+    100 TB this is a map-side scan + 80-row reduce."""
+    d = T(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    per = (d.select("source", toks.alias("toks"))
+           .select("source",
+                   F.size("toks").cast("bigint").alias("n_tok"),
+                   F.size(F.array_distinct("toks")).cast("bigint")
+                   .alias("n_types"))
+           .filter(F.col("n_tok") > 0))
+    ttr = (F.col("n_types").cast("double")
+           / F.col("n_tok").cast("double"))
+    bucket = (F.when(ttr < 0.40, "a_low")
+              .when(ttr < 0.55, "b_mid")
+              .when(ttr < 0.70, "c_high")
+              .otherwise("d_very_high"))
+    return (per.groupBy("source", bucket.alias("ttr_bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"),
+                 dsum(ttr).alias("sum_ttr"))
+            .orderBy("source", "ttr_bucket"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10480,6 +10685,9 @@ _CHECK_ORDER = [
     "cdc_scd2_history",
     "dq_order_reconciliation",
     "lineitem_ols_by_brand",
+    "events_ab_test",
+    "events_cusum_changepoint",
+    "text_lexical_diversity",
     # -- round-13 rotation: new round-13 queries lead (excel_scan —
     #    the last §2.1 source row without a value-checked oracle —
     #    and its accounting twin), then queries whose ENGINE PATH
