@@ -10665,6 +10665,210 @@ def text_lexical_diversity(spark, sf_dir):
             .orderBy("source", "ttr_bucket"))
 
 
+# Exact 0.75-decay EWMA weights, w_k = 3^k * 4^(13-k): the k-lag
+# weight ratio is exactly 0.75 but every weight is an INTEGER, so the
+# weighted sum needs no float accumulation at all (pandas
+# ewm(alpha=0.25, adjust=True) over a 14-term horizon, made exact).
+_EWMA_WEIGHTS = [(k, 3 ** k * 4 ** (13 - k)) for k in range(14)]
+
+
+@register("events_ewma_smoothing", sql="""
+WITH d AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY day),
+idx AS (
+  SELECT day, n_events,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM d),
+w AS (
+  SELECT * FROM (VALUES
+    (0,67108864),(1,50331648),(2,37748736),(3,28311552),(4,21233664),
+    (5,15925248),(6,11943936),(7,8957952),(8,6718464),(9,5038848),
+    (10,3779136),(11,2834352),(12,2125764),(13,1594323))
+    AS v(k, wt)),
+p AS (
+  SELECT a.day, a.n_events,
+         SUM(CAST(w.wt AS DECIMAL(18,0))
+             * CAST(b.n_events AS DECIMAL(19,0))) AS sum_wx,
+         CAST(SUM(w.wt) AS BIGINT) AS sum_w
+  FROM idx a JOIN idx b
+    ON b.t <= a.t AND b.t >= a.t - 13
+  JOIN w ON w.k = a.t - b.t
+  GROUP BY a.day, a.n_events)
+SELECT day, n_events,
+       CAST(CAST(sum_wx AS VARCHAR) AS DOUBLE)
+         / CAST(sum_w AS DOUBLE) AS ewma
+FROM p ORDER BY day
+""")
+def events_ewma_smoothing(spark, sf_dir):
+    """E145 exponentially-weighted moving average of the daily event
+    series — the smoothing baseline behind volume anomaly alerts —
+    with ZERO float accumulation: integer weights w_k = 3^k*4^(13-k)
+    give an exact 0.75 decay ratio, so Σw_k·x_(t-k) and Σw_k are
+    exact integers (DECIMAL-accumulated) and the EWMA is ONE IEEE
+    divide at the end — bit-identical without the order-dependent
+    float recurrence ewma_t = αx + (1-α)ewma_(t-1) that no engine
+    can shuffle-portably compute. Partial windows normalize by the
+    available weight mass (pandas adjust=True semantics). The 14-lag
+    self-join and the rank window run on the DAY grain — bounded by
+    the calendar (a century is 36,525 rows), so the tiny-frame plan
+    is deliberate; all fact-scale work is the one shuffle to the day
+    grain. Oracle note: sum_wx exceeds 2^53, so DuckDB converts via
+    VARCHAR (strtod is correctly rounded; its direct decimal→double
+    cast double-rounds 1 ULP off Spark's BigDecimal)."""
+    from cati_database_feeder_spark.session import local_frame
+    d = (T(spark, sf_dir, "events")
+         .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    idx = d.select(
+        "day", "n_events",
+        F.row_number().over(Window.orderBy("day")).cast("bigint")
+        .alias("t"))
+    w = local_frame(spark, _EWMA_WEIGHTS, "k bigint, wt bigint")
+    a = idx.alias("a")
+    b = idx.select(F.col("t").alias("bt"),
+                   F.col("n_events").alias("bx"))
+    p = (a.join(b, (F.col("bt") <= F.col("t"))
+                & (F.col("bt") >= F.col("t") - 13))
+         .join(F.broadcast(w), F.col("k") == F.col("t") - F.col("bt"))
+         .groupBy("day", "n_events")
+         .agg(F.sum(F.col("wt").cast("decimal(18,0)")
+                    * F.col("bx").cast("decimal(19,0)")).alias("sum_wx"),
+              F.sum("wt").cast("bigint").alias("sum_w")))
+    return (p.select("day", "n_events",
+                     (F.col("sum_wx").cast("double")
+                      / F.col("sum_w").cast("double")).alias("ewma"))
+            .orderBy("day"))
+
+
+@register("orders_gini_by_segment", sql="""
+WITH rev AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6)))
+              AS DECIMAL(28,6)) AS r
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY segment, custkey),
+rk AS (
+  SELECT segment, r,
+         CAST(row_number() OVER (PARTITION BY segment
+                                 ORDER BY r, custkey) AS BIGINT) AS i
+  FROM rev),
+agg AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(i AS DECIMAL(10,0)) * r) AS wsum,
+         SUM(r) AS tot
+  FROM rk GROUP BY segment)
+SELECT segment, n AS n_customers,
+       CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS total_revenue,
+       (2 * CAST(CAST(wsum AS VARCHAR) AS DOUBLE)
+        - CAST(n + 1 AS DOUBLE) * CAST(CAST(tot AS VARCHAR) AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(CAST(tot AS VARCHAR) AS DOUBLE))
+         AS gini
+FROM agg ORDER BY segment
+""")
+def orders_gini_by_segment(spark, sf_dir):
+    """E146 Gini concentration of customer revenue per market segment
+    — the inequality measure behind whale-dependence risk reports
+    (complements E138's ABC cut with a single scalar). Rank-formula
+    Gini G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ) over revenue sorted
+    ascending under a TOTAL order ((r, custkey) tie-break, so both
+    engines rank identically); i·xᵢ products are exact
+    DECIMAL(10,0)×DECIMAL(28,6) — no float accumulation anywhere —
+    and the closing expression is scalar IEEE arithmetic on the
+    exact sums. Two shuffles (customer rollup, then segment
+    rank+rollup on the same segment partitioning); the customer dim
+    join is planner-chosen. The VARCHAR hops in the oracle pin
+    DuckDB's double-rounding decimal→double cast to Spark's
+    correctly-rounded one (sums exceed 2^53). At extreme dim
+    cardinality the per-segment rank becomes a range-partitioned
+    sort — still one exchange."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (o.join(c, o.o_custkey == c.c_custkey)
+           .groupBy(F.col("c_mktsegment").alias("segment"),
+                    F.col("o_custkey").alias("custkey"))
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+                .cast("decimal(28,6)").alias("r")))
+    rk = rev.select(
+        "segment", "r",
+        F.row_number().over(Window.partitionBy("segment")
+                            .orderBy("r", "custkey")).cast("bigint")
+        .alias("i"))
+    agg = (rk.groupBy("segment")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("i").cast("decimal(10,0)") * F.col("r"))
+                .alias("wsum"),
+                F.sum("r").alias("tot")))
+    nd = F.col("n").cast("double")
+    totd = F.col("tot").cast("double")
+    wsumd = F.col("wsum").cast("double")
+    return (agg.select(
+        "segment", F.col("n").alias("n_customers"),
+        totd.alias("total_revenue"),
+        ((F.lit(2) * wsumd - (F.col("n") + 1).cast("double") * totd)
+         / (nd * totd)).alias("gini"))
+        .orderBy("segment"))
+
+
+@register("orders_interpurchase_gaps", sql="""
+WITH g AS (
+  SELECT o_custkey,
+         (epoch_us(o_orderdate)
+          - lag(epoch_us(o_orderdate))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey))
+           // 86400000000 AS gap_days
+  FROM orders),
+n AS (SELECT o_custkey, CAST(gap_days AS BIGINT) AS gap_days
+      FROM g WHERE gap_days IS NOT NULL)
+SELECT CASE WHEN gap_days < 7   THEN 'a_under_1w'
+            WHEN gap_days < 30  THEN 'b_1w_to_1m'
+            WHEN gap_days < 90  THEN 'c_1m_to_3m'
+            WHEN gap_days < 180 THEN 'd_3m_to_6m'
+            ELSE 'e_over_6m' END AS gap_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(gap_days) AS BIGINT) AS total_gap_days
+FROM n GROUP BY gap_bucket ORDER BY gap_bucket
+""")
+def orders_interpurchase_gaps(spark, sf_dir):
+    """E147 inter-purchase gap distribution — the repurchase-cycle
+    report replenishment/churn models calibrate on: per customer,
+    consecutive order gaps in whole days (exact integer-µs lag
+    difference, integer DIV — float epoch seconds would make the
+    bucket edges engine-dependent), rolled into comparison-only
+    buckets with gap counts, distinct repeat customers, and exact
+    total gap mass. One shuffle on the customer key (the lag window);
+    the bucket rollup's map-side partials are 5 rows per task — plus
+    one distinct-count re-shuffle the report semantics require. At
+    100 TB the lag window stays one exchange; skewed mega-customers
+    bound the window by their own order count, not the corpus."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        # o_orderdate is parquet TIMESTAMP_NTZ; the session tz is
+        # pinned UTC, so the cast is value-preserving and matches
+        # DuckDB's naive epoch_us
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("t"))
+    w = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
+    g = (o.select("o_custkey",
+                  (F.col("t") - F.lag("t").over(w)).alias("d"))
+         .filter(F.col("d").isNotNull())
+         .selectExpr("o_custkey", "d DIV 86400000000 AS gap_days"))
+    bucket = (F.when(F.col("gap_days") < 7, "a_under_1w")
+              .when(F.col("gap_days") < 30, "b_1w_to_1m")
+              .when(F.col("gap_days") < 90, "c_1m_to_3m")
+              .when(F.col("gap_days") < 180, "d_3m_to_6m")
+              .otherwise("e_over_6m"))
+    return (g.groupBy(bucket.alias("gap_bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+                 F.count_distinct("o_custkey").cast("bigint")
+                 .alias("n_customers"),
+                 F.sum("gap_days").cast("bigint").alias("total_gap_days"))
+            .orderBy("gap_bucket"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10688,6 +10892,9 @@ _CHECK_ORDER = [
     "events_ab_test",
     "events_cusum_changepoint",
     "text_lexical_diversity",
+    "events_ewma_smoothing",
+    "orders_gini_by_segment",
+    "orders_interpurchase_gaps",
     # -- round-13 rotation: new round-13 queries lead (excel_scan —
     #    the last §2.1 source row without a value-checked oracle —
     #    and its accounting twin), then queries whose ENGINE PATH
