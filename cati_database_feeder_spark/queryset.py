@@ -10580,22 +10580,26 @@ def events_cusum_changepoint(spark, sf_dir):
     Σ(n·x_i − total) — exact BIGINTs, identical in any engine — whose
     argmax |S*| is the same changepoint (scaling by n>0 preserves the
     argmax). The peak day is flagged with a whole-frame window max.
-    One shuffle to the day grain; the totals frame is one broadcast
-    row; the cumulative and peak windows run on a DAY-grain frame
-    (bounded by the calendar — a century is 36,525 rows), so the
-    single-partition window is deliberate and safe at any fact
-    scale."""
+    One shuffle to the day grain — n_days and total come from
+    whole-frame window aggregates over the SAME day-grain frame (a
+    separate .agg() would re-scan the fact table: one extra 100 TB
+    pass for two numbers); the cumulative and peak windows run on a
+    DAY-grain frame (bounded by the calendar — a century is 36,525
+    rows), so the single-partition window is deliberate and safe at
+    any fact scale."""
     d = (T(spark, sf_dir, "events")
          .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
          .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
-    t = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
-              F.sum("n_events").cast("bigint").alias("total"))
     wc = (Window.orderBy("day")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wall = (Window.partitionBy()
             .rowsBetween(Window.unboundedPreceding,
                          Window.unboundedFollowing))
-    c = (d.crossJoin(F.broadcast(t))
+    c = (d.select("day", "n_events",
+                  F.count(F.lit(1)).over(wall).cast("bigint")
+                  .alias("n_days"),
+                  F.sum("n_events").over(wall).cast("bigint")
+                  .alias("total"))
          .select("day", "n_events",
                  F.sum(F.col("n_days") * F.col("n_events")
                        - F.col("total")).over(wc).cast("bigint")
@@ -10710,35 +10714,33 @@ def events_ewma_smoothing(spark, sf_dir):
     divide at the end — bit-identical without the order-dependent
     float recurrence ewma_t = αx + (1-α)ewma_(t-1) that no engine
     can shuffle-portably compute. Partial windows normalize by the
-    available weight mass (pandas adjust=True semantics). The 14-lag
-    self-join and the rank window run on the DAY grain — bounded by
-    the calendar (a century is 36,525 rows), so the tiny-frame plan
-    is deliberate; all fact-scale work is the one shuffle to the day
-    grain. Oracle note: sum_wx exceeds 2^53, so DuckDB converts via
-    VARCHAR (strtod is correctly rounded; its direct decimal→double
-    cast double-rounds 1 ULP off Spark's BigDecimal)."""
-    from cati_database_feeder_spark.session import local_frame
+    available weight mass (pandas adjust=True semantics). Spark side:
+    14 fixed lag() terms in ONE window pass over the day grain — one
+    fact-table scan, no self-join (the oracle's join formulation
+    would re-run the day rollup, i.e. a second 100 TB pass); the day
+    frame is calendar-bounded (a century is 36,525 rows) so the
+    single-partition window is deliberate. Oracle note: sum_wx
+    exceeds 2^53, so DuckDB converts via VARCHAR (strtod is
+    correctly rounded; its direct decimal→double cast double-rounds
+    1 ULP off Spark's BigDecimal)."""
     d = (T(spark, sf_dir, "events")
          .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
          .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
-    idx = d.select(
-        "day", "n_events",
-        F.row_number().over(Window.orderBy("day")).cast("bigint")
-        .alias("t"))
-    w = local_frame(spark, _EWMA_WEIGHTS, "k bigint, wt bigint")
-    a = idx.alias("a")
-    b = idx.select(F.col("t").alias("bt"),
-                   F.col("n_events").alias("bx"))
-    p = (a.join(b, (F.col("bt") <= F.col("t"))
-                & (F.col("bt") >= F.col("t") - 13))
-         .join(F.broadcast(w), F.col("k") == F.col("t") - F.col("bt"))
-         .groupBy("day", "n_events")
-         .agg(F.sum(F.col("wt").cast("decimal(18,0)")
-                    * F.col("bx").cast("decimal(19,0)")).alias("sum_wx"),
-              F.sum("wt").cast("bigint").alias("sum_w")))
-    return (p.select("day", "n_events",
-                     (F.col("sum_wx").cast("double")
-                      / F.col("sum_w").cast("double")).alias("ewma"))
+    w = Window.orderBy("day")
+    zero = F.lit(0).cast("decimal(38,0)")
+    num = None
+    den = None
+    for k, wt in _EWMA_WEIGHTS:
+        lagk = F.lag("n_events", k).over(w)
+        term = F.coalesce(
+            F.lit(wt).cast("decimal(18,0)") * lagk.cast("decimal(19,0)"),
+            zero)
+        mass = F.when(lagk.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = mass if den is None else den + mass
+    return (d.select("day", "n_events",
+                     (num.cast("double") / den.cast("double"))
+                     .alias("ewma"))
             .orderBy("day"))
 
 
