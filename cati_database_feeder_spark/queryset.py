@@ -10871,6 +10871,83 @@ def orders_interpurchase_gaps(spark, sf_dir):
             .orderBy("gap_bucket"))
 
 
+_FIXEDWIDTH_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse", "fixtures", "fixedwidth_scan.txt")
+
+_ORC_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse", "fixtures", "orc_scan")
+
+
+@register("fixedwidth_scan", sql="""
+WITH rows(respondent_code, status, survey_date, quota, score,
+          comment) AS (VALUES
+  (CAST(201 AS BIGINT), 'complete',    '2024-04-01',
+   CAST(15 AS BIGINT),  CAST(4.5 AS DOUBLE),   'plain note'),
+  (CAST(202 AS BIGINT), 'interrupted', '2024-04-02',
+   CAST(3 AS BIGINT),   CAST(2.25 AS DOUBLE),  'Бланк анкеты'),
+  (CAST(203 AS BIGINT), 'complete',    '2024-04-03',
+   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), 'padded'),
+  (CAST(204 AS BIGINT), 'refused',     '2024-04-04',
+   CAST(120 AS BIGINT), CAST(3.0 AS DOUBLE),   CAST(NULL AS VARCHAR)),
+  (CAST(205 AS BIGINT), 'complete',    '2024-04-05',
+   CAST(8 AS BIGINT),   CAST(4.125 AS DOUBLE), 'кв. 7, дом 9'))
+SELECT respondent_code, status, survey_date, quota, score, comment
+FROM rows ORDER BY respondent_code
+""")
+def fixedwidth_scan(spark, sf_dir):
+    """E148 fixed-width text source (the mainframe/1C-export cousin
+    of the reference's delimited survey waves — column-aligned .txt
+    from dialer hardware): spark.read.text keeps lines intact, then
+    the layout slices CHARACTER substrings (multibyte Cyrillic pads
+    by character count, which F.substring honors), trims, maps
+    all-blank fields to NULL, and casts numerics — every step JVM
+    codegen, zero Python in the scan path. The oracle is the pinned
+    layout rows as VALUES, so Spark must recover every typed value —
+    right-aligned numbers, trailing-space text, blank→NULL — from
+    real fixed-width bytes. At 100 TB text lines split per block, so
+    the scan parallelizes like any line-oriented source
+    (sources/fixedwidth.py)."""
+    from cati_database_feeder_spark.sources.fixedwidth import (
+        ensure_fixture, read_fixedwidth)
+    path = ensure_fixture(_FIXEDWIDTH_FIXTURE)
+    return read_fixedwidth(spark, path).orderBy("respondent_code")
+
+
+@register("orc_scan", sql="""
+WITH rows(id, region, amount, active, note) AS (VALUES
+  (CAST(1 AS BIGINT), 'north', CAST(10.5 AS DOUBLE),  true,  'первый'),
+  (CAST(2 AS BIGINT), 'south', CAST(0.25 AS DOUBLE),  false,
+   CAST(NULL AS VARCHAR)),
+  (CAST(3 AS BIGINT), 'north', CAST(3.75 AS DOUBLE),  true,  'кв. 12'),
+  (CAST(4 AS BIGINT), 'east',  CAST(100.0 AS DOUBLE), false, 'plain'),
+  (CAST(5 AS BIGINT), 'west',  CAST(2.5 AS DOUBLE),   true,
+   'дом 9, стр. 2'),
+  (CAST(6 AS BIGINT), 'south', CAST(0.125 AS DOUBLE), true,
+   CAST(NULL AS VARCHAR)),
+  (CAST(7 AS BIGINT), 'east',  CAST(55.5 AS DOUBLE),  false,
+   'последний'))
+SELECT id, region, amount, active, note FROM rows ORDER BY id
+""")
+def orc_scan(spark, sf_dir):
+    """E149 ORC lake scan — the second columnar format a lake
+    migration must read in place (Spark's native vectorized ORC
+    reader; same predicate-pushdown / column-pruning path as
+    parquet). The fixture is REAL ORC bytes written by Spark's own
+    writer at first use (ORC bytes are writer-version-dependent, so
+    freshness is a pinned-rows hash marker, not byte comparison —
+    sources/orcfile.py); the oracle replays the same pinned rows as
+    VALUES, so the scan proves typed recovery of bigint / Cyrillic
+    varchar / binary-exact double / boolean / NULL from the ORC
+    footer + stripes. At 100 TB ORC stripes split like parquet
+    row-groups — the scan is embarrassingly parallel."""
+    from cati_database_feeder_spark.sources.orcfile import (
+        ensure_orc_fixture, read_orc)
+    d = ensure_orc_fixture(spark, _ORC_DIR)
+    return read_orc(spark, d).orderBy("id")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10897,6 +10974,8 @@ _CHECK_ORDER = [
     "events_ewma_smoothing",
     "orders_gini_by_segment",
     "orders_interpurchase_gaps",
+    "fixedwidth_scan",
+    "orc_scan",
     # -- round-13 rotation: new round-13 queries lead (excel_scan —
     #    the last §2.1 source row without a value-checked oracle —
     #    and its accounting twin), then queries whose ENGINE PATH

@@ -351,3 +351,84 @@ def test_csv_scan_reader_contract(spark, tmp_path):
     assert bad["quota"] is None and bad["score"] == 1.5
     assert rows[106]["comment"] == "  padded  "
     assert sum(r[CORRUPT_COL] is not None for r in rows.values()) == 1
+
+
+# ---------------------------------------------------------------------
+# Fixed-width source (E148): character-position layout over real bytes
+# ---------------------------------------------------------------------
+
+def test_fixedwidth_fixture_stale_content_rewritten(tmp_path):
+    """ensure_fixture compares BYTES: a same-length corruption is
+    rewritten, a pristine file left alone."""
+    from cati_database_feeder_spark.sources import fixedwidth
+    p = str(tmp_path / "f" / "fw.txt")
+    fixedwidth.ensure_fixture(p)
+    with open(p, "rb") as f:
+        data = f.read()
+    with open(p, "wb") as f:
+        f.write(b"\0" * len(data))
+    fixedwidth.ensure_fixture(p)
+    with open(p, "rb") as f:
+        assert f.read() == data
+
+
+def test_fixedwidth_reader_contract(spark, tmp_path):
+    """Character-position slicing: right-aligned numerics trim+cast,
+    all-blank fields are NULL (not 0 / ''), trailing-padded and
+    multibyte Cyrillic text slice by CHARACTER count, and a comment
+    that itself ends in spaces comes back rtrimmed (the layout cannot
+    distinguish payload spaces from padding — documented contract)."""
+    from cati_database_feeder_spark.sources.fixedwidth import (
+        ensure_fixture, read_fixedwidth)
+    p = ensure_fixture(str(tmp_path / "fw.txt"))
+    rows = {r["respondent_code"]: r
+            for r in read_fixedwidth(spark, p).collect()}
+    assert rows[201]["score"] == 4.5
+    assert rows[202]["comment"] == "Бланк анкеты"
+    assert rows[203]["quota"] is None and rows[203]["score"] is None
+    assert rows[203]["comment"] == "padded"
+    assert rows[204]["comment"] is None
+    assert rows[205]["comment"] == "кв. 7, дом 9"
+    assert rows[205]["quota"] == 8
+
+
+def test_fixedwidth_overwide_value_fails_loud():
+    """The fixture writer refuses a value wider than its field —
+    truncation would silently corrupt the pinned contract."""
+    import pytest as _pytest
+    from cati_database_feeder_spark.sources.fixedwidth import _pad
+    with _pytest.raises(ValueError):
+        _pad("x" * 7, 6)
+
+
+# ---------------------------------------------------------------------
+# ORC source (E149): pinned rows through Spark's native ORC writer
+# ---------------------------------------------------------------------
+
+def test_orc_fixture_marker_staleness(spark, tmp_path):
+    """The marker-file freshness contract: a matching rows-hash skips
+    the rewrite; a mutated marker (≈ edited ORC_ROWS) forces one."""
+    from cati_database_feeder_spark.sources import orcfile
+    d = str(tmp_path / "orc")
+    orcfile.ensure_orc_fixture(spark, d)
+    files = sorted(os.listdir(d))
+    m0 = os.path.getmtime(os.path.join(d, "_ROWS_MD5"))
+    orcfile.ensure_orc_fixture(spark, d)
+    assert os.path.getmtime(os.path.join(d, "_ROWS_MD5")) == m0
+    assert sorted(os.listdir(d)) == files
+    with open(os.path.join(d, "_ROWS_MD5"), "w") as f:
+        f.write("0" * 32 + "\n")
+    orcfile.ensure_orc_fixture(spark, d)
+    with open(os.path.join(d, "_ROWS_MD5")) as f:
+        assert f.read().strip() == orcfile._rows_hash()
+
+
+def test_orc_typed_round_trip(spark, tmp_path):
+    """Every pinned value — bigint, Cyrillic varchar, binary-exact
+    double, boolean, NULL — survives the ORC write/read round trip
+    through the native vectorized reader."""
+    from cati_database_feeder_spark.sources import orcfile
+    d = orcfile.ensure_orc_fixture(spark, str(tmp_path / "orc"))
+    got = sorted((tuple(r) for r in
+                  orcfile.read_orc(spark, d).collect()))
+    assert got == sorted(orcfile.ORC_ROWS)
