@@ -10948,6 +10948,196 @@ def orc_scan(spark, sf_dir):
     return read_orc(spark, d).orderBy("id")
 
 
+@register("q6_forecast_revenue", sql="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): the canonical
+    scan-filter-aggregate — every predicate (ship year, discount
+    band, quantity cap) pushes into the parquet scan, the per-row
+    product is row-local IEEE, the sum decimal-accumulated. No
+    shuffle at all beyond the single-row final aggregate: the 100 TB
+    plan is min/max-pruned row groups + map-side partials reducing
+    to 2 numbers per task. The date window is shifted to 1996 (this
+    corpus spans 1995-2001; the spec's 1994 window would select
+    nothing and prove nothing)."""
+    l = T(spark, sf_dir, "lineitem")
+    return (l.filter((F.col("l_shipdate") >= F.lit("1996-01-01")
+                      .cast("timestamp_ntz"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01")
+                        .cast("timestamp_ntz"))
+                     & (F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
+@register("q14_promo_effect", sql="""
+WITH j AS (
+  SELECT CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
+           AS disc_price,
+         p.p_type = 'PROMO' AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l.l_shipdate < TIMESTAMP '1996-10-01'),
+s AS (
+  SELECT CAST(SUM(CASE WHEN is_promo THEN disc_price
+                       ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+           AS promo_revenue,
+         CAST(SUM(disc_price) AS DOUBLE) AS total_revenue
+  FROM j)
+SELECT promo_revenue, total_revenue,
+       CAST(100 AS DOUBLE) * promo_revenue / total_revenue
+         AS promo_share_pct
+FROM s
+""")
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): one month of lineitem
+    joined to the part dim, conditional decimal-accumulated revenue
+    split promo/total, closing scalar IEEE percent. The ship-month
+    predicate pushes into the fact scan BEFORE the join (Catalyst
+    pushes through the join automatically — the month is ~1.4% of
+    the corpus, so the join input shrinks 70×); the part dim join is
+    planner-chosen (broadcast at any realistic dim size). Reduce
+    side is 2 numbers per task at any fact scale."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = (l.filter((F.col("l_shipdate") >= F.lit("1996-09-01")
+                   .cast("timestamp_ntz"))
+                  & (F.col("l_shipdate") < F.lit("1996-10-01")
+                     .cast("timestamp_ntz")))
+         .join(p, F.col("l_partkey") == F.col("p_partkey"))
+         .select((F.col("l_extendedprice")
+                  * (F.lit(1) - F.col("l_discount")))
+                 .cast("decimal(28,6)").alias("disc_price"),
+                 (F.col("p_type") == "PROMO").alias("is_promo")))
+    s = j.agg(
+        F.sum(F.when(F.col("is_promo"), F.col("disc_price"))
+              .otherwise(F.lit(0).cast("decimal(28,6)")))
+        .cast("double").alias("promo_revenue"),
+        F.sum("disc_price").cast("double").alias("total_revenue"))
+    return s.select(
+        "promo_revenue", "total_revenue",
+        (F.lit(100).cast("double") * F.col("promo_revenue")
+         / F.col("total_revenue")).alias("promo_share_pct"))
+
+
+@register("dq_key_uniqueness", sql="""
+SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS n_dups
+FROM customer
+UNION ALL SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) FROM documents
+UNION ALL SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT vec_id) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT) FROM embeddings
+UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT event_id) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) FROM events
+UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+            AS BIGINT) FROM lineitem
+UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT n_nationkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT n_nationkey) AS BIGINT)
+  FROM nation
+UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL SELECT 'part', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT) FROM part
+UNION ALL SELECT 'region', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT r_regionkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT r_regionkey) AS BIGINT)
+  FROM region
+UNION ALL SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT s_suppkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT s_suppkey) AS BIGINT)
+  FROM supplier
+ORDER BY table_name
+""")
+def dq_key_uniqueness(spark, sf_dir):
+    """E151 primary-key uniqueness audit across the whole catalog —
+    the first DQ control any warehouse onboarding runs (complements
+    E29's referential audit: that checks FKs point somewhere, this
+    checks PKs are actually keys). One exact distinct-count per
+    table (lineitem's composite key counted as a pair), reported as
+    (rows, keys, dup rows). Each table is one scan reading ONLY its
+    key column(s) + one distinct aggregate; tables audit
+    independently, so at 100 TB the catalog audit parallelizes per
+    table and the sketch escape for the biggest facts is the E67
+    approx tier."""
+    specs = [
+        ("customer", ["c_custkey"]), ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]), ("events", ["event_id"]),
+        ("lineitem", ["l_orderkey", "l_linenumber"]),
+        ("nation", ["n_nationkey"]), ("orders", ["o_orderkey"]),
+        ("part", ["p_partkey"]), ("region", ["r_regionkey"]),
+        ("supplier", ["s_suppkey"]),
+    ]
+    parts = []
+    for tname, keys in specs:
+        t = T(spark, sf_dir, tname)
+        parts.append(t.agg(
+            F.lit(tname).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(*[F.col(k) for k in keys]).cast("bigint")
+            .alias("n_keys"),
+            (F.count(F.lit(1))
+             - F.count_distinct(*[F.col(k) for k in keys]))
+            .cast("bigint").alias("n_dups")))
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.orderBy("table_name")
+
+
+@register("events_weekday_hour_profile", sql="""
+WITH g AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY dow, hr)
+SELECT dow, hr, n_events,
+       CAST(n_events AS DOUBLE)
+         / CAST(SUM(n_events) OVER () AS DOUBLE) AS share
+FROM g ORDER BY dow, hr
+""")
+def events_weekday_hour_profile(spark, sf_dir):
+    """E152 weekday×hour activity heatmap — the staffing/seasonality
+    report behind every ops dashboard, and a calendar-function parity
+    pin: ISO day-of-week (Spark weekday()+1 == DuckDB isodow —
+    Spark's dayofweek() is Sunday-based and would silently disagree).
+    One shuffle to the 7×24 grain; the share denominator is a
+    whole-frame window over that fixed 168-row frame (never a second
+    fact scan). Exact integer counts, one IEEE divide."""
+    e = T(spark, sf_dir, "events")
+    g = (e.groupBy((F.weekday("ts") + 1).cast("bigint").alias("dow"),
+                   F.hour("ts").cast("bigint").alias("hr"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    wall = (Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    return (g.select("dow", "hr", "n_events",
+                     (F.col("n_events").cast("double")
+                      / F.sum("n_events").over(wall).cast("double"))
+                     .alias("share"))
+            .orderBy("dow", "hr"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10976,6 +11166,10 @@ _CHECK_ORDER = [
     "orders_interpurchase_gaps",
     "fixedwidth_scan",
     "orc_scan",
+    "q6_forecast_revenue",
+    "q14_promo_effect",
+    "dq_key_uniqueness",
+    "events_weekday_hour_profile",
     # -- round-13 rotation: new round-13 queries lead (excel_scan —
     #    the last §2.1 source row without a value-checked oracle —
     #    and its accounting twin), then queries whose ENGINE PATH
