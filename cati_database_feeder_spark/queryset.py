@@ -11138,6 +11138,81 @@ def events_weekday_hour_profile(spark, sf_dir):
             .orderBy("dow", "hr"))
 
 
+def _bloom_join_frames(spark, sf_dir):
+    """The (fact, filtered-dim) pair the runtime-bloom demo joins —
+    shared by the registered query and the plan-pin test."""
+    o = (T(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_orderkey", "o_orderpriority"))
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    return l, o
+
+
+# Conf keys the bloom demo pins for the duration of ITS OWN execution
+# (saved/restored — a leaked -1 broadcast threshold would degrade
+# every other query on the shared session).
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+        "100MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register("join_bloom_runtime_filter", sql="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderpriority
+""")
+def join_bloom_runtime_filter(spark, sf_dir):
+    """E155 runtime Bloom-filter join pruning — the shuffle-side
+    lever for selective fact-dim joins too big to broadcast: Spark's
+    InjectRuntimeFilter builds a bloom_filter_agg over the FILTERED
+    build side's join keys and applies bloom_might_contain to the
+    fact scan BEFORE the shuffle, so ~80% of fact rows (the
+    non-urgent orders' lines here) never cross the network. At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the selected fraction — the sort-merge-join path's
+    answer to dynamic partition pruning (which needs a partition
+    column; the bloom filter prunes on ANY key). The demo pins its
+    confs for its own execution only (the forced -1 broadcast
+    threshold exists to keep the join on the SMJ path the filter
+    targets; leaking it would degrade the shared session) and
+    materializes inside that scope — the output is the bounded
+    per-priority report; tests/test_feeder_plan.py pins
+    bloom_filter_agg + bloom_might_contain in the executed plan.
+    Results are plan-invariant: the oracle is the plain equi-join
+    aggregate."""
+    from cati_database_feeder_spark.session import local_frame
+    l, o = _bloom_join_frames(spark, sf_dir)
+    j = (l.join(o, l.l_orderkey == o.o_orderkey)
+         .groupBy("o_orderpriority")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+              dsum(F.col("l_extendedprice")).alias("revenue")))
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        rows = [(r["o_orderpriority"], r["n_lines"], r["revenue"])
+                for r in j.collect()]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return local_frame(
+        spark, sorted(rows),
+        "o_orderpriority string, n_lines bigint, revenue double")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11170,6 +11245,7 @@ _CHECK_ORDER = [
     "q14_promo_effect",
     "dq_key_uniqueness",
     "events_weekday_hour_profile",
+    "join_bloom_runtime_filter",
     # -- round-13 rotation: new round-13 queries lead (excel_scan —
     #    the last §2.1 source row without a value-checked oracle —
     #    and its accounting twin), then queries whose ENGINE PATH

@@ -117,3 +117,41 @@ def test_asof_join_backward_semantics(spark):
     assert out[101]["asof_eid"] == 103 and out[101]["asof_value"] == 3.0
     assert out[200]["asof_eid"] is None      # right row is in the future
     assert out[300]["asof_eid"] is None      # no right rows for key 3
+
+
+def test_bloom_runtime_filter_plan_and_scope(spark):
+    """E155 plan pin: with the demo's confs, the SMJ fact side carries
+    bloom_might_contain fed by a bloom_filter_agg over the FILTERED
+    dim keys — and the conf scope restores afterwards (a leaked -1
+    broadcast threshold would degrade the whole shared session)."""
+    from cati_database_feeder_spark import queryset
+    from cati_database_feeder_spark.queryset import (
+        _BLOOM_CONFS, _bloom_join_frames)
+    import pyspark.sql.functions as F
+
+    before = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    out = queryset.QUERIES["join_bloom_runtime_filter"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 1 and out[0]["o_orderpriority"] == "1-URGENT"
+    assert out[0]["n_lines"] > 0
+    after = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    assert after == before
+
+    # plan shape under the demo confs (re-created here because the
+    # registered query materializes inside its scope)
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        l, o = _bloom_join_frames(spark, "/root/testdata/sf0.001")
+        j = (l.join(o, l.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
