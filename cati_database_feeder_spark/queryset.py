@@ -11213,6 +11213,72 @@ def join_bloom_runtime_filter(spark, sf_dir):
         "o_orderpriority string, n_lines bigint, revenue double")
 
 
+@register("feeder_observe_metrics", sql="""
+WITH j AS (
+  SELECT o.o_orderkey AS id, o.o_orderstatus AS result
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+a AS (SELECT * FROM j WHERE id % 10 <> 0),
+f AS (SELECT * FROM a WHERE result IS DISTINCT FROM 'P')
+SELECT 'rows_deduped' AS metric,
+       CAST((SELECT COUNT(*) FROM j) - (SELECT COUNT(*) FROM a)
+            AS BIGINT) AS value
+UNION ALL SELECT 'rows_in', CAST((SELECT COUNT(*) FROM j) AS BIGINT)
+UNION ALL SELECT 'rows_out', CAST((SELECT COUNT(*) FROM f) AS BIGINT)
+UNION ALL SELECT 'rows_rejected',
+       CAST((SELECT COUNT(*) FROM a) - (SELECT COUNT(*) FROM f)
+            AS BIGINT)
+ORDER BY metric
+""")
+def feeder_observe_metrics(spark, sf_dir):
+    """E156 single-pass pipeline observability via Spark's
+    ``Observation``/``CollectMetrics`` — the per-batch counter block
+    the reference PRINTS by re-iterating its frames (feeder.py's
+    skipped/inserted tallies) done the Spark-first way: three observe
+    points (post-join input, post-dedup, post-reject) piggyback
+    count metrics on the ONE execution of the feeder pipeline — no
+    second scan, no extra shuffle, no .count() actions (each of
+    which would re-run the whole lineage; at 100 TB, three .count()
+    calls on this pipeline = three full fact passes). The oracle
+    recomputes the stage counts declaratively, so the observed
+    counters are value-checked, not just logged. This is the batch
+    twin of Structured Streaming's per-micro-batch observed metrics
+    (StreamingQueryProgress.observedMetrics)."""
+    from pyspark.sql import Observation
+    from cati_database_feeder_spark.plans.feeder import (
+        existing_keys_snapshot, feeder_pipeline, survey_export_frame)
+    from cati_database_feeder_spark.session import local_frame
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    existing = existing_keys_snapshot(o)
+    # re-build the pipeline with observe points spliced between its
+    # stages (same stage functions the flagship query uses)
+    survey = survey_export_frame(o, c)
+    obs_in = Observation("feeder_in")
+    survey = survey.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    deduped = survey.join(
+        existing.withColumnRenamed("o_orderkey", "ID"),
+        on="ID", how="left_anti")
+    obs_dedup = Observation("feeder_dedup")
+    deduped = deduped.observe(obs_dedup, F.count(F.lit(1)).alias("n"))
+    kept = deduped.filter(
+        scalar.reject_predicate(F.col("Result"), "P"))
+    obs_out = Observation("feeder_out")
+    kept = kept.observe(obs_out, F.count(F.lit(1)).alias("n"))
+    # ONE action drives the whole lineage; the observations latch
+    # their counts as a side effect of that single pass
+    kept.write.format("noop").mode("overwrite").save()
+    n_in = obs_in.get["n"]
+    n_dedup = obs_dedup.get["n"]
+    n_out = obs_out.get["n"]
+    rows = sorted([
+        ("rows_deduped", n_in - n_dedup),
+        ("rows_in", n_in),
+        ("rows_out", n_out),
+        ("rows_rejected", n_dedup - n_out),
+    ])
+    return local_frame(spark, rows, "metric string, value bigint")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11246,6 +11312,7 @@ _CHECK_ORDER = [
     "dq_key_uniqueness",
     "events_weekday_hour_profile",
     "join_bloom_runtime_filter",
+    "feeder_observe_metrics",
     # -- round-13 rotation: new round-13 queries lead (excel_scan —
     #    the last §2.1 source row without a value-checked oracle —
     #    and its accounting twin), then queries whose ENGINE PATH
