@@ -11279,6 +11279,152 @@ def feeder_observe_metrics(spark, sf_dir):
     return local_frame(spark, rows, "metric string, value bigint")
 
 
+@register("events_bounce_rate", sql="""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+s AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w > 43200000000
+              THEN 1 ELSE 0 END AS brk
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+x AS (
+  SELECT user_id, t,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS sid
+  FROM s),
+g AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(t) AS start_t
+  FROM x GROUP BY user_id, sid),
+d AS (
+  SELECT strftime(make_timestamp(start_t), '%Y-%m-%d') AS day,
+         n_events
+  FROM g)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+FROM d GROUP BY day ORDER BY day
+""")
+def events_bounce_rate(spark, sf_dir):
+    """E157 daily bounce rate — the engagement-quality headline over
+    the E68 sessionization (a bounce = a single-event session; the
+    same 12 h gap and exact integer-µs break arithmetic as
+    events_sessionize, so the session boundaries are engine-
+    identical by construction). Sessions grouped by start DAY, exact
+    BIGINT counts, one IEEE divide. One shuffle on the user key
+    (lag + running break-count share one window spec) then a day-
+    grain rollup with map-side partials. At 100 TB: identical cost
+    profile to sessionize itself — the report adds only the tiny
+    day rollup."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    brk = F.when(F.lag("t").over(w).isNull()
+                 | (F.col("t") - F.lag("t").over(w) > 43200000000),
+                 1).otherwise(0)
+    x = e.select("user_id", "t",
+                 F.sum(brk).over(
+                     w.rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow))
+                 .cast("bigint").alias("sid"))
+    g = (x.groupBy("user_id", "sid")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+              F.min("t").alias("start_t")))
+    d = g.select(
+        F.date_format(F.timestamp_micros("start_t"), "yyyy-MM-dd")
+        .alias("day"), "n_events")
+    return (d.groupBy("day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_bounces"))
+            .select("day", "n_sessions", "n_bounces",
+                    (F.col("n_bounces").cast("double")
+                     / F.col("n_sessions").cast("double"))
+                    .alias("bounce_rate"))
+            .orderBy("day"))
+
+
+@register("orders_basket_profile", sql="""
+WITH b AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey)
+SELECT n_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+FROM b GROUP BY n_lines ORDER BY n_lines
+""")
+def orders_basket_profile(spark, sf_dir):
+    """E158 basket-size distribution (lines per order) — the order-
+    composition report pricing/logistics models read, and the E128
+    market-basket stage's denominator sanity check. Two cascaded
+    exact rollups (order grain, then the ≤7-row line-count grain);
+    the share denominator is a whole-frame window over that bounded
+    histogram frame — never a second fact pass. At 100 TB the first
+    rollup is the only real work and partials combine map-side."""
+    li = T(spark, sf_dir, "lineitem")
+    b = (li.groupBy("l_orderkey")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+    wall = (Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    return (b.groupBy("n_lines")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+            .select("n_lines", "n_orders",
+                    (F.col("n_orders").cast("double")
+                     / F.sum("n_orders").over(wall).cast("double"))
+                    .alias("share"))
+            .orderBy("n_lines"))
+
+
+@register("orders_repeat_rate", sql="""
+WITH pc AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey),
+j AS (
+  SELECT c.c_mktsegment AS segment, pc.n_orders
+  FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS repeat_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS repeat_share
+FROM j GROUP BY segment ORDER BY segment
+""")
+def orders_repeat_rate(spark, sf_dir):
+    """E159 repeat-buyer rate per market segment — the loyalty
+    headline sitting between E133's RFM cells and E137's LTV curves
+    (one number per segment instead of a quintile grid). Exact
+    per-customer order counts, segment dim join planner-chosen
+    (broadcast at realistic dim sizes), exact BIGINT conditional
+    counts, one IEEE divide. Two shuffles (customer rollup, segment
+    rollup); reduce side is segments×4 numbers at any scale."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pc = (o.groupBy("o_custkey")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    j = pc.join(c, pc.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "n_orders")
+    return (j.groupBy("segment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+                 .cast("bigint").alias("repeat_customers"),
+                 F.sum("n_orders").cast("bigint").alias("total_orders"))
+            .select("segment", "n_customers", "repeat_customers",
+                    "total_orders",
+                    (F.col("repeat_customers").cast("double")
+                     / F.col("n_customers").cast("double"))
+                    .alias("repeat_share"))
+            .orderBy("segment"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11313,6 +11459,9 @@ _CHECK_ORDER = [
     "events_weekday_hour_profile",
     "join_bloom_runtime_filter",
     "feeder_observe_metrics",
+    "events_bounce_rate",
+    "orders_basket_profile",
+    "orders_repeat_rate",
     # -- round-13 rotation: new round-13 queries lead (excel_scan —
     #    the last §2.1 source row without a value-checked oracle —
     #    and its accounting twin), then queries whose ENGINE PATH
