@@ -11425,6 +11425,92 @@ def orders_repeat_rate(spark, sf_dir):
             .orderBy("segment"))
 
 
+@register("agg_equidepth_histogram", sql="""
+WITH r AS (
+  SELECT o_totalprice,
+         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+              AS BIGINT) AS decile
+  FROM orders)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue
+FROM r GROUP BY decile ORDER BY decile
+""")
+def agg_equidepth_histogram(spark, sf_dir):
+    """E160 equi-DEPTH histogram (decile bands of order value) — the
+    complement of E40's fixed-width value histogram: equal COUNTS per
+    band, data-driven edges. ntile under a TOTAL order
+    ((o_totalprice, o_orderkey) tie-break) so both engines tile
+    identically; band min/max are exact value picks (no arithmetic),
+    revenue decimal-accumulated. The global sort is the honest cost
+    (one range-partitioned exchange — Spark's RangePartitioner
+    samples boundaries and sorts partitions independently, the
+    1000-executor-safe total order); at extreme scale the swap is
+    approx_percentile edges scored map-side, the E133 argument."""
+    o = T(spark, sf_dir, "orders")
+    r = o.select(
+        "o_totalprice",
+        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .cast("bigint").alias("decile"))
+    return (r.groupBy("decile")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi"),
+                 dsum(F.col("o_totalprice")).alias("revenue"))
+            .orderBy("decile"))
+
+
+@register("lineitem_lead_time_profile", sql="""
+WITH d AS (
+  SELECT (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+           // 86400000000 AS lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+b AS (SELECT CAST(lead_days AS BIGINT) AS lead_days FROM d)
+SELECT CASE WHEN lead_days < 0   THEN 'a_before_order'
+            WHEN lead_days < 30  THEN 'b_under_1m'
+            WHEN lead_days < 90  THEN 'c_1m_to_3m'
+            WHEN lead_days < 365 THEN 'd_3m_to_1y'
+            ELSE 'e_over_1y' END AS lead_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(lead_days) AS BIGINT) AS min_days,
+       CAST(MAX(lead_days) AS BIGINT) AS max_days,
+       CAST(SUM(lead_days) AS BIGINT) AS total_days
+FROM b GROUP BY lead_bucket ORDER BY lead_bucket
+""")
+def lineitem_lead_time_profile(spark, sf_dir):
+    """E161 order→ship lead-time distribution — the fulfillment-SLA
+    report (and a data-sanity screen: a populated a_before_order
+    bucket means ship dates precede their order dates — on this
+    synthetic corpus the dates are independent, so the screen FIRES,
+    which is the point, the E140 argument). Whole-day gaps from
+    exact integer-µs subtraction + integer DIV (bucket edges can't
+    drift between engines); exact BIGINT band stats. One shuffle:
+    the orderkey join co-partitions both facts, then the 5-row band
+    rollup is map-side. At 100 TB both sides bucket/partition on
+    orderkey and the join is the only network pass."""
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = (l.join(o, l.l_orderkey == o.o_orderkey)
+         .select((F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                  - F.unix_micros(F.col("o_orderdate")
+                                  .cast("timestamp"))).alias("us"))
+         .selectExpr("us DIV 86400000000 AS lead_days"))
+    bucket = (F.when(F.col("lead_days") < 0, "a_before_order")
+              .when(F.col("lead_days") < 30, "b_under_1m")
+              .when(F.col("lead_days") < 90, "c_1m_to_3m")
+              .when(F.col("lead_days") < 365, "d_3m_to_1y")
+              .otherwise("e_over_1y"))
+    return (d.groupBy(bucket.alias("lead_bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 F.min("lead_days").cast("bigint").alias("min_days"),
+                 F.max("lead_days").cast("bigint").alias("max_days"),
+                 F.sum("lead_days").cast("bigint").alias("total_days"))
+            .orderBy("lead_bucket"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11462,6 +11548,8 @@ _CHECK_ORDER = [
     "events_bounce_rate",
     "orders_basket_profile",
     "orders_repeat_rate",
+    "agg_equidepth_histogram",
+    "lineitem_lead_time_profile",
     # -- round-13 rotation: new round-13 queries lead (excel_scan —
     #    the last §2.1 source row without a value-checked oracle —
     #    and its accounting twin), then queries whose ENGINE PATH
