@@ -11528,6 +11528,10 @@ def lineitem_lead_time_profile(spark, sf_dir):
 # tail, is additionally value-checked on every pytest run
 # (tests/test_oracle_gate.py) and by tools/check.py at sf0.01.
 _CHECK_ORDER = [
+    # -- round-13 late block: the 22 queries added in the second
+    #    round-13 session (E139-E161 + the TPC-H classics) — none has
+    #    ever held a driver green, so they own the window head; each
+    #    already holds a same-session CHECKLOCAL_r13 green.
     "cdc_scd2_history",
     "dq_order_reconciliation",
     "lineitem_ols_by_brand",
@@ -11550,9 +11554,10 @@ _CHECK_ORDER = [
     "orders_repeat_rate",
     "agg_equidepth_histogram",
     "lineitem_lead_time_profile",
-    # -- round-13 rotation: new round-13 queries lead (excel_scan —
-    #    the last §2.1 source row without a value-checked oracle —
-    #    and its accounting twin), then queries whose ENGINE PATH
+    # -- round-13 early block: first-session round-13 queries
+    #    (excel_scan — the last §2.1 source row without a
+    #    value-checked oracle — and its accounting twin), then
+    #    queries whose ENGINE PATH
     #    changed in round 13: jsonl_scan (ensure_fixture now
     #    byte-compares), every *_store serving twin + incremental
     #    probe (store reads now resolve the epoch pointer —
