@@ -11511,6 +11511,66 @@ def lineitem_lead_time_profile(spark, sf_dir):
             .orderBy("lead_bucket"))
 
 
+@register("graph_degree_distribution", sql=r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))
+          / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6
+),
+ends AS (
+  SELECT id_a AS id FROM pairs
+  UNION ALL SELECT id_b FROM pairs),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM ends GROUP BY id),
+hist AS (
+  SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM deg GROUP BY degree),
+iso AS (
+  SELECT CAST(0 AS BIGINT) AS degree,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents d WHERE d.doc_id NOT IN (SELECT id FROM deg))
+SELECT degree, n_docs FROM hist
+UNION ALL SELECT degree, n_docs FROM iso WHERE n_docs > 0
+ORDER BY degree
+""")
+def graph_degree_distribution(spark, sf_dir):
+    """E162 near-dup graph degree distribution — completes the graph
+    family (E20 components, E113 PageRank, E129 triangles) with the
+    shape diagnostic an operator reads FIRST: a heavy high-degree
+    tail means template spam (one hub duplicated everywhere) and
+    predicts component collapse under transitive closure, while a
+    degree-1 dominated graph means benign pairwise dupes. Reuses the
+    SAME verified-pair stage as the closure ops (token Jaccard ≥0.6,
+    the session-shared _jaccard_pairs_stage), counts both endpoints,
+    and unions the degree-0 row via one anti-join against the corpus
+    (isolated docs are the denominator readers forget). The oracle
+    shares the pair CTEs with dedup_cluster_components verbatim, so
+    stage drift mismatches both together (the E89 composition
+    pattern). Degree counting is one shuffle over the pair list —
+    trivial next to producing the pairs, which is the already-staged
+    shared work."""
+    pairs = _jaccard_pairs_stage(spark, sf_dir)
+    ends = (pairs.select(F.col("id_a").alias("id"))
+            .unionAll(pairs.select(F.col("id_b").alias("id"))))
+    deg = (ends.groupBy("id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
+    hist = (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    iso = (docs.join(deg, docs.doc_id == deg.id, "left_anti")
+           .agg(F.lit(0).cast("bigint").alias("degree"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+           .filter(F.col("n_docs") > 0))
+    return hist.unionByName(iso).orderBy("degree")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11554,6 +11614,7 @@ _CHECK_ORDER = [
     "orders_repeat_rate",
     "agg_equidepth_histogram",
     "lineitem_lead_time_profile",
+    "graph_degree_distribution",
     # -- round-13 early block: first-session round-13 queries
     #    (excel_scan — the last §2.1 source row without a
     #    value-checked oracle — and its accounting twin), then
