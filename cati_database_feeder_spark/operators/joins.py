@@ -56,10 +56,18 @@ def range_join(probe: DataFrame, buckets: DataFrame, cond: Column) -> DataFrame:
 
 def asof_join_backward(left: DataFrame, right: DataFrame, on: str,
                        ts_col: str, tie_col: str, carry_cols: list[str],
-                       prefix: str = "asof_") -> DataFrame:
+                       prefix: str = "asof_",
+                       tolerance_us: int | None = None) -> DataFrame:
     """As-of join (backward): for each left row, the most recent right
     row with ``right.ts <= left.ts`` for the same key; equal timestamps
     DO match, ties resolved toward the larger ``tie_col``.
+
+    ``tolerance_us`` (pandas ``merge_asof(tolerance=...)``): when set,
+    a match older than the tolerance is nulled out — the carry columns
+    AND the carried timestamp go NULL together, exactly as if no right
+    row existed. Implemented as a row-local CASE after the window (the
+    carried ``{prefix}{ts_col}`` is compared to the left ``ts_col``),
+    so the plan cost is identical to the untolerated join.
 
     Physical shape: tag both sides, union, ONE shuffle on the key, and
     a running ``last(ignorenulls)`` window — the merge-ordered plan.
@@ -92,8 +100,18 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: str,
     for c in carry_cols:
         u = u.withColumn(f"{prefix}{c}",
                          F.last(F.col(f"__carry_{c}"), ignorenulls=True).over(w))
-    return (u.filter(F.col("__side") == 1)
-            .drop("__side", *[f"__carry_{c}" for c in carry_cols]))
+    out = (u.filter(F.col("__side") == 1)
+           .drop("__side", *[f"__carry_{c}" for c in carry_cols]))
+    if tolerance_us is not None:
+        assert ts_col in carry_cols, (
+            "tolerance needs the carried timestamp: include ts_col in "
+            "carry_cols so the match age is known")
+        ok = (F.col(ts_col) - F.col(f"{prefix}{ts_col}")
+              <= F.lit(tolerance_us))
+        for c in carry_cols:
+            out = out.withColumn(f"{prefix}{c}",
+                                 F.when(ok, F.col(f"{prefix}{c}")))
+    return out
 
 
 def asof_join_forward(left: DataFrame, right: DataFrame, on: str,

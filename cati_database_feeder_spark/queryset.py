@@ -11571,6 +11571,66 @@ def graph_degree_distribution(spark, sf_dir):
     return hist.unionByName(iso).orderBy("degree")
 
 
+@register("join_asof_tolerance", sql="""
+WITH base AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+                     value
+              FROM events),
+u AS (
+  SELECT event_id, user_id, t, 1 AS side,
+         NULL::BIGINT AS c_eid, NULL::BIGINT AS c_t,
+         NULL::DOUBLE AS c_val
+  FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, user_id, t, 0, event_id, t, value
+  FROM base WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT *,
+         last_value(c_eid IGNORE NULLS) OVER w AS a_eid,
+         last_value(c_t IGNORE NULLS) OVER w AS a_t,
+         last_value(c_val IGNORE NULLS) OVER w AS a_val
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, t,
+       CASE WHEN t - a_t <= 3600000000 THEN a_eid END AS asof_event_id,
+       CASE WHEN t - a_t <= 3600000000 THEN a_val END AS asof_value,
+       CASE WHEN t - a_t <= 3600000000 THEN t - a_t END AS lag_us
+FROM m WHERE side = 1
+""")
+def join_asof_tolerance(spark, sf_dir):
+    """E163 as-of join with TOLERANCE — pandas
+    merge_asof(tolerance=...) distributed, completing the as-of
+    family (E13 backward, forward, E130 nearest): each click matches
+    its most recent prior purchase ONLY within 1 hour; a staler match
+    nulls out exactly as if absent (carries and lag null together —
+    the attribution-window semantics real marketing joins need,
+    where an hours-old purchase must not claim a fresh click). The
+    tolerance is a row-local CASE on the carried exact-µs timestamp
+    AFTER the one-shuffle merge-ordered window
+    (operators/joins.py:asof_join_backward tolerance_us) — identical
+    plan cost to the untolerated join, never a range join."""
+    from cati_database_feeder_spark.operators.joins import (
+        asof_join_backward)
+    e = T(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id", "event_type",
+                    F.unix_micros("ts").alias("t"), "value")
+    clicks = base.filter(F.col("event_type") == "click") \
+                 .select("event_id", "user_id", "t")
+    purchases = base.filter(F.col("event_type") == "purchase") \
+                    .select("event_id", "user_id", "t", "value")
+    j = asof_join_backward(clicks, purchases, on="user_id",
+                           ts_col="t", tie_col="event_id",
+                           carry_cols=["event_id", "t", "value"],
+                           tolerance_us=3600000000)
+    return j.select(
+        "event_id", "user_id", "t",
+        F.col("asof_event_id"),
+        F.col("asof_value"),
+        (F.col("t") - F.col("asof_t")).alias("lag_us"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11615,6 +11675,7 @@ _CHECK_ORDER = [
     "agg_equidepth_histogram",
     "lineitem_lead_time_profile",
     "graph_degree_distribution",
+    "join_asof_tolerance",
     # -- round-13 early block: first-session round-13 queries
     #    (excel_scan — the last §2.1 source row without a
     #    value-checked oracle — and its accounting twin), then
