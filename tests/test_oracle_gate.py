@@ -41,6 +41,15 @@ def oracle_con():
 _BARE_SUM_ALLOWED = {
     # HAVING comparison — never reaches the output schema
     "q18_large_volume_customers": 1,
+    # CTE-internal exact-DECIMAL sum (sum_wx) consumed only by the
+    # final projection's CAST(CAST(.. AS VARCHAR) AS DOUBLE) hop —
+    # the type is pinned one level out, deliberately NOT a direct
+    # CAST..AS DOUBLE because DuckDB's decimal→double double-rounds
+    # past 2^53 (see the query docstring)
+    "events_ewma_smoothing": 1,
+    # wsum/tot: the same reviewed pattern — exact DECIMAL sums whose
+    # only output path is the VARCHAR-hop double conversion
+    "orders_gini_by_segment": 2,
     # one CTE-internal score SUM(m*w) consumed only by ROW_NUMBER's
     # ORDER BY, plus the reviewed dq_k_anonymity ppm pattern: both
     # SUMs inside ONE outer CAST((1e6*SUM(..)) // SUM(..) AS BIGINT)
