@@ -11631,6 +11631,48 @@ def join_asof_tolerance(spark, sf_dir):
         (F.col("t") - F.col("asof_t")).alias("lag_us"))
 
 
+@register("window_value_pack", sql="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order,
+       o_totalprice - first_value(o_totalprice) OVER w
+         AS delta_vs_first
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def window_value_pack(spark, sf_dir):
+    """E164 value-window pack — completes the §2.6 window matrix with
+    the navigation functions the rank/offset packs don't cover:
+    first_value, last_value (explicitly over the WHOLE frame — the
+    default running frame makes last_value degenerate to the current
+    row, the classic SQL trap pinned here), nth_value(2), and a
+    delta-vs-first derived column (spend drift since first order).
+    Total (o_orderdate, o_orderkey) order so both engines pick
+    identical rows; one shuffle on the customer key, both frame
+    variants stack on the same Exchange+Sort. Per-customer frames
+    bound the window state at any corpus scale."""
+    o = T(spark, sf_dir, "orders")
+    run = (Window.partitionBy("o_custkey")
+           .orderBy("o_orderdate", "o_orderkey")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    whole = (Window.partitionBy("o_custkey")
+             .orderBy("o_orderdate", "o_orderkey")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_orderkey").over(run).alias("first_order"),
+        F.last("o_orderkey").over(whole).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(run).alias("second_order"),
+        (F.col("o_totalprice")
+         - F.first("o_totalprice").over(run)).alias("delta_vs_first"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11676,6 +11718,7 @@ _CHECK_ORDER = [
     "lineitem_lead_time_profile",
     "graph_degree_distribution",
     "join_asof_tolerance",
+    "window_value_pack",
     # -- round-13 early block: first-session round-13 queries
     #    (excel_scan — the last §2.1 source row without a
     #    value-checked oracle — and its accounting twin), then
