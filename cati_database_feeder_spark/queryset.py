@@ -11673,6 +11673,98 @@ def window_value_pack(spark, sf_dir):
          - F.first("o_totalprice").over(run)).alias("delta_vs_first"))
 
 
+@register("orders_priority_mix_chi2", sql="""
+WITH c AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority
+           AS priority,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM orders GROUP BY month, priority),
+t AS (
+  SELECT month, priority, observed,
+         CAST(SUM(observed) OVER (PARTITION BY month) AS BIGINT)
+           AS row_tot,
+         CAST(SUM(observed) OVER (PARTITION BY priority) AS BIGINT)
+           AS col_tot,
+         CAST(SUM(observed) OVER () AS BIGINT) AS grand_tot
+  FROM c),
+e AS (
+  SELECT month, priority, observed,
+         CAST(row_tot * col_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE)
+           AS expected
+  FROM t)
+SELECT month, priority, observed, expected,
+       (CAST(observed AS DOUBLE) - expected)
+         * (CAST(observed AS DOUBLE) - expected) / expected
+         AS chi2_contrib
+FROM e ORDER BY month, priority
+""")
+def orders_priority_mix_chi2(spark, sf_dir):
+    """E165 priority-mix shift screen — the chi-square contingency
+    table (month × order priority) behind "did the order mix change
+    this month?" alerts; the operator reads the largest
+    chi2_contrib cells, not just the global statistic, so the
+    per-cell table IS the report. Expected counts are
+    row_tot·col_tot/grand_tot on exact BIGINTs (products < 2^53 at
+    any realistic month grain, one IEEE divide), contributions are
+    row-local IEEE arithmetic — bit-identical. One fact shuffle to
+    the month×priority grain; the three marginal windows run on that
+    bounded cell frame (months × 5 priorities), never on facts."""
+    o = T(spark, sf_dir, "orders")
+    c = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                   .alias("month"),
+                   F.col("o_orderpriority").alias("priority"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("observed")))
+    wm = Window.partitionBy("month")
+    wp = Window.partitionBy("priority")
+    wall = (Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    t = c.select(
+        "month", "priority", "observed",
+        F.sum("observed").over(wm).cast("bigint").alias("row_tot"),
+        F.sum("observed").over(wp).cast("bigint").alias("col_tot"),
+        F.sum("observed").over(wall).cast("bigint").alias("grand_tot"))
+    e = t.select(
+        "month", "priority", "observed",
+        ((F.col("row_tot") * F.col("col_tot")).cast("double")
+         / F.col("grand_tot").cast("double")).alias("expected"))
+    dev = F.col("observed").cast("double") - F.col("expected")
+    return (e.select("month", "priority", "observed", "expected",
+                     (dev * dev / F.col("expected"))
+                     .alias("chi2_contrib"))
+            .orderBy("month", "priority"))
+
+
+@register("lineitem_monthly_return_rate", sql="""
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returned,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS return_rate
+FROM lineitem GROUP BY month ORDER BY month
+""")
+def lineitem_monthly_return_rate(spark, sf_dir):
+    """E166 monthly return-rate trend — the ops-quality counterpart
+    of E136's engagement trend (Q10 asks WHO returned; this asks
+    whether returning is getting WORSE): conditional exact BIGINT
+    counts per ship month, one IEEE divide. Single shuffle to the
+    month grain with map-side partials; at 100 TB this is the
+    cheapest possible full-fact report — one column read (plus the
+    flag), partial aggregates of two integers per task."""
+    l = T(spark, sf_dir, "lineitem")
+    ret = F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+    return (l.groupBy(F.date_format("l_shipdate", "yyyy-MM")
+                      .alias("month"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 ret.cast("bigint").alias("n_returned"))
+            .select("month", "n_lines", "n_returned",
+                    (F.col("n_returned").cast("double")
+                     / F.col("n_lines").cast("double"))
+                    .alias("return_rate"))
+            .orderBy("month"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11719,6 +11811,8 @@ _CHECK_ORDER = [
     "graph_degree_distribution",
     "join_asof_tolerance",
     "window_value_pack",
+    "orders_priority_mix_chi2",
+    "lineitem_monthly_return_rate",
     # -- round-13 early block: first-session round-13 queries
     #    (excel_scan — the last §2.1 source row without a
     #    value-checked oracle — and its accounting twin), then
