@@ -11765,6 +11765,104 @@ def lineitem_monthly_return_rate(spark, sf_dir):
             .orderBy("month"))
 
 
+@register("customer_acctbal_moments", sql="""
+WITH x AS (
+  SELECT c_mktsegment AS segment,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS v,
+         -- one operand widened per product: forces DuckDB onto the
+         -- int128 path (the E141 lesson); every product is EXACT
+         -- because v has 2 decimals -> v^2 has 4, v^3 6, v^4 8
+         CAST(CAST(c_acctbal AS DECIMAL(12,2))
+              * CAST(c_acctbal AS DECIMAL(19,2)) AS DECIMAL(19,4))
+           AS v2
+  FROM customer),
+m AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(v) AS m1, SUM(v2) AS m2,
+         SUM(v2 * CAST(v AS DECIMAL(12,2))) AS m3,
+         SUM(v2 * CAST(v2 AS DECIMAL(19,4))) AS m4
+  FROM x GROUP BY segment),
+d AS (
+  SELECT segment, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(CAST(m1 AS VARCHAR) AS DOUBLE) AS m1d,
+         CAST(CAST(m2 AS VARCHAR) AS DOUBLE) AS m2d,
+         CAST(CAST(m3 AS VARCHAR) AS DOUBLE) AS m3d,
+         CAST(CAST(m4 AS VARCHAR) AS DOUBLE) AS m4d
+  FROM m),
+e AS (
+  SELECT segment, n, m1d / nd AS mean,
+         m2d / nd AS ex2, m3d / nd AS ex3, m4d / nd AS ex4
+  FROM d),
+f AS (
+  SELECT segment, n, mean, ex2, ex3, ex4,
+         mean * mean AS mean2,
+         ex2 - mean * mean AS var
+  FROM e)
+SELECT segment, n, mean,
+       sqrt(var) AS stddev,
+       (ex3 - 3 * mean * ex2 + 2 * mean2 * mean)
+         / (var * sqrt(var)) AS skewness,
+       (ex4 - 4 * mean * ex3 + 6 * mean2 * ex2 - 3 * mean2 * mean2)
+         / (var * var) - 3 AS kurtosis_excess
+FROM f ORDER BY segment
+""")
+def customer_acctbal_moments(spark, sf_dir):
+    """E167 distribution-shape profile (mean/stddev/skewness/excess
+    kurtosis of account balance per segment) — the shape diagnostic
+    behind outlier-policy choices (E76's robust screen asks WHICH
+    rows; this asks whether the segment is skewed enough to need it).
+    Spark's built-in skewness/kurtosis and DuckDB's disagree on
+    sample-vs-population conventions AND accumulate floats
+    shuffle-order-dependently — so this computes population moments
+    CLOSED-FORM from exact DECIMAL power sums (2-decimal input ⇒
+    v²/v³/v⁴ have exactly 4/6/8 decimals, all products exact;
+    layered intermediate columns force identical IEEE evaluation
+    order in both engines; VARCHAR-hop conversions past 2^53). One
+    shuffle, 5-number map-side partials per group at any fact
+    scale."""
+    c = T(spark, sf_dir, "customer")
+    v = F.col("c_acctbal").cast("decimal(12,2)")
+    x = c.select(
+        F.col("c_mktsegment").alias("segment"), v.alias("v"),
+        (v * F.col("c_acctbal").cast("decimal(19,2)"))
+        .cast("decimal(19,4)").alias("v2"))
+    m = (x.groupBy("segment")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("v").alias("m1"), F.sum("v2").alias("m2"),
+              F.sum(F.col("v2") * F.col("v").cast("decimal(12,2)"))
+              .alias("m3"),
+              F.sum(F.col("v2") * F.col("v2").cast("decimal(19,4)"))
+              .alias("m4")))
+    d = m.select(
+        "segment", "n", F.col("n").cast("double").alias("nd"),
+        F.col("m1").cast("double").alias("m1d"),
+        F.col("m2").cast("double").alias("m2d"),
+        F.col("m3").cast("double").alias("m3d"),
+        F.col("m4").cast("double").alias("m4d"))
+    e = d.select(
+        "segment", "n",
+        (F.col("m1d") / F.col("nd")).alias("mean"),
+        (F.col("m2d") / F.col("nd")).alias("ex2"),
+        (F.col("m3d") / F.col("nd")).alias("ex3"),
+        (F.col("m4d") / F.col("nd")).alias("ex4"))
+    f = e.select(
+        "segment", "n", "mean", "ex2", "ex3", "ex4",
+        (F.col("mean") * F.col("mean")).alias("mean2"),
+        (F.col("ex2") - F.col("mean") * F.col("mean")).alias("var"))
+    return f.select(
+        "segment", "n", "mean",
+        F.sqrt(F.col("var")).alias("stddev"),
+        ((F.col("ex3") - F.lit(3) * F.col("mean") * F.col("ex2")
+          + F.lit(2) * F.col("mean2") * F.col("mean"))
+         / (F.col("var") * F.sqrt(F.col("var")))).alias("skewness"),
+        ((F.col("ex4") - F.lit(4) * F.col("mean") * F.col("ex3")
+          + F.lit(6) * F.col("mean2") * F.col("ex2")
+          - F.lit(3) * F.col("mean2") * F.col("mean2"))
+         / (F.col("var") * F.col("var")) - F.lit(3))
+        .alias("kurtosis_excess")).orderBy("segment")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11813,6 +11911,7 @@ _CHECK_ORDER = [
     "window_value_pack",
     "orders_priority_mix_chi2",
     "lineitem_monthly_return_rate",
+    "customer_acctbal_moments",
     # -- round-13 early block: first-session round-13 queries
     #    (excel_scan — the last §2.1 source row without a
     #    value-checked oracle — and its accounting twin), then

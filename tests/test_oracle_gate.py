@@ -50,6 +50,8 @@ _BARE_SUM_ALLOWED = {
     # wsum/tot: the same reviewed pattern — exact DECIMAL sums whose
     # only output path is the VARCHAR-hop double conversion
     "orders_gini_by_segment": 2,
+    # m1..m4 raw power sums: same reviewed VARCHAR-hop pattern
+    "customer_acctbal_moments": 4,
     # one CTE-internal score SUM(m*w) consumed only by ROW_NUMBER's
     # ORDER BY, plus the reviewed dq_k_anonymity ppm pattern: both
     # SUMs inside ONE outer CAST((1e6*SUM(..)) // SUM(..) AS BIGINT)
