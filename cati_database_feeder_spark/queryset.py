@@ -11863,6 +11863,42 @@ def customer_acctbal_moments(spark, sf_dir):
         .alias("kurtosis_excess")).orderBy("segment")
 
 
+_XML_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse", "fixtures", "xml_scan.xml")
+
+
+@register("xml_scan", sql="""
+WITH rows(id, status, score, note) AS (VALUES
+  (CAST(1 AS BIGINT), 'complete',    CAST(4.5 AS DOUBLE),   'первый'),
+  (CAST(2 AS BIGINT), 'interrupted', CAST(2.25 AS DOUBLE),
+   CAST(NULL AS VARCHAR)),
+  (CAST(3 AS BIGINT), 'complete',    CAST(3.0 AS DOUBLE),
+   'кв. 7, дом 9'),
+  (CAST(4 AS BIGINT), 'refused',     CAST(NULL AS DOUBLE),  'plain'),
+  (CAST(5 AS BIGINT), 'complete',    CAST(4.125 AS DOUBLE),
+   'последний'))
+SELECT id, status, score, note FROM rows ORDER BY id
+""")
+def xml_scan(spark, sf_dir):
+    """E168 XML source — Spark 4's native XML reader (spark-xml
+    donated into core) under a DECLARED schema (inference samples
+    data and can re-type columns between file generations — the
+    jsonl declared-schema argument), closing the last common
+    legacy-feed format in §2.1: row-per-element vendor exports.
+    Missing elements are NULL (the reference's row.get optional-
+    column semantics, op #19); Cyrillic payloads and binary-exact
+    doubles value-checked against the pinned VALUES oracle — Spark
+    must recover every typed value from real XML bytes
+    (sources/xmlfile.py). Row tags split JVM-side; a single giant
+    document is one task, so the canonical pipeline converts to
+    parquet once downstream."""
+    from cati_database_feeder_spark.sources.xmlfile import (
+        ensure_xml_fixture, read_xml)
+    p = ensure_xml_fixture(_XML_FIXTURE)
+    return read_xml(spark, p).orderBy("id")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11912,6 +11948,7 @@ _CHECK_ORDER = [
     "orders_priority_mix_chi2",
     "lineitem_monthly_return_rate",
     "customer_acctbal_moments",
+    "xml_scan",
     # -- round-13 early block: first-session round-13 queries
     #    (excel_scan — the last §2.1 source row without a
     #    value-checked oracle — and its accounting twin), then

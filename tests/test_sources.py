@@ -432,3 +432,34 @@ def test_orc_typed_round_trip(spark, tmp_path):
     got = sorted((tuple(r) for r in
                   orcfile.read_orc(spark, d).collect()))
     assert got == sorted(orcfile.ORC_ROWS)
+
+
+# ---------------------------------------------------------------------
+# XML source (E168): native Spark 4 reader, declared schema
+# ---------------------------------------------------------------------
+
+def test_xml_fixture_stale_content_rewritten(tmp_path):
+    from cati_database_feeder_spark.sources import xmlfile
+    p = str(tmp_path / "f" / "x.xml")
+    xmlfile.ensure_xml_fixture(p)
+    with open(p, "rb") as f:
+        data = f.read()
+    with open(p, "wb") as f:
+        f.write(b"\0" * len(data))
+    xmlfile.ensure_xml_fixture(p)
+    with open(p, "rb") as f:
+        assert f.read() == data
+
+
+def test_xml_reader_contract(spark, tmp_path):
+    """Declared-schema XML: missing optional elements are NULL (the
+    reference's row.get semantics), Cyrillic survives, doubles typed
+    per the declared schema — never inference."""
+    from cati_database_feeder_spark.sources.xmlfile import (
+        ensure_xml_fixture, read_xml)
+    p = ensure_xml_fixture(str(tmp_path / "x.xml"))
+    rows = {r["id"]: r for r in read_xml(spark, p).collect()}
+    assert rows[1]["note"] == "первый" and rows[1]["score"] == 4.5
+    assert rows[2]["note"] is None
+    assert rows[4]["score"] is None and rows[4]["status"] == "refused"
+    assert rows[5]["score"] == 4.125
