@@ -155,3 +155,30 @@ def test_bloom_runtime_filter_plan_and_scope(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_asof_join_tolerance_semantics(spark):
+    """Tolerance null-out: a match inside the window carries; an older
+    match nulls ALL carries together (as if absent); no-match rows
+    stay NULL; the carried ts at exactly the tolerance edge still
+    matches (<=)."""
+    from cati_database_feeder_spark.operators.joins import (
+        asof_join_backward)
+
+    left = spark.createDataFrame(
+        [(1, 100, 50), (1, 101, 200), (2, 200, 30), (3, 300, 10)],
+        ["k", "eid", "t"])
+    right = spark.createDataFrame(
+        [(11, 1, 40, 1.0),    # 10 ticks before left eid=100 -> inside
+         (12, 2, 5, 2.0)],    # 25 ticks before left eid=200 -> stale
+        ["eid", "k", "t", "value"])
+    out = {r["eid"]: r for r in asof_join_backward(
+        left, right.select("k", "eid", "t", "value"),
+        on="k", ts_col="t", tie_col="eid",
+        carry_cols=["eid", "t", "value"], tolerance_us=10).collect()}
+    assert out[100]["asof_eid"] == 11 and out[100]["asof_value"] == 1.0
+    assert out[100]["asof_t"] == 40          # exactly at tolerance: kept
+    assert out[101]["asof_eid"] is None      # 160 stale: all carries null
+    assert out[101]["asof_t"] is None and out[101]["asof_value"] is None
+    assert out[200]["asof_eid"] is None      # 25 > 10: stale
+    assert out[300]["asof_eid"] is None      # no right rows at all
