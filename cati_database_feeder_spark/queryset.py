@@ -11899,6 +11899,42 @@ def xml_scan(spark, sf_dir):
     return read_xml(spark, p).orderBy("id")
 
 
+@register("q4_priority_checking", sql="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+""")
+def q4_priority_checking(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): the canonical
+    EXISTS → LEFT SEMI decorrelation — count one-quarter orders per
+    priority having at least one returned line (the spec's
+    commitdate<receiptdate predicate adapted to this schema's
+    returnflag). Both filters push into their scans BEFORE the semi
+    join (the quarter cuts orders ~25×, the returnflag cuts the
+    probe side ~4×); the semi join never duplicates orders no matter
+    how many lines match — the correctness trap a naive inner
+    join+distinct pays a shuffle to undo. At 100 TB: one
+    key-colocated semi join + a 5-row aggregate."""
+    o = (T(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01")
+                  .cast("timestamp_ntz"))
+                 & (F.col("o_orderdate") < F.lit("1996-04-01")
+                    .cast("timestamp_ntz"))))
+    l = (T(spark, sf_dir, "lineitem")
+         .filter(F.col("l_returnflag") == "R")
+         .select("l_orderkey"))
+    return (o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11949,6 +11985,7 @@ _CHECK_ORDER = [
     "lineitem_monthly_return_rate",
     "customer_acctbal_moments",
     "xml_scan",
+    "q4_priority_checking",
     # -- round-13 early block: first-session round-13 queries
     #    (excel_scan — the last §2.1 source row without a
     #    value-checked oracle — and its accounting twin), then
