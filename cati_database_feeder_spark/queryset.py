@@ -11935,6 +11935,79 @@ def q4_priority_checking(spark, sf_dir):
             .orderBy("o_orderpriority"))
 
 
+@register("q12_priority_line_mix", sql="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                          ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+""")
+def q12_priority_line_mix(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority mix, adapted to
+    linestatus — this schema carries no shipmode): year-filtered
+    fact joined to orders, conditional BIGINT counts splitting
+    critical from ordinary priorities. The ship-year predicate
+    pushes into the lineitem scan below the join; the join is
+    key-colocated on orderkey; reduce side is 2 numbers per
+    linestatus. The classic \"join then pivot-by-CASE\" aggregate —
+    one shuffle at any scale."""
+    l = (T(spark, sf_dir, "lineitem")
+         .filter((F.col("l_shipdate") >= F.lit("1996-01-01")
+                  .cast("timestamp_ntz"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01")
+                    .cast("timestamp_ntz")))
+         .select("l_orderkey", "l_linestatus"))
+    o = T(spark, sf_dir, "orders").select("o_orderkey",
+                                          "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint")
+                 .alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+@register("orders_mom_growth", sql="""
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY month)
+SELECT month, n_orders, revenue,
+       (revenue - lag(revenue) OVER (ORDER BY month))
+         / lag(revenue) OVER (ORDER BY month) AS mom_growth
+FROM m ORDER BY month
+""")
+def orders_mom_growth(spark, sf_dir):
+    """E171 month-over-month revenue growth — the first chart on any
+    revenue dashboard: monthly decimal-accumulated revenue, then
+    lag-based growth (one IEEE subtract + divide on bit-identical
+    doubles; NULL for the first month, as BI semantics expect). One
+    fact shuffle to the month grain; the lag window runs on the
+    calendar-bounded month frame (single-partition by design — a
+    century is 1,200 rows)."""
+    o = T(spark, sf_dir, "orders")
+    m = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                   .alias("month"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+              dsum(F.col("o_totalprice")).alias("revenue")))
+    w = Window.orderBy("month")
+    return (m.select("month", "n_orders", "revenue",
+                     ((F.col("revenue") - F.lag("revenue").over(w))
+                      / F.lag("revenue").over(w)).alias("mom_growth"))
+            .orderBy("month"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11986,6 +12059,8 @@ _CHECK_ORDER = [
     "customer_acctbal_moments",
     "xml_scan",
     "q4_priority_checking",
+    "q12_priority_line_mix",
+    "orders_mom_growth",
     # -- round-13 early block: first-session round-13 queries
     #    (excel_scan — the last §2.1 source row without a
     #    value-checked oracle — and its accounting twin), then
