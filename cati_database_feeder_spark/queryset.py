@@ -12008,6 +12008,86 @@ def orders_mom_growth(spark, sf_dir):
             .orderBy("month"))
 
 
+@register("events_peak_concurrency", sql="""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+s AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w > 43200000000
+              THEN 1 ELSE 0 END AS brk
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+x AS (
+  SELECT user_id, t,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS sid
+  FROM s),
+g AS (
+  SELECT user_id, sid, MIN(t) AS start_t, MAX(t) + 1 AS end_t
+  FROM x GROUP BY user_id, sid),
+pts AS (
+  SELECT start_t AS t, 1 AS d FROM g
+  UNION ALL SELECT end_t, -1 FROM g),
+net AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS net FROM pts GROUP BY t),
+conc AS (
+  SELECT t, CAST(SUM(net) OVER (ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS c
+  FROM net)
+SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day,
+       CAST(MAX(c) AS BIGINT) AS peak_concurrency,
+       CAST(COUNT(*) AS BIGINT) AS n_change_points
+FROM conc GROUP BY day ORDER BY day
+""")
+def events_peak_concurrency(spark, sf_dir):
+    """E172 peak concurrent sessions via the sweep-line — the
+    capacity-planning headline (how many users were on AT ONCE, not
+    per-day distinct like E136): E68's sessions become half-open
+    intervals [start, max+1µs) (the +1 keeps single-event sessions
+    countable; end-exclusive means touching sessions never overlap),
+    each contributing +1/−1 boundary points; deltas are NETTED per
+    exact-µs timestamp BEFORE the running sum, so the sweep runs
+    over UNIQUE keys and tie order can't perturb the cumulative
+    count in either engine. Reported as peak per day-of-change (a
+    long-lived session spans days via its boundary points; a
+    day-spine densification is the BI-layer join if gap days must
+    render). Fact-scale work = the sessionize shuffle; the sweep
+    runs on the session-boundary grain (two points per session) —
+    at extreme scale the sweep becomes a day-partitioned
+    prefix-sum with boundary carry, the E138 range-partitioned
+    argument."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    brk = F.when(F.lag("t").over(w).isNull()
+                 | (F.col("t") - F.lag("t").over(w) > 43200000000),
+                 1).otherwise(0)
+    x = e.select("user_id", "t",
+                 F.sum(brk).over(
+                     w.rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow))
+                 .cast("bigint").alias("sid"))
+    g = (x.groupBy("user_id", "sid")
+         .agg(F.min("t").alias("start_t"),
+              (F.max("t") + 1).alias("end_t")))
+    pts = (g.select(F.col("start_t").alias("t"), F.lit(1).alias("d"))
+           .unionAll(g.select(F.col("end_t").alias("t"),
+                              F.lit(-1).alias("d"))))
+    net = pts.groupBy("t").agg(F.sum("d").cast("bigint").alias("net"))
+    ws = (Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    conc = net.select("t", F.sum("net").over(ws).cast("bigint")
+                      .alias("c"))
+    return (conc.groupBy(F.date_format(F.timestamp_micros("t"),
+                                       "yyyy-MM-dd").alias("day"))
+            .agg(F.max("c").cast("bigint").alias("peak_concurrency"),
+                 F.count(F.lit(1)).cast("bigint")
+                 .alias("n_change_points"))
+            .orderBy("day"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -12061,6 +12141,7 @@ _CHECK_ORDER = [
     "q4_priority_checking",
     "q12_priority_line_mix",
     "orders_mom_growth",
+    "events_peak_concurrency",
     # -- round-13 early block: first-session round-13 queries
     #    (excel_scan — the last §2.1 source row without a
     #    value-checked oracle — and its accounting twin), then
