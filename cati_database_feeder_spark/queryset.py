@@ -12088,6 +12088,88 @@ def events_peak_concurrency(spark, sf_dir):
             .orderBy("day"))
 
 
+@register("events_growth_accounting", sql="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS di
+  FROM events),
+nav AS (
+  SELECT user_id, di,
+         lag(di)  OVER w AS prev_di,
+         lead(di) OVER w AS next_di,
+         CAST(MAX(di) OVER () AS BIGINT) AS max_di
+  FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY di)),
+ev AS (
+  SELECT di,
+         CASE WHEN prev_di IS NULL THEN 'new'
+              WHEN di - prev_di = 1 THEN 'retained'
+              ELSE 'resurrected' END AS kind
+  FROM nav
+  UNION ALL
+  SELECT di + 1, 'churned'
+  FROM nav
+  WHERE (next_di IS NULL OR next_di > di + 1) AND di + 1 <= max_di)
+SELECT strftime(make_timestamp(di * 86400000000), '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resurrected,
+       CAST(SUM(CASE WHEN kind = 'churned' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_churned
+FROM ev GROUP BY di ORDER BY day
+""")
+def events_growth_accounting(spark, sf_dir):
+    """E173 daily growth accounting (new / retained / resurrected /
+    churned) — the canonical DAU decomposition every growth team
+    reads (E136 reports the LEVEL; this explains the CHANGE — the
+    identity dau_t − dau_(t−1) = new + resurrected − churned holds by
+    construction). Day indices are exact integer-µs floor-division
+    days; per-user lag/lead classify each active day, churn events
+    attribute to the day AFTER a gap starts (clamped to the corpus
+    horizon via one whole-frame max — never counting phantom churn
+    past the data). One shuffle on the user key (distinct + lag/lead
+    share it), then a day-grain conditional rollup with map-side
+    partials. At 100 TB: the distinct user-day projection is the only
+    fact-scale pass."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"))
+    ud = (e.selectExpr("user_id", "t DIV 86400000000 AS di")
+          .distinct())
+    w = Window.partitionBy("user_id").orderBy("di")
+    wall = (Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    nav = ud.select(
+        "user_id", "di",
+        F.lag("di").over(w).alias("prev_di"),
+        F.lead("di").over(w).alias("next_di"),
+        F.max("di").over(wall).cast("bigint").alias("max_di"))
+    kind = (F.when(F.col("prev_di").isNull(), "new")
+            .when(F.col("di") - F.col("prev_di") == 1, "retained")
+            .otherwise("resurrected"))
+    active = nav.select("di", kind.alias("kind"))
+    churned = (nav.filter((F.col("next_di").isNull()
+                           | (F.col("next_di") > F.col("di") + 1))
+                          & (F.col("di") + 1 <= F.col("max_di")))
+               .select((F.col("di") + 1).alias("di"),
+                       F.lit("churned").alias("kind")))
+    ev = active.unionByName(churned)
+    cnt = lambda k: (F.sum(F.when(F.col("kind") == k, 1).otherwise(0))
+                     .cast("bigint"))
+    return (ev.groupBy("di")
+            .agg(cnt("new").alias("n_new"),
+                 cnt("retained").alias("n_retained"),
+                 cnt("resurrected").alias("n_resurrected"),
+                 cnt("churned").alias("n_churned"))
+            .select(F.date_format(
+                F.timestamp_micros(F.col("di") * 86400000000),
+                "yyyy-MM-dd").alias("day"),
+                "n_new", "n_retained", "n_resurrected", "n_churned")
+            .orderBy("day"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -12142,6 +12224,7 @@ _CHECK_ORDER = [
     "q12_priority_line_mix",
     "orders_mom_growth",
     "events_peak_concurrency",
+    "events_growth_accounting",
     # -- round-13 early block: first-session round-13 queries
     #    (excel_scan — the last §2.1 source row without a
     #    value-checked oracle — and its accounting twin), then
