@@ -12170,6 +12170,58 @@ def events_growth_accounting(spark, sf_dir):
             .orderBy("day"))
 
 
+@register("dq_freshness_screen", sql="""
+WITH t AS (
+  SELECT 'events' AS table_name, MAX(epoch_us(ts)) AS mx FROM events
+  UNION ALL
+  SELECT 'lineitem', MAX(epoch_us(l_shipdate)) FROM lineitem
+  UNION ALL
+  SELECT 'orders', MAX(epoch_us(o_orderdate)) FROM orders)
+SELECT table_name,
+       strftime(make_timestamp(mx), '%Y-%m-%d %H:%M:%S')
+         AS latest_record,
+       CAST((MAX(mx) OVER () - mx) // 3600000000 AS BIGINT)
+         AS hours_behind_freshest
+FROM t ORDER BY table_name
+""")
+def dq_freshness_screen(spark, sf_dir):
+    """E174 cross-table freshness screen — the staleness monitor a
+    multi-feed warehouse runs before trusting a join (a fact table
+    hours behind its siblings silently truncates every time-windowed
+    join against them; this corpus's orders/lineitem vs events skew
+    is exactly that hazard surfaced). Per table one MAX over the
+    time column (map-side partial to a single value — the cheapest
+    possible full scan, and min/max footer statistics answer it
+    without data pages on parquet); the lag is exact integer-µs
+    arithmetic against the freshest feed via a 3-row window. No
+    external clock: freshness is relative to the corpus itself, so
+    the screen is deterministic and replayable."""
+    e = T(spark, sf_dir, "events").agg(
+        F.lit("events").alias("table_name"),
+        F.max(F.unix_micros("ts")).alias("mx"))
+    l = T(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem").alias("table_name"),
+        F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+        .alias("mx"))
+    o = T(spark, sf_dir, "orders").agg(
+        F.lit("orders").alias("table_name"),
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .alias("mx"))
+    t = e.unionByName(l).unionByName(o)
+    wall = (Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    t2 = t.select("table_name", "mx",
+                  F.max("mx").over(wall).alias("max_mx"))
+    return (t2.select(
+        "table_name",
+        F.date_format(F.timestamp_micros(F.col("mx")),
+                      "yyyy-MM-dd HH:mm:ss").alias("latest_record"),
+        F.expr("(max_mx - mx) DIV 3600000000").cast("bigint")
+        .alias("hours_behind_freshest"))
+        .orderBy("table_name"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -12225,6 +12277,7 @@ _CHECK_ORDER = [
     "orders_mom_growth",
     "events_peak_concurrency",
     "events_growth_accounting",
+    "dq_freshness_screen",
     # -- round-13 early block: first-session round-13 queries
     #    (excel_scan — the last §2.1 source row without a
     #    value-checked oracle — and its accounting twin), then
