@@ -546,6 +546,31 @@ def token_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
     return inter / F.nullif(union, F.lit(0.0))
 
 
+def near_dup_rep_pairs(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", threshold: float = 0.7,
+                       num_hashes: int = 16, bands: int = 4,
+                       groups: DataFrame | None = None,
+                       rep_candidates: DataFrame | None = None) -> DataFrame:
+    """The pre-expansion phase of :func:`near_dup_pairs`: verified
+    rep-level pairs (id_a, id_b, jaccard) over exact-token-set
+    representatives only. Exposed separately because the CONTRACTED
+    graph (these pairs plus the gid→member star edges of the
+    membership frame) has the same connected components as the
+    expanded member-pair graph at a fraction of the edge count — the
+    closure consumer (graph.components_from_rep_pairs) never needs the
+    |A|×|B| expansion a dense dup corpus blows up into."""
+    memb = groups if groups is not None else tokset_groups(documents, id_col, text_col)
+    cands = rep_candidates if rep_candidates is not None else minhash_lsh_candidates(
+        documents, id_col, text_col, num_hashes, bands, groups=memb, expand=False)
+    reps = memb.filter(F.col("id") == F.col("gid"))
+    t_a = reps.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    t_b = reps.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    return (cands.join(t_a, "id_a").join(t_b, "id_b")
+            .withColumn("jaccard", F.round(token_jaccard(F.col("toks_a"), F.col("toks_b")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
 def near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", threshold: float = 0.7,
                    num_hashes: int = 16, bands: int = 4,
@@ -561,15 +586,9 @@ def near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
     once and every consumer (verify, clustering, reporting) reads them.
     Output is bit-identical to verifying every expanded pair."""
     memb = groups if groups is not None else tokset_groups(documents, id_col, text_col)
-    cands = rep_candidates if rep_candidates is not None else minhash_lsh_candidates(
-        documents, id_col, text_col, num_hashes, bands, groups=memb, expand=False)
-    reps = memb.filter(F.col("id") == F.col("gid"))
-    t_a = reps.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
-    t_b = reps.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
-    rep_pairs = (cands.join(t_a, "id_a").join(t_b, "id_b")
-                 .withColumn("jaccard", F.round(token_jaccard(F.col("toks_a"), F.col("toks_b")), 6))
-                 .filter(F.col("jaccard") >= threshold)
-                 .select("id_a", "id_b", "jaccard"))
+    rep_pairs = near_dup_rep_pairs(documents, id_col, text_col, threshold,
+                                   num_hashes, bands, groups=memb,
+                                   rep_candidates=rep_candidates)
     # empty-token groups never verify (Jaccard undefined → NULL →
     # filtered), so their within-pairs must not shortcut to 1.0 either
     mem = memb.filter(F.size("toks") > 0).select("gid", "id")

@@ -221,6 +221,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # orderable id types must keep working through the distributed path
     # (they did before the fast path existed) rather than raising
     probe_cached = False
+    star_rdds: set[int] = set()
     if driver_edge_cap is not None and isinstance(
             id_type, (ByteType, ShortType, IntegerType, LongType)):
         # persist around the probe: limit(cap+1) executes (part of) the
@@ -239,6 +240,47 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             rows = sorted(comp.items())
             e.unpersist()
             return local_frame(pairs.sparkSession, rows, schema)
+        # Over the cap: contract with large-star rounds (Kiveris et al.
+        # SoCC'14 — the same step _star_components iterates) before
+        # giving up on the driver path. One round is two shuffles of the
+        # edge list and collapses a dense near-clique blob — the dup
+        # corpus shape that produces over-cap edge counts in the first
+        # place — into a star, so the contracted graph is usually
+        # node-count-sized and finishes exactly on the driver.
+        # Correctness: a large-star round emits, per node u, edges
+        # (v, min(Γ(u) ∪ {u})) for neighbors v > u — every non-minimum
+        # node keeps an edge to a strictly smaller node of its own
+        # component and a component minimum r keeps its (v, r) edges, so
+        # the node set and the component partition are both preserved
+        # exactly (graph module docstring; proof in the paper). Rounds
+        # that fail to get under the cap fall through to propagation on
+        # the CONTRACTED edges — never worse than the original graph.
+        for _ in range(2):
+            sym = e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            mins = (sym.groupBy("src").agg(F.min("dst").alias("mn"))
+                    .select("src", F.least("mn", "src").alias("mn")))
+            contracted = (sym.join(mins, "src")
+                          .filter(F.col("dst") > F.col("src"))
+                          .select(F.col("dst").alias("src"),
+                                  F.col("mn").alias("dst"))
+                          .filter(F.col("src") != F.col("dst"))
+                          .distinct().localCheckpoint(eager=True))
+            new_rdds = _checkpointed_rdd_ids(contracted)
+            if probe_cached:
+                e.unpersist()
+                probe_cached = False
+            _release_rdds(sc, star_rdds)
+            e, star_rdds = contracted, new_rdds
+            probe = e.limit(driver_edge_cap + 1).toPandas()
+            if len(probe) <= driver_edge_cap:
+                comp = _driver_union_find(probe["src"].values,
+                                          probe["dst"].values)
+                schema = StructType([StructField("id", id_type),
+                                     StructField("component", id_type)])
+                rows = sorted(comp.items())
+                _release_rdds(sc, star_rdds)
+                return local_frame(pairs.sparkSession, rows, schema)
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
@@ -255,9 +297,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .localCheckpoint(eager=True))
     # the eager checkpoint above materialized `edges` into its own cache
     # (reading the probe cache, not recomputing the pair plan) — the
-    # probe cache is dead from here on
+    # probe cache (or the last pre-contraction checkpoint, when the
+    # large-star rounds ran but stayed over the cap) is dead from here
     if probe_cached:
         e.unpersist()
+    _release_rdds(sc, star_rdds)
     label_rdds = _checkpointed_rdd_ids(labels)
 
     for _ in range(max_iter):
@@ -303,6 +347,42 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def components_from_rep_pairs(rep_pairs: DataFrame, mem: DataFrame,
+                              max_iter: int = 50,
+                              driver_edge_cap: int | None = 1_000_000
+                              ) -> DataFrame:
+    """Components of the EXPANDED member-pair graph (what
+    dedup.expand_group_pairs(rep_pairs, mem) would emit), computed on
+    the CONTRACTED graph: rep-level pairs plus one star edge
+    gid→member per non-rep member. At 100 TB this is the difference
+    between a closure over Σ|A|×|B| expanded edges (quadratic in dup
+    cluster size — a boilerplate corpus shape) and one over
+    |rep_pairs| + |members| edges.
+
+    Equivalence argument (label-identical to
+    ``connected_components(expand_group_pairs(rep_pairs, mem))``):
+
+    - Same vertex set: the expansion's within-pairs cover every member
+      of a multi-member group (star edges do too, via gid—id), and its
+      cross-pairs cover every member of a group on a verified rep pair
+      (reachable here via its star edge + the rep edge; a singleton
+      group's only member IS its gid, on the rep edge itself).
+    - Same connectivity: every contracted edge is itself an expanded
+      pair (gid ∈ its own group, so gid—member is a within-pair and
+      gid_A—gid_B is a cross-pair), i.e. the contracted graph is a
+      SUBGRAPH; conversely any expanded pair (x∈A, y∈B) is a path
+      x—gid_A—gid_B—y through star and rep edges, so no component
+      splits. Identical partitions ⇒ identical min-id labels.
+
+    ``mem`` is the (gid, id) membership restricted exactly as the
+    expansion would be (e.g. non-empty token sets only)."""
+    star = (mem.filter(F.col("id") != F.col("gid"))
+            .select(F.col("gid").alias("id_a"), F.col("id").alias("id_b")))
+    edges = rep_pairs.select("id_a", "id_b").unionByName(star)
+    return connected_components(edges, max_iter=max_iter,
+                                driver_edge_cap=driver_edge_cap)
 
 
 def incremental_components(labels: DataFrame, new_pairs: DataFrame,

@@ -125,7 +125,7 @@ from cati_database_feeder_spark.session import local_frame
 from cati_database_feeder_spark.functions import text as text_fns
 from cati_database_feeder_spark.operators import dedup
 from cati_database_feeder_spark.operators.graph import (
-    connected_components, incremental_components)
+    components_from_rep_pairs, connected_components, incremental_components)
 
 _STORES = ("labels", "corpus", "buckets", "members", "reps", "metrics",
            "pairs", "deleted", "cms", "cbloom", "cms_pending",
@@ -1455,12 +1455,25 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # scratch; the boot attribution put the whole membership lap at
         # 71 s at sf0.1 with this as the dominant term
         memb = dedup.tokset_groups(batch).persist()
-        # persisted: consumed by the closure AND the metrics count
-        pairs = dedup.near_dup_pairs(batch, threshold=threshold,
-                                     num_hashes=num_hashes, bands=bands,
-                                     groups=memb).persist()
-        labels = connected_components(
-            pairs.select("id_a", "id_b"))
+        # persisted: the expansion, the closure's star edges, and the
+        # pairs-store write all read it
+        rep_pairs = dedup.near_dup_rep_pairs(
+            batch, threshold=threshold, num_hashes=num_hashes,
+            bands=bands, groups=memb).persist()
+        mem = memb.filter(F.size("toks") > 0).select("gid", "id")
+        # persisted: consumed by the pairs-store write AND the metrics
+        # count
+        pairs = dedup.expand_group_pairs(
+            rep_pairs, mem, {"jaccard": F.lit(1.0)}).persist()
+        # closure over the CONTRACTED graph (rep pairs + gid→member
+        # star edges) — label-identical to closing the expanded pair
+        # set (components_from_rep_pairs docstring) at a fraction of
+        # the edges: the expanded set is quadratic in dup-cluster size
+        # (4.17M edges at sf0.1, forcing the distributed loop), the
+        # rep-level one ~2.6× smaller, and connected_components' own
+        # large-star pre-contraction then collapses the dense blobs
+        # under the driver union-find cap
+        labels = components_from_rep_pairs(rep_pairs, mem)
         _swap_write(labels, labels_dir)
         _swap_write(memb.filter(F.col("id") == F.col("gid"))
                     .select("gid", "toks",
@@ -1509,6 +1522,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         _swap_write(batch, corpus_dir)
         _boot_lap(_marks, "corpus")
         pairs.unpersist()
+        rep_pairs.unpersist()
         memb.unpersist()
         return
 

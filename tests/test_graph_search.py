@@ -39,6 +39,52 @@ def test_connected_components_deterministic_min_canonical(spark):
     assert got == {5: 5, 7: 5, 9: 5}
 
 
+def test_connected_components_large_star_contraction_path(spark):
+    # over-cap graph whose ONE large-star round collapses it under the
+    # cap: K4 on {1..4} (6 edges) + {10,11} = 7 edges, cap 4. Round 1
+    # emits {(2,1),(3,1),(4,1),(11,10)} = 4 edges → driver union-find
+    # finishes; labels must equal the plain closure.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(k4 + [(10, 11)], ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs, driver_edge_cap=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_contraction_preserves_chains(spark):
+    # a path graph is the adversarial shape for contraction (nothing
+    # collapses to a star in one hop) — the rounds must stay
+    # component-exact whether they end under the cap or fall through
+    # to propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"])
+    for cap in (3, 4, 5):
+        got = {r["id"]: r["component"]
+               for r in connected_components(
+                   pairs, driver_edge_cap=cap).collect()}
+        assert got == {i: 0 for i in range(7)}, f"cap={cap}: {got}"
+
+
+def test_components_from_rep_pairs_matches_expanded_closure(spark):
+    # membership: group 1 = {1, 2, 3}, group 5 = {5, 6}, singletons 8, 9;
+    # verified rep pairs 1—5 and 8—9. Contracted closure must equal the
+    # closure of the expanded member-pair graph.
+    from cati_database_feeder_spark.operators.dedup import expand_group_pairs
+    from cati_database_feeder_spark.operators.graph import (
+        components_from_rep_pairs)
+    mem = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (5, 5), (5, 6), (8, 8), (9, 9)],
+        ["gid", "id"])
+    rep_pairs = spark.createDataFrame(
+        [(1, 5, 0.9), (8, 9, 0.8)], ["id_a", "id_b", "jaccard"])
+    expanded = expand_group_pairs(rep_pairs, mem, {"jaccard": F.lit(1.0)})
+    want = {r["id"]: r["component"]
+            for r in connected_components(expanded).collect()}
+    got = {r["id"]: r["component"]
+           for r in components_from_rep_pairs(rep_pairs, mem).collect()}
+    assert got == want == {1: 1, 2: 1, 3: 1, 5: 1, 6: 1, 8: 8, 9: 8}
+
+
 def test_bm25_ranks_term_frequency(spark):
     docs = spark.createDataFrame(
         [(1, "spark spark spark filler filler"),
