@@ -1209,12 +1209,20 @@ def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 4,
     its OWN projection referencing plain columns — the CollapseProject
     HOF-inlining trap (SCALING.md round 9) re-evaluates an inlined
     array argument per element, turning O(n·w) into O(n²·w)."""
-    tk = documents.select(F.col(id_col), T.tokens(F.col(text_col))
-                          .alias("tk"))
+    # the short-doc filter tests TOKEN count, not hash count:
+    # size(h) >= w ⟺ size(tk) >= w + k - 1 (h has size(tk)-k+1
+    # elements when size(tk) >= k, else 0), so the row set is
+    # identical — but a filter on `h` is pushed below the projections
+    # with the whole shingle+md5 tree INLINED in the filter condition
+    # (evaluated once in the Filter, again in the Project), while a
+    # filter on `tk` inlines only the cheap tokenize (guide §2.3:
+    # filter early on the narrow proxy, not the derived payload)
+    tk = (documents.select(F.col(id_col), T.tokens(F.col(text_col))
+                           .alias("tk"))
+          .filter(F.size("tk") >= k + w - 1))
     sh = tk.select(id_col, T.shingles_from_tokens(F.col("tk"), k)
                    .alias("sh"))
-    h = (sh.select(id_col, F.transform("sh", T.hash64).alias("h"))
-         .filter(F.size("h") >= w))
+    h = sh.select(id_col, F.transform("sh", T.hash64).alias("h"))
     # window minima as a zip of w SHIFTED SLICES whose lambda touches
     # only its own struct element — NOT `array_min(slice(h, i, w))`
     # inside a transform over positions: `h` referenced inside a
@@ -1236,7 +1244,15 @@ def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 4,
         F.array_distinct(F.transform(
             zipped, lambda s: F.least(*[s[str(j)] for j in range(w)])))
         .alias("fps"))
-    return wm.select(id_col, F.explode("fps").alias("fp"))
+    # explode_outer, deliberately: plain explode makes the optimizer
+    # infer `size(fps) > 0 AND isnotnull(fps)` (InferFiltersFromGenerate)
+    # and push that filter below the projections with the ENTIRE
+    # tokenize→shingle→md5→winnow tree inlined into the condition —
+    # the whole fingerprint pass ran ~4× per row (measured 7.8 s vs
+    # 1.0 s at sf0.1). After the token-count filter above, `fps` is
+    # provably non-empty (≥ 1 window), so outer emits no null row and
+    # the output is bit-identical.
+    return wm.select(id_col, F.explode_outer("fps").alias("fp"))
 
 
 def winnow_fingerprint_pairs(documents: DataFrame, k: int = 4,

@@ -232,8 +232,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # checkpoint.
         e = e.persist()
         probe_cached = True
-        probe = e.limit(driver_edge_cap + 1).toPandas()
-        if len(probe) <= driver_edge_cap:
+        # size-probe with a COUNT, not a row transfer: the old
+        # limit(cap+1).toPandas() shipped cap+1 rows (~16 MB of Arrow
+        # longs at the default cap) to the driver just to learn "over
+        # cap" before every contraction round; the count answers the
+        # same question shuffle-free, and the under-cap case re-reads
+        # the persisted/checkpointed edges for the actual transfer
+        if e.limit(driver_edge_cap + 1).count() <= driver_edge_cap:
+            probe = e.toPandas()
             comp = _driver_union_find(probe["src"].values, probe["dst"].values)
             schema = StructType([StructField("id", id_type),
                                  StructField("component", id_type)])
@@ -272,8 +278,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 probe_cached = False
             _release_rdds(sc, star_rdds)
             e, star_rdds = contracted, new_rdds
-            probe = e.limit(driver_edge_cap + 1).toPandas()
-            if len(probe) <= driver_edge_cap:
+            if e.limit(driver_edge_cap + 1).count() <= driver_edge_cap:
+                probe = e.toPandas()
                 comp = _driver_union_find(probe["src"].values,
                                           probe["dst"].values)
                 schema = StructType([StructField("id", id_type),

@@ -1204,9 +1204,15 @@ def text_dup_span_profile(spark, sf_dir):
     # no unpersist path, so a long multi-query session accumulates
     # orphan blocks until LRU eviction; the stage cache is released by
     # clear_stage_cache() and its no-leaked-blocks pin covers it.
+    # explode_outer: plain explode's inferred `size(shingles)>0` filter
+    # (InferFiltersFromGenerate) is pushed below the projection with the
+    # whole shingle tree inlined — one extra evaluation of the 8-gram
+    # build per row (the winnow_fingerprints finding). The tk>=8 filter
+    # guarantees >=1 shingle, so outer adds no null row: bit-identical.
     ex = shared_stage(
         spark, f"q:dup_span_profile:shingles:{sf_dir}",
-        lambda: sh.select("doc_id", F.explode("shingles").alias("shingle")))
+        lambda: sh.select("doc_id",
+                          F.explode_outer("shingles").alias("shingle")))
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
     per = (ex.join(dfreq, "shingle")
            .groupBy("doc_id")
@@ -7448,9 +7454,14 @@ def graph_triangle_census(spark, sf_dir):
            .select(F.col("e1.id_a").alias("a"),
                    F.col("e1.id_b").alias("b"),
                    F.col("e2.id_b").alias("c")))
-    pern = (tri.select(F.col("a").alias("id"))
-            .unionByName(tri.select(F.col("b").alias("id")))
-            .unionByName(tri.select(F.col("c").alias("id")))
+    # per-node participation as ONE pass over the triangle join: the
+    # union-of-three-projections form re-ran the whole wedge+close join
+    # per branch (Catalyst reuses the exchanges, not the join — 3×21M
+    # wedge rows at sf0.1); explode(array(a,b,c)) emits the identical
+    # id multiset from a single join execution, and the hash aggregate
+    # does map-side partials right after the explode, so the shuffle
+    # carries node-count rows, not 3×|triangles| (guide §2.3/§2.4)
+    pern = (tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
             .groupBy("id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("triangles")))
     t = F.coalesce(F.col("triangles"), F.lit(0).cast("bigint"))
@@ -9454,10 +9465,21 @@ def _langid_pred_stage(spark, sf_dir):
         d = T(spark, sf_dir, "documents")
         tk = d.select("doc_id", "lang",
                       text.tokens(F.col("text")).alias("tk"))
+        # explode_outer + isNotNull instead of plain explode: explode's
+        # inferred size/isnotnull filter (InferFiltersFromGenerate) is
+        # pushed below the projection with the whole tokenize+ngram
+        # tree inlined — one extra evaluation per row (the
+        # winnow_fingerprints finding). The isNotNull filter on the
+        # GENERATED column cannot be pushed below the Generate, costs
+        # one null check per gram, and restores the exact row set of
+        # plain explode (gram arrays never contain null elements, so
+        # the only null rows are outer's empty-array markers).
         bk = (tk.select(
                 "doc_id", "lang",
-                F.explode(text.char_ngrams_from_tokens(F.col("tk"), 3, 1))
+                F.explode_outer(
+                    text.char_ngrams_from_tokens(F.col("tk"), 3, 1))
                 .alias("g"))
+              .filter(F.col("g").isNotNull())
               .select("doc_id", "lang",
                       (text.hash64(F.col("g")) % _LANGID_BUCKETS)
                       .alias("b")))

@@ -1455,16 +1455,51 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # scratch; the boot attribution put the whole membership lap at
         # 71 s at sf0.1 with this as the dominant term
         memb = dedup.tokset_groups(batch).persist()
+        # materialize the cache with one cheap action so the concurrent
+        # consumers below read blocks instead of racing to compute them
+        memb.count()
+        # the membership-derived stores (reps/members/buckets) and,
+        # later, the pairs store depend on frames that are persisted by
+        # the time their write is submitted — so the writes run as
+        # CONCURRENT jobs from a small thread pool while the main
+        # thread continues with the verify/closure compute (guide
+        # §2.6: overlap independent jobs; Spark's scheduler back-fills
+        # the write tasks into the verify stages' idle tail). Ordering
+        # among these writes never mattered for crash-safety: the
+        # corpus write below is the bootstrap's single commit marker,
+        # and a crash before it re-enters this branch and redoes every
+        # store (partial epoch dirs are healed by _recover_swaps).
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=3)
+        store_futs = [
+            pool.submit(_swap_write,
+                        memb.filter(F.col("id") == F.col("gid"))
+                        .select("gid", "toks",
+                                dedup.tokset_key(F.col("toks"))
+                                .alias("key")),
+                        reps_dir),
+            pool.submit(_swap_write_bucketed, memb.select("id", "gid"),
+                        members_dir, "id"),
+            pool.submit(_swap_write,
+                        dedup.rep_band_buckets(memb, num_hashes, bands),
+                        buckets_dir),
+        ]
         # persisted: the expansion, the closure's star edges, and the
         # pairs-store write all read it
         rep_pairs = dedup.near_dup_rep_pairs(
             batch, threshold=threshold, num_hashes=num_hashes,
             bands=bands, groups=memb).persist()
+        rep_pairs.count()
         mem = memb.filter(F.size("toks") > 0).select("gid", "id")
         # persisted: consumed by the pairs-store write AND the metrics
         # count
         pairs = dedup.expand_group_pairs(
             rep_pairs, mem, {"jaccard": F.lit(1.0)}).persist()
+        # the edge store takedown repairs labels from (delete_docs) —
+        # expanded+written concurrently with the closure below
+        store_futs.append(
+            pool.submit(_swap_write, pairs.select("id_a", "id_b"),
+                        pairs_dir))
         # closure over the CONTRACTED graph (rep pairs + gid→member
         # star edges) — label-identical to closing the expanded pair
         # set (components_from_rep_pairs docstring) at a fraction of
@@ -1475,16 +1510,9 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # under the driver union-find cap
         labels = components_from_rep_pairs(rep_pairs, mem)
         _swap_write(labels, labels_dir)
-        _swap_write(memb.filter(F.col("id") == F.col("gid"))
-                    .select("gid", "toks",
-                            dedup.tokset_key(F.col("toks")).alias("key")),
-                    reps_dir)
-        _swap_write_bucketed(memb.select("id", "gid"),
-                             members_dir, "id")
-        _swap_write(dedup.rep_band_buckets(memb, num_hashes, bands),
-                    buckets_dir)
-        # the edge store takedown repairs labels from (delete_docs)
-        _swap_write(pairs.select("id_a", "id_b"), pairs_dir)
+        for fut in store_futs:
+            fut.result()
+        pool.shutdown()
         _boot_lap(_marks, "membership")
         # linear-sketch stores of the bootstrap corpus (count-min token
         # table + counting-Bloom shingle gate); a bootstrap retry redoes
