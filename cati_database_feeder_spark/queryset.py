@@ -40,8 +40,26 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+# Session-scoped cache of ANALYZED base-table handles. load_table's
+# spark.read.parquet re-reads the parquet footer (schema inference +
+# file listing) on every call — measured 76 ms/call warm at sf0.1 vs
+# 1.4 ms for handing back the same immutable DataFrame, and a full
+# bench pass makes >1,000 T() calls (each registered query rebuilds
+# its plan per timed run). This caches the LOGICAL PLAN handle only:
+# every query still executes its scan/shuffles in full on every run —
+# nothing about results or data is memoized. Keyed and evicted by
+# applicationId exactly like _STAGE_CACHE below.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[stale]
+    key = (app_id, sf_dir, name)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = load_table(spark, sf_dir, name)
+    return _TABLE_CACHE[key]
 
 
 # Session-scoped cache for expensive intermediate stages shared by more
