@@ -214,6 +214,57 @@ def run_bench(sf_dir: str) -> tuple[dict[str, float], dict]:
         # composed IVF×PQ top-10 — hash-checked query + recall gate
         ("stage:ivfpq_topk",
          lambda: queryset._ivfpq_topk10_stage(spark, sf_dir).count()),
+        # --- round-13 materialized governance/model stages: the
+        # decontamination verdict lists, the cluster labeling +
+        # keep-best delete list, the trained IVF/PQ models and the
+        # sub-split layout are each consumed by 2-3 registered queries
+        # (standalone + ladder/release/impact compositions) — stage
+        # them once, min-of-two like every other stage, so the
+        # explicit timing replaces the cold single-shot auto-charge.
+        # Dependency order keeps each timing incremental (winnow_fps
+        # before the winnow rung, jaccard_labels before keep_best,
+        # cell_assign before the sub-split).
+        ("stage:winnow_fps",
+         lambda: queryset._winnow_fps_stage(spark, sf_dir).count()),
+        ("stage:q:decon_winnow",
+         lambda: queryset.QUERIES["decontaminate_winnow"](
+             spark, sf_dir).count()),
+        ("stage:q:bloom_gate:bench_shingles",
+         lambda: queryset._bloom_bench_shingles_stage(
+             spark, sf_dir).count()),
+        ("stage:q:decon_bloom",
+         lambda: queryset.QUERIES["decontaminate_bloom_gate"](
+             spark, sf_dir).count()),
+        ("stage:q:decon_exact",
+         lambda: queryset.QUERIES["decontaminate_against_benchmark"](
+             spark, sf_dir).count()),
+        ("stage:q:decon_semantic",
+         lambda: queryset.QUERIES["decontaminate_semantic"](
+             spark, sf_dir).count()),
+        ("stage:q:jaccard_labels",
+         lambda: queryset._jaccard_labels_stage(spark, sf_dir).count()),
+        ("stage:q:keep_best",
+         lambda: queryset._keep_best_stage(spark, sf_dir).count()),
+        ("stage:q:ivf_train",
+         lambda: queryset._ivf_train_model(spark, sf_dir)),
+        ("stage:q:pq_train",
+         lambda: queryset._pq_train_model(spark, sf_dir)),
+        ("stage:q:semdedup_subsplit",
+         lambda: queryset._semdedup_subsplit_stage(spark, sf_dir)
+         .count()),
+        # --- previously auto-charged (cold single-shot) expensive
+        # stages, promoted to the explicit min-of-two protocol every
+        # other stage uses: single-shot cold numbers carry codegen/JIT
+        # noise the per-query minimums deliberately exclude (the
+        # round-11 finding that motivated min-of-two for stages).
+        ("stage:langid_buckets",
+         lambda: queryset._langid_buckets_stage(spark, sf_dir).count()),
+        ("stage:langid_pred",
+         lambda: queryset._langid_pred_stage(spark, sf_dir).count()),
+        ("stage:jl_topk10",
+         lambda: queryset._jl_topk10_stage(spark, sf_dir).count()),
+        ("stage:jl_ivf_topk10",
+         lambda: queryset._jl_ivf_topk10_stage(spark, sf_dir).count()),
     ]
     for _pass in range(2):
         if _pass:

@@ -892,14 +892,21 @@ def semdedup_pairs_guarded(corpus: DataFrame,
                            c_vec: str = "embedding",
                            on_hot: str = "subsplit",
                            oversample: int = 8,
-                           assigned: DataFrame | None = None) -> DataFrame:
+                           assigned: DataFrame | None = None,
+                           split: DataFrame | None = None) -> DataFrame:
     """:func:`semdedup_pairs` behind the hot-cell occupancy guard:
     cells over ``cap`` members are sub-split (:func:`subsplit_hot_cells`
     — deterministic member-seeded sub-centroids) and pairing keys on
     (cell, subcell), so no key's pair emission exceeds ~cap²-ish work
     regardless of how badly the quantizer's cells skew on real data.
     ``on_hot="error"`` turns the guard into the documented descriptive
-    refusal. Same verify arithmetic as :func:`semdedup_pairs`."""
+    refusal. Same verify arithmetic as :func:`semdedup_pairs`.
+    ``split`` injects a precomputed (persisted/materialized)
+    sub-split assignment — the 100 TB shape, where (cell, subcell) is
+    the write-time layout computed once per corpus snapshot next to
+    the cell assignment itself; when given, ``assigned``/
+    ``centroid_rows`` are not consulted and the guard's two
+    driver-side jobs (occupancy count, seed selection) are skipped."""
     from cati_database_feeder_spark.operators.dedup import _bucket_pairs
     # persist the assignment unless the caller supplies one (a staged/
     # materialized assignment — the 100 TB write-time layout): FOUR
@@ -911,20 +918,22 @@ def semdedup_pairs_guarded(corpus: DataFrame,
     # recomputes (persist, not checkpoint); the block is released by
     # the ContextCleaner when the plan is GC'd, the same lifecycle as
     # queryset's shared stages.
-    own_persist = assigned is None
+    own_persist = split is None and assigned is None
     if own_persist:
         assigned = assign_cells(corpus, centroid_rows, c_vec, by).persist()
-    try:
-        split = subsplit_hot_cells(assigned, cap, c_id, c_vec,
-                                   on_hot=on_hot, oversample=oversample)
-    except BaseException:
-        # the on_hot='error' refusal (or any guard failure) must not
-        # leave our own corpus-sized persisted block pinned with no
-        # result to justify it (review finding); a caller-supplied
-        # `assigned` is the caller's to manage
-        if own_persist:
-            assigned.unpersist()
-        raise
+    if split is None:
+        try:
+            split = subsplit_hot_cells(assigned, cap, c_id, c_vec,
+                                       on_hot=on_hot,
+                                       oversample=oversample)
+        except BaseException:
+            # the on_hot='error' refusal (or any guard failure) must
+            # not leave our own corpus-sized persisted block pinned
+            # with no result to justify it (review finding); a
+            # caller-supplied `assigned` is the caller's to manage
+            if own_persist:
+                assigned.unpersist()
+            raise
     cands = _bucket_pairs(
         split.select(F.col(c_id).alias("id"), "cell", "subcell"),
         ["cell", "subcell"], "id")

@@ -106,6 +106,35 @@ def shared_stage(spark: SparkSession, key: str, build) -> DataFrame:
     return _STAGE_CACHE[cache_key]
 
 
+# Session-scoped cache for TRAINED MODEL STATE (k-means centroids, PQ
+# codebooks, sub-split seeds): bounded driver-side lists, the _cents16
+# discipline generalized. In production these are trained once per
+# corpus snapshot and pinned next to the store (the ingest bootstraps
+# do exactly that — streaming/ingest_embeddings.py); retraining the
+# same model inside every serving query run is the local-session
+# anti-pattern the cache removes. Build wall-time is recorded in
+# STAGE_BUILD_SECONDS under the given key, so the bench auto-charges
+# the training cost to the board exactly once ("stage:<key>") instead
+# of letting min-of-two discard it — the same honest-total contract as
+# shared_stage.
+_MODEL_CACHE: dict[tuple, object] = {}
+
+
+def shared_model(spark: SparkSession, key: str, build):
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _MODEL_CACHE if k[0] != app_id]:
+        del _MODEL_CACHE[stale]
+    cache_key = (app_id, key)
+    if cache_key not in _MODEL_CACHE:
+        import time as _time
+        t0 = _time.time()
+        val = build()
+        STAGE_BUILD_SECONDS[key.rsplit(":", 1)[0]] = round(
+            _time.time() - t0, 3)
+        _MODEL_CACHE[cache_key] = val
+    return _MODEL_CACHE[cache_key]
+
+
 # The fixed 16-seed centroid set (first 16 vectors) used by every
 # deterministic SemDeDup/IVF query: one bounded collect per (session,
 # sf_dir) instead of one per query — same eviction discipline as the
@@ -187,13 +216,17 @@ def _cell_assign_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def clear_stage_cache() -> None:
     """Unpersist and drop every cached stage frame. Frames belonging to
     the live session release their storage; entries from stopped
-    sessions are simply dropped (their blocks are already gone)."""
+    sessions are simply dropped (their blocks are already gone).
+    Trained-model state is dropped alongside: the bench clears the
+    stage cache to re-time cold builds, and a model surviving the
+    clear would have its (re)training cost silently uncharged."""
     for k in list(_STAGE_CACHE):
         df = _STAGE_CACHE.pop(k)
         try:
             df.unpersist()
         except Exception:
             pass
+    _MODEL_CACHE.clear()
 
 
 # =====================================================================
@@ -2131,9 +2164,23 @@ def semdedup_guarded_pairs(spark, sf_dir):
         semdedup_pairs_guarded)
     e = T(spark, sf_dir, "embeddings")
     cents = _cents16(spark, sf_dir)
+    # the sub-split assignment is a session STAGE on top of the shared
+    # cell assignment: (cell, subcell) is the write-time layout of the
+    # guarded tier — computed once per corpus snapshot in production —
+    # and building it inline re-ran the guard's occupancy-count and
+    # seed-selection jobs on every execution of this query's plan
     return semdedup_pairs_guarded(
         e, cents, threshold=0.3, cap=25, by="ip",
-        assigned=_cell_assign_stage(spark, sf_dir))
+        split=_semdedup_subsplit_stage(spark, sf_dir))
+
+
+def _semdedup_subsplit_stage(spark, sf_dir):
+    from cati_database_feeder_spark.operators.similarity import (
+        subsplit_hot_cells)
+    return shared_stage(
+        spark, f"q:semdedup_subsplit:{sf_dir}",
+        lambda: subsplit_hot_cells(
+            _cell_assign_stage(spark, sf_dir), cap=25))
 
 
 @register("embedding_quantize_int8", sql="""
@@ -2292,8 +2339,26 @@ def ivf_recall_check(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0) \
          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    cents = train_ivf_centroids(e, n_cells=16)
+    # trained once per (session, sf_dir): the quantizer is model state
+    # pinned at training time in production (the ingest bootstrap does
+    # exactly that), not re-trained inside every serving query; the
+    # training cost lands on the board once via the shared_model
+    # ledger ("stage:q:ivf_train")
+    cents = _ivf_train_model(spark, sf_dir)
     assigned = assign_cells(e, cents)
+    return _recall_gate_ivf(spark, sf_dir, q, assigned, cents)
+
+
+def _ivf_train_model(spark, sf_dir):
+    from cati_database_feeder_spark.operators.similarity import (
+        train_ivf_centroids)
+    e = T(spark, sf_dir, "embeddings")
+    return shared_model(spark, f"q:ivf_train:{sf_dir}",
+                        lambda: train_ivf_centroids(e, n_cells=16))
+
+
+def _recall_gate_ivf(spark, sf_dir, q, assigned, cents):
+    from cati_database_feeder_spark.operators.similarity import ivf_topk
     ap = ivf_topk(q, assigned, cents, k=10, nprobe=4).select("q_id", "vec_id")
     ex = _brute_topk10_stage(spark, sf_dir).select("q_id", "vec_id")
     return (ex.agg(F.count_distinct("q_id").alias("n_queries"))
@@ -3583,20 +3648,26 @@ def decontaminate_against_benchmark(spark, sf_dir):
     and broadcast; the corpus side explodes shingles ONCE and
     equi-joins — no pairwise comparison anywhere, so the cost is
     corpus-linear at 100 TB. Output: contaminated doc_id + distinct
-    shared-shingle count (functions/text.py:shingles_from_tokens)."""
-    d = T(spark, sf_dir, "documents")
-    staged = (d.select("doc_id", text.tokens(F.col("text")).alias("__tk"))
-              .filter(F.size("__tk") >= 4)
-              .select("doc_id",
-                      F.array_distinct(
-                          text.shingles_from_tokens(F.col("__tk"), 4)).alias("sh")))
-    bench = (staged.filter(F.col("doc_id") % 50 == 0)
-             .select(F.explode("sh").alias("shingle")).distinct())
-    corpus = (staged.filter(F.col("doc_id") % 50 != 0)
-              .select("doc_id", F.explode("sh").alias("shingle")))
-    return (corpus.join(F.broadcast(bench), "shingle")
-            .groupBy("doc_id")
-            .agg(F.countDistinct("shingle").alias("n_shared_shingles")))
+    shared-shingle count (functions/text.py:shingles_from_tokens).
+    The verdict list is a session STAGE: three registered consumers
+    read it (this query, the ladder report, the release composition)
+    — in production it is the materialized quarantine table every
+    governance step joins against, written once per corpus snapshot."""
+    def build():
+        d = T(spark, sf_dir, "documents")
+        staged = (d.select("doc_id", text.tokens(F.col("text")).alias("__tk"))
+                  .filter(F.size("__tk") >= 4)
+                  .select("doc_id",
+                          F.array_distinct(
+                              text.shingles_from_tokens(F.col("__tk"), 4)).alias("sh")))
+        bench = (staged.filter(F.col("doc_id") % 50 == 0)
+                 .select(F.explode("sh").alias("shingle")).distinct())
+        corpus = (staged.filter(F.col("doc_id") % 50 != 0)
+                  .select("doc_id", F.explode("sh").alias("shingle")))
+        return (corpus.join(F.broadcast(bench), "shingle")
+                .groupBy("doc_id")
+                .agg(F.countDistinct("shingle").alias("n_shared_shingles")))
+    return shared_stage(spark, f"q:decon_exact:{sf_dir}", build)
 
 
 @register("funnel_view_to_purchase", sql="""
@@ -3680,9 +3751,18 @@ def dedup_cluster_components(spark, sf_dir):
     as dedup_token_jaccard_pairs) into connected components via
     min-label propagation — (doc, component) where component is the
     canonical survivor id. The oracle walks the same graph with a
-    recursive CTE (operators/graph.py:connected_components)."""
+    recursive CTE (operators/graph.py:connected_components). The
+    labeling is a session STAGE: three registered consumers read it
+    (this query, keep-best, the impact report) — the materialized
+    cluster-label table of a production dedup run."""
+    return _jaccard_labels_stage(spark, sf_dir)
+
+
+def _jaccard_labels_stage(spark, sf_dir):
     from cati_database_feeder_spark.operators.graph import connected_components
-    return connected_components(_jaccard_pairs_stage(spark, sf_dir))
+    return shared_stage(
+        spark, f"q:jaccard_labels:{sf_dir}",
+        lambda: connected_components(_jaccard_pairs_stage(spark, sf_dir)))
 
 
 @register("dedup_cluster_incremental", sql=r"""
@@ -3777,12 +3857,21 @@ def dedup_keep_best(spark, sf_dir):
     a million-member boilerplate cluster costs one row, never a
     corpus-wide window; the oracle replays the same selection with a
     rank-1 window over the recursive-CTE closure
-    (operators/dedup.py:keep_best_per_cluster)."""
+    (operators/dedup.py:keep_best_per_cluster). The keep/delete list
+    is a session STAGE: three registered consumers read it (this
+    query, the impact report, the release composition) — the
+    materialized survivor manifest a production dedup run writes."""
+    return _keep_best_stage(spark, sf_dir)
+
+
+def _keep_best_stage(spark, sf_dir):
     from cati_database_feeder_spark.operators.dedup import keep_best_per_cluster
-    from cati_database_feeder_spark.operators.graph import connected_components
-    labels = connected_components(_jaccard_pairs_stage(spark, sf_dir))
-    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return keep_best_per_cluster(labels, d, score_col="n_chars")
+
+    def build():
+        labels = _jaccard_labels_stage(spark, sf_dir)
+        d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        return keep_best_per_cluster(labels, d, score_col="n_chars")
+    return shared_stage(spark, f"q:keep_best:{sf_dir}", build)
 
 
 @register("dedup_impact_report", sql=r"""
@@ -3847,12 +3936,12 @@ def dedup_impact_report(spark, sf_dir):
     source suddenly losing half its mass). One left join of the
     delete list against the corpus and a per-source aggregate on top
     of the materialized closure; fractions decided on exact integer
-    sums, rounded only for display."""
-    from cati_database_feeder_spark.operators.dedup import keep_best_per_cluster
-    from cati_database_feeder_spark.operators.graph import connected_components
+    sums, rounded only for display. Reads the session's shared
+    keep-best stage (same selection policy: score = n_chars — the
+    full documents projection here only adds `source` for the
+    grouping, which the survivor selection never looks at)."""
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    labels = connected_components(_jaccard_pairs_stage(spark, sf_dir))
-    kb = keep_best_per_cluster(labels, d, score_col="n_chars")
+    kb = _keep_best_stage(spark, sf_dir)
     out = (d.join(kb.select("doc_id", "keep"), "doc_id", "left")
            .withColumn("keep", F.coalesce("keep", F.lit(True))))
     kept_chars = F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
@@ -5141,32 +5230,50 @@ def decontaminate_bloom_gate(spark, sf_dir):
     exactness — which is why the oracle is the plain exact SQL: the
     gate is provably result-transparent, and a hash/bit regression
     that ever dropped a true positive would hash-mismatch here
-    (functions/sketches.py:bloom_build, bloom_might_contain)."""
-    from cati_database_feeder_spark.functions import sketches
-    m_bits = 65536
+    (functions/sketches.py:bloom_build, bloom_might_contain).
+    The verdict list is a session STAGE like the exact rung's: three
+    registered consumers read it (this query, the ladder report, the
+    release composition) — the materialized quarantine table of the
+    Bloom rung, written once per corpus snapshot in production."""
+    def build():
+        from cati_database_feeder_spark.functions import sketches
+        m_bits = 65536
+        bench = _bloom_bench_shingles_stage(spark, sf_dir)
+        words = sketches.bloom_build(bench, "shingle", m_bits=m_bits, k=2)
+        corpus = (_bloom_staged(spark, sf_dir)
+                  .filter(F.col("doc_id") % 40 != 0)
+                  .select("doc_id", F.explode("sh").alias("shingle")))
+        gated = corpus.filter(
+            sketches.bloom_might_contain(F.col("shingle"), words, m_bits, k=2))
+        return (gated.join(F.broadcast(bench), "shingle")
+                .groupBy("doc_id")
+                .agg(F.countDistinct("shingle").alias("n_shared_shingles")))
+    return shared_stage(spark, f"q:decon_bloom:{sf_dir}", build)
+
+
+def _bloom_staged(spark, sf_dir):
+    """(doc_id, sh): distinct 5-token shingle arrays per doc — the
+    shared projection both sides of the Bloom gate read."""
     d = T(spark, sf_dir, "documents")
-    staged = (d.select("doc_id", text.tokens(F.col("text")).alias("__tk"))
-              .filter(F.size("__tk") >= 5)
-              .select("doc_id",
-                      F.array_distinct(
-                          text.shingles_from_tokens(F.col("__tk"), 5)).alias("sh")))
-    # persisted via shared_stage: the tiny distinct benchmark set is
-    # scanned twice (the bloom_build collect and the exact verify
-    # join) — without caching each scan re-runs the benchmark-side
-    # shingle pass, and the stage cache gives the block a release path
-    # (round-10 hygiene)
-    bench = shared_stage(
+    return (d.select("doc_id", text.tokens(F.col("text")).alias("__tk"))
+            .filter(F.size("__tk") >= 5)
+            .select("doc_id",
+                    F.array_distinct(
+                        text.shingles_from_tokens(F.col("__tk"), 5))
+                    .alias("sh")))
+
+
+def _bloom_bench_shingles_stage(spark, sf_dir):
+    """Distinct benchmark-side shingles, persisted via shared_stage:
+    the set is scanned twice (the bloom_build collect and the exact
+    verify join) — without caching each scan re-runs the
+    benchmark-side shingle pass, and the stage cache gives the block
+    a release path (round-10 hygiene)."""
+    return shared_stage(
         spark, f"q:bloom_gate:bench_shingles:{sf_dir}",
-        lambda: staged.filter(F.col("doc_id") % 40 == 0)
+        lambda: _bloom_staged(spark, sf_dir)
+        .filter(F.col("doc_id") % 40 == 0)
         .select(F.explode("sh").alias("shingle")).distinct())
-    words = sketches.bloom_build(bench, "shingle", m_bits=m_bits, k=2)
-    corpus = (staged.filter(F.col("doc_id") % 40 != 0)
-              .select("doc_id", F.explode("sh").alias("shingle")))
-    gated = corpus.filter(
-        sketches.bloom_might_contain(F.col("shingle"), words, m_bits, k=2))
-    return (gated.join(F.broadcast(bench), "shingle")
-            .groupBy("doc_id")
-            .agg(F.countDistinct("shingle").alias("n_shared_shingles")))
 
 
 # shared by text_token_cms AND text_token_cms_store: the monolithic
@@ -5457,13 +5564,17 @@ def decontaminate_semantic(spark, sf_dir):
     (map-side combine, one row per corpus vector into the shuffle, no
     window); for benchmark sets too large to row-expand, compose the
     JL/IVF coarse tier first
-    (operators/similarity.py:semantic_decontaminate)."""
-    from cati_database_feeder_spark.operators.similarity import (
-        semantic_decontaminate)
-    e = T(spark, sf_dir, "embeddings")
-    bench = e.filter(F.col("vec_id") % 100 == 0)
-    corpus = e.filter(F.col("vec_id") % 100 != 0)
-    return semantic_decontaminate(corpus, bench, threshold=0.35)
+    (operators/similarity.py:semantic_decontaminate). The verdict
+    frame is a session STAGE: the ladder report reads it next to this
+    query — the materialized semantic-rung quarantine table."""
+    def build():
+        from cati_database_feeder_spark.operators.similarity import (
+            semantic_decontaminate)
+        e = T(spark, sf_dir, "embeddings")
+        bench = e.filter(F.col("vec_id") % 100 == 0)
+        corpus = e.filter(F.col("vec_id") % 100 != 0)
+        return semantic_decontaminate(corpus, bench, threshold=0.35)
+    return shared_stage(spark, f"q:decon_semantic:{sf_dir}", build)
 
 
 @register("sample_pps_systematic", sql="""
@@ -5923,7 +6034,7 @@ def text_winnow_overlap(spark, sf_dir):
     exact span dedup E53. All stages map-only JVM HOFs until one
     fp-key equi-join (operators/dedup.py:winnow_fingerprint_pairs)."""
     from cati_database_feeder_spark.operators.dedup import (
-        winnow_fingerprints, winnow_fingerprint_pairs)
+        winnow_fingerprint_pairs)
     # fingerprint extraction is the md5-heavy map pass and the pair
     # machinery reads it three times (two join branches + the df-cap
     # aggregate) — materialize once (measured 19.2 → 11.5 s cold /
@@ -5931,13 +6042,22 @@ def text_winnow_overlap(spark, sf_dir):
     # pass, same class as stage:jaccard_pairs. At 100 TB the
     # fingerprint table is written once and re-read, the
     # stage:verified_pairs economics)
-    fps = shared_stage(
-        spark, f"winnow_fps:{sf_dir}",
-        lambda: winnow_fingerprints(T(spark, sf_dir, "documents"),
-                                    k=4, w=4))
+    fps = _winnow_fps_stage(spark, sf_dir)
     return winnow_fingerprint_pairs(
         fps, k=4, w=4, min_shared=2, max_df=50,
         precomputed=True)
+
+
+def _winnow_fps_stage(spark, sf_dir):
+    """The session's one materialized winnowing-fingerprint table
+    (k=4, w=4): the overlap query, the store twin's oracle side and
+    the winnow decontamination rung all read it."""
+    from cati_database_feeder_spark.operators.dedup import (
+        winnow_fingerprints)
+    return shared_stage(
+        spark, f"winnow_fps:{sf_dir}",
+        lambda: winnow_fingerprints(T(spark, sf_dir, "documents"),
+                                    k=4, w=4))
 
 
 @register("ivf_cell_profile", sql="""
@@ -6187,19 +6307,18 @@ def decontaminate_winnow(spark, sf_dir):
     session's ONE materialized fingerprint stage; the benchmark
     fingerprint set is broadcast (bounded by construction — benchmark
     suites are small; the same justification as
-    decontaminate_against_benchmark)."""
-    from cati_database_feeder_spark.operators.dedup import (
-        winnow_fingerprints)
-    fps = shared_stage(
-        spark, f"winnow_fps:{sf_dir}",
-        lambda: winnow_fingerprints(T(spark, sf_dir, "documents"),
-                                    k=4, w=4))
-    bench_fp = (fps.filter(F.col("doc_id") % 40 == 0)
-                .select("fp").distinct())
-    return (fps.filter(F.col("doc_id") % 40 != 0)
-            .join(F.broadcast(bench_fp), "fp")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_hits")))
+    decontaminate_against_benchmark). The verdict list is a session
+    STAGE like the other rungs': three registered consumers read it
+    (this query, the ladder report, the release composition)."""
+    def build():
+        fps = _winnow_fps_stage(spark, sf_dir)
+        bench_fp = (fps.filter(F.col("doc_id") % 40 == 0)
+                    .select("fp").distinct())
+        return (fps.filter(F.col("doc_id") % 40 != 0)
+                .join(F.broadcast(bench_fp), "fp")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_hits")))
+    return shared_stage(spark, f"q:decon_winnow:{sf_dir}", build)
 
 
 @register("text_source_cardinality", sql=_HLL_SHINGLE_SQL_BODY.replace(
@@ -8187,7 +8306,10 @@ def pq_recall_check(spark, sf_dir):
     from cati_database_feeder_spark.operators.similarity import (
         pq_adc_topk, pq_encode, train_pq_codebooks)
     e = T(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(e, 64, _PQ_M, _PQ_KS, iterations=2)
+    # trained once per (session, sf_dir) — the ivf_recall_check
+    # shared_model discipline: codebooks are pinned model state, and
+    # the training cost is board-charged once ("stage:q:pq_train")
+    books = _pq_train_model(spark, sf_dir)
     codes = pq_encode(e, books).select("vec_id", "codes")
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -8200,6 +8322,15 @@ def pq_recall_check(spark, sf_dir):
             .select("n_queries",
                     (F.col("__h") / (10.0 * F.col("n_queries")) >= 0.45)
                     .alias("recall_ok")))
+
+
+def _pq_train_model(spark, sf_dir):
+    from cati_database_feeder_spark.operators.similarity import (
+        train_pq_codebooks)
+    e = T(spark, sf_dir, "embeddings")
+    return shared_model(
+        spark, f"q:pq_train:{sf_dir}",
+        lambda: train_pq_codebooks(e, 64, _PQ_M, _PQ_KS, iterations=2))
 
 
 @register("embedding_pq_adc_topk_store", sql=_PQ_ADC_TOPK_SQL)
@@ -9480,6 +9611,43 @@ def _langid_pred_stage(spark, sf_dir):
     and scoring live in the build (see text_lang_id for the scale
     argument)."""
     def build():
+        # all three training/scoring aggregates derive from the
+        # PER-DOC bucket histogram stage by exact integer
+        # re-aggregation: per-(lang,b) gram counts = sum of per-doc m,
+        # per-lang totals likewise (associativity of integer SUM) —
+        # the raw exploded gram stream is aggregated before it is ever
+        # persisted (guide §2.3, aggregate before you shuffle), so the
+        # two model passes re-read ~distinct-(doc,bucket) rows instead
+        # of every gram occurrence.
+        docb = _langid_buckets_stage(spark, sf_dir)
+        cnt = (docb.groupBy(F.col("lang").alias("model_lang"), F.col("b"))
+               .agg(F.sum("m").cast("bigint").alias("c")))
+        tot = (docb.groupBy(F.col("lang").alias("model_lang"))
+               .agg(F.sum("m").cast("bigint").alias("tot")))
+        model = (cnt.join(tot, "model_lang")
+                 .select("model_lang", "b",
+                         F.expr("CAST((c * 1000000) DIV tot AS BIGINT)")
+                         .alias("w")))
+        sc = (docb.join(F.broadcast(model), "b")
+              .groupBy("doc_id", "lang", "model_lang")
+              .agg(F.sum(F.col("m") * F.col("w")).alias("s")))
+        return (sc.groupBy("doc_id", "lang")
+                .agg(F.min(F.struct((-F.col("s")).alias("ns"),
+                                    F.col("model_lang").alias("ml")))
+                     .alias("top"))
+                .select("doc_id", "lang", F.col("top.ml").alias("pred")))
+    return shared_stage(spark, f"langid_pred:{sf_dir}", build)
+
+
+def _langid_buckets_stage(spark, sf_dir):
+    """Per-document hashed-trigram bucket HISTOGRAM (doc_id, lang, b,
+    m), persisted once per session — the E120 scorer's materialized
+    feature table. Aggregated BEFORE the persist: the raw exploded
+    gram stream never materializes (map-side partials collapse it into
+    distinct-(doc,bucket) rows), and every consumer — per-doc scoring,
+    per-language model counts, language totals — derives from the
+    histogram by exact integer re-aggregation."""
+    def build():
         d = T(spark, sf_dir, "documents")
         tk = d.select("doc_id", "lang",
                       text.tokens(F.col("text")).alias("tk"))
@@ -9501,26 +9669,9 @@ def _langid_pred_stage(spark, sf_dir):
               .select("doc_id", "lang",
                       (text.hash64(F.col("g")) % _LANGID_BUCKETS)
                       .alias("b")))
-        bk = shared_stage(spark, f"langid_buckets:{sf_dir}", lambda: bk)
-        docb = (bk.groupBy("doc_id", "lang", "b")
+        return (bk.groupBy("doc_id", "lang", "b")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("m")))
-        cnt = (bk.groupBy(F.col("lang").alias("model_lang"), F.col("b"))
-               .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
-        tot = (bk.groupBy(F.col("lang").alias("model_lang"))
-               .agg(F.count(F.lit(1)).cast("bigint").alias("tot")))
-        model = (cnt.join(tot, "model_lang")
-                 .select("model_lang", "b",
-                         F.expr("CAST((c * 1000000) DIV tot AS BIGINT)")
-                         .alias("w")))
-        sc = (docb.join(F.broadcast(model), "b")
-              .groupBy("doc_id", "lang", "model_lang")
-              .agg(F.sum(F.col("m") * F.col("w")).alias("s")))
-        return (sc.groupBy("doc_id", "lang")
-                .agg(F.min(F.struct((-F.col("s")).alias("ns"),
-                                    F.col("model_lang").alias("ml")))
-                     .alias("top"))
-                .select("doc_id", "lang", F.col("top.ml").alias("pred")))
-    return shared_stage(spark, f"langid_pred:{sf_dir}", build)
+    return shared_stage(spark, f"langid_buckets:{sf_dir}", build)
 
 
 @register("text_lang_id", sql=_LANGID_SQL)
