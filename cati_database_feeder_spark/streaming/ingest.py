@@ -1470,7 +1470,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # and a crash before it re-enters this branch and redoes every
         # store (partial epoch dirs are healed by _recover_swaps).
         from concurrent.futures import ThreadPoolExecutor
-        pool = ThreadPoolExecutor(max_workers=3)
+        pool = ThreadPoolExecutor(max_workers=6)
         store_futs = [
             pool.submit(_swap_write,
                         memb.filter(F.col("id") == F.col("gid"))
@@ -1483,6 +1483,49 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
             pool.submit(_swap_write,
                         dedup.rep_band_buckets(memb, num_hashes, bands),
                         buckets_dir),
+        ]
+        # The sketch/fingerprint stores (cms/cbloom/hll/wfp/dhash/afp)
+        # depend only on `batch`, never on the membership machinery —
+        # submit them to the pool NOW so their jobs back-fill executor
+        # idle tails of the verify/closure critical path below (guide
+        # §2.6) instead of running as a sequential epilogue. Laps are
+        # recorded at COMPLETION in completion order (wall segments:
+        # the sum of all boot laps + :other still equals the
+        # bootstrap's true wall — a store that finished entirely
+        # inside another phase's segment records ~0, which is the
+        # honest number for overlapped capital). Crash-safety is
+        # unchanged: every future is joined before the metrics row
+        # and the corpus commit marker, so a failed write still
+        # aborts the bootstrap before the marker and the retry redoes
+        # every store.
+        boot_fp = _cms_fp(batch)
+        _done_at: dict[str, float] = {}
+
+        def _tracked(name, fn, *a, **kw):
+            def run():
+                fn(*a, **kw)
+                _done_at[name] = _time.time()
+            return pool.submit(run)
+
+        sketch_futs = [
+            _tracked(sk_name, _swap_write,
+                     _cms_store_frame(spark, sk_cells(batch, sd1, sd2),
+                                      boot_fp, sd1, sd2),
+                     os.path.join(state_dir, sk_name))
+            for sk_name, sk_cells, (sd1, sd2) in _SKETCH_STORES
+        ] + [
+            _tracked("hll", _swap_write,
+                     _hll_frame(spark, batch).coalesce(1),
+                     os.path.join(state_dir, "hll")),
+            _tracked("wfp", _swap_write_bucketed,
+                     _wfp_frame(spark, batch, WFP_K, WFP_W),
+                     os.path.join(state_dir, "wfp")),
+            _tracked("dhash", _swap_write_bucketed,
+                     _dhash_frame(spark, batch),
+                     os.path.join(state_dir, "dhash")),
+            _tracked("afp", _swap_write_bucketed,
+                     _afp_frame(spark, batch),
+                     os.path.join(state_dir, "afp")),
         ]
         # persisted: the expansion, the closure's star edges, and the
         # pairs-store write all read it
@@ -1512,31 +1555,23 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         _swap_write(labels, labels_dir)
         for fut in store_futs:
             fut.result()
-        pool.shutdown()
         _boot_lap(_marks, "membership")
-        # linear-sketch stores of the bootstrap corpus (count-min token
-        # table + counting-Bloom shingle gate); a bootstrap retry redoes
-        # these overwrites with identical content (idempotent), and the
-        # fp sentinels record the batch so a partial-crash redelivery
-        # that somehow reaches the incremental path still skips
-        boot_fp = _cms_fp(batch)
-        for sk_name, sk_cells, (sd1, sd2) in _SKETCH_STORES:
-            _swap_write(_cms_store_frame(spark, sk_cells(batch, sd1, sd2),
-                                         boot_fp, sd1, sd2),
-                        os.path.join(state_dir, sk_name))
-            _boot_lap(_marks, sk_name)
-        _swap_write(_hll_frame(spark, batch).coalesce(1),
-                    os.path.join(state_dir, "hll"))
-        _boot_lap(_marks, "hll")
-        _swap_write_bucketed(_wfp_frame(spark, batch, WFP_K, WFP_W),
-                             os.path.join(state_dir, "wfp"))
-        _boot_lap(_marks, "wfp")
-        _swap_write_bucketed(_dhash_frame(spark, batch),
-                             os.path.join(state_dir, "dhash"))
-        _boot_lap(_marks, "dhash")
-        _swap_write_bucketed(_afp_frame(spark, batch),
-                             os.path.join(state_dir, "afp"))
-        _boot_lap(_marks, "afp")
+        # join the overlapped sketch-store futures (submitted above);
+        # a bootstrap retry redoes these overwrites with identical
+        # content (idempotent), and the fp sentinels record the batch
+        # so a partial-crash redelivery that somehow reaches the
+        # incremental path still skips
+        for fut in sketch_futs:
+            fut.result()
+        pool.shutdown()
+        # wall-segment laps in completion order: each store's entry is
+        # the wall time between the previous completion (or the
+        # membership join) and its own — overlapped builds record ~0
+        # and the lap sum stays equal to the true bootstrap wall
+        for name in sorted(_done_at, key=_done_at.get):
+            now = _done_at[name]
+            BOOT_PHASE_SECONDS[name] = round(max(now - _marks[0], 0.0), 3)
+            _marks[0] = max(_marks[0], now)
         # metrics BEFORE the corpus commit marker: a crash between the
         # two replays the whole bootstrap (corpus absent) and appends a
         # duplicate row with the same batch_id — at-least-once, which

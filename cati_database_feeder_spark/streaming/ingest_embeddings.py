@@ -348,43 +348,55 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
         cents = [(int(c), [float(x) for x in v]) for c, v in centroid_rows]
         pairs = semdedup_pairs(batch, cents, threshold=threshold,
                                by=by).persist()
+        # The four pinned-parameter stores (centroids, quantizer
+        # range, JL planes, PQ codebooks) depend only on cents/batch —
+        # never on the closure — so their tiny writes run as
+        # concurrent jobs from a small pool while the main thread
+        # computes the label closure (guide §2.6: overlap independent
+        # jobs). Commit-marker discipline unchanged: every future is
+        # joined before the metrics row and the vectors write, so the
+        # marker still lands strictly last and a crash re-enters this
+        # branch and overwrites all four with identical values.
+        # - quantizer RANGE: later batches quantize against the stored
+        #   [lo, hi] (out-of-range elements clamp — quantize_int8's
+        #   contract), so the code store stays one consistent
+        #   quantization.
+        # - JL planes: dim comes from the centroids — required at
+        #   bootstrap and dimension-equal to the vectors by
+        #   assignment; the seeded matrix is identical on re-entry.
+        # - PQ codebooks: derived from the pinned centroid vectors'
+        #   subspace slices, identical on re-entry.
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=3)
+        lo, hi = _corpus_range(batch)
+        planes = _default_planes(len(cents[0][1]))
+        books = _pqbooks_from_cents(cents)
+        param_futs = [
+            pool.submit(_swap_write, local_frame(
+                spark, cents, "cell int, centroid array<double>")
+                .coalesce(1), cen_dir),
+            pool.submit(_swap_write, local_frame(
+                spark, [(lo, hi)], "lo double, hi double")
+                .coalesce(1), os.path.join(state_dir, "quant")),
+            pool.submit(_swap_write, local_frame(
+                spark, [(i, p) for i, p in enumerate(planes)],
+                "idx int, plane array<double>").coalesce(1),
+                os.path.join(state_dir, "planes")),
+            pool.submit(_swap_write, _pqbooks_frame(spark, books)
+                        .coalesce(1), os.path.join(state_dir, "pqbooks")),
+        ]
         labels = connected_components(pairs.select("id_a", "id_b"))
         _swap_write(labels, lab_dir)
         _boot_lap(_marks, "closure")
-        _swap_write(local_frame(
-            spark, cents, "cell int, centroid array<double>")
-            .coalesce(1), cen_dir)
+        for fut in param_futs:
+            fut.result()
+        pool.shutdown()
+        _boot_lap(_marks, "params")
         # metrics BEFORE the vectors commit marker (the text path's
         # argument, streaming/ingest.py): crash in between → the replay
         # re-enters bootstrap and appends a duplicate batch_id row
         # (at-least-once) instead of losing the row to the pure-replay
         # early return forever
-        # the quantizer RANGE is pinned at bootstrap exactly like the
-        # centroids: later batches quantize against the stored [lo,hi]
-        # (out-of-range elements clamp — quantize_int8's contract), so
-        # the code store stays one consistent quantization. Written
-        # before the vectors commit marker: a crash in between
-        # re-enters bootstrap and overwrites it with the same values.
-        lo, hi = _corpus_range(batch)
-        _swap_write(local_frame(spark, [(lo, hi)], "lo double, hi double")
-                    .coalesce(1), os.path.join(state_dir, "quant"))
-        # the JL plane matrix is pinned at bootstrap like the quant
-        # range (dim comes from the centroids — required at bootstrap
-        # and dimension-equal to the vectors by assignment); a crash
-        # before the vectors marker re-enters and overwrites with the
-        # identical seeded matrix
-        planes = _default_planes(len(cents[0][1]))
-        _swap_write(local_frame(
-            spark, [(i, p) for i, p in enumerate(planes)],
-            "idx int, plane array<double>").coalesce(1),
-            os.path.join(state_dir, "planes"))
-        # the PQ codebooks are pinned at bootstrap like the planes —
-        # derived from the pinned centroid vectors' subspace slices, so
-        # a crash-window re-entry overwrites with identical values
-        books = _pqbooks_from_cents(cents)
-        _swap_write(_pqbooks_frame(spark, books).coalesce(1),
-                    os.path.join(state_dir, "pqbooks"))
-        _boot_lap(_marks, "params")
         n = batch.count()
         _append_metrics(spark, state_dir, batch_id, n, n,
                         pairs.count(), False, True)
