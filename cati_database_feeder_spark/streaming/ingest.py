@@ -1471,6 +1471,13 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # store (partial epoch dirs are healed by _recover_swaps).
         from concurrent.futures import ThreadPoolExecutor
         pool = ThreadPoolExecutor(max_workers=6)
+        # the banding table is persisted ONCE and feeds both the
+        # buckets store write (pool) and candidate generation in the
+        # verify below (rep_candidates=) — unpersisted, the signature
+        # pass (md5 + 16 minhash transforms over every rep token ran
+        # twice per bootstrap
+        bb = dedup.rep_band_buckets(memb, num_hashes, bands).persist()
+        bb.count()
         store_futs = [
             pool.submit(_swap_write,
                         memb.filter(F.col("id") == F.col("gid"))
@@ -1480,9 +1487,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
                         reps_dir),
             pool.submit(_swap_write_bucketed, memb.select("id", "gid"),
                         members_dir, "id"),
-            pool.submit(_swap_write,
-                        dedup.rep_band_buckets(memb, num_hashes, bands),
-                        buckets_dir),
+            pool.submit(_swap_write, bb, buckets_dir),
         ]
         # The sketch/fingerprint stores (cms/cbloom/hll/wfp/dhash/afp)
         # depend only on `batch`, never on the membership machinery —
@@ -1531,7 +1536,9 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         # pairs-store write all read it
         rep_pairs = dedup.near_dup_rep_pairs(
             batch, threshold=threshold, num_hashes=num_hashes,
-            bands=bands, groups=memb).persist()
+            bands=bands, groups=memb,
+            rep_candidates=dedup._bucket_pairs(
+                bb, ["band", "bucket"], "id")).persist()
         rep_pairs.count()
         mem = memb.filter(F.size("toks") > 0).select("gid", "id")
         # persisted: consumed by the pairs-store write AND the metrics
@@ -1586,6 +1593,7 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
         _boot_lap(_marks, "corpus")
         pairs.unpersist()
         rep_pairs.unpersist()
+        bb.unpersist()
         memb.unpersist()
         return
 
