@@ -322,7 +322,17 @@ def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
         F.explode(F.transform(F.slice("ord", F.lit(1), plen),
                               lambda s: s["tok"])).alias("tok"))
 
-    cands = _bucket_pairs(prefix, blk_cols + ["tok"], "id")
+    # Verification below is COMPUTE-bound per row (array_intersect over
+    # the two element arrays) while candidate id-pairs are tiny in
+    # BYTES — AQE's size-based partition coalescing folds them into 1-2
+    # tasks and serializes the verify (measured 4.1 → 2.7 s at sf0.1
+    # for the char-8-gram variant; the incremental ingest path pins the
+    # same way for the same reason). Repartition on id_a: spreads the
+    # verify across the cluster AND pre-partitions for the join on
+    # id_a, so the exchange is reused, not added.
+    cands = (_bucket_pairs(prefix, blk_cols + ["tok"], "id")
+             .repartition(documents.sparkSession.sparkContext
+                          .defaultParallelism, "id_a"))
 
     # Each verify side recomputes the tokenize/shingle projection (the
     # branches prune differently, so their exchanges rarely canonicalize
