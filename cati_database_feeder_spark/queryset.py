@@ -242,7 +242,10 @@ def _cell_assign_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cati_database_feeder_spark.operators.similarity import assign_cells
     return shared_stage(
         spark, f"cell_assign16:{sf_dir}",
-        lambda: assign_cells(T(spark, sf_dir, "embeddings"),
+        # spread(): 16 interpreted-HOF dots per vector over a footer-
+        # sized scan — fans the assignment out AND leaves the persisted
+        # frame multi-block for every downstream consumer; no-op at scale
+        lambda: assign_cells(spread(spark, sf_dir, "embeddings"),
                              _cents16(spark, sf_dir), by="ip"))
 
 
@@ -1836,8 +1839,11 @@ def _brute_topk10_stage(spark, sf_dir):
     from cati_database_feeder_spark.operators.similarity import brute_force_topk
 
     def build():
-        e = T(spark, sf_dir, "embeddings")
-        q = e.filter(F.col("vec_id") % 100 == 0) \
+        # spread(): the corpus side of the brute scan is per-row dot
+        # floods over a footer-sized scan; queries stay on the plain
+        # scan (bounded rows)
+        e = spread(spark, sf_dir, "embeddings")
+        q = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0) \
              .select(F.col("vec_id").alias("q_id"),
                      F.col("embedding").alias("q_vec"))
         return brute_force_topk(q, e, k=10)
@@ -2261,7 +2267,8 @@ def embedding_quantize_int8(spark, sf_dir):
     engine-rounded casts) (functions/vectors.py:quantize_int8)."""
     from cati_database_feeder_spark.functions.vectors import (
         dequantize_int8, quantize_int8)
-    e = T(spark, sf_dir, "embeddings")
+    # spread(): quantize + dequantize + error HOFs per vector
+    e = spread(spark, sf_dir, "embeddings")
     rng = (e.select(F.explode("embedding").alias("x"))
            .agg(F.min(F.col("x").cast("double")).alias("lo"),
                 F.max(F.col("x").cast("double")).alias("hi")))
@@ -4842,8 +4849,10 @@ def _jl_topk10_stage(spark, sf_dir):
     from cati_database_feeder_spark.operators.similarity import jl_topk
 
     def build():
-        e = T(spark, sf_dir, "embeddings")
-        q = e.filter(F.col("vec_id") % 100 == 0) \
+        # spread(): 32 interpreted-HOF plane dots per vector — the
+        # projection and the coarse scoring otherwise run single-task
+        e = spread(spark, sf_dir, "embeddings")
+        q = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0) \
              .select(F.col("vec_id").alias("q_id"),
                      F.col("embedding").alias("q_vec"))
         return jl_topk(q, e, _JL_PLANES_32, k=10, coarse_k=_JL_COARSE_K)
@@ -8416,7 +8425,8 @@ def _pq_codes_stage(spark, sf_dir):
         pq_codebooks_from_seeds, pq_encode)
 
     def build():
-        e = T(spark, sf_dir, "embeddings")
+        # spread(): PQ encoding is m x 16 sub-dots per vector
+        e = spread(spark, sf_dir, "embeddings")
         seeds = [v for _, v in _cents16(spark, sf_dir)]
         cbs = pq_codebooks_from_seeds(seeds, _PQ_M)
         return pq_encode(e, cbs).select("vec_id", "codes")
