@@ -240,15 +240,43 @@ def _bucket_pairs(buckets: DataFrame, key_cols: list[str], id_col: str,
     # (ReusedExchange — verified in the final adaptive plan). On a real
     # cluster the bucket table wouldn't fit the broadcast threshold
     # anyway, so this also makes local plans match cluster plans.
+    #
+    # Pin the self-join's partitioning: the bucket table is tiny in
+    # BYTES (a few key columns + one id per row) while within-key pair
+    # emission is O(m²) COMPUTE — AQE's size-based coalescing folds the
+    # exchange into ONE task and serializes the emission (measured at
+    # sf0.1: join output ran on 1 partition, 3.0 s → 2.0 s pinned; the
+    # verify consumers inherit the parallelism downstream). The
+    # explicit key-repartition REPLACES the join's ENSURE_REQUIREMENTS
+    # exchange (no extra shuffle; both sides canonicalize equal and
+    # reuse one exchange) and never shrinks the configured shuffle
+    # width — max(cores, spark.sql.shuffle.partitions), so at-scale
+    # sessions that size shuffle.partitions for data volume keep it.
+    sess = buckets.sparkSession
+    pin = max(sess.sparkContext.defaultParallelism,
+              int(sess.conf.get("spark.sql.shuffle.partitions")))
+    buckets = buckets.repartition(pin, *key_cols)
     a = buckets.alias("a").hint("shuffle_hash")
     b = buckets.alias("b").hint("shuffle_hash")
     cond = reduce(lambda x, y: x & y,
                   [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
                   + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+    # dedup keyed on id_a instead of a bare distinct(): the pin
+    # replaces distinct's ENSURE_REQUIREMENTS exchange (hashpartitioning
+    # on id_a satisfies the (id_a, id_b) clustering — same shuffle
+    # count) but leaves the output 32/pin-way partitioned on id_a,
+    # which is exactly what every verify consumer joins on next —
+    # without it AQE coalesced the ~50 MB pair exchange to 1-16 tasks
+    # and the compute-bound verify serialized (measured at sf0.1:
+    # verify min 4.85 s → 3.43 s). Same id_a skew story as the
+    # jaccard_similarity_join pin above: a hot id_a is bounded by
+    # cluster occupancy, which max_occupancy / rep-collapse already
+    # governs.
     return (a.join(b, cond)
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())
+            .repartition(pin, "id_a")
+            .dropDuplicates())
 
 
 def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
