@@ -378,6 +378,23 @@ def _drop_store(target: str) -> None:
 N_ID_BUCKETS = 64
 
 
+def _pin_dedup(df: DataFrame, id_col: str) -> DataFrame:
+    """Batch exact-dedup with its exchange PINNED to the session's
+    compute width. ``dropDuplicates`` alone shuffles by id and lets
+    AQE's size-based coalescing fold the tiny-byte batch exchange into
+    ONE task — and every downstream per-row compute of the bootstrap
+    (tokenize, shingle/fingerprint passes, per-vector dot floods) then
+    runs single-core off that exchange. The explicit key-repartition
+    REPLACES the dedup's ENSURE_REQUIREMENTS exchange (no extra
+    shuffle) and never shrinks the configured shuffle width —
+    max(cores, spark.sql.shuffle.partitions) — so at-scale batches
+    keep their byte-sized partitioning."""
+    sess = df.sparkSession
+    pin = max(sess.sparkContext.defaultParallelism,
+              int(sess.conf.get("spark.sql.shuffle.partitions")))
+    return df.repartition(pin, id_col).dropDuplicates([id_col])
+
+
 def _with_id_bucket(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("bucket", F.pmod(
         text_fns.hash64(F.col(id_col).cast("string")),
@@ -1434,9 +1451,9 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
     members_dir = os.path.join(state_dir, "members")
     reps_dir = os.path.join(state_dir, "reps")
     pairs_dir = os.path.join(state_dir, "pairs")
-    batch = (batch.select(F.col(id_col).alias("doc_id"),
-                          F.col(text_col).alias("text"))
-             .dropDuplicates(["doc_id"]))
+    batch = _pin_dedup(batch.select(F.col(id_col).alias("doc_id"),
+                                    F.col(text_col).alias("text")),
+                       "doc_id")
 
     if not store_exists(corpus_dir):
         # bootstrap: the first batch IS the corpus snapshot. The corpus

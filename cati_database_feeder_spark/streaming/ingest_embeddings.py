@@ -67,8 +67,8 @@ from cati_database_feeder_spark.operators.similarity import (
     assign_cells, incremental_semdedup_pairs, semdedup_pairs)
 from cati_database_feeder_spark.streaming.ingest import (
     _DELETE_PENDING, _append_metrics, _check_no_pending_delete,
-    _drop_store, _recover_swaps, _state_lock, _swap_write, live_store,
-    store_exists)
+    _drop_store, _pin_dedup, _recover_swaps, _state_lock, _swap_write,
+    live_store, store_exists)
 
 _EMB_STORES = ("labels", "vectors", "centroids", "metrics", "deleted",
                "quant", "planes", "pqbooks")
@@ -100,8 +100,14 @@ def _swap_write_by_cell(frame, vec_dir: str) -> None:
     crash-sensitive sequence — review finding): only the physical
     write differs (partitionBy("cell") so cell-pruned serving reads
     stay pruned)."""
+    # repartition on cell first (same argument as ingest._bucketed_writer):
+    # partitionBy alone splits EVERY task's output by value — with the
+    # batch compute now fanned out over the session's cores that is
+    # tasks x cells small files; hashed on cell, each cell's rows land
+    # in one task -> one file per cell dir
     _swap_write(frame, vec_dir,
-                writer=lambda df, path: df.write.mode("overwrite")
+                writer=lambda df, path: df.repartition("cell")
+                .write.mode("overwrite")
                 .partitionBy("cell").parquet(path))
 
 
@@ -329,9 +335,9 @@ def _ingest_embeddings_locked(spark, batch, state_dir, centroid_rows,
     vec_dir = os.path.join(state_dir, "vectors")
     lab_dir = os.path.join(state_dir, "labels")
     cen_dir = os.path.join(state_dir, "centroids")
-    batch = (batch.select(F.col(id_col).alias("vec_id"),
-                          F.col(vec_col).alias("embedding"))
-             .dropDuplicates(["vec_id"]))
+    batch = _pin_dedup(batch.select(F.col(id_col).alias("vec_id"),
+                                    F.col(vec_col).alias("embedding")),
+                       "vec_id")
 
     if not store_exists(vec_dir):
         # bootstrap — the vectors write goes LAST as the commit marker
