@@ -261,22 +261,18 @@ def _bucket_pairs(buckets: DataFrame, key_cols: list[str], id_col: str,
     cond = reduce(lambda x, y: x & y,
                   [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
                   + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-    # dedup keyed on id_a instead of a bare distinct(): the pin
-    # replaces distinct's ENSURE_REQUIREMENTS exchange (hashpartitioning
-    # on id_a satisfies the (id_a, id_b) clustering — same shuffle
-    # count) but leaves the output 32/pin-way partitioned on id_a,
-    # which is exactly what every verify consumer joins on next —
-    # without it AQE coalesced the ~50 MB pair exchange to 1-16 tasks
-    # and the compute-bound verify serialized (measured at sf0.1:
-    # verify min 4.85 s → 3.43 s). Same id_a skew story as the
-    # jaccard_similarity_join pin above: a hot id_a is bounded by
-    # cluster occupancy, which max_occupancy / rep-collapse already
-    # governs.
+    # plain distinct, deliberately NOT pinned on id_a: an id_a-keyed
+    # dedup (repartition(pin, id_a) + dropDuplicates) was measured and
+    # REJECTED — it helps an unpersisted verify consumer (4.85 → 3.43 s
+    # at sf0.1: the verify inherits 32-way id_a partitioning), but when
+    # the candidate frame is PERSISTED as a stage (the bench/production
+    # shape) the id_a output partitioning makes the verify joins
+    # shuffle-reuse on id_a instead of broadcasting the small rep side,
+    # and the full verify+expand pipeline regressed 3.48 → 6.46 s.
     return (a.join(b, cond)
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
-            .repartition(pin, "id_a")
-            .dropDuplicates())
+            .distinct())
 
 
 def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
