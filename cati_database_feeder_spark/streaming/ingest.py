@@ -1451,9 +1451,16 @@ def _ingest_batch_locked(spark, batch: DataFrame, state_dir: str,
     members_dir = os.path.join(state_dir, "members")
     reps_dir = os.path.join(state_dir, "reps")
     pairs_dir = os.path.join(state_dir, "pairs")
-    batch = _pin_dedup(batch.select(F.col(id_col).alias("doc_id"),
-                                    F.col(text_col).alias("text")),
-                       "doc_id")
+    # plain dropDuplicates, deliberately NOT _pin_dedup: the text
+    # bootstrap's critical path is the verify/closure machinery whose
+    # own shuffles re-spread the work, while tokenize-per-doc is cheap
+    # — pinning the batch exchange here was measured SLOWER (membership
+    # lap min 10.7 -> 12.3 s at sf0.1, 3 paired rounds). The embedding
+    # path keeps the pin: its per-vector code/proj/PQ flood has no
+    # downstream shuffle to spread it (ingest_embeddings.py).
+    batch = (batch.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).alias("text"))
+             .dropDuplicates(["doc_id"]))
 
     if not store_exists(corpus_dir):
         # bootstrap: the first batch IS the corpus snapshot. The corpus
