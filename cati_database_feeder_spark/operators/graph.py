@@ -204,7 +204,7 @@ def _driver_union_find(srcs, dsts) -> dict[int, int]:
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 50,
-                         driver_edge_cap: int | None = 1_000_000) -> DataFrame:
+                         driver_edge_cap: int | None = 4_000_000) -> DataFrame:
     """(id, component) for every node in ``pairs``; component = min node
     id reachable through the pair graph. Deterministic for any input
     order — min() is order-insensitive.
@@ -218,7 +218,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     dominate small-graph cost (measured ~6 s of fixed overhead for a
     sub-second graph at sf0.1). Above the cap — or with
     ``driver_edge_cap=None`` — the distributed path runs. The cap
-    bounds driver memory explicitly (1M edges ≈ 16 MB of Arrow longs;
+    bounds driver memory explicitly (4M edges ≈ 64 MB of Arrow longs —
+    the same bound class as the session's broadcast threshold;
     the same bounded-driver-state class as IVF centroids and the
     global-order bucket offsets), and the DISTRIBUTED path remains the
     scale story: at 100 TB the pair graph exceeds any cap and min-label
@@ -382,7 +383,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 def components_from_rep_pairs(rep_pairs: DataFrame, mem: DataFrame,
                               max_iter: int = 50,
-                              driver_edge_cap: int | None = 1_000_000
+                              driver_edge_cap: int | None = 4_000_000
                               ) -> DataFrame:
     """Components of the EXPANDED member-pair graph (what
     dedup.expand_group_pairs(rep_pairs, mem) would emit), computed on
@@ -419,7 +420,7 @@ def components_from_rep_pairs(rep_pairs: DataFrame, mem: DataFrame,
 def incremental_components(labels: DataFrame, new_pairs: DataFrame,
                            id_a: str = "id_a", id_b: str = "id_b",
                            max_iter: int = 50,
-                           driver_edge_cap: int | None = 1_000_000) -> DataFrame:
+                           driver_edge_cap: int | None = 4_000_000) -> DataFrame:
     """Update an existing (id, component) labeling with NEW edges
     without reprocessing the old graph — the ingest-time companion of
     :func:`connected_components` (and the consumer of
