@@ -136,7 +136,7 @@ def with_lsh_bucket(df: DataFrame, vec_col: str, n_bits: int = 8,
     # n_bits×dim multiply-adds per row that buy the recall).
     # Arithmetic is the identical sequential-fold dot per plane, so
     # bucket values — and the SQL oracle — are unchanged.
-    planes = F.lit([[float(x) for x in p] for p in hyperplanes])
+    planes = V.lit_nested([[float(x) for x in p] for p in hyperplanes])
     bits = F.transform(
         planes,
         lambda p: F.when(V.dot(F.col(vec_col), p) >= 0,
@@ -206,7 +206,7 @@ def with_lsh_table_buckets(df: DataFrame, vec_col: str, id_col: str,
     # compiles once and evaluates the same sequential-fold dots. Staged
     # as its own projection so the bits compute once per row, then each
     # table's bucket is a slice+join of the staged array.
-    planes = F.lit([[float(x) for x in p] for p in hyperplanes])
+    planes = V.lit_nested([[float(x) for x in p] for p in hyperplanes])
     bits = F.transform(
         planes,
         lambda p: F.when(V.dot(F.col(vec_col), p) >= 0,
@@ -428,8 +428,8 @@ def _centroid_literal(centroid_rows: list[tuple[int, list[float]]]):
     per-element ``F.array(F.lit(...)...)`` tree costs ~1k expression
     nodes per use and dominates iteration time. A few KB of constants
     shipped with the plan — no join, no broadcast exchange."""
-    cells = F.lit([int(c) for c, _ in centroid_rows])
-    cents = F.lit([[float(x) for x in vec] for _, vec in centroid_rows])
+    cells = V.lit_nested([int(c) for c, _ in centroid_rows])
+    cents = V.lit_nested([[float(x) for x in vec] for _, vec in centroid_rows])
     return F.zip_with(cells, cents,
                       lambda c, v: F.struct(c.alias("cell"), v.alias("centroid")))
 
@@ -863,10 +863,10 @@ def subsplit_hot_cells(assigned: DataFrame, cap: int,
     # coalesce 0. Arrays are never NULL anywhere in the chain (a null
     # array into zip_with/array_sort NPEs in generated code), and the
     # sentinel keeps element_at in bounds under ANSI semantics.
-    subs_2d = F.lit([[s for s, _ in sorted(by_cell[c])]
-                     for c in hot_sorted] + [[]])
-    vecs_3d = F.lit([[v for _, v in sorted(by_cell[c])]
-                     for c in hot_sorted] + [[]])
+    subs_2d = V.lit_nested([[s for s, _ in sorted(by_cell[c])]
+                            for c in hot_sorted] + [[]])
+    vecs_3d = V.lit_nested([[v for _, v in sorted(by_cell[c])]
+                            for c in hot_sorted] + [[]])
     idx = F.lit(len(hot_sorted) + 1)
     for i, c in enumerate(hot_sorted):
         idx = F.when(F.col(cell_col) == c, F.lit(i + 1)).otherwise(idx)
@@ -1044,7 +1044,7 @@ def lsh_topk_multiprobe(queries: DataFrame, corpus: DataFrame,
     n_bits = len(hyperplanes)
     if not 0 <= n_flip <= n_bits:
         raise ValueError(f"n_flip must be in [0, {n_bits}], got {n_flip}")
-    planes = F.lit([[float(x) for x in p] for p in hyperplanes])
+    planes = V.lit_nested([[float(x) for x in p] for p in hyperplanes])
 
     def bucket_of(vec_col_name: str):
         return F.array_join(F.transform(
@@ -1088,7 +1088,7 @@ def jl_project(df: DataFrame, vec_col: str,
     output element is one sequential-fold dot, so a SQL oracle
     replays the projected vectors bit-for-bit from the same
     literals."""
-    pl = F.lit([[float(x) for x in p] for p in planes])
+    pl = V.lit_nested([[float(x) for x in p] for p in planes])
     return df.withColumn(
         out_col, F.transform(pl, lambda p: V.dot(F.col(vec_col), p)))
 
@@ -1360,8 +1360,8 @@ def _pq_codebook_literal(codebooks: list[list[list[float]]]):
     (8·16·8 = 1 KB here; 8·256·128 = 2 MB at a production 1024-dim /
     8-bit setup) — small enough for the literal tier at test size;
     past a few hundred KB ship it like the centroid broadcast tier."""
-    return F.lit([[[float(x) for x in code] for code in sub]
-                  for sub in codebooks])
+    return V.lit_nested([[[float(x) for x in code] for code in sub]
+                         for sub in codebooks])
 
 
 def pq_codebooks_from_seeds(seed_vecs: list[list[float]],

@@ -6230,8 +6230,7 @@ def ivf_cell_profile(spark, sf_dir):
     from cati_database_feeder_spark.functions import vectors as V
     from cati_database_feeder_spark.operators.aggregates import dsum
     cents = sorted(_cents16(spark, sf_dir))
-    lit2d = F.array(*[F.array(*[F.lit(float(x)) for x in vec])
-                      for _, vec in cents])
+    lit2d = V.lit_nested([[float(x) for x in vec] for _, vec in cents])
     assigned = _cell_assign_stage(spark, sf_dir)
     scored = assigned.select(
         "cell",

@@ -933,3 +933,33 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
         ranks.setdefault(r["q_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in ranks.values())
+
+
+def test_lit_nested_matches_f_lit(spark):
+    """lit_nested (one-parse nested literal, functions/vectors.py) must
+    be value- AND schema-identical to the element-wise F.lit it
+    replaced — including the empty-array sentinel subsplit_hot_cells
+    appends, int vs double element types, and the non-finite fallback."""
+    from pyspark.sql import functions as F
+    from cati_database_feeder_spark.functions import vectors as V
+
+    cases = [
+        [[1.5, -2.25e-7], [0.0, 3.0]],              # 2-D doubles
+        [[[1.5, 2.5]], []],                          # 3-D with sentinel
+        [[1, 2], []],                                # 2-D ints + sentinel
+        [7, 8, 9],                                   # 1-D ints
+        [float("nan"), 1.0],                         # fallback path
+    ]
+    sel = []
+    for i, v in enumerate(cases):
+        sel.append(V.lit_nested(v).alias(f"n{i}"))
+        sel.append(F.lit(v).alias(f"l{i}"))
+    df = spark.range(1).select(*sel)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    row = df.collect()[0]
+    for i in range(len(cases)):
+        assert schema[f"n{i}"] == schema[f"l{i}"], f"case {i} schema"
+        a, b = row[f"n{i}"], row[f"l{i}"]
+        assert str(a) == str(b), f"case {i} values"  # str: NaN-safe
+    # memo returns the identical Column object for an equal value
+    assert V.lit_nested([[1.5]]) is V.lit_nested([[1.5]])
