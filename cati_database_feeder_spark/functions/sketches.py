@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cati_database_feeder_spark.functions import text as T
+from cati_database_feeder_spark.functions import vectors as V
 from cati_database_feeder_spark.operators.dedup import MINHASH_P, minhash_coeffs
 
 # coefficient-index bases: MinHash owns 0..15, Bloom 100.., CMS 200..
@@ -94,7 +95,11 @@ def bloom_might_contain(key: Column, words: list[int], m_bits: int,
             f"m_bits={m_bits} implies {m_bits // 64} — the test would "
             f"produce silent false negatives; pass the same m_bits the "
             f"bitmap was built with")
-    wl = F.lit(words)
+    # one-parse literal (vectors.lit_nested): F.lit on the word list
+    # is one py4j call per element — 1 Ki longs here, 16 Ki at a
+    # production 2^20-bit map — per plan build; element types match
+    # F.lit exactly (bare int literals parse to INT/BIGINT by range)
+    wl = V.lit_nested(words)
     h = T.hash64(key)
     test = F.lit(True)
     for pos in _hash_positions(h, m_bits, k, BLOOM_SEED_BASE):
