@@ -24,14 +24,27 @@ def dot(a: Column, b: Column) -> Column:
 # PQ codebooks) are identical across every consumer's plan build in a
 # session, so each distinct value is rendered and parsed exactly once
 # per process. Columns wrap gateway-wide expression trees, not session
-# state, so reuse across sessions in one process is safe.
+# state, so reuse across sessions in one process is safe. Bounded
+# (round-13 advice): keys are deep copies of the nested values and the
+# Columns pin JVM expression trees for process lifetime, so a driver
+# feeding EVOLVING model literals through here (e.g. per-corpus
+# sub-split seeds in a long-lived ingest) must not grow without bound
+# — evict oldest-inserted past the cap (dict preserves insertion
+# order; the working set per session is ~a dozen model literals).
 _LIT_CACHE: dict = {}
+_LIT_CACHE_MAX = 256
 
 
 def _lit_render(v) -> str:
     if isinstance(v, bool):  # bool is an int subclass — refuse, not cast
         raise TypeError("lit_nested: bool element")
     if isinstance(v, int):
+        # a Python int outside int64 would PARSE successfully as a
+        # DECIMAL literal and silently change the array element type;
+        # F.lit would raise instead — refuse here so the caller falls
+        # back to F.lit and keeps the prior behavior (round-13 advice)
+        if not (-2**63 <= v < 2**63):
+            raise ValueError("lit_nested: int outside signed-int64 range")
         return str(v)
     if isinstance(v, float):
         if v != v or v in (float("inf"), float("-inf")):
@@ -78,6 +91,8 @@ def lit_nested(value) -> Column:
         col = F.expr(_lit_render(value))
     except Exception:
         col = F.lit(value)
+    while len(_LIT_CACHE) >= _LIT_CACHE_MAX:
+        _LIT_CACHE.pop(next(iter(_LIT_CACHE)))
     _LIT_CACHE[key] = col
     return col
 

@@ -114,7 +114,11 @@ def expand_group_pairs(rep_pairs: DataFrame, mem: DataFrame,
     cross = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
              .select(F.least("x", "y").alias("id_a"),
                      F.greatest("x", "y").alias("id_b"), *extra))
-    within = _bucket_pairs(mem.select("gid", "id"), ["gid"], "id")
+    # dedupe=False: membership keys hold each id exactly once, so
+    # within pairs are distinct by construction — the distinct's whole
+    # extra exchange over the (cluster-m²-sized) within set is waste
+    within = _bucket_pairs(mem.select("gid", "id"), ["gid"], "id",
+                           dedupe=False)
     for c in extra:
         within = within.withColumn(c, (within_defaults or {})[c])
     return within.unionByName(cross)
@@ -188,7 +192,8 @@ def rep_band_buckets(memb: DataFrame, num_hashes: int = 16,
 
 
 def _bucket_pairs(buckets: DataFrame, key_cols: list[str], id_col: str,
-                  max_occupancy: int | None = None) -> DataFrame:
+                  max_occupancy: int | None = None,
+                  dedupe: bool = True) -> DataFrame:
     """(id_a, id_b) pairs of ids sharing a bucket key, id_a < id_b,
     distinct. Self-equi-join on the bucket key: both sides are the same
     subplan, so ReuseExchange computes the upstream once, and pair
@@ -252,10 +257,9 @@ def _bucket_pairs(buckets: DataFrame, key_cols: list[str], id_col: str,
     # reuse one exchange) and never shrinks the configured shuffle
     # width — max(cores, spark.sql.shuffle.partitions), so at-scale
     # sessions that size shuffle.partitions for data volume keep it.
-    sess = buckets.sparkSession
-    pin = max(sess.sparkContext.defaultParallelism,
-              int(sess.conf.get("spark.sql.shuffle.partitions")))
-    buckets = buckets.repartition(pin, *key_cols)
+    from cati_database_feeder_spark.session import shuffle_width
+    buckets = buckets.repartition(shuffle_width(buckets.sparkSession),
+                                  *key_cols)
     a = buckets.alias("a").hint("shuffle_hash")
     b = buckets.alias("b").hint("shuffle_hash")
     cond = reduce(lambda x, y: x & y,
@@ -269,10 +273,16 @@ def _bucket_pairs(buckets: DataFrame, key_cols: list[str], id_col: str,
     # shape) the id_a output partitioning makes the verify joins
     # shuffle-reuse on id_a instead of broadcasting the small rep side,
     # and the full verify+expand pipeline regressed 3.48 → 6.46 s.
-    return (a.join(b, cond)
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())
+    pairs = (a.join(b, cond)
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b")))
+    # ``dedupe=False`` skips the distinct — and its full extra exchange
+    # over the emitted pair set — for callers whose keys hold each id
+    # exactly ONCE (group membership: one gid per id), where every pair
+    # arises from exactly one key by construction. Multi-bucket keyings
+    # (LSH bands, prefix tokens) keep the distinct: the same pair
+    # collides in several buckets there.
+    return pairs.distinct() if dedupe else pairs
 
 
 def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
@@ -365,8 +375,11 @@ def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
     # cost more than the recompute it saved; routing verification
     # through ``ordered`` was tried and rejected too (its join+agg
     # upstream is heavier than re-tokenizing).
-    t_a = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
-    t_b = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    # hashed verify arrays — see hashed_verify_frame (probe-proven
+    # bit-identical, long intersects instead of string/shingle ones)
+    vtoks = hashed_verify_frame(toks.select("id", "toks"))
+    t_a = vtoks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    t_b = vtoks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
     rep_pairs = (cands.join(t_a, "id_a").join(t_b, "id_b")
                  .withColumn("jaccard", token_jaccard(F.col("toks_a"), F.col("toks_b")))
                  .filter(F.col("jaccard") >= threshold)
@@ -580,6 +593,66 @@ def token_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
     return inter / F.nullif(union, F.lit(0.0))
 
 
+# Injectivity-probe verdicts for hashed_verify_frame, memoized per
+# (applicationId, analyzed-plan semanticHash): a persisted stage frame
+# keeps one analyzed plan for the session, so the probe job runs once,
+# not once per consumer rebuild. Evicted by applicationId like every
+# other session cache (queryset._STAGE_CACHE discipline).
+_HASHED_VERIFY_OK: dict[tuple, bool] = {}
+
+
+def hashed_verify_frame(frame: DataFrame, toks_col: str = "toks") -> DataFrame:
+    """Candidate-verify acceleration: replace a verify-side frame's
+    string token arrays with their per-element ``xxhash64`` values —
+    the pair-verify then intersects 8-byte longs instead of strings
+    (no per-pair string hashing, ~3-5x fewer bytes materialized per
+    candidate row; measured 2.3 -> 1.1 s on the sf0.1 minhash verify).
+
+    EXACTNESS IS UNCONDITIONAL, not probabilistic: one tiny aggregate
+    probe (distinct tokens vs distinct hashes over the frame's observed
+    vocabulary, plus a no-null-element check) proves the hash injective
+    on every value the verify can ever compare — then element-wise
+    hashing is a bijection A -> h(A) per row, so array lengths,
+    intersection sizes, and every downstream :func:`token_jaccard`
+    value are bit-identical. If the probe ever finds a collision (or a
+    null element) the frame is returned UNCHANGED — the optimization
+    silently does not apply; results never depend on hash luck. The
+    probe verdict is memoized per (session, analyzed plan), so stage
+    frames pay it once per session.
+
+    Scale shape: the probe is explode -> distinct -> one aggregate over
+    the verify-side vocabulary — corpus-token-linear with map-side
+    partials, the same cost class as the token-df aggregate the
+    AllPairs join already runs; the per-candidate verify it accelerates
+    is candidate-linear, which banding/prefix collisions make the
+    dominant term exactly when this operator matters."""
+    sess = frame.sparkSession
+    app = sess.sparkContext.applicationId
+    for stale in [k for k in _HASHED_VERIFY_OK if k[0] != app]:
+        del _HASHED_VERIFY_OK[stale]
+    try:
+        plan_key = frame._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        plan_key = None
+    key = (app, plan_key, toks_col)
+    if plan_key is None or key not in _HASHED_VERIFY_OK:
+        row = (frame.select(F.explode(toks_col).alias("__t")).distinct()
+               .agg(F.count(F.lit(1)).alias("rows"),
+                    F.count("__t").alias("n"),
+                    F.count_distinct(F.xxhash64("__t")).alias("nh"))
+               .collect()[0])
+        ok = row["rows"] == row["n"] == row["nh"]
+        if plan_key is None:
+            return frame.withColumn(
+                toks_col,
+                F.transform(toks_col, lambda t: F.xxhash64(t))) if ok else frame
+        _HASHED_VERIFY_OK[key] = ok
+    if _HASHED_VERIFY_OK[key]:
+        return frame.withColumn(
+            toks_col, F.transform(toks_col, lambda t: F.xxhash64(t)))
+    return frame
+
+
 def near_dup_rep_pairs(documents: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", threshold: float = 0.7,
                        num_hashes: int = 16, bands: int = 4,
@@ -596,7 +669,10 @@ def near_dup_rep_pairs(documents: DataFrame, id_col: str = "doc_id",
     memb = groups if groups is not None else tokset_groups(documents, id_col, text_col)
     cands = rep_candidates if rep_candidates is not None else minhash_lsh_candidates(
         documents, id_col, text_col, num_hashes, bands, groups=memb, expand=False)
-    reps = memb.filter(F.col("id") == F.col("gid"))
+    # hashed verify arrays (hashed_verify_frame): candidates intersect
+    # longs, not strings — bit-identical by the injectivity probe
+    reps = hashed_verify_frame(
+        memb.filter(F.col("id") == F.col("gid")).select("id", "toks"))
     t_a = reps.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     t_b = reps.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
     return (cands.join(t_a, "id_a").join(t_b, "id_b")
@@ -755,7 +831,10 @@ def incremental_near_dup_pairs(corpus: DataFrame, delta: DataFrame,
                  # join on id_a reuses this exchange.
                  .repartition(corpus.sparkSession.sparkContext
                               .defaultParallelism, "id_a"))
-    reps = memb.filter(F.col("id") == F.col("gid"))
+    # hashed verify arrays — see hashed_verify_frame (probe-proven
+    # bit-identical, long intersects instead of string intersects)
+    reps = hashed_verify_frame(
+        memb.filter(F.col("id") == F.col("gid")).select("id", "toks"))
     t_a = reps.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     t_b = reps.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
     rep_pairs = (rep_cands.join(t_a, "id_a").join(t_b, "id_b")
@@ -769,29 +848,45 @@ def incremental_near_dup_pairs(corpus: DataFrame, delta: DataFrame,
     # — expanding full member products and dropping the old×old majority
     # would reintroduce the cluster-m² term this operator exists to
     # avoid (measured 1.15M expanded rows for ~30k kept at sf0.1).
-    # Branches are disjoint so no distinct is needed:
-    #   cross:  (new x, any y) ∪ (old x, new y)
-    #   within: (new, old) once each ∪ (new, new) ordered
+    #
+    # Three joins, not six (round-13 verdict item 4): the old layout ran
+    # each disjoint branch as its own join pair — cross as
+    # (new x ⋈ any y) ∪ (old x ⋈ new y) [4 joins], within as
+    # (new ⋈ old) ∪ (new ⋈ new) [2 joins]. Directing the rep edges both
+    # ways first folds the cross branches into ONE two-join pipeline
+    # (src member must be new; a dst-side filter keeps d=1 rows only
+    # when the dst member is old, so nothing is double-emitted), and
+    # within is one (new ⋈ all) join filtered to (old y) ∨ (x < y).
+    # Bag-identical: d=0 emits new(A)×all(B) [= old branch 1], d=1
+    # filtered emits new(B)×old(A) [= old branch 2 normalized]; the
+    # only overgenerated-then-dropped rows are new×new products —
+    # delta-bounded by definition, never the cluster-m² old×old term.
     memf = (mem.join(new_ids, "id", "left")
             .withColumn("__new", F.coalesce(F.col("__new"), F.lit(False))))
     mem_new = memf.filter(F.col("__new")).select("gid", "id")
-    mem_old = memf.filter(~F.col("__new")).select("gid", "id")
-    na = mem_new.select(F.col("gid").alias("id_a"), F.col("id").alias("x"))
-    oa = mem_old.select(F.col("gid").alias("id_a"), F.col("id").alias("x"))
-    nb = mem_new.select(F.col("gid").alias("id_b"), F.col("id").alias("y"))
-    ab = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("y"))
-    cross = (rep_pairs.join(na, "id_a").join(ab, "id_b")
-             .unionByName(rep_pairs.join(oa, "id_a").join(nb, "id_b"))
+    directed = (rep_pairs.select(F.col("id_a").alias("g_src"),
+                                 F.col("id_b").alias("g_dst"),
+                                 "jaccard", F.lit(0).alias("d"))
+                .unionByName(
+                    rep_pairs.select(F.col("id_b").alias("g_src"),
+                                     F.col("id_a").alias("g_dst"),
+                                     "jaccard", F.lit(1).alias("d"))))
+    src_new = mem_new.select(F.col("gid").alias("g_src"),
+                             F.col("id").alias("x"))
+    dst_all = memf.select(F.col("gid").alias("g_dst"),
+                          F.col("id").alias("y"),
+                          F.col("__new").alias("__ynew"))
+    cross = (directed.join(src_new, "g_src").join(dst_all, "g_dst")
+             .filter((F.col("d") == 0) | ~F.col("__ynew"))
              .select(F.least("x", "y").alias("id_a"),
                      F.greatest("x", "y").alias("id_b"), "jaccard"))
-    wn = mem_new.select("gid", F.col("id").alias("x"))
-    w_no = (wn.join(mem_old.select("gid", F.col("id").alias("y")), "gid")
-            .select(F.least("x", "y").alias("id_a"),
-                    F.greatest("x", "y").alias("id_b")))
-    w_nn = (wn.join(mem_new.select("gid", F.col("id").alias("y")), "gid")
-            .filter(F.col("x") < F.col("y"))
-            .select(F.col("x").alias("id_a"), F.col("y").alias("id_b")))
-    within = w_no.unionByName(w_nn).withColumn("jaccard", F.lit(1.0))
+    within = (mem_new.select("gid", F.col("id").alias("x"))
+              .join(memf.select("gid", F.col("id").alias("y"),
+                                F.col("__new").alias("__ynew")), "gid")
+              .filter(~F.col("__ynew") | (F.col("x") < F.col("y")))
+              .select(F.least("x", "y").alias("id_a"),
+                      F.greatest("x", "y").alias("id_b"),
+                      F.lit(1.0).alias("jaccard")))
     return within.unionByName(cross)
 
 
@@ -925,8 +1020,11 @@ def incremental_near_dup_pairs_from_store(
                  # byte-tiny candidate pairs into one compute-bound task
                  # (same measured rationale as incremental_near_dup_pairs)
                  .repartition(spark.sparkContext.defaultParallelism, "id_a"))
-    reps_all = (reps.select("gid", "toks")
-                .unionByName(new_reps.select("gid", "toks")))
+    # hashed verify arrays — see hashed_verify_frame (probe-proven
+    # bit-identical, long intersects instead of string intersects)
+    reps_all = hashed_verify_frame(
+        reps.select("gid", "toks")
+        .unionByName(new_reps.select("gid", "toks")))
     t_a = reps_all.select(F.col("gid").alias("id_a"), F.col("toks").alias("toks_a"))
     t_b = reps_all.select(F.col("gid").alias("id_b"), F.col("toks").alias("toks_b"))
     rep_pairs = (rep_cands.join(t_a, "id_a").join(t_b, "id_b")
@@ -939,37 +1037,56 @@ def incremental_near_dup_pairs_from_store(
     # empty-token groups never verify (NULL Jaccard) so only the
     # within-branch needs the explicit nonempty filter
     mem_new = dmemb.select("gid", "id")
-    mem_all = members.unionByName(mem_new)
-    na = mem_new.select(F.col("gid").alias("id_a"), F.col("id").alias("x"))
-    oa = members.select(F.col("gid").alias("id_a"), F.col("id").alias("x"))
-    nb = mem_new.select(F.col("gid").alias("id_b"), F.col("id").alias("y"))
-    ab = mem_all.select(F.col("gid").alias("id_b"), F.col("id").alias("y"))
-    cross = (rep_pairs.join(na, "id_a").join(ab, "id_b")
-             .unionByName(rep_pairs.join(oa, "id_a").join(nb, "id_b"))
+    # Three joins, not six — the same directed-edge fold as
+    # incremental_near_dup_pairs (see the comment there): cross emits
+    # new(src)×all(dst) for d=0 edges and new(src)×store(dst) for the
+    # reversed d=1 edges; within is one (new ⋈ store∪new) join with a
+    # per-branch filter. Delta-boundedness is unchanged — the src side
+    # is always delta membership, and the only generated-then-dropped
+    # rows are delta-bounded new×new products.
+    directed = (rep_pairs.select(F.col("id_a").alias("g_src"),
+                                 F.col("id_b").alias("g_dst"),
+                                 "jaccard", F.lit(0).alias("d"))
+                .unionByName(
+                    rep_pairs.select(F.col("id_b").alias("g_src"),
+                                     F.col("id_a").alias("g_dst"),
+                                     "jaccard", F.lit(1).alias("d"))))
+    src_new = mem_new.select(F.col("gid").alias("g_src"),
+                             F.col("id").alias("x"))
+    # __ynew marks which half of the store∪delta union a dst row came
+    # from; on an at-least-once redelivery a doc may sit in BOTH halves
+    # — exactly the duplicate tolerance the old two-branch layout had
+    # (duplicates are harmless downstream: the closure is set-semantics)
+    dst_all = (members.select(F.col("gid").alias("g_dst"),
+                              F.col("id").alias("y"),
+                              F.lit(False).alias("__ynew"))
+               .unionByName(mem_new.select(F.col("gid").alias("g_dst"),
+                                           F.col("id").alias("y"),
+                                           F.lit(True).alias("__ynew"))))
+    cross = (directed.join(src_new, "g_src").join(dst_all, "g_dst")
+             .filter((F.col("d") == 0) | ~F.col("__ynew"))
              .select(F.least("x", "y").alias("id_a"),
                      F.greatest("x", "y").alias("id_b"), "jaccard"))
     wg = (gnew.join(reps_all.filter(F.size("toks") > 0).select("gid"), "gid")
           .select("gid"))
-    mn_t = mem_new.join(wg, "gid")
-    mo_t = members.join(wg, "gid")
-    # x != y: delta and members are disjoint in a clean run, but an
-    # at-least-once redelivery after a crash between the members/ append
-    # and the corpus/ commit marker replays delta docs that are ALREADY
-    # in members — without the filter the retry would emit self-pairs
-    # (id_a == id_b, jaccard 1.0) whose singleton label rows a no-crash
-    # run would never contain, breaking labels ≡ full-recompute for
-    # that crash window. Duplicate (x,y) pairs from the same replay are
-    # harmless downstream (the closure is set-semantics).
-    w_no = (mn_t.select("gid", F.col("id").alias("x"))
-            .join(mo_t.select("gid", F.col("id").alias("y")), "gid")
-            .filter(F.col("x") != F.col("y"))
-            .select(F.least("x", "y").alias("id_a"),
-                    F.greatest("x", "y").alias("id_b")))
-    w_nn = (mn_t.select("gid", F.col("id").alias("x"))
-            .join(mem_new.select("gid", F.col("id").alias("y")), "gid")
-            .filter(F.col("x") < F.col("y"))
-            .select(F.col("x").alias("id_a"), F.col("y").alias("id_b")))
-    within = w_no.unionByName(w_nn).withColumn("jaccard", F.lit(1.0))
+    # x != y on the store branch: delta and members are disjoint in a
+    # clean run, but an at-least-once redelivery after a crash between
+    # the members/ append and the corpus/ commit marker replays delta
+    # docs that are ALREADY in members — without the filter the retry
+    # would emit self-pairs (id_a == id_b, jaccard 1.0) whose singleton
+    # label rows a no-crash run would never contain, breaking
+    # labels ≡ full-recompute for that crash window.
+    dst_w = (members.select("gid", F.col("id").alias("y"),
+                            F.lit(False).alias("__ynew"))
+             .unionByName(mem_new.select("gid", F.col("id").alias("y"),
+                                         F.lit(True).alias("__ynew"))))
+    within = (mem_new.join(wg, "gid").select("gid", F.col("id").alias("x"))
+              .join(dst_w, "gid")
+              .filter((~F.col("__ynew") & (F.col("x") != F.col("y")))
+                      | (F.col("__ynew") & (F.col("x") < F.col("y"))))
+              .select(F.least("x", "y").alias("id_a"),
+                      F.greatest("x", "y").alias("id_b"),
+                      F.lit(1.0).alias("jaccard")))
     return within.unionByName(cross), dmemb, new_reps
 
 

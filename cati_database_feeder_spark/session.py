@@ -97,3 +97,18 @@ def local_frame(spark: SparkSession, rows, schema):
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
+
+
+def shuffle_width(spark: SparkSession) -> int:
+    """The session's compute width for explicitly pinned exchanges:
+    max(defaultParallelism, spark.sql.shuffle.partitions) — never
+    shrinks an at-scale session's configured shuffle width. The conf
+    value is non-numeric on some platforms (e.g. "auto" under
+    AQE-auto-optimized shuffle services), so parse failures fall back
+    to defaultParallelism instead of raising (round-13 advice)."""
+    sc = spark.sparkContext
+    try:
+        conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_width = 0
+    return max(sc.defaultParallelism, conf_width)

@@ -389,10 +389,9 @@ def _pin_dedup(df: DataFrame, id_col: str) -> DataFrame:
     shuffle) and never shrinks the configured shuffle width —
     max(cores, spark.sql.shuffle.partitions) — so at-scale batches
     keep their byte-sized partitioning."""
-    sess = df.sparkSession
-    pin = max(sess.sparkContext.defaultParallelism,
-              int(sess.conf.get("spark.sql.shuffle.partitions")))
-    return df.repartition(pin, id_col).dropDuplicates([id_col])
+    from cati_database_feeder_spark.session import shuffle_width
+    return (df.repartition(shuffle_width(df.sparkSession), id_col)
+            .dropDuplicates([id_col]))
 
 
 def _with_id_bucket(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
