@@ -1214,7 +1214,11 @@ def text_repetition_profile(spark, sf_dir):
     document length, JVM higher-order functions, the whole query is a
     single map-only projection over the scan. At 100 TB that is the
     difference between a corpus-sized shuffle pair and none."""
-    d = T(spark, sf_dir, "documents")
+    # spread(): top_bigram_run + distinct per doc is compute-dense over
+    # a footer-sized scan (paired at sf0.1: 0.70-0.81 -> 0.35-0.42 s;
+    # unigram_rarity/lexical_diversity/token_cms measured SLOWER with
+    # the fan-out — their aggregates re-spread anyway — and keep T())
+    d = spread(spark, sf_dir, "documents")
     staged = d.select("doc_id", text.tokens(F.col("text")).alias("tk"))
     n = F.size("tk")
     nd = F.size(F.array_distinct("tk"))
@@ -1784,7 +1788,10 @@ def dedup_shingle_jaccard_pairs(spark, sf_dir):
     element is swapped from tokens to shingles, the algorithm is
     unchanged (functions/text.py:word_shingles)."""
     from cati_database_feeder_spark.operators.dedup import jaccard_similarity_join
-    d = T(spark, sf_dir, "documents")
+    # spread(): the per-branch 3-shingle rebuild is compute-dense over
+    # a footer-sized scan (paired at sf0.1: 3.2-5.3 -> 2.7-3.9 s; the
+    # TOKEN variant measured SLOWER with the fan-out and keeps T())
+    d = spread(spark, sf_dir, "documents")
     return jaccard_similarity_join(
         d, threshold=0.5, block_col="source",
         tokens_of=lambda tk: text.shingles_from_tokens(tk, 3))
@@ -2959,7 +2966,10 @@ def dedup_char_ngram_jaccard_pairs(spark, sf_dir):
     element changes; the stride bounds per-doc set size at len/4
     (functions/text.py:char_ngrams_from_tokens)."""
     from cati_database_feeder_spark.operators.dedup import jaccard_similarity_join
-    d = T(spark, sf_dir, "documents")
+    # spread(): paired at sf0.1 3.8-4.1 -> 1.9-2.7 s (the char-8-gram
+    # rebuild per verify branch is the densest of the jaccard family);
+    # the TOKEN variant measured SLOWER with the fan-out and keeps T()
+    d = spread(spark, sf_dir, "documents")
     return jaccard_similarity_join(
         d, threshold=0.8, block_col="source",
         tokens_of=lambda tk: text.char_ngrams_from_tokens(tk, 8, stride=4))
@@ -3735,7 +3745,10 @@ def decontaminate_against_benchmark(spark, sf_dir):
     — in production it is the materialized quarantine table every
     governance step joins against, written once per corpus snapshot."""
     def build():
-        d = T(spark, sf_dir, "documents")
+        # spread(): the 4-shingle build is compute-dense over a
+        # footer-sized scan — without the fan-out it ran on ONE split
+        # (paired at sf0.1: the rung's verdict plan 1.65 -> 0.63 s)
+        d = spread(spark, sf_dir, "documents")
         staged = (d.select("doc_id", text.tokens(F.col("text")).alias("__tk"))
                   .filter(F.size("__tk") >= 4)
                   .select("doc_id",
@@ -5165,7 +5178,9 @@ def decontaminate_cbloom_store(spark, sf_dir):
     from cati_database_feeder_spark.functions import sketches
     from cati_database_feeder_spark.streaming.ingest import cbloom_gate
     words, m, k = cbloom_gate(spark, _text_store_dir(spark, sf_dir))
-    d = T(spark, sf_dir, "documents")
+    # spread(): 5-shingle build over a footer-sized scan (paired at
+    # sf0.1: 2.05-2.70 -> 1.76-2.08 s)
+    d = spread(spark, sf_dir, "documents")
     staged = (d.select("doc_id", text.tokens(F.col("text")).alias("__tk"))
               .filter(F.size("__tk") >= 5)
               .select("doc_id", F.explode(F.array_distinct(
@@ -5609,7 +5624,11 @@ def minhash_calibration_check(spark, sf_dir):
     allp = pairs.unionByName(
         low.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"],
                  "left_anti"))
-    sigs = (d.select("doc_id", DD.token_hashes(F.col("text")).alias("__h"))
+    # spread(): the signature pass (md5 + 16 minhash transforms per
+    # doc) is compute-dense over the footer-sized scan — paired at
+    # sf0.1: 0.49-0.58 -> 0.25-0.35 s
+    sigs = (spread(spark, sf_dir, "documents")
+            .select("doc_id", DD.token_hashes(F.col("text")).alias("__h"))
             .filter(F.size("__h") > 0)
             .select("doc_id",
                     DD.minhash_signature(F.col("__h"), 16).alias("sig")))
