@@ -375,11 +375,14 @@ def jaccard_similarity_join(documents: DataFrame, id_col: str = "doc_id",
     # cost more than the recompute it saved; routing verification
     # through ``ordered`` was tried and rejected too (its join+agg
     # upstream is heavier than re-tokenizing).
-    # hashed verify arrays — see hashed_verify_frame (probe-proven
-    # bit-identical, long intersects instead of string/shingle ones)
-    vtoks = hashed_verify_frame(toks.select("id", "toks"))
-    t_a = vtoks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
-    t_b = vtoks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    # hashed_verify_frame was tried here and REJECTED (paired at
+    # sf0.1: shingle 2.7 -> 3.4 s, char-ngram exec a wash, token flat)
+    # — prefix filtering keeps the candidate set small relative to the
+    # rep count, so the per-rep hash transform (recomputed per verify
+    # branch) costs more than the per-pair string intersects it saves.
+    # The minhash verify keeps it: 3 M candidates over 3,935 reps.
+    t_a = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    t_b = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
     rep_pairs = (cands.join(t_a, "id_a").join(t_b, "id_b")
                  .withColumn("jaccard", token_jaccard(F.col("toks_a"), F.col("toks_b")))
                  .filter(F.col("jaccard") >= threshold)
@@ -831,10 +834,11 @@ def incremental_near_dup_pairs(corpus: DataFrame, delta: DataFrame,
                  # join on id_a reuses this exchange.
                  .repartition(corpus.sparkSession.sparkContext
                               .defaultParallelism, "id_a"))
-    # hashed verify arrays — see hashed_verify_frame (probe-proven
-    # bit-identical, long intersects instead of string intersects)
-    reps = hashed_verify_frame(
-        memb.filter(F.col("id") == F.col("gid")).select("id", "toks"))
+    # hashed_verify_frame was tried here and REJECTED (paired at
+    # sf0.1: 3.6 -> 4.2 s) — the candidate set is delta-bounded, so
+    # the per-rep hash transform outweighs the per-pair savings. The
+    # full-corpus verify (near_dup_rep_pairs) keeps it.
+    reps = memb.filter(F.col("id") == F.col("gid"))
     t_a = reps.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     t_b = reps.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
     rep_pairs = (rep_cands.join(t_a, "id_a").join(t_b, "id_b")
@@ -1020,11 +1024,13 @@ def incremental_near_dup_pairs_from_store(
                  # byte-tiny candidate pairs into one compute-bound task
                  # (same measured rationale as incremental_near_dup_pairs)
                  .repartition(spark.sparkContext.defaultParallelism, "id_a"))
-    # hashed verify arrays — see hashed_verify_frame (probe-proven
-    # bit-identical, long intersects instead of string intersects)
-    reps_all = hashed_verify_frame(
-        reps.select("gid", "toks")
-        .unionByName(new_reps.select("gid", "toks")))
+    # hashed_verify_frame was tried here and REJECTED (paired at
+    # sf0.1: 2.2 -> 3.2 s) — delta-bounded candidates, same rationale
+    # as incremental_near_dup_pairs; it would also have re-probed the
+    # full reps store per batch, against this operator's
+    # batch-bounded-cost contract.
+    reps_all = (reps.select("gid", "toks")
+                .unionByName(new_reps.select("gid", "toks")))
     t_a = reps_all.select(F.col("gid").alias("id_a"), F.col("toks").alias("toks_a"))
     t_b = reps_all.select(F.col("gid").alias("id_b"), F.col("toks").alias("toks_b"))
     rep_pairs = (rep_cands.join(t_a, "id_a").join(t_b, "id_b")
